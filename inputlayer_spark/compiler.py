@@ -1,0 +1,385 @@
+"""Rule compiler: IQL rule bodies → Spark DataFrame logical plans.
+
+Re-implements the semantics of the reference IR builder
+(`/root/reference/src/ir_builder/mod.rs`: build_scans :185, build_join
+:333, build_antijoins :370, build_computed_columns :487,
+build_comparison_filters :782, build_projection :1275, build_aggregation
+:1562) declaratively: each positive atom becomes a scan whose columns are
+renamed to variable names, shared variables become equi-join keys,
+repeated variables / constants become filters, negation becomes a
+left-anti join, `V = expr` comparisons become computed columns, and head
+aggregates become groupBy/Window aggregations. Catalyst then does the
+algebraic optimization the reference does by hand (pushdown, fusion,
+reordering — SURVEY.md §4.1).
+
+Internal column naming: a compiled body DataFrame has one column per
+bound variable, named exactly the variable name. Materialized relations
+use positional names c0..cn.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Callable, Dict, List, Optional, Sequence, Set
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from inputlayer_spark.ast_nodes import (
+    Agg,
+    Arith,
+    Atom,
+    Call,
+    Comparison,
+    Const,
+    HnswNearest,
+    Var,
+    VecLit,
+)
+from inputlayer_spark.functions import BUILTINS
+
+Resolver = Callable[[str], DataFrame]
+
+
+class CompileError(ValueError):
+    pass
+
+
+def positional_names(n: int) -> List[str]:
+    return [f"c{i}" for i in range(n)]
+
+
+# ------------------------------------------------------------ terms
+
+
+def lit_of(term) -> Column:
+    if isinstance(term, Const):
+        if term.value is None:
+            return F.lit(None)
+        return F.lit(term.value)
+    if isinstance(term, VecLit):
+        return F.array(*[F.lit(float(v)) for v in term.values]).cast("array<float>")
+    raise CompileError(f"not a literal: {term!r}")
+
+
+_INT_PARAM_FUNCS = {"lsh_bucket", "lsh_probes", "lsh_multi_probe"}
+
+
+def term_to_column(term, bound: Set[str]) -> Column:
+    """Evaluate a term to a Column; every Var must be bound."""
+    if isinstance(term, Var):
+        if term.is_wildcard:
+            raise CompileError("wildcard not allowed in expressions")
+        if term.name not in bound:
+            raise CompileError(f"unbound variable {term.name} in expression")
+        return F.col(term.name)
+    if isinstance(term, (Const, VecLit)):
+        return lit_of(term)
+    if isinstance(term, Arith):
+        left = term_to_column(term.left, bound)
+        right = term_to_column(term.right, bound)
+        op = term.op
+        if op == "+":
+            return left + right
+        if op == "-":
+            return left - right
+        if op == "*":
+            return left * right
+        if op == "/":
+            # IQL: int/int is integer division with int→float coercion when
+            # either side is float (docs/spec/types.md:179-193). Spark's `/`
+            # always yields double; match reference by keeping double — the
+            # reference coerces to float on division too.
+            return left / right
+        if op == "%":
+            return left % right
+        raise CompileError(f"unknown arithmetic op {op}")
+    if isinstance(term, Call):
+        fn = BUILTINS.get(term.func)
+        if fn is None:
+            raise CompileError(f"unknown builtin {term.func}")
+        if term.func in _INT_PARAM_FUNCS:
+            first = term_to_column(term.args[0], bound)
+            rest = []
+            for a in term.args[1:]:
+                if not isinstance(a, Const) or not isinstance(a.value, int):
+                    raise CompileError(f"{term.func}: table/bits must be int literals")
+                rest.append(a.value)
+            return fn(first, *rest)
+        return fn(*[term_to_column(a, bound) for a in term.args])
+    raise CompileError(f"cannot evaluate term {term!r}")
+
+
+def term_is_computable(term, bound: Set[str]) -> bool:
+    from inputlayer_spark.ast_nodes import term_vars
+
+    return term_vars(term) <= bound
+
+
+# ------------------------------------------------------------ atom scan
+
+
+def scan_atom(atom: Atom, resolve: Resolver) -> DataFrame:
+    """Atom → DataFrame with columns named by first-occurrence variables.
+
+    Mirrors build_scans (ir_builder/mod.rs:185): constants become filters,
+    a variable repeated within the atom becomes a self-equality filter,
+    wildcards are dropped.
+    """
+    df = resolve(atom.relation)
+    cols = df.columns
+    if len(cols) != len(atom.terms):
+        raise CompileError(
+            f"arity mismatch: {atom.relation} has {len(cols)} columns, "
+            f"atom has {len(atom.terms)} terms"
+        )
+    filters: List[Column] = []
+    var_to_col: Dict[str, str] = {}
+    for col_name, term in zip(cols, atom.terms):
+        if isinstance(term, Var):
+            if term.is_wildcard:
+                continue
+            if term.name in var_to_col:
+                filters.append(F.col(col_name) == F.col(var_to_col[term.name]))
+            else:
+                var_to_col[term.name] = col_name
+        elif isinstance(term, (Const, VecLit)):
+            filters.append(F.col(col_name) == lit_of(term))
+        else:
+            raise CompileError(
+                f"unsupported term {term!r} in body atom {atom.relation} "
+                "(expressions belong in comparisons)"
+            )
+    if filters:
+        df = df.filter(reduce(lambda a, b: a & b, filters))
+    return df.select([F.col(c).alias(v) for v, c in var_to_col.items()])
+
+
+# ------------------------------------------------------------ body
+
+
+def compile_body(
+    body: Sequence,
+    resolve: Resolver,
+    hnsw_resolver: Optional[Callable[[HnswNearest], DataFrame]] = None,
+) -> DataFrame:
+    """Conjunctive body → DataFrame with one column per bound variable."""
+    atoms = [l for l in body if isinstance(l, Atom) and not l.negated]
+    negated = [l for l in body if isinstance(l, Atom) and l.negated]
+    comps = [l for l in body if isinstance(l, Comparison)]
+    hnsws = [l for l in body if isinstance(l, HnswNearest)]
+
+    acc: Optional[DataFrame] = None
+    for atom in atoms:
+        scanned = scan_atom(atom, resolve)
+        acc = _conjoin(acc, scanned)
+
+    for h in hnsws:
+        if hnsw_resolver is None:
+            raise CompileError("hnsw_nearest used but no index manager attached")
+        knn = hnsw_resolver(h)  # columns: id_var, dist_var (already aliased)
+        acc = _conjoin(acc, knn)
+
+    if acc is None:
+        raise CompileError("rule body has no positive atoms")
+
+    # bindings (V = expr) and filters, to fixpoint so chained bindings work
+    bound = set(acc.columns)
+    pending = list(comps)
+    while pending:
+        progressed = False
+        rest: List[Comparison] = []
+        for comp in pending:
+            made, acc, bound = _apply_comparison(comp, acc, bound)
+            if made:
+                progressed = True
+            else:
+                rest.append(comp)
+        pending = rest
+        if not progressed and pending:
+            raise CompileError(
+                f"unsafe/unsatisfiable comparisons (unbound variables): {pending}"
+            )
+
+    # anti-joins last: all their join keys are now bound
+    for natom in negated:
+        pos = Atom(natom.relation, natom.terms)
+        right = scan_atom(pos, resolve)
+        keys = [c for c in right.columns if c in set(acc.columns)]
+        if keys:
+            acc = acc.join(right.select(*keys).distinct(), on=keys, how="left_anti")
+        else:
+            # no shared vars: body survives only if the negated relation
+            # (after its internal filters) is empty — expressible as an
+            # anti cross join, still fully declarative
+            acc = acc.join(right.limit(1), on=F.lit(True), how="left_anti")
+    return acc
+
+
+def _conjoin(acc: Optional[DataFrame], nxt: DataFrame) -> DataFrame:
+    if acc is None:
+        return nxt
+    common = [c for c in nxt.columns if c in set(acc.columns)]
+    if common:
+        return acc.join(nxt, on=common, how="inner")
+    return acc.crossJoin(nxt)
+
+
+def _apply_comparison(comp: Comparison, acc: DataFrame, bound: Set[str]):
+    """Try to apply one comparison; returns (progress, df, bound)."""
+    left_ok = term_is_computable(comp.left, bound)
+    right_ok = term_is_computable(comp.right, bound)
+    if comp.op == "=":
+        if left_ok and isinstance(comp.right, Var) and comp.right.name not in bound:
+            col = term_to_column(comp.left, bound)
+            acc = acc.withColumn(comp.right.name, col)
+            return True, acc, bound | {comp.right.name}
+        if right_ok and isinstance(comp.left, Var) and comp.left.name not in bound:
+            col = term_to_column(comp.right, bound)
+            acc = acc.withColumn(comp.left.name, col)
+            return True, acc, bound | {comp.left.name}
+    if left_ok and right_ok:
+        lc = term_to_column(comp.left, bound)
+        rc = term_to_column(comp.right, bound)
+        ops = {
+            "=": lc == rc,
+            "!=": lc != rc,
+            "<": lc < rc,
+            "<=": lc <= rc,
+            ">": lc > rc,
+            ">=": lc >= rc,
+        }
+        return True, acc.filter(ops[comp.op]), bound
+    return False, acc, bound
+
+
+# ------------------------------------------------------------ head
+
+
+STANDARD_AGGS = {
+    "count": lambda c: F.count(c),
+    "count_distinct": lambda c: F.count_distinct(c),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "avg": lambda c: F.avg(c),
+}
+
+
+def compile_head(body_df: DataFrame, head: Atom, distinct: bool = True) -> DataFrame:
+    """Project / aggregate the body DataFrame into the head relation.
+
+    Output columns are positional (c0..cn) — relations are positional in
+    IQL, like the reference's Tuple model.
+    """
+    bound = set(body_df.columns)
+    aggs = [(i, t) for i, t in enumerate(head.terms) if isinstance(t, Agg)]
+    if not aggs:
+        cols = []
+        for i, t in enumerate(head.terms):
+            cols.append(term_to_column(t, bound).alias(f"c{i}"))
+        out = body_df.select(*cols)
+        return out.distinct() if distinct else out
+
+    ranking = [(i, t) for i, t in aggs if t.is_ranking]
+    if ranking and len(aggs) > 1:
+        raise CompileError("ranking aggregates cannot be combined with other aggregates")
+
+    group_idx = [(i, t) for i, t in enumerate(head.terms) if not isinstance(t, Agg)]
+    group_cols = [term_to_column(t, bound).alias(f"c{i}") for i, t in group_idx]
+
+    if ranking:
+        return _compile_ranking(body_df, head, group_idx, ranking[0], bound)
+
+    # Datalog aggregates over the SET of body bindings (DD consolidates
+    # multiplicities, code_generator/mod.rs:2414): distinct before agg.
+    deduped = body_df.distinct()
+    agg_exprs = []
+    for i, t in aggs:
+        fn = STANDARD_AGGS.get(t.func)
+        if fn is None:
+            raise CompileError(f"unknown aggregate {t.func}")
+        if len(t.args) != 1:
+            raise CompileError(f"{t.func} takes exactly one argument")
+        agg_exprs.append(fn(term_to_column(t.args[0], bound)).alias(f"c{i}"))
+    if group_cols:
+        out = deduped.groupBy(*group_cols).agg(*agg_exprs)
+    else:
+        out = deduped.agg(*agg_exprs)
+    # restore positional order
+    return out.select(*[f"c{i}" for i in range(len(head.terms))])
+
+
+def _compile_ranking(body_df, head, group_idx, ranking, bound):
+    """top_k / top_k_threshold / within_radius via window functions
+    (reference: binary-heap impls, vector_ops.rs:1443,1514,1535).
+
+    A ranking aggregate term expands to TWO output columns (value, score):
+    `+top(top_k<3, Player, Points:desc>) <- score(Player, Points)` yields a
+    2-column relation (golden: examples/iql/14_aggregations/07_top_k.iql).
+    """
+    i, agg = ranking
+    if agg.func == "top_k":
+        if len(agg.args) != 3:
+            raise CompileError("top_k<K, Value, Score:dir> takes 3 arguments")
+        k = _const_int(agg.args[0], "top_k k")
+        val_t, score_t = agg.args[1], agg.args[2]
+        thresh = None
+    elif agg.func == "top_k_threshold":
+        if len(agg.args) != 4:
+            raise CompileError("top_k_threshold<K, T, Value, Score:dir> takes 4 arguments")
+        k = _const_int(agg.args[0], "top_k_threshold k")
+        thresh = term_to_column(agg.args[1], bound)
+        val_t, score_t = agg.args[2], agg.args[3]
+    elif agg.func == "within_radius":
+        if len(agg.args) != 3:
+            raise CompileError("within_radius<R, Value, Score:dir> takes 3 arguments")
+        k = None
+        thresh = term_to_column(agg.args[0], bound)
+        val_t, score_t = agg.args[1], agg.args[2]
+    else:  # pragma: no cover
+        raise CompileError(f"unknown ranking aggregate {agg.func}")
+
+    score_col = term_to_column(score_t, bound)
+    val_col = term_to_column(val_t, bound)
+    order = score_col.desc() if agg.order == "desc" else score_col.asc()
+    tiebreak = val_col.asc()
+
+    deduped = body_df.distinct()
+    group_cols = [term_to_column(t, bound) for _, t in group_idx]
+    deduped = deduped.withColumn("__score", score_col).withColumn("__val", val_col)
+
+    if agg.func == "within_radius":
+        out = deduped.filter(F.col("__score") <= thresh)
+    else:
+        w = (
+            Window.partitionBy(*group_cols).orderBy(order, tiebreak)
+            if group_cols
+            else Window.partitionBy(F.lit(1)).orderBy(order, tiebreak)
+        )
+        out = deduped.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+        if agg.func == "top_k_threshold":
+            cond = F.col("__score") >= thresh if agg.order == "desc" else F.col("__score") <= thresh
+            out = out.filter(cond)
+
+    # positional output: each head term in order; the ranking term expands
+    # to (value, score)
+    sel: List[Column] = []
+    pos = 0
+    outer_bound = bound
+    for j, t in enumerate(head.terms):
+        if j == i:
+            sel.append(F.col("__val").alias(f"c{pos}"))
+            pos += 1
+            sel.append(F.col("__score").alias(f"c{pos}"))
+            pos += 1
+        else:
+            sel.append(term_to_column(t, outer_bound).alias(f"c{pos}"))
+            pos += 1
+    return out.select(*sel).distinct()
+
+
+def _const_int(term, what: str) -> int:
+    if isinstance(term, Const) and isinstance(term.value, int):
+        return term.value
+    raise CompileError(f"{what} must be an integer literal")

@@ -1,0 +1,445 @@
+"""IQLEngine — parse and execute IQL programs on a SparkSession.
+
+The execution lifecycle mirrors the reference pipeline
+(`/root/reference/src/lib.rs:1528-1703`): parse → validate → stratify →
+compile per-head plans → evaluate strata in dependency order, feeding each
+derived relation to later ones — except that plan optimization is
+delegated to Catalyst and "execution" is lazy DataFrame construction until
+a query forces an action.
+
+Knowledge graphs (`.kg` commands, reference src/storage_engine/mod.rs) map
+to independent relation namespaces; sessions overlay ephemeral facts.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from inputlayer_spark.ast_nodes import (
+    Atom,
+    Const,
+    Delete,
+    Fact,
+    HnswNearest,
+    MetaCommand,
+    Query,
+    Rule,
+    SchemaDecl,
+    Var,
+    VecLit,
+)
+from inputlayer_spark.compiler import (
+    CompileError,
+    compile_body,
+    compile_head,
+    lit_of,
+    term_to_column,
+)
+from inputlayer_spark.parser import parse_program
+from inputlayer_spark.recursion import condensation, evaluate_scc
+
+_TYPE_MAP = {
+    "int": T.LongType(),
+    "integer": T.LongType(),
+    "int64": T.LongType(),
+    "float": T.DoubleType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "text": T.StringType(),
+    "varchar": T.StringType(),
+    "symbol": T.StringType(),
+    "bool": T.BooleanType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.LongType(),  # Unix ms, like Value::Timestamp
+    "time": T.LongType(),
+    "datetime": T.LongType(),
+    "any": T.StringType(),
+}
+
+
+def _spark_type_for(name: str) -> T.DataType:
+    base = name.split("(")[0]
+    if base in ("vector", "embedding"):
+        return T.ArrayType(T.FloatType())
+    t = _TYPE_MAP.get(base)
+    if t is None:
+        raise CompileError(f"unknown type {name}")
+    return t
+
+
+@dataclass
+class KnowledgeGraph:
+    """One namespace of relations + rules + schemas + indexes
+    (reference: KnowledgeGraph, src/storage_engine/mod.rs)."""
+
+    name: str
+    relations: Dict[str, DataFrame] = field(default_factory=dict)
+    rules: List[Rule] = field(default_factory=list)
+    schemas: Dict[str, T.StructType] = field(default_factory=dict)
+    indexes: Dict[str, Tuple[str, str, str]] = field(default_factory=dict)
+    # index name -> (relation, column, metric)
+
+
+class IQLEngine:
+    def __init__(self, spark: SparkSession, now_ms: Optional[int] = None):
+        self.spark = spark
+        self.kgs: Dict[str, KnowledgeGraph] = {"default": KnowledgeGraph("default")}
+        self.current = self.kgs["default"]
+        self.session_rules: List[Rule] = []
+        self.session_facts: Dict[str, List[tuple]] = {}
+        # injectable clock for deterministic time_now (tests/oracles)
+        self.now_ms = now_ms
+        self._derived_cache: Dict[str, DataFrame] = {}
+
+    # ------------------------------------------------------------ public
+
+    def register(self, name: str, df: DataFrame) -> None:
+        """Register an external DataFrame (e.g. a parquet table) as a base
+        relation in the current KG."""
+        self.current.relations[name] = df
+        self._derived_cache.clear()
+
+    def execute(self, text: str) -> List[DataFrame]:
+        """Run an IQL program; returns one DataFrame per `?query`."""
+        prog = parse_program(text)
+        results: List[DataFrame] = []
+        pending_facts: Dict[str, List[tuple]] = {}
+        for st in prog.statements:
+            if isinstance(st, Fact):
+                pending_facts.setdefault(st.relation, []).append(
+                    tuple(v.value if isinstance(v, Const) else list(v.values) for v in st.values)
+                )
+                continue
+            self._flush_facts(pending_facts)
+            if isinstance(st, SchemaDecl):
+                self._declare_schema(st)
+            elif isinstance(st, Rule):
+                self._add_rule(st)
+            elif isinstance(st, Delete):
+                self._delete(st)
+            elif isinstance(st, Query):
+                results.append(self._query(st))
+            elif isinstance(st, MetaCommand):
+                self._meta(st)
+            else:
+                raise CompileError(f"unsupported statement {st!r}")
+        self._flush_facts(pending_facts)
+        return results
+
+    def query(self, text: str) -> DataFrame:
+        """Convenience: run a program whose last statement is a query."""
+        results = self.execute(text)
+        if not results:
+            raise CompileError("program contained no query")
+        return results[-1]
+
+    # ------------------------------------------------------------ facts
+
+    def _flush_facts(self, pending: Dict[str, List[tuple]]) -> None:
+        for rel, rows in pending.items():
+            self._insert_rows(rel, rows)
+        pending.clear()
+
+    def _insert_rows(self, rel: str, rows: List[tuple]) -> None:
+        schema = self.current.schemas.get(rel)
+        if schema is None:
+            schema = _infer_schema(rows)
+            if rel in self.current.relations:
+                existing = self.current.relations[rel].schema
+                schema = existing
+        df = self.spark.createDataFrame(rows, schema=schema)
+        if rel in self.current.relations:
+            df = self.current.relations[rel].unionByName(df)
+        self.current.relations[rel] = df
+        self._derived_cache.clear()
+
+    def _declare_schema(self, st: SchemaDecl) -> None:
+        fields = [T.StructField(c, _spark_type_for(t), True) for c, t in st.columns]
+        self.current.schemas[st.relation] = T.StructType(fields)
+        if st.relation not in self.current.relations:
+            self.current.relations[st.relation] = self.spark.createDataFrame(
+                [], schema=T.StructType(fields)
+            )
+        self._derived_cache.clear()
+
+    # ------------------------------------------------------------ rules
+
+    def _add_rule(self, rule: Rule) -> None:
+        self._validate_rule(rule)
+        if rule.persistent:
+            self.current.rules.append(rule)
+        else:
+            self.session_rules.append(rule)
+        self._derived_cache.clear()
+
+    def _validate_rule(self, rule: Rule) -> None:
+        """Safety: head vars must be bound by positive body atoms or
+        computed terms (reference src/ast/mod.rs:1071-1092)."""
+        from inputlayer_spark.ast_nodes import Agg, Comparison, literal_vars, term_vars
+
+        positive: set = set()
+        for lit in rule.body:
+            if isinstance(lit, Atom) and not lit.negated:
+                positive |= literal_vars(lit)
+            elif isinstance(lit, Comparison):
+                positive |= literal_vars(lit)  # bindings add vars; checked at compile
+            elif isinstance(lit, HnswNearest):
+                positive |= {lit.id_var.name, lit.dist_var.name}
+        for t in rule.head.terms:
+            if isinstance(t, Agg):
+                continue
+            for v in term_vars(t):
+                if v not in positive:
+                    raise CompileError(
+                        f"unsafe rule {rule.head.relation}: head variable {v} "
+                        "not bound in body"
+                    )
+
+    # ------------------------------------------------------------ delete
+
+    def _delete(self, st: Delete) -> None:
+        if st.drop:
+            self.current.relations.pop(st.relation, None)
+            self.current.rules = [r for r in self.current.rules if r.head.relation != st.relation]
+            self.session_rules = [r for r in self.session_rules if r.head.relation != st.relation]
+            self._derived_cache.clear()
+            return
+        df = self.current.relations.get(st.relation)
+        if df is None:
+            return
+        if st.body:
+            # conditional delete: -rel(X...) <- cond — delete tuples the
+            # body derives (reference src/statement/data.rs:24)
+            match = compile_head(
+                compile_body(st.body, self._resolver(self._materialize_all()), None),
+                Atom(st.relation, st.terms),
+            )
+            keep = df.join(
+                match.toDF(*df.columns), on=list(df.columns), how="left_anti"
+            )
+        else:
+            cond = None
+            for col_name, term in zip(df.columns, st.terms):
+                if isinstance(term, Var):
+                    continue  # wildcard / pattern var matches anything
+                c = F.col(col_name) == lit_of(term)
+                cond = c if cond is None else (cond & c)
+            keep = df.filter(~cond) if cond is not None else df.limit(0)
+        self.current.relations[st.relation] = keep.localCheckpoint(eager=True)
+        self._derived_cache.clear()
+
+    # ------------------------------------------------------------ queries
+
+    def _all_rules(self) -> List[Rule]:
+        return list(self.current.rules) + list(self.session_rules)
+
+    def _materialize_all(self) -> Dict[str, DataFrame]:
+        """Evaluate every derived relation (all strata, topo order)."""
+        rules = self._all_rules()
+        derived: Dict[str, DataFrame] = {}
+        if not rules:
+            return derived
+        cache_key = "__all__"
+        for scc in condensation(rules):
+            key = ",".join(scc)
+            resolver = self._resolver(derived)
+            if all(h in self._derived_cache for h in scc):
+                for h in scc:
+                    derived[h] = self._derived_cache[h]
+                continue
+            out = evaluate_scc(scc, rules, resolver, self._hnsw_resolver)
+            for h, df in out.items():
+                derived[h] = df
+                self._derived_cache[h] = df
+        return derived
+
+    def _resolver(self, derived: Dict[str, DataFrame]):
+        def resolve(name: str) -> DataFrame:
+            if name in derived:
+                return derived[name]
+            if name in self.current.relations:
+                df = self.current.relations[name]
+                if name in self.session_facts:
+                    rows = self.session_facts[name]
+                    df = df.unionByName(self.spark.createDataFrame(rows, schema=df.schema))
+                return df
+            raise CompileError(f"unknown relation {name}")
+
+        return resolve
+
+    def _query(self, q: Query) -> DataFrame:
+        derived = self._materialize_all()
+        resolve = self._resolver(derived)
+
+        if q.body:
+            # query with inline body: treat goal as head over the body
+            body_df = compile_body(q.body, resolve, self._hnsw_resolver)
+            df = compile_head(body_df, q.goal)
+            names = _result_names(q.goal)
+            df = df.toDF(*names)
+        else:
+            # goal over an existing relation (base or derived)
+            atom_df = compile_body((q.goal,), resolve, self._hnsw_resolver)
+            # project to the goal's term order: vars in order of appearance
+            cols = []
+            names = []
+            seen = set()
+            for t in q.goal.terms:
+                if isinstance(t, Var) and not t.is_wildcard and t.name not in seen:
+                    seen.add(t.name)
+                    cols.append(F.col(t.name))
+                    names.append(t.name)
+            df = atom_df.select(*cols).distinct() if cols else atom_df.limit(1).select(F.lit(True).alias("matched"))
+            if names:
+                df = df.toDF(*names)
+
+        for pos, direction in q.order_by:
+            t = q.goal.terms[pos]
+            if isinstance(t, Var):
+                c = F.col(t.name)
+                df = df.orderBy(c.desc() if direction == "desc" else c.asc())
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
+
+    # ------------------------------------------------------------ vector index
+
+    def create_index(self, name: str, relation: str, column: str, metric: str = "cosine") -> None:
+        """`.index create` — records metadata; search executes as a
+        brute-force exact k-NN DataFrame plan (the reference's own fallback
+        for non-indexed relations). An LSH-bucketed path lives in
+        operators.similarity for the approximate/scale mode."""
+        self.current.indexes[name] = (relation, column, metric)
+
+    def _hnsw_resolver(self, h: HnswNearest) -> DataFrame:
+        from inputlayer_spark.functions import vector as V
+
+        meta = self.current.indexes.get(h.index)
+        if meta is None:
+            raise CompileError(f"unknown index {h.index}")
+        relation, column, metric = meta
+        df = self._resolver(self._derived_for_index())(relation)
+        id_col = F.col(df.columns[0])
+        vec_col = F.col(column) if column in df.columns else F.col(df.columns[1])
+        if isinstance(h.query, VecLit):
+            qcol = lit_of(h.query)
+        else:
+            raise CompileError("hnsw_nearest query must be a vector literal (round 1)")
+        dist = {
+            "cosine": V.cosine,
+            "l2": V.euclidean,
+            "euclidean": V.euclidean,
+            "dot": lambda a, b: -V.dot(a, b),
+            "manhattan": V.manhattan,
+        }[metric](vec_col, qcol)
+        out = (
+            df.select(id_col.alias(h.id_var.name), dist.alias(h.dist_var.name))
+            .orderBy(F.col(h.dist_var.name).asc(), F.col(h.id_var.name).asc())
+            .limit(h.k)
+        )
+        return out
+
+    def _derived_for_index(self) -> Dict[str, DataFrame]:
+        # indexes may target derived relations; materialize lazily
+        try:
+            return self._materialize_all()
+        except Exception:
+            return {}
+
+    # ------------------------------------------------------------ meta
+
+    def _meta(self, st: MetaCommand) -> None:
+        cmd, args = st.command, list(st.args)
+        if cmd == "kg":
+            if not args:
+                return
+            sub = args[0]
+            if sub == "create" and len(args) > 1:
+                self.kgs.setdefault(args[1], KnowledgeGraph(args[1]))
+            elif sub == "use" and len(args) > 1:
+                self.current = self.kgs.setdefault(args[1], KnowledgeGraph(args[1]))
+                self._derived_cache.clear()
+            elif sub == "drop" and len(args) > 1:
+                self.kgs.pop(args[1], None)
+                if self.current.name == args[1]:
+                    self.current = self.kgs.setdefault("default", KnowledgeGraph("default"))
+        elif cmd == "index":
+            if args and args[0] == "create":
+                # .index create <name> on <rel> ( <col> ) [metric m]
+                name = args[1]
+                rel = args[3] if args[2] == "on" else args[2]
+                col = None
+                metric = "cosine"
+                for j, a in enumerate(args):
+                    if a == "(" and j + 1 < len(args):
+                        col = args[j + 1]
+                    if a == "metric" and j + 1 < len(args):
+                        metric = args[j + 1]
+                self.create_index(name, rel, col or "", metric)
+            elif args and args[0] == "drop" and len(args) > 1:
+                self.current.indexes.pop(args[1], None)
+        elif cmd == "session":
+            if args and args[0] == "clear":
+                self.session_rules.clear()
+                self.session_facts.clear()
+                self._derived_cache.clear()
+        elif cmd == "clear":
+            self.session_rules.clear()
+            self.session_facts.clear()
+            self._derived_cache.clear()
+        # .status/.compact/.rel/.rule introspection: no-ops for now
+
+    # ------------------------------------------------------------ time
+
+    def now(self) -> int:
+        return self.now_ms if self.now_ms is not None else int(time.time() * 1000)
+
+
+def _result_names(goal: Atom) -> List[str]:
+    names = []
+    used = set()
+    for i, t in enumerate(goal.terms):
+        from inputlayer_spark.ast_nodes import Agg
+
+        if isinstance(t, Agg):
+            # ranking aggregates expand to two columns
+            if t.is_ranking:
+                names.extend([f"v{i}", f"s{i}"])
+            else:
+                names.append(f"agg{i}")
+        elif isinstance(t, Var) and not t.is_wildcard and t.name not in used:
+            used.add(t.name)
+            names.append(t.name)
+        else:
+            names.append(f"col{i}")
+    return names
+
+
+def _infer_schema(rows: List[tuple]) -> T.StructType:
+    first = rows[0]
+    fields = []
+    for i, v in enumerate(first):
+        if isinstance(v, bool):
+            t: T.DataType = T.BooleanType()
+        elif isinstance(v, int):
+            t = T.LongType()
+        elif isinstance(v, float):
+            t = T.DoubleType()
+        elif isinstance(v, str):
+            t = T.StringType()
+        elif isinstance(v, list):
+            t = T.ArrayType(T.FloatType())
+        elif v is None:
+            t = T.StringType()
+        else:
+            raise CompileError(f"cannot infer type for {v!r}")
+        fields.append(T.StructField(f"c{i}", t, True))
+    return T.StructType(fields)

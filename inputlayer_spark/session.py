@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults follow the scale guidance in SURVEY.md: AQE on (runtime re-plan,
+skew-join splitting), broadcast threshold generous enough that dimension
+tables broadcast, shuffle partitions sized for local[32] testing while the
+same code paths (hash joins on keys, partial aggregation) hold on a real
+cluster where `spark.sql.shuffle.partitions` is raised.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.cbo.enabled": "true",
+    "spark.ui.enabled": "false",
+    # Datalog fixpoints build deep union lineages; keep plan strings small.
+    "spark.sql.maxPlanStringLength": "1048576",
+}
+
+
+def get_spark(app_name: str = "inputlayer-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(master or f"local[{cpus}]")
+    for key, value in _DEFAULTS.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-created session.
+
+    Used by the driver entry points, which receive a SparkSession we did not
+    build. Only runtime-mutable confs are touched (not driver memory etc.).
+    """
+    for key in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+    ):
+        try:
+            spark.conf.set(key, "true")
+        except Exception:
+            pass
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    return spark

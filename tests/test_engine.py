@@ -1,0 +1,343 @@
+"""End-to-end engine tests modeled on the reference snapshot corpus
+(`/root/reference/examples/iql/` categories; SURVEY.md §5)."""
+
+import pytest
+
+from tests.conftest import rows
+
+
+def test_flights_recursion(engine):
+    # README quick example; examples/iql/09_recursion/
+    df = engine.query(
+        """
+        +direct_flight[("New York","London"), ("London","Paris"), ("Paris","Rome")]
+        +can_reach(A, B) <- direct_flight(A, B)
+        +can_reach(A, C) <- direct_flight(A, B), can_reach(B, C)
+        ?can_reach("New York", Dest)
+        """
+    )
+    assert rows(df) == [("London",), ("Paris",), ("Rome",)]
+
+
+def test_transitive_closure_cycle_terminates(engine):
+    df = engine.query(
+        """
+        +edge[(1, 2), (2, 3), (3, 1)]
+        +path(X, Y) <- edge(X, Y)
+        +path(X, Z) <- edge(X, Y), path(Y, Z)
+        ?path(X, Y)
+        """
+    )
+    assert len(rows(df)) == 9  # complete digraph on the 3-cycle
+
+
+def test_multikey_join(engine):
+    # examples/iql/06_joins/19_equijoin_multikey.iql
+    df = engine.query(
+        """
+        +orders[(1, "2024", "Q1", 100), (2, "2024", "Q2", 200), (3, "2023", "Q1", 50)]
+        +targets[(1, "2024", "Q1", 90), (2, "2024", "Q2", 150)]
+        matched(OrdId, Year, Qtr, Actual, Target) <-
+            orders(OrdId, Year, Qtr, Actual),
+            targets(_, Year, Qtr, Target)
+        ?matched(OrdId, Year, Qtr, Actual, Target)
+        """
+    )
+    assert rows(df) == [
+        (1, "2024", "Q1", 100, 90),
+        (2, "2024", "Q2", 200, 150),
+    ]
+
+
+def test_cross_product(engine):
+    df = engine.query(
+        """
+        +color[("red"), ("blue")]
+        +size[("S"), ("M")]
+        +combo(C, S) <- color(C), size(S)
+        ?combo(C, S)
+        """
+    )
+    assert len(rows(df)) == 4
+
+
+def test_self_join_repeated_var(engine):
+    df = engine.query(
+        """
+        +pair[(1, 1), (1, 2), (2, 2)]
+        +diag(X) <- pair(X, X)
+        ?diag(X)
+        """
+    )
+    assert rows(df) == [(1,), (2,)]
+
+
+def test_aggregates_all(engine):
+    df = engine.query(
+        """
+        +emp[(1, "a", 100), (2, "a", 200), (3, "b", 300), (4, "b", 500)]
+        +stats(D, count<S>, sum<S>, min<S>, max<S>, avg<S>) <- emp(_, D, S)
+        ?stats(D, C, Su, Mi, Ma, Av)
+        """
+    )
+    assert rows(df) == [("a", 2, 300, 100, 200, 150.0), ("b", 2, 800, 300, 500, 400.0)]
+
+
+def test_global_count(engine):
+    df = engine.query(
+        """
+        +t[(1), (2), (3)]
+        +total(count<X>) <- t(X)
+        ?total(C)
+        """
+    )
+    assert rows(df) == [(3,)]
+
+
+def test_count_distinct(engine):
+    df = engine.query(
+        """
+        +v[(1, 10), (2, 10), (3, 20)]
+        +d(count_distinct<Y>) <- v(_, Y)
+        ?d(C)
+        """
+    )
+    assert rows(df) == [(2,)]
+
+
+def test_top_k(engine):
+    df = engine.query(
+        """
+        +score[(1, 100), (2, 250), (3, 175), (4, 300), (5, 125), (6, 200)]
+        +top_players(top_k<3, Player, Points:desc>) <- score(Player, Points)
+        ?top_players(X, Y)
+        """
+    )
+    assert rows(df) == [(2, 250), (4, 300), (6, 200)]
+
+
+def test_top_k_threshold(engine):
+    # examples/iql/14_aggregations/101_top_k_threshold.iql
+    df = engine.query(
+        """
+        +score[(1, 50), (2, 250), (3, 175), (4, 300), (5, 80), (6, 200)]
+        +top_high(top_k_threshold<3, 100, Player, Points:desc>) <- score(Player, Points)
+        ?top_high(X, Y)
+        """
+    )
+    assert rows(df) == [(2, 250), (4, 300), (6, 200)]
+
+
+def test_negation_antijoin(engine):
+    df = engine.query(
+        """
+        +person[("alice"), ("bob"), ("carol")]
+        +blocked[("bob")]
+        +ok(X) <- person(X), !blocked(X)
+        ?ok(X)
+        """
+    )
+    assert rows(df) == [("alice",), ("carol",)]
+
+
+def test_arithmetic_compute(engine):
+    df = engine.query(
+        """
+        +item[(1, 10, 3), (2, 20, 2)]
+        +total(Id, T) <- item(Id, Price, Qty), T = Price * Qty
+        ?total(Id, T)
+        """
+    )
+    assert rows(df) == [(1, 30), (2, 40)]
+
+
+def test_comparison_filters(engine):
+    df = engine.query(
+        """
+        +n[(1), (5), (10), (15)]
+        +mid(X) <- n(X), X > 2, X <= 10
+        ?mid(X)
+        """
+    )
+    assert rows(df) == [(5,), (10,)]
+
+
+def test_union_multiple_clauses(engine):
+    df = engine.query(
+        """
+        +cat[("tom")]
+        +dog[("rex")]
+        +pet(X) <- cat(X)
+        +pet(X) <- dog(X)
+        ?pet(X)
+        """
+    )
+    assert rows(df) == [("rex",), ("tom",)]
+
+
+def test_string_builtins(engine):
+    df = engine.query(
+        """
+        +s[("  Hello World  ")]
+        +r(U, L, T, N) <- s(X), U = upper(X), L = lower(X), T = trim(X), N = len(trim(X))
+        ?r(U, L, T, N)
+        """
+    )
+    assert rows(df) == [("  HELLO WORLD  ", "  hello world  ", "Hello World", 11)]
+
+
+def test_substr_concat_replace(engine):
+    df = engine.query(
+        """
+        +s[("datalog")]
+        +r(A, B, C) <- s(X), A = substr(X, 0, 4), B = concat(X, "!"), C = replace(X, "log", "base")
+        ?r(A, B, C)
+        """
+    )
+    assert rows(df) == [("data", "datalog!", "database")]
+
+
+def test_math_builtins(engine):
+    df = engine.query(
+        """
+        +v[(-4.0)]
+        +r(A, S, P, Fl) <- v(X), A = abs(X), S = sqrt(abs(X)), P = pow(abs(X), 2.0), Fl = floor(X)
+        ?r(A, S, P, Fl)
+        """
+    )
+    assert rows(df) == [(4.0, 2.0, 16.0, -4)]
+
+
+def test_vector_distances(engine):
+    df = engine.query(
+        """
+        +e[(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+        +d(I, J, C, Eu, Dt, M) <- e(I, V1), e(J, V2), I < J,
+            C = cosine(V1, V2), Eu = euclidean(V1, V2), Dt = dot(V1, V2), M = manhattan(V1, V2)
+        ?d(I, J, C, Eu, Dt, M)
+        """
+    )
+    r = rows(df)[0]
+    assert r[0] == 1 and r[1] == 2
+    assert r[2] == pytest.approx(1.0)  # cosine distance of orthogonal
+    assert r[3] == pytest.approx(2**0.5)
+    assert r[4] == pytest.approx(0.0)
+    assert r[5] == pytest.approx(2.0)
+
+
+def test_temporal_builtins(engine):
+    df = engine.query(
+        """
+        +ev[(1, 1000), (2, 5000), (3, 9000)]
+        +recent(Id) <- ev(Id, T), within_last(T, 9000, 4000)
+        ?recent(Id)
+        """
+    )
+    assert rows(df) == [(2,), (3,)]
+
+
+def test_time_decay(engine):
+    df = engine.query(
+        """
+        +ev[(1, 0)]
+        +w(Id, W) <- ev(Id, T), W = time_decay(T, 3600000, 3600000)
+        ?w(Id, W)
+        """
+    )
+    assert rows(df)[0][1] == pytest.approx(0.5)
+
+
+def test_query_order_limit_offset(engine):
+    df = engine.query(
+        """
+        +data[(1, 10), (2, 20), (3, 30), (4, 40)]
+        ?data(X, Y:desc), limit(2, 1)
+        """
+    )
+    assert [tuple(r) for r in df.collect()] == [(3, 30), (2, 20)]
+
+
+def test_delete_fact(engine):
+    engine.execute('+u[(1, "a"), (2, "b")]')
+    engine.execute("-u(1, _)")
+    df = engine.query("?u(X, Y)")
+    assert rows(df) == [(2, "b")]
+
+
+def test_conditional_delete(engine):
+    engine.execute("+n[(1), (5), (10)]")
+    engine.execute("-n(X) <- n(X), X > 4")
+    df = engine.query("?n(X)")
+    assert rows(df) == [(1,)]
+
+
+def test_schema_decl_and_typed_insert(engine):
+    engine.execute("+typed(id: int, name: string)")
+    engine.execute('+typed(1, "x")')
+    df = engine.query("?typed(I, N)")
+    assert rows(df) == [(1, "x")]
+
+
+def test_kg_isolation(engine):
+    engine.execute(".kg create a")
+    engine.execute(".kg use a")
+    engine.execute("+t[(1)]")
+    engine.execute(".kg create b")
+    engine.execute(".kg use b")
+    engine.execute("+t[(2)]")
+    assert rows(engine.query("?t(X)")) == [(2,)]
+    engine.execute(".kg use a")
+    assert rows(engine.query("?t(X)")) == [(1,)]
+
+
+def test_hnsw_nearest_bruteforce(engine):
+    engine.execute("+emb[(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])]")
+    engine.create_index("idx", "emb", "c1", metric="cosine")
+    df = engine.query('?near(Id, D), hnsw_nearest("idx", [1.0, 0.0], 2, Id, D)')
+    got = rows(df)
+    assert [g[0] for g in got] == [1, 2]
+
+
+def test_unsafe_rule_rejected(engine):
+    from inputlayer_spark.compiler import CompileError
+
+    with pytest.raises(CompileError):
+        engine.execute("+bad(X, Y) <- t(X)")
+
+
+def test_unstratifiable_rejected(engine):
+    from inputlayer_spark.recursion import StratificationError
+
+    engine.execute("+t[(1)]")
+    engine.execute("+p(X) <- t(X), !q(X)")
+    engine.execute("+q(X) <- t(X), !p(X)")
+    with pytest.raises(StratificationError):
+        engine.query("?p(X)")
+
+
+def test_same_generation(engine):
+    df = engine.query(
+        """
+        +par[("a", "c"), ("b", "c"), ("c", "e"), ("d", "e")]
+        +sg(X, Y) <- par(X, P), par(Y, P), X != Y
+        +sg(X, Y) <- par(X, P1), sg(P1, P2), par(Y, P2), X != Y
+        ?sg("a", Y)
+        """
+    )
+    # a~b share parent c; (a,d) does NOT hold: sg(c,e) is false
+    assert rows(df) == [("b",)]
+
+
+def test_shortest_path_min_agg(engine):
+    # recursive min via aggregate over recursive relation
+    # (reference: MinDiff semiring, src/semiring_types.rs:175)
+    df = engine.query(
+        """
+        +e[(1, 2, 1.0), (2, 3, 1.0), (1, 3, 5.0)]
+        +dist(X, Y, D) <- e(X, Y, D)
+        +dist(X, Z, D) <- dist(X, Y, D1), e(Y, Z, D2), D = D1 + D2
+        +shortest(X, Y, min<D>) <- dist(X, Y, D)
+        ?shortest(1, 3, D)
+        """
+    )
+    assert rows(df) == [(2.0,)]
