@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each `queries()` entry exercises one operator family from SURVEY.md §2
+(IQL engine semantics: scans/joins/negation/aggregates/recursion/vector/
+temporal builtins) or a training-data-pipeline operator (dedup,
+similarity, text analysis, multimodal). `oracle_sql()` gives the
+DuckDB-equivalent ANSI SQL; column aliases match exactly. Engine-backed
+entries run IQL through inputlayer_spark.IQLEngine to prove the Datalog
+frontend; operator entries call the DataFrame library directly.
 """
 
 from __future__ import annotations
@@ -12,27 +14,828 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inputlayer_spark.engine import IQLEngine
+from inputlayer_spark.functions import text as TX
+from inputlayer_spark.functions import temporal as TP
+from inputlayer_spark.functions import vector as V
+from inputlayer_spark.session import tune_session
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    tune_session(spark)
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def _events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a normalized `ts_ms` long column. The parquet stores
+    TIMESTAMP(NANOS); with nanosAsLong we get long nanos → integer-divide,
+    matching DuckDB's epoch_ms truncation. Falls back to timestamp cast if
+    the session reads it as TimestampType."""
+    from pyspark.sql import types as T
+
+    tune_session(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        ms = F.expr("ts div 1000000")
+    else:
+        ms = TP.to_ms(F.col("ts"))
+    return ev.withColumn("__ts_ms", ms.cast("long"))
+
+
+def _engine(spark: SparkSession, sf_dir: str, *names: str) -> IQLEngine:
+    eng = IQLEngine(spark)
+    for n, df in _load(spark, sf_dir, *names).items():
+        eng.register(n, df)
+    return eng
+
+
+# =====================================================================
+# relational core (IQL engine)
+# =====================================================================
+
+
+def q_scan_filter(spark, sf_dir):
+    """IR Scan+Filter+Map (src/ir/mod.rs:262,280,270)."""
+    eng = _engine(spark, sf_dir, "lineitem")
+    df = eng.query(
+        """
+        +big(O, L, Q) <- lineitem(O, _, _, L, Q, _, _, _, _, _, _), Q > 45.0
+        ?big(O, L, Q)
+        """
+    )
+    return df.select(
+        F.col("O").alias("l_orderkey"),
+        F.col("L").alias("l_linenumber"),
+        F.col("Q").alias("qty"),
+    )
+
+
+def q_join_two_way(spark, sf_dir):
+    """Hash equi-join (src/ir/mod.rs:288) + constant filter."""
+    eng = _engine(spark, sf_dir, "customer", "orders")
+    df = eng.query(
+        """
+        +co(C, O, P) <- customer(C, _, _, _, "BUILDING"), orders(O, C, _, P, _, _)
+        ?co(C, O, P)
+        """
+    )
+    return df.select(
+        F.col("C").alias("c_custkey"),
+        F.col("O").alias("o_orderkey"),
+        F.col("P").alias("o_totalprice"),
+    )
+
+
+def q_threeway_join_arith(spark, sf_dir):
+    """3-way join + Compute + Aggregate — the reference's analytical
+    bench shape (BENCHMARKS.md:137-149)."""
+    eng = _engine(spark, sf_dir, "customer", "orders", "lineitem")
+    df = eng.query(
+        """
+        +rev(C, sum<R>, count<L>) <-
+            customer(C, _, _, _, "AUTOMOBILE"),
+            orders(O, C, _, _, _, _),
+            lineitem(O, _, _, L, _, E, D, _, _, _, _),
+            R = E * (1.0 - D)
+        ?rev(C, S, N)
+        """
+    )
+    return df.select(
+        F.col("C").alias("c_custkey"),
+        F.col("S").alias("revenue"),
+        F.col("N").alias("n_items"),
+    )
+
+
+def q_antijoin(spark, sf_dir):
+    """Antijoin via stratified negation (src/ir/mod.rs:328)."""
+    eng = _engine(spark, sf_dir, "customer", "orders")
+    df = eng.query(
+        """
+        +no_orders(C) <- customer(C, _, _, _, _), !orders(_, C, _, _, _, _)
+        ?no_orders(C)
+        """
+    )
+    return df.select(F.col("C").alias("c_custkey"))
+
+
+def q_semijoin(spark, sf_dir):
+    """Semi-join shape (SIP rewriting, src/sip_rewriting/mod.rs)."""
+    eng = _engine(spark, sf_dir, "customer", "orders")
+    df = eng.query(
+        """
+        +has_big(C) <- customer(C, _, _, _, _), orders(_, C, _, P, _, _), P > 400000.0
+        ?has_big(C)
+        """
+    )
+    return df.select(F.col("C").alias("c_custkey"))
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """Multi-aggregate GROUP BY (TPC-H Q1 shape; IR Aggregate,
+    src/ir/mod.rs:316)."""
+    eng = _engine(spark, sf_dir, "lineitem")
+    df = eng.query(
+        """
+        +summary(R, LS, sum<Q>, sum<E>, avg<D>, count<O>) <-
+            lineitem(O, _, _, L, Q, E, D, _, R, LS, _)
+        ?summary(R, LS, SQ, SE, AD, N)
+        """
+    )
+    return df.select(
+        F.col("R").alias("l_returnflag"),
+        F.col("LS").alias("l_linestatus"),
+        F.col("SQ").alias("sum_qty"),
+        F.col("SE").alias("sum_price"),
+        F.col("AD").alias("avg_disc"),
+        F.col("N").alias("n_rows"),
+    )
+
+
+def q_count_distinct(spark, sf_dir):
+    eng = _engine(spark, sf_dir, "orders")
+    df = eng.query(
+        """
+        +cd(P, count_distinct<C>) <- orders(_, C, _, _, _, P)
+        ?cd(P, N)
+        """
+    )
+    return df.select(F.col("P").alias("o_orderpriority"), F.col("N").alias("n_cust"))
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Ranking aggregate top_k (src/ast/mod.rs:31, vector_ops.rs:1443)."""
+    eng = _engine(spark, sf_dir, "customer")
+    df = eng.query(
+        """
+        +top(N, top_k<3, C, B:desc>) <- customer(C, _, N, B, _)
+        ?top(N, C, B)
+        """
+    )
+    return df.select(
+        F.col("N").alias("c_nationkey"),
+        F.col("C").alias("c_custkey"),
+        F.col("B").alias("c_acctbal"),
+    )
+
+
+def q_union_clauses(spark, sf_dir):
+    """Multiple clauses per head = Datalog union (src/ir/mod.rs:308)."""
+    eng = _engine(spark, sf_dir, "customer", "supplier")
+    df = eng.query(
+        """
+        +active_nation(K) <- customer(_, _, K, B, _), B > 9000.0
+        +active_nation(K) <- supplier(_, _, K, B)
+        ?active_nation(K)
+        """
+    )
+    return df.select(F.col("K").alias("nationkey"))
+
+
+def q_theta_join(spark, sf_dir):
+    """Theta join: equi on nation + comparison predicate
+    (examples/iql/06_joins/20_theta_join.iql)."""
+    eng = _engine(spark, sf_dir, "customer", "supplier")
+    df = eng.query(
+        """
+        +richer(C, S) <- customer(C, _, K, CB, _), supplier(S, _, K, SB), CB > SB
+        ?richer(C, S)
+        """
+    )
+    return df.select(F.col("C").alias("c_custkey"), F.col("S").alias("s_suppkey"))
+
+
+def q_order_limit_offset(spark, sf_dir):
+    """Query modifiers :desc + limit(n, offset)
+    (src/statement/parser.rs:15-26)."""
+    eng = _engine(spark, sf_dir, "orders")
+    df = eng.query(
+        """
+        +big(P, O) <- orders(O, _, _, P, _, _)
+        ?big(P:desc, O:asc), limit(10, 5)
+        """
+    )
+    return df.select(F.col("P").alias("o_totalprice"), F.col("O").alias("o_orderkey"))
+
+
+# =====================================================================
+# recursion (semi-naive fixpoint; src/code_generator/mod.rs:313-420)
+# =====================================================================
+
+
+def _edge_df(spark, sf_dir, mod: int):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.select(
+            (F.col("o_orderkey") % mod).cast("long").alias("src"),
+            (F.col("o_custkey") % mod).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+
+
+_EDGE_SQL = (
+    "SELECT DISTINCT (o_orderkey % {m}) AS src, (o_custkey % {m}) AS dst "
+    "FROM orders WHERE (o_orderkey % {m}) < (o_custkey % {m})"
+)
+
+
+def q_transitive_closure(spark, sf_dir):
+    eng = IQLEngine(spark)
+    eng.register("edge", _edge_df(spark, sf_dir, 60))
+    df = eng.query(
+        """
+        +reach(X, Y) <- edge(X, Y)
+        +reach(X, Z) <- edge(X, Y), reach(Y, Z)
+        ?reach(X, Y)
+        """
+    )
+    return df.select(F.col("X").alias("src"), F.col("Y").alias("dst"))
+
+
+def q_reach_bound(spark, sf_dir):
+    """Bound recursive query ?reach(0, Y) — the magic-sets headline
+    (BENCHMARKS.md:15-20)."""
+    eng = IQLEngine(spark)
+    eng.register("edge", _edge_df(spark, sf_dir, 60))
+    df = eng.query(
+        """
+        +reach(X, Y) <- edge(X, Y)
+        +reach(X, Z) <- edge(X, Y), reach(Y, Z)
+        ?reach(0, Y)
+        """
+    )
+    return df.select(F.col("Y").alias("dst"))
+
+
+def q_shortest_path(spark, sf_dir):
+    """Recursive min-aggregate (MinDiff semiring shape,
+    src/semiring_types.rs:175)."""
+    eng = IQLEngine(spark)
+    eng.register("edge", _edge_df(spark, sf_dir, 30))
+    df = eng.query(
+        """
+        +dist(X, Y, D) <- edge(X, Y), D = to_float(Y - X)
+        +dist(X, Z, D) <- dist(X, Y, D1), edge(Y, Z), D = D1 + to_float(Z - Y)
+        +shortest(X, Y, min<D>) <- dist(X, Y, D)
+        ?shortest(0, Y, D)
+        """
+    )
+    return df.select(F.col("Y").alias("dst"), F.col("D").alias("dist"))
+
+
+# =====================================================================
+# vector search (src/vector_ops.rs; embeddings table, 64-dim)
+# =====================================================================
+
+
+def _query_vec(spark, sf_dir):
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_knn_cosine(spark, sf_dir):
+    from inputlayer_spark.operators.similarity import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vec(spark, sf_dir)
+    out = knn_bruteforce(emb, "vec_id", "embedding", q, k=10, metric="cosine")
+    return out.select(F.col("id").alias("vec_id"), F.col("dist").alias("cos_dist"))
+
+
+def q_within_radius(spark, sf_dir):
+    """within_radius ranking aggregate over euclidean distance."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vec(spark, sf_dir)
+    qcol = F.array(*[F.lit(x) for x in q]).cast("array<float>")
+    return (
+        emb.select(
+            F.col("vec_id"), V.euclidean(F.col("embedding"), qcol).alias("eu_dist")
+        )
+        .filter(F.col("eu_dist") <= 1.2)
+    )
+
+
+def q_pairwise_cosine(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 20)
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            (F.lit(1.0) - V.cosine(F.col("v1"), F.col("v2"))).alias("cos_sim"),
+        )
+    )
+
+
+def q_vector_norms(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id",
+        V.vector_norm(F.col("embedding")).alias("norm"),
+        V.vec_dim(F.col("embedding")).alias("dim"),
+    )
+
+
+def q_quantize_roundtrip(spark, sf_dir):
+    """quantize_symmetric → dequantize_scaled round-trip error
+    (examples/iql/30_quantization/)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = V.quantize_symmetric(F.col("embedding"))
+    max_abs = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    deq = V.dequantize_scaled(qv, max_abs / F.lit(127.0))
+    err = F.array_max(
+        F.zip_with(F.col("embedding"), deq, lambda a, b: F.abs(a.cast("double") - b))
+    )
+    return emb.select("vec_id", err.alias("max_err"))
+
+
+def q_knn_join(spark, sf_dir):
+    from inputlayer_spark.operators.similarity import knn_join_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = knn_join_bruteforce(
+        queries, emb, "vec_id", "embedding", "vec_id", "embedding", k=3, metric="cosine"
+    )
+    return out.select(
+        F.col("qid"), F.col("id").alias("vec_id"), F.col("dist").alias("cos_dist"), F.col("rank")
+    )
+
+
+def q_knn_lsh(spark, sf_dir):
+    """Approximate LSH-bucketed k-NN — rows-only check (bucket recall is
+    engine-specific; exact rerank inside)."""
+    from inputlayer_spark.operators.similarity import knn_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vec(spark, sf_dir)
+    out = knn_lsh(emb, "vec_id", "embedding", q, k=10, metric="cosine", num_bits=8, num_tables=4)
+    return out.select(F.col("id").alias("vec_id"), F.col("dist").alias("cos_dist"))
+
+
+def q_ivf_knn(spark, sf_dir):
+    """IVF-style ANN probing the 2 nearest label cells — rows-only."""
+    from inputlayer_spark.operators.similarity import ivf_knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vec(spark, sf_dir)
+    out = ivf_knn(emb, "vec_id", "embedding", q, k=10, metric="cosine", partition_col="label", n_probe=2)
+    return out.select(F.col("id").alias("vec_id"), F.col("dist").alias("cos_dist"))
+
+
+# =====================================================================
+# temporal (src/temporal_ops.rs; events table)
+# =====================================================================
+
+
+def q_recent_events(spark, sf_dir):
+    ev = _events_ms(spark, sf_dir)
+    now = ev.agg(F.max("__ts_ms")).collect()[0][0]
+    week = 7 * 86400 * 1000
+    return ev.filter(TP.within_last(F.col("__ts_ms"), F.lit(now), F.lit(week))).select(
+        "event_id", F.col("__ts_ms").alias("ts_ms")
+    )
+
+
+def q_time_decay_sum(spark, sf_dir):
+    ev = _events_ms(spark, sf_dir)
+    now = ev.agg(F.max("__ts_ms")).collect()[0][0]
+    day = 86400 * 1000
+    w = TP.time_decay(F.col("__ts_ms"), F.lit(now), F.lit(day))
+    return ev.groupBy("event_type").agg(
+        F.sum(w).alias("decayed_weight"), F.count("*").alias("n")
+    )
+
+
+def q_interval_overlaps(spark, sf_dir):
+    """intervals_overlap on derived per-event intervals
+    (temporal_ops.rs:191)."""
+    ev = _events_ms(spark, sf_dir)
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        F.col("__ts_ms").alias("s"),
+        (F.col("__ts_ms") + (F.col("value") * 60000).cast("long")).alias("e"),
+    )
+    a = iv.toDF("id1", "user_id", "s1", "e1")
+    b = iv.toDF("id2", "user_id", "s2", "e2")
+    pairs = (
+        a.join(b, on="user_id")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(TP.intervals_overlap(F.col("s1"), F.col("e1"), F.col("s2"), F.col("e2")))
+    )
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_overlaps"))
+
+
+# =====================================================================
+# text analysis / dedup (documents table)
+# =====================================================================
+
+
+def q_token_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.stopword_ratio(t).alias("sw_ratio"),
+        TX.mean_word_length(t).alias("mean_wlen"),
+    )
+
+
+def q_quality_lang(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id", TX.quality_score(t).alias("quality"), TX.lang_id(t).alias("lang_guess")
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", TX.doc_fingerprint(F.col("text")).alias("fp"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup: min doc_id representative per content hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("h", F.md5(F.col("text")))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_copies"))
+        .select("rep_id", "n_copies")
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from inputlayer_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.05)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH banding candidate pairs — rows-only (banding layout is
+    engine-specific; the oracle-checked near-dup path is q_ngram_jaccard)."""
+    from inputlayer_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, "doc_id", "text", num_perm=16, bands=4, shingle_n=2)
+
+
+def q_simhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", TX.simhash64(F.col("text"), n=2).alias("simhash"))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary columns + mapInPandas feature kernel
+    (decode stubbed deterministically — container has no codec libs)."""
+    from inputlayer_spark.operators.multimodal import extract_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit(640).alias("width"),
+            F.lit(480).alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+    out = extract_features(media)
+    return out.select("media_id", "kind", "n_bytes", "content_sha")
+
+
+# =====================================================================
+# driver contract
+# =====================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 3-way join + computed revenue + aggregation via the IQL
+    engine on sf0.001."""
+    tune_session(spark)
+    return q_threeway_join_arith(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "scan_filter": q_scan_filter,
+        "join_two_way": q_join_two_way,
+        "threeway_join_arith": q_threeway_join_arith,
+        "antijoin": q_antijoin,
+        "semijoin": q_semijoin,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "count_distinct": q_count_distinct,
+        "topk_per_group": q_topk_per_group,
+        "union_clauses": q_union_clauses,
+        "theta_join": q_theta_join,
+        "order_limit_offset": q_order_limit_offset,
+        "transitive_closure": q_transitive_closure,
+        "reach_bound": q_reach_bound,
+        "shortest_path": q_shortest_path,
+        "knn_cosine": q_knn_cosine,
+        "within_radius": q_within_radius,
+        "pairwise_cosine": q_pairwise_cosine,
+        "vector_norms": q_vector_norms,
+        "quantize_roundtrip": q_quantize_roundtrip,
+        "knn_join": q_knn_join,
+        "knn_lsh": q_knn_lsh,
+        "ivf_knn": q_ivf_knn,
+        "recent_events": q_recent_events,
+        "time_decay_sum": q_time_decay_sum,
+        "interval_overlaps": q_interval_overlaps,
+        "token_stats": q_token_stats,
+        "quality_lang": q_quality_lang,
+        "doc_fingerprint": q_doc_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9'']+'), x -> x <> '')"
+)
+
+_SHINGLES2 = (
+    f"list_transform(range(1, greatest(len({_TOKS}) - 1, 1) + 1), "
+    f"i -> array_to_string(({_TOKS})[i:i+1], ' '))"
+)
+
+_SHINGLES3 = (
+    f"list_transform(range(1, greatest(len({_TOKS}) - 2, 1) + 1), "
+    f"i -> array_to_string(({_TOKS})[i:i+2], ' '))"
+)
+
+_MD5_32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+_SW_LIST = "['the','and','is','in','to','of','a','that','it','for']"
+
+_SW_RATIO = (
+    f"case when len({_TOKS}) = 0 then 0.0 else "
+    f"len(list_filter({_TOKS}, x -> list_contains({_SW_LIST}, x)))::DOUBLE / len({_TOKS}) end"
+)
+
+_PUNCT_RATIO = (
+    "case when length(text) = 0 then 0.0 else "
+    "(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE "
+    "/ length(text) end"
+)
+
+_MEAN_WLEN = (
+    f"case when len({_TOKS}) = 0 then 0.0 else "
+    f"list_sum(list_transform({_TOKS}, x -> length(x)))::DOUBLE / len({_TOKS}) end"
+)
+
+_NORM = "sqrt(list_sum(list_transform({v}, x -> x::DOUBLE * x::DOUBLE)))"
+
+_DOTQ = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _cos_dist(a: str, b: str) -> str:
+    return (
+        f"(1.0 - ({_DOTQ.format(a=a, b=b)}) / ({_NORM.format(v=a)}) / ({_NORM.format(v=b)}))"
+    )
+
+
+def _eu_dist(a: str, b: str) -> str:
+    return (
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))))"
+    )
+
+
+def _simhash_sql() -> str:
+    votes = []
+    for b in range(32):
+        bit = 1 << b
+        votes.append(
+            f"case when 2 * len(list_filter(sh, s -> ({_MD5_32.format(x='s')} & {bit}) != 0)) "
+            f">= len(sh) then {bit}::BIGINT else 0 end"
+        )
+    total = " + ".join(votes)
+    return (
+        f"WITH shingled AS (SELECT doc_id, {_SHINGLES2} AS sh FROM documents) "
+        f"SELECT doc_id, ({total}) AS simhash FROM shingled"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # literal query vector as a CTE column — DuckDB forbids subqueries
+    # inside list lambdas
+    qv_cte = "WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) "
+    return {
+        "scan_filter": (
+            "SELECT DISTINCT l_orderkey, l_linenumber, l_quantity AS qty "
+            "FROM lineitem WHERE l_quantity > 45.0"
+        ),
+        "join_two_way": (
+            "SELECT DISTINCT c.c_custkey, o.o_orderkey, o.o_totalprice "
+            "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_mktsegment = 'BUILDING'"
+        ),
+        "threeway_join_arith": (
+            "SELECT c_custkey, sum(r) AS revenue, count(*) AS n_items FROM ("
+            "  SELECT DISTINCT c.c_custkey, o.o_orderkey, l.l_linenumber, "
+            "         l.l_extendedprice, l.l_discount, "
+            "         l.l_extendedprice * (1.0 - l.l_discount) AS r "
+            "  FROM customer c "
+            "  JOIN orders o ON o.o_custkey = c.c_custkey "
+            "  JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "  WHERE c.c_mktsegment = 'AUTOMOBILE') GROUP BY c_custkey"
+        ),
+        "antijoin": (
+            "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders)"
+        ),
+        "semijoin": (
+            "SELECT DISTINCT c.c_custkey FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_totalprice > 400000.0)"
+        ),
+        "agg_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "sum(l_extendedprice) AS sum_price, avg(l_discount) AS avg_disc, "
+            "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "count_distinct": (
+            "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
+        "topk_per_group": (
+            "SELECT c_nationkey, c_custkey, c_acctbal FROM ("
+            "  SELECT c_nationkey, c_custkey, c_acctbal, "
+            "  row_number() OVER (PARTITION BY c_nationkey "
+            "    ORDER BY c_acctbal DESC, c_custkey ASC) AS rn FROM customer) "
+            "WHERE rn <= 3"
+        ),
+        "union_clauses": (
+            "SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0 "
+            "UNION SELECT s_nationkey FROM supplier"
+        ),
+        "theta_join": (
+            "SELECT DISTINCT c.c_custkey, s.s_suppkey FROM customer c "
+            "JOIN supplier s ON s.s_nationkey = c.c_nationkey "
+            "WHERE c.c_acctbal > s.s_acctbal"
+        ),
+        "order_limit_offset": (
+            "SELECT o_totalprice, o_orderkey FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 5"
+        ),
+        "transitive_closure": (
+            f"WITH RECURSIVE edge AS ({_EDGE_SQL.format(m=60)}), "
+            "reach(src, dst) AS ("
+            "  SELECT src, dst FROM edge "
+            "  UNION "
+            "  SELECT e.src, r.dst FROM edge e JOIN reach r ON r.src = e.dst) "
+            "SELECT src, dst FROM reach"
+        ),
+        "reach_bound": (
+            f"WITH RECURSIVE edge AS ({_EDGE_SQL.format(m=60)}), "
+            "reach(dst) AS ("
+            "  SELECT dst FROM edge WHERE src = 0 "
+            "  UNION "
+            "  SELECT e.dst FROM edge e JOIN reach r ON e.src = r.dst) "
+            "SELECT dst FROM reach"
+        ),
+        "shortest_path": (
+            f"WITH RECURSIVE edge AS ({_EDGE_SQL.format(m=30)}), "
+            "dist(x, y, d) AS ("
+            "  SELECT src, dst, (dst - src)::DOUBLE FROM edge "
+            "  UNION "
+            "  SELECT d.x, e.dst, d.d + (e.dst - e.src)::DOUBLE "
+            "  FROM dist d JOIN edge e ON e.src = d.y) "
+            "SELECT y AS dst, min(d) AS dist FROM dist WHERE x = 0 GROUP BY y"
+        ),
+        "knn_cosine": (
+            qv_cte
+            + f"SELECT vec_id, {_cos_dist('embedding', 'q')} AS cos_dist "
+            "FROM embeddings, qv ORDER BY cos_dist ASC, vec_id ASC LIMIT 10"
+        ),
+        "within_radius": (
+            qv_cte
+            + f"SELECT vec_id, {_eu_dist('embedding', 'q')} AS eu_dist "
+            f"FROM embeddings, qv WHERE {_eu_dist('embedding', 'q')} <= 1.2"
+        ),
+        "pairwise_cosine": (
+            "SELECT a.vec_id AS id1, b.vec_id AS id2, "
+            f"(1.0 - ({_cos_dist('a.embedding', 'b.embedding')})) AS cos_sim "
+            "FROM embeddings a, embeddings b "
+            "WHERE a.vec_id < 20 AND b.vec_id < 20 AND a.vec_id < b.vec_id"
+        ),
+        "vector_norms": (
+            f"SELECT vec_id, {_NORM.format(v='embedding')} AS norm, "
+            "len(embedding)::BIGINT AS dim FROM embeddings"
+        ),
+        "quantize_roundtrip": (
+            "WITH q AS (SELECT vec_id, embedding, "
+            "  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS ma "
+            "  FROM embeddings) "
+            "SELECT vec_id, list_max(list_transform(range(1, 65), i -> "
+            "  abs(embedding[i]::DOUBLE - "
+            "    (greatest(-127.0, least(127.0, round(embedding[i]::DOUBLE * 127.0 / ma))) "
+            "     * ma / 127.0))) ) AS max_err FROM q"
+        ),
+        "knn_join": (
+            "SELECT qid, vec_id, cos_dist, rank FROM ("
+            "  SELECT q.vec_id AS qid, c.vec_id AS vec_id, "
+            f"  {_cos_dist('c.embedding', 'q.embedding')} AS cos_dist, "
+            "  row_number() OVER (PARTITION BY q.vec_id "
+            f"    ORDER BY {_cos_dist('c.embedding', 'q.embedding')} ASC, c.vec_id ASC) AS rank "
+            "  FROM embeddings q, embeddings c WHERE q.vec_id < 5) "
+            "WHERE rank <= 3"
+        ),
+        "recent_events": (
+            "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events "
+            "WHERE (SELECT max(epoch_ms(ts)) FROM events) - epoch_ms(ts) "
+            "BETWEEN 0 AND 604800000"
+        ),
+        "time_decay_sum": (
+            "WITH n AS (SELECT max(epoch_ms(ts)) AS now FROM events) "
+            "SELECT event_type, "
+            "sum(CASE WHEN now - epoch_ms(ts) <= 0 THEN 1.0 "
+            "    ELSE power(0.5, (now - epoch_ms(ts))::DOUBLE / 86400000.0) END) "
+            "  AS decayed_weight, "
+            "count(*) AS n FROM events, n GROUP BY event_type"
+        ),
+        "interval_overlaps": (
+            "WITH iv AS (SELECT event_id, user_id, epoch_ms(ts) AS s, "
+            "  epoch_ms(ts) + (value * 60000)::BIGINT AS e FROM events) "
+            "SELECT a.user_id, count(*) AS n_overlaps "
+            "FROM iv a JOIN iv b ON a.user_id = b.user_id AND a.event_id < b.event_id "
+            "WHERE a.s <= b.e AND b.s <= a.e GROUP BY a.user_id"
+        ),
+        "token_stats": (
+            f"SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens, "
+            f"{_SW_RATIO} AS sw_ratio, {_MEAN_WLEN} AS mean_wlen FROM documents"
+        ),
+        "quality_lang": (
+            "SELECT doc_id, "
+            f"(least(len({_TOKS})::DOUBLE / 50.0, 1.0) "
+            f" + (1.0 - least({_PUNCT_RATIO} * 4.0, 1.0)) "
+            f" + (CASE WHEN {_SW_RATIO} >= 0.1 AND {_SW_RATIO} <= 0.6 THEN 1.0 ELSE 0.5 END) "
+            f" + (CASE WHEN {_MEAN_WLEN} >= 3.0 AND {_MEAN_WLEN} <= 10.0 THEN 1.0 ELSE 0.5 END)"
+            ") / 4.0 AS quality, "
+            f"CASE WHEN {_SW_RATIO} >= 0.08 THEN 'en' ELSE 'und' END AS lang_guess "
+            "FROM documents"
+        ),
+        "doc_fingerprint": (
+            f"SELECT doc_id, list_min(list_transform({_SHINGLES3}, "
+            f"s -> {_MD5_32.format(x='s')})) AS fp FROM documents"
+        ),
+        "exact_dedup": (
+            "SELECT min(doc_id) AS rep_id, count(*) AS n_copies "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "ngram_jaccard": (
+            "WITH sh AS (SELECT doc_id, unnest(list_distinct("
+            + _SHINGLES2
+            + ")) AS s FROM documents WHERE doc_id < 100), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared "
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+            "  GROUP BY a.doc_id, b.doc_id) "
+            "SELECT p.id1, p.id2, "
+            "  p.shared::DOUBLE / (s1.n + s2.n - p.shared) AS jaccard "
+            "FROM pairs p JOIN sz s1 ON s1.doc_id = p.id1 "
+            "JOIN sz s2 ON s2.doc_id = p.id2 "
+            "WHERE p.shared::DOUBLE / (s1.n + s2.n - p.shared) >= 0.05"
+        ),
+        "simhash": _simhash_sql(),
+        "media_features": (
+            "SELECT doc_id AS media_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, "
+            "octet_length(encode(text)) AS n_bytes, "
+            "sha256(text) AS content_sha FROM documents"
+        ),
+        # knn_lsh, ivf_knn, minhash_lsh: intentionally omitted — approximate
+        # /layout-specific operators get the driver's rows-only check.
+    }

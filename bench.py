@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query selection maps the reference's benchmark categories
+(BASELINE.md / BENCHMARKS.md) onto the driver's TPC-H-ish tables:
+scans/joins/aggregations → lineitem/orders; recursion → derived edge
+graph (full TC + bound reach); vector search → embeddings k-NN; plus the
+pipeline operators (minhash dedup, text quality) that BASELINE.json adds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from inputlayer_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    bench_names = [
+        "scan_filter",
+        "join_two_way",
+        "threeway_join_arith",
+        "agg_pricing_summary",
+        "topk_per_group",
+        "antijoin",
+        "transitive_closure",
+        "reach_bound",
+        "knn_cosine",
+        "pairwise_cosine",
+        "time_decay_sum",
+        "doc_fingerprint",
+        "minhash_lsh",
+        "exact_dedup",
+    ]
+
+    # warmup: JVM + parquet footer caches, one tiny action
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in bench_names:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

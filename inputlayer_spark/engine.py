@@ -299,11 +299,14 @@ class IQLEngine:
             if names:
                 df = df.toDF(*names)
 
+        order_cols = []
         for pos, direction in q.order_by:
             t = q.goal.terms[pos]
             if isinstance(t, Var):
                 c = F.col(t.name)
-                df = df.orderBy(c.desc() if direction == "desc" else c.asc())
+                order_cols.append(c.desc() if direction == "desc" else c.asc())
+        if order_cols:
+            df = df.orderBy(*order_cols)
         if q.offset:
             df = df.offset(q.offset)
         if q.limit is not None:

@@ -130,9 +130,14 @@ def simhash64(text: Column, n: int = 3) -> Column:
     sh = word_shingles(text, n)
     cnt = F.size(sh)
     acc = F.lit(0).cast("long")
+
+    def bit_test(mask: int):
+        # single-arg lambda: a 2-arg closure would be treated as the
+        # (element, index) HOF form by pyspark
+        return lambda s: md5_long32(s).bitwiseAND(F.lit(mask)) != 0
+
     for b in range(32):
-        votes = F.size(
-            F.filter(sh, lambda s, b=b: md5_long32(s).bitwiseAND(F.lit(1 << b)) != 0)
-        )
-        acc = acc + F.when(votes * 2 >= cnt, F.lit(1 << b).cast("long")).otherwise(0)
+        mask = 1 << b
+        votes = F.size(F.filter(sh, bit_test(mask)))
+        acc = acc + F.when(votes * 2 >= cnt, F.lit(mask).cast("long")).otherwise(0)
     return acc

@@ -27,6 +27,8 @@ _DEFAULTS = {
     "spark.ui.enabled": "false",
     # Datalog fixpoints build deep union lineages; keep plan strings small.
     "spark.sql.maxPlanStringLength": "1048576",
+    # testdata events.parquet uses TIMESTAMP(NANOS); read as long nanos
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
@@ -49,6 +51,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled",
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.legacy.parquet.nanosAsLong",
     ):
         try:
             spark.conf.set(key, "true")

@@ -1,0 +1,133 @@
+"""Unit tests for the pipeline operators (dedup/similarity/multimodal)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+
+
+@pytest.fixture()
+def docs(spark):
+    data = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(data, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    from inputlayer_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs, ["text"])
+    assert out.count() == 3
+
+
+def test_exact_dedup_by_hash(docs):
+    from inputlayer_spark.operators.dedup import exact_dedup_by_hash
+
+    out = exact_dedup_by_hash(docs, "text", "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 2, 3}  # 4 collapsed into 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from inputlayer_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = rows(minhash_lsh_pairs(docs, "doc_id", "text", num_perm=16, bands=8, shingle_n=2))
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs  # near dup: 8/9 shingles shared
+
+
+def test_ngram_jaccard(docs):
+    from inputlayer_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = {(r["id1"], r["id2"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5).collect()}
+    assert out[(1, 4)] == pytest.approx(1.0)
+    assert out[(1, 2)] == pytest.approx(7 / 9)  # 8 shingles each, 7 shared
+    assert (1, 3) not in out
+
+
+def test_simhash_candidates(docs):
+    from inputlayer_spark.operators.dedup import simhash_dedup_candidates
+
+    got = rows(simhash_dedup_candidates(docs, "doc_id", "text", max_hamming=3))
+    assert (1, 4, 0) in got  # identical → hamming 0
+
+
+def test_embedding_cosine_pairs(spark):
+    from inputlayer_spark.operators.dedup import embedding_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, [0.0, 1.0])],
+        ["id", "vec"],
+    )
+    out = rows(embedding_cosine_pairs(df, "id", "vec", threshold=0.95))
+    assert len(out) == 1 and out[0][:2] == (1, 2)
+
+
+def test_knn_bruteforce(spark):
+    from inputlayer_spark.operators.similarity import knn_bruteforce
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        ["id", "vec"],
+    )
+    out = [r["id"] for r in knn_bruteforce(df, "id", "vec", [1.0, 0.0], k=2).collect()]
+    assert out == [1, 2]
+
+
+def test_knn_join(spark):
+    from inputlayer_spark.operators.similarity import knn_join_bruteforce
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])], ["id", "vec"]
+    )
+    out = knn_join_bruteforce(df, df, "id", "vec", "id", "vec", k=1)
+    # each point's nearest neighbor is itself (dist 0, id tiebreak)
+    got = {(r["qid"], r["id"]) for r in out.collect()}
+    assert got == {(1, 1), (2, 2), (3, 3)}
+
+
+def test_centroids(spark):
+    from inputlayer_spark.operators.similarity import centroids
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (0, [2.0, 4.0]), (1, [10.0, 10.0])], ["cell", "vec"]
+    )
+    got = {r["cell"]: list(r["centroid"]) for r in centroids(df, "cell", "vec").collect()}
+    assert got[0] == [1.0, 2.0]
+    assert got[1] == [10.0, 10.0]
+
+
+def test_multimodal_features(spark):
+    from inputlayer_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"fakeimg"), (64, 64, None, None, "image/png")),
+            (2, "audio", bytearray(b"fakeaudio"), (None, None, 16000, 2000, "audio/wav")),
+        ],
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:long,mime:string>",
+    )
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert out[1]["n_bytes"] == 7
+    assert len(out[1]["feature"]) == 8
+    import hashlib
+
+    assert out[2]["content_sha"] == hashlib.sha256(b"fakeaudio").hexdigest()
+
+
+def test_video_frame_sampling(spark):
+    from inputlayer_spark.operators.multimodal import sample_video_frames
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b"v"), (None, None, None, 3500, "video/mp4"))],
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:long,mime:string>",
+    )
+    out = sample_video_frames(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000, 3000]
