@@ -501,7 +501,18 @@ def q_minhash_lsh(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", TX.simhash64(F.col("text"), n=2).alias("simhash"))
+    # materialize the shingle-hash array so the 32 bit-vote filters share
+    # one md5 pass (simhash_from_hashes docstring)
+    return (
+        docs.select("doc_id", TX.tokens(F.col("text")).alias("__toks"))
+        .select(
+            "doc_id",
+            F.transform(TX.shingles_from_tokens(F.col("__toks"), 2), TX.md5_long32).alias(
+                "__hs"
+            ),
+        )
+        .select("doc_id", TX.simhash_from_hashes(F.col("__hs")).alias("simhash"))
+    )
 
 
 def q_media_features(spark, sf_dir):

@@ -51,12 +51,29 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
     return F.transform(idx, lambda i: F.substring(t, i, n))
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles joined by single spaces."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an already-materialized token array.
+
+    IMPORTANT for hot paths: pass a *column reference* to a token array,
+    not the `tokens(text)` expression tree. Catalyst inlines the lambda's
+    free expressions per array element, so shingling directly off
+    `tokens(text)` re-tokenizes the document once per shingle — O(len²)
+    (measured 12× slower at sf0.1). Materialize tokens with one
+    `.select(tokens(text).alias(...))` first.
+    """
     k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     idx = F.sequence(F.lit(0), k - 1)
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles joined by single spaces.
+
+    Convenience single-expression form; for per-shingle downstream work
+    (explode/hash pipelines) prefer `shingles_from_tokens` on a
+    materialized token column — see its docstring.
+    """
+    return shingles_from_tokens(tokens(text), n)
 
 
 def stopword_ratio(text: Column) -> Column:
@@ -121,23 +138,34 @@ def minhash_signature(text: Column, num_perm: int = 16, shingle_n: int = 3) -> C
     )
 
 
-def simhash64(text: Column, n: int = 3) -> Column:
-    """64-bit SimHash over word shingles using md5-derived bit votes.
+def simhash_from_hashes(hashes: Column) -> Column:
+    """SimHash from an already-materialized array of 32-bit shingle hashes:
+    bit b of the result = majority vote of bit b across the hashes.
 
-    bit b of the result = majority vote of bit b across shingle hashes.
-    Uses two 32-bit md5 words to reach 64 bits.
+    Pass a *column reference* to the hash array (materialize
+    `transform(shingles, md5_long32)` first) — inlining the md5 expression
+    here would recompute it once per bit (32×).
     """
-    sh = word_shingles(text, n)
-    cnt = F.size(sh)
+    cnt = F.size(hashes)
     acc = F.lit(0).cast("long")
 
     def bit_test(mask: int):
-        # single-arg lambda: a 2-arg closure would be treated as the
-        # (element, index) HOF form by pyspark
-        return lambda s: md5_long32(s).bitwiseAND(F.lit(mask)) != 0
+        # must stay a single-arg lambda: pyspark treats a 2-arg callable
+        # (even with a default) as the (element, index) HOF form
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
 
     for b in range(32):
         mask = 1 << b
-        votes = F.size(F.filter(sh, bit_test(mask)))
+        votes = F.size(F.filter(hashes, bit_test(mask)))
         acc = acc + F.when(votes * 2 >= cnt, F.lit(mask).cast("long")).otherwise(0)
     return acc
+
+
+def simhash64(text: Column, n: int = 3) -> Column:
+    """64-bit SimHash over word shingles using md5-derived bit votes.
+
+    Convenience single-expression form (recomputes md5 per bit vote);
+    hot paths should materialize the hash array and use
+    `simhash_from_hashes`.
+    """
+    return simhash_from_hashes(F.transform(word_shingles(text, n), md5_long32))

@@ -70,15 +70,17 @@ def minhash_lsh_pairs(
     Output columns: id1, id2.
     """
     rows_per_band = num_perm // bands
-    # single-pass signature: explode distinct shingles once, md5 each
-    # shingle ONCE, then derive the num_perm permutation hashes as linear
-    # mixes (a_i * h + b_i mod p — a standard universal family) inside one
-    # hash-aggregate. The nested-transform formulation recomputes the
-    # shingle array per permutation and blows up the codegen tree
-    # (measured 70s vs <2s on 500 docs).
-    shingled = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(TX.word_shingles(F.col(text_col), shingle_n))).alias("__sh"),
+    # Tokenize ONCE into a column, then shingle off the column reference —
+    # shingling directly off tokens(text) re-tokenizes per shingle
+    # (see shingles_from_tokens docstring; measured 12× at sf0.1).
+    shingled = (
+        df.select(F.col(id_col).alias("__id"), TX.tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            "__id",
+            F.explode(
+                F.array_distinct(TX.shingles_from_tokens(F.col("__toks"), shingle_n))
+            ).alias("__sh"),
+        )
     )
     # per-permutation hash = xxhash64(seed_i, shingle): true re-ordering
     # per seed (a monotonic a*h+b mix would make every permutation share
@@ -128,9 +130,12 @@ def ngram_jaccard_pairs(
     worst-case hot shingles are bounded because shingles are n words.
     Output: id1, id2, jaccard.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(TX.word_shingles(F.col(text_col), n))).alias("sh"),
+    sh = (
+        df.select(F.col(id_col).alias("__id"), TX.tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            "__id",
+            F.explode(F.array_distinct(TX.shingles_from_tokens(F.col("__toks"), n))).alias("sh"),
+        )
     )
     sizes = sh.groupBy("__id").agg(F.count("*").alias("sz"))
     pairs = (
@@ -168,7 +173,18 @@ def simhash_dedup_candidates(
     """
     chunks = max_hamming + 1
     bits_per = 64 // chunks
-    sim = df.select(F.col(id_col).alias("__id"), TX.simhash64(F.col(text_col)).alias("__sh"))
+    # materialize shingle-hash array first so the 32 bit-vote filters in
+    # simhash share one md5 pass (see simhash_from_hashes docstring)
+    sim = (
+        df.select(F.col(id_col).alias("__id"), TX.tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            "__id",
+            F.transform(TX.shingles_from_tokens(F.col("__toks"), 3), TX.md5_long32).alias(
+                "__hs"
+            ),
+        )
+        .select("__id", TX.simhash_from_hashes(F.col("__hs")).alias("__sh"))
+    )
     chunk_rows = sim.select(
         "__id",
         "__sh",

@@ -29,6 +29,10 @@ _DEFAULTS = {
     "spark.sql.maxPlanStringLength": "1048576",
     # testdata events.parquet uses TIMESTAMP(NANOS); read as long nanos
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Small single-file tables otherwise scan as 1 partition, serializing
+    # compute-heavy narrow pipelines (shingling, hashing) onto one core.
+    # On a real cluster this floor is the executor-core count.
+    "spark.sql.files.minPartitionNum": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
 
 
@@ -57,6 +61,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, "true")
         except Exception:
             pass
+    try:
+        spark.conf.set(
+            "spark.sql.files.minPartitionNum", os.environ.get("SPARK_GRAFT_CPUS", "32")
+        )
+    except Exception:
+        pass
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
