@@ -275,6 +275,22 @@ def q_reach_bound(spark, sf_dir):
     return df.select(F.col("Y").alias("dst"))
 
 
+def q_reach_bound_large(spark, sf_dir):
+    """Bound reach on a ~1000-node graph — exercises the magic-sets
+    linearity flip (seeded BFS); full TC here is ~500k pairs, the bound
+    query touches only edges reachable from the seed."""
+    eng = IQLEngine(spark)
+    eng.register("edge", _edge_df(spark, sf_dir, 1000))
+    df = eng.query(
+        """
+        +reach(X, Y) <- edge(X, Y)
+        +reach(X, Z) <- edge(X, Y), reach(Y, Z)
+        ?reach(0, Y)
+        """
+    )
+    return df.select(F.col("Y").alias("dst"))
+
+
 def q_shortest_path(spark, sf_dir):
     """Recursive min-aggregate (MinDiff semiring shape,
     src/semiring_types.rs:175)."""
@@ -564,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_limit_offset": q_order_limit_offset,
         "transitive_closure": q_transitive_closure,
         "reach_bound": q_reach_bound,
+        "reach_bound_large": q_reach_bound_large,
         "shortest_path": q_shortest_path,
         "knn_cosine": q_knn_cosine,
         "within_radius": q_within_radius,
@@ -731,6 +748,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "reach_bound": (
             f"WITH RECURSIVE edge AS ({_EDGE_SQL.format(m=60)}), "
+            "reach(dst) AS ("
+            "  SELECT dst FROM edge WHERE src = 0 "
+            "  UNION "
+            "  SELECT e.dst FROM edge e JOIN reach r ON e.src = r.dst) "
+            "SELECT dst FROM reach"
+        ),
+        "reach_bound_large": (
+            f"WITH RECURSIVE edge AS ({_EDGE_SQL.format(m=1000)}), "
             "reach(dst) AS ("
             "  SELECT dst FROM edge WHERE src = 0 "
             "  UNION "

@@ -41,6 +41,7 @@ def main() -> None:
         "antijoin",
         "transitive_closure",
         "reach_bound",
+        "reach_bound_large",
         "knn_cosine",
         "pairwise_cosine",
         "time_decay_sum",

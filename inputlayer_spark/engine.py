@@ -42,7 +42,8 @@ from inputlayer_spark.compiler import (
     term_to_column,
 )
 from inputlayer_spark.parser import parse_program
-from inputlayer_spark.recursion import condensation, evaluate_scc
+from inputlayer_spark.magic_sets import magic_rewrite
+from inputlayer_spark.recursion import condensation, evaluate_scc, is_recursive_scc
 
 _TYPE_MAP = {
     "int": T.LongType(),
@@ -241,23 +242,67 @@ class IQLEngine:
 
     def _materialize_all(self) -> Dict[str, DataFrame]:
         """Evaluate every derived relation (all strata, topo order)."""
+        return self._materialize_for(None)
+
+    def _materialize_for(
+        self, targets: Optional[set], skip: frozenset = frozenset()
+    ) -> Dict[str, DataFrame]:
+        """Evaluate derived relations, demand-driven: only SCCs that
+        `targets` (transitively) depends on. targets=None → everything.
+        Mirrors the reference's topo-ordered rule execution
+        (src/lib.rs:1254) but skips strata the query can't observe."""
         rules = self._all_rules()
         derived: Dict[str, DataFrame] = {}
         if not rules:
             return derived
-        cache_key = "__all__"
+
+        needed: Optional[set] = None
+        if targets is not None:
+            heads = {r.head.relation for r in rules}
+            body_rels: Dict[str, set] = {}
+            for r in rules:
+                s = body_rels.setdefault(r.head.relation, set())
+                for lit in r.body:
+                    if isinstance(lit, Atom) and lit.relation in heads:
+                        s.add(lit.relation)
+            needed = set()
+            frontier = list(targets & heads)
+            while frontier:
+                h = frontier.pop()
+                if h in needed:
+                    continue
+                needed.add(h)
+                frontier.extend(body_rels.get(h, ()))
+
         for scc in condensation(rules):
-            key = ",".join(scc)
+            if skip & set(scc):
+                continue
+            if needed is not None and not (needed & set(scc)):
+                continue
             resolver = self._resolver(derived)
             if all(h in self._derived_cache for h in scc):
                 for h in scc:
                     derived[h] = self._derived_cache[h]
                 continue
-            out = evaluate_scc(scc, rules, resolver, self._hnsw_resolver)
+            out = evaluate_scc(
+                scc, rules, resolver, self._hnsw_resolver, base_of=self._base_of
+            )
             for h, df in out.items():
                 derived[h] = df
                 self._derived_cache[h] = df
         return derived
+
+    def _base_of(self, name: str) -> Optional[DataFrame]:
+        """Base extent (explicit facts + session facts) of a relation that
+        also has rules — unioned with derivations like the reference's
+        input_tuples (src/lib.rs:507-512)."""
+        df = self.current.relations.get(name)
+        if df is None:
+            return None
+        if name in self.session_facts:
+            rows = self.session_facts[name]
+            df = df.unionByName(self.spark.createDataFrame(rows, schema=df.schema))
+        return df
 
     def _resolver(self, derived: Dict[str, DataFrame]):
         def resolve(name: str) -> DataFrame:
@@ -274,7 +319,19 @@ class IQLEngine:
         return resolve
 
     def _query(self, q: Query) -> DataFrame:
-        derived = self._materialize_all()
+        targets = {q.goal.relation}
+        for lit in q.body:
+            if isinstance(lit, Atom):
+                targets.add(lit.relation)
+
+        # magic-sets fast path: bound query over a recursive predicate
+        magic_df = None
+        if not q.body:
+            magic_df = self._try_magic(q.goal)
+        if magic_df is not None:
+            derived = {q.goal.relation: magic_df}
+        else:
+            derived = self._materialize_for(targets)
         resolve = self._resolver(derived)
 
         if q.body:
@@ -312,6 +369,71 @@ class IQLEngine:
         if q.limit is not None:
             df = df.limit(q.limit)
         return df
+
+    def _try_magic(self, goal: Atom) -> Optional[DataFrame]:
+        """Magic-sets fast path (reference src/magic_sets/mod.rs, 288-1,587x
+        on bound TC per BENCHMARKS.md:15-20): when the goal is a bound
+        query over a recursive predicate, evaluate a demand-rewritten
+        program instead of the full fixpoint. Returns the adorned goal
+        relation (positional columns) or None to fall back."""
+        rules = self._all_rules()
+        heads = {r.head.relation for r in rules}
+        if goal.relation not in heads:
+            return None
+        if not any(isinstance(t, (Const, VecLit)) for t in goal.terms):
+            return None
+        try:
+            sccs = condensation(rules)
+        except Exception:
+            return None
+        scc = next((s for s in sccs if goal.relation in s), None)
+        if scc is None or not is_recursive_scc(scc, rules):
+            # non-recursive views are lazy DataFrames: Catalyst pushes the
+            # goal's constant filters down on its own — no rewrite needed
+            return None
+        rw = magic_rewrite(goal, rules, scc)
+        if rw is None:
+            return None
+
+        # materialize only what the SCC's bodies need from outside it
+        members = set(scc)
+        dep_targets = set()
+        for r in rules:
+            if r.head.relation in members:
+                for lit in r.body:
+                    if isinstance(lit, Atom) and lit.relation not in members:
+                        dep_targets.add(lit.relation)
+        derived = self._materialize_for(dep_targets, skip=frozenset(members))
+
+        seed_df = self.spark.createDataFrame(
+            [rw.seed_row], schema=_infer_schema([rw.seed_row])
+        )
+        overlay: Dict[str, DataFrame] = {rw.seed_relation: seed_df}
+        base_resolve = self._resolver(derived)
+
+        def resolve(name: str) -> DataFrame:
+            if name in overlay:
+                return overlay[name]
+            return base_resolve(name)
+
+        def base_of(name: str) -> Optional[DataFrame]:
+            if name == rw.seed_relation:
+                return seed_df
+            return self._base_of(name)
+
+        for sub in condensation(rw.rules):
+            overlay.update(
+                evaluate_scc(sub, rw.rules, resolve, self._hnsw_resolver, base_of=base_of)
+            )
+        out = overlay.get(rw.goal_relation)
+        if out is None:
+            # fixpoint derived nothing: empty relation with goal arity
+            fields = [
+                T.StructField(f"c{i}", T.StringType(), True)
+                for i in range(len(goal.terms))
+            ]
+            out = self.spark.createDataFrame([], schema=T.StructType(fields))
+        return out
 
     # ------------------------------------------------------------ vector index
 

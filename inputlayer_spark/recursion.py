@@ -125,6 +125,7 @@ def evaluate_scc(
     resolve: Resolver,
     hnsw_resolver=None,
     max_iterations: int = 10_000,
+    base_of: Optional[Callable[[str], Optional[DataFrame]]] = None,
 ) -> Dict[str, DataFrame]:
     """Evaluate one SCC; returns head → DataFrame (positional columns).
 
@@ -132,11 +133,24 @@ def evaluate_scc(
     Recursive SCC: semi-naive — per iteration each recursive rule is
     evaluated once per recursive body atom with that occurrence bound to
     the delta and the others to the accumulator; new = result − acc.
+
+    `base_of(head)` supplies an optional base extent (explicit facts for a
+    relation that ALSO has rules — the reference unions input_tuples with
+    rule derivations; magic-set seeds use the same mechanism).
     """
     members = set(scc)
     scc_rules = [r for r in rules if r.head.relation in members]
     if not scc_rules:
         return {}
+
+    def base_extent(head: str) -> Optional[DataFrame]:
+        if base_of is None:
+            return None
+        df = base_of(head)
+        if df is None:
+            return None
+        # positional rename to the compiler's c0..cn convention
+        return df.toDF(*[f"c{i}" for i in range(len(df.columns))])
 
     if not is_recursive_scc(scc, rules):
         out: Dict[str, DataFrame] = {}
@@ -146,6 +160,9 @@ def evaluate_scc(
                 for r in scc_rules
                 if r.head.relation == head
             ]
+            base = base_extent(head)
+            if base is not None:
+                dfs.append(base)
             merged = dfs[0]
             for d in dfs[1:]:
                 merged = merged.unionByName(d)
@@ -180,14 +197,33 @@ def evaluate_scc(
 
         return _r
 
-    # initialize from exit rules
+    # Pinning strategy: persist()+count instead of localCheckpoint.
+    # A persisted frame becomes an InMemoryRelation leaf in downstream
+    # plans (lineage effectively truncated), and — unlike localCheckpoint
+    # blocks, which only the ContextCleaner frees after a JVM GC — can be
+    # unpersisted deterministically when the fixpoint finishes. Leaked
+    # iteration blocks otherwise degrade every later query in the session.
+    pinned: List[DataFrame] = []
+
+    def pin(df: DataFrame) -> Tuple[DataFrame, int]:
+        df = df.persist()
+        n = df.count()
+        pinned.append(df)
+        return df, n
+
+    # initialize from exit rules + base extents (explicit facts / magic seeds)
     for r in exit_rules:
         df = compile_head(compile_body(r.body, resolve, hnsw_resolver), r.head)
         prev = acc[r.head.relation]
         acc[r.head.relation] = df if prev is None else prev.unionByName(df).distinct()
     for h in members:
+        base = base_extent(h)
+        if base is not None:
+            prev = acc[h]
+            acc[h] = base if prev is None else prev.unionByName(base).distinct()
+    for h in members:
         if acc[h] is not None:
-            acc[h] = acc[h].localCheckpoint(eager=True)
+            acc[h], _ = pin(acc[h])
         delta[h] = acc[h]
 
     iteration = 0
@@ -236,24 +272,28 @@ def evaluate_scc(
             candidate = new_tuples[h].distinct()
             if acc[h] is not None:
                 candidate = candidate.join(acc[h], on=list(candidate.columns), how="left_anti")
-            candidate = candidate.localCheckpoint(eager=True)
-            if candidate.isEmpty():
+            candidate, n = pin(candidate)
+            if n == 0:
                 delta[h] = None
                 continue
             any_new = True
             delta[h] = candidate
-            acc[h] = (
-                candidate
-                if acc[h] is None
-                else acc[h].unionByName(candidate).localCheckpoint(eager=True)
-            )
+            # acc is a union of already-pinned deltas — unioning lazily
+            # costs nothing; re-materializing acc each iteration would
+            # copy the whole accumulator O(iterations) times
+            acc[h] = candidate if acc[h] is None else acc[h].unionByName(candidate)
         if not any_new:
             break
 
     out = {}
     for h in members:
         if acc[h] is not None:
-            out[h] = acc[h]
+            # compact: acc is a union over every iteration's pinned delta;
+            # one localCheckpoint gives consumers a flat scan with no
+            # dependency on the pinned blocks, which are freed right after
+            out[h] = acc[h].localCheckpoint(eager=True)
+    for df in pinned:
+        df.unpersist()
     return out
 
 

@@ -33,6 +33,10 @@ _DEFAULTS = {
     # compute-heavy narrow pipelines (shingling, hashing) onto one core.
     # On a real cluster this floor is the executor-core count.
     "spark.sql.files.minPartitionNum": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # Fixpoint loops shed checkpoint/broadcast blocks only after a JVM GC
+    # (ContextCleaner); the 30min default lets dead blocks pile up and
+    # slow later queries in long sessions.
+    "spark.cleaner.periodicGC.interval": "45s",
 }
 
 

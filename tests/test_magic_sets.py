@@ -1,0 +1,98 @@
+"""Magic-sets rewrite: unit tests for the AST transformation and
+end-to-end parity between the demand-driven path and full evaluation."""
+
+import pytest
+
+from inputlayer_spark.ast_nodes import Atom, Const, Rule, Var
+from inputlayer_spark.engine import IQLEngine
+from inputlayer_spark.magic_sets import magic_rewrite
+
+
+def _tc_rules():
+    A, B, C = Var("A"), Var("B"), Var("C")
+    return [
+        Rule(Atom("reach", (A, B)), (Atom("edge", (A, B)),)),
+        Rule(Atom("reach", (A, C)), (Atom("edge", (A, B)), Atom("reach", (B, C)))),
+    ]
+
+
+def test_rewrite_shape_right_linear():
+    """Right-linear TC with a bf goal gets linearity-flipped to the
+    seeded-BFS form: the magic relation is seed-only (tautological magic
+    rules dropped) and the adorned relation does the frontier expansion
+    (reference bound-TC fast path, code_generator/mod.rs:834)."""
+    rw = magic_rewrite(Atom("reach", (Const(0), Var("Y"))), _tc_rules(), ["reach"])
+    assert rw is not None
+    assert rw.goal_relation == "__reach__bf"
+    assert rw.seed_relation == "__magic_reach__bf"
+    assert rw.seed_row == (0,)
+    heads = {r.head.relation for r in rw.rules}
+    assert heads == {"__reach__bf"}
+    # flipped rec rule: __reach_bf(A,C) <- magic(A), __reach_bf(A,B), edge(B,C)
+    rec = [
+        r
+        for r in rw.rules
+        if any(isinstance(l, Atom) and l.relation == "__reach__bf" for l in r.body)
+    ]
+    assert len(rec) == 1
+    rels = [l.relation for l in rec[0].body if isinstance(l, Atom)]
+    assert rels == ["__magic_reach__bf", "__reach__bf", "edge"]
+
+
+def test_rewrite_all_free_goal_bails():
+    assert magic_rewrite(Atom("reach", (Var("X"), Var("Y"))), _tc_rules(), ["reach"]) is None
+
+
+def test_rewrite_point_query_allowed():
+    rw = magic_rewrite(Atom("reach", (Const(0), Const(7))), _tc_rules(), ["reach"])
+    assert rw is not None
+    assert rw.goal_relation == "__reach__bb"
+    assert rw.seed_row == (0, 7)
+
+
+@pytest.fixture(scope="module")
+def graph_engine(spark):
+    eng = IQLEngine(spark)
+    # two disconnected components: 0-1-2-3 chain and 10-11-12 chain
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12)]
+    eng.execute("+edge[" + ", ".join(f"({a}, {b})" for a, b in edges) + "]")
+    eng.execute("+reach(A, B) <- edge(A, B)\n+reach(A, C) <- edge(A, B), reach(B, C)")
+    return eng
+
+
+def test_bound_reach_matches_full(graph_engine):
+    rows = sorted(tuple(r) for r in graph_engine.query("?reach(0, Y)").collect())
+    assert rows == [(1,), (2,), (3,)]
+
+
+def test_point_query(graph_engine):
+    assert graph_engine.query("?reach(0, 3)").count() == 1
+    assert graph_engine.query("?reach(0, 11)").count() == 0
+
+
+def test_full_query_unaffected(graph_engine):
+    assert graph_engine.query("?reach(X, Y)").count() == 6 + 3  # 3+2+1 and 2+1
+
+
+def test_left_linear_variant(spark):
+    eng = IQLEngine(spark)
+    eng.execute("+edge[(0, 1), (1, 2), (2, 3), (5, 6)]")
+    eng.execute("+lreach(A, B) <- edge(A, B)\n+lreach(A, C) <- lreach(A, B), edge(B, C)")
+    rows = sorted(tuple(r) for r in eng.query("?lreach(0, Y)").collect())
+    assert rows == [(1,), (2,), (3,)]
+
+
+def test_magic_with_filter_rule(spark):
+    eng = IQLEngine(spark)
+    eng.execute("+edge[(0, 1), (1, 2), (2, 3)]")
+    eng.execute(
+        "+bigreach(A, C) <- edge(A, B), bigreach(B, C)\n"
+        "+bigreach(A, B) <- edge(A, B), B > 1"
+    )
+    rows = sorted(tuple(r) for r in eng.query("?bigreach(0, Y)").collect())
+    assert rows == [(2,), (3,)]
+
+
+def test_second_arg_bound(graph_engine):
+    rows = sorted(tuple(r) for r in graph_engine.query("?reach(X, 3)").collect())
+    assert rows == [(0,), (1,), (2,)]
