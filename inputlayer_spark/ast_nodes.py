@@ -154,6 +154,17 @@ class Delete:
 
 
 @dataclass
+class Update:
+    """Atomic update `-rel(old...), +rel(new...) <- cond`: for every
+    binding of cond, retract the old tuple and assert the new one in one
+    step (reference: UpdateOp, src/statement/data.rs:49)."""
+
+    delete: Atom
+    insert: Atom
+    body: tuple = ()
+
+
+@dataclass
 class SchemaDecl:
     """`+rel(col: type, ...)` (reference: src/statement/schema.rs)."""
 
@@ -181,7 +192,7 @@ class MetaCommand:
     args: tuple = ()
 
 
-Statement = Union[Rule, Fact, Delete, SchemaDecl, Query, MetaCommand]
+Statement = Union[Rule, Fact, Delete, Update, SchemaDecl, Query, MetaCommand]
 
 
 @dataclass

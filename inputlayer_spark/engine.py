@@ -31,6 +31,7 @@ from inputlayer_spark.ast_nodes import (
     Query,
     Rule,
     SchemaDecl,
+    Update,
     Var,
     VecLit,
 )
@@ -124,10 +125,14 @@ class IQLEngine:
                 self._add_rule(st)
             elif isinstance(st, Delete):
                 self._delete(st)
+            elif isinstance(st, Update):
+                self._update(st)
             elif isinstance(st, Query):
                 results.append(self._query(st))
             elif isinstance(st, MetaCommand):
-                self._meta(st)
+                out = self._meta(st)
+                if out is not None:
+                    results.append(out)
             else:
                 raise CompileError(f"unsupported statement {st!r}")
         self._flush_facts(pending_facts)
@@ -234,6 +239,122 @@ class IQLEngine:
             keep = df.filter(~cond) if cond is not None else df.limit(0)
         self.current.relations[st.relation] = keep.localCheckpoint(eager=True)
         self._derived_cache.clear()
+
+    def _update(self, st: Update) -> None:
+        """Atomic update: retract old, assert new per cond binding in one
+        step from one snapshot (reference UpdateOp, src/statement/data.rs:49
+        → our Delta-MERGE analog is subtract-then-union on the same plan)."""
+        rel = st.delete.relation
+        df = self.current.relations.get(rel)
+        if df is None:
+            raise CompileError(f"unknown relation {rel}")
+        body_df = compile_body(st.body, self._resolver(self._materialize_all()), None)
+        del_rows = compile_head(body_df, st.delete).toDF(*df.columns)
+        keep = df.join(del_rows, on=list(df.columns), how="left_anti")
+        target = self.current.relations.get(st.insert.relation)
+        ins_rows = compile_head(body_df, st.insert)
+        if st.insert.relation == rel:
+            new_df = keep.unionByName(ins_rows.toDF(*df.columns))
+            self.current.relations[rel] = new_df.localCheckpoint(eager=True)
+        else:
+            self.current.relations[rel] = keep.localCheckpoint(eager=True)
+            cols = target.columns if target is not None else ins_rows.columns
+            ins = ins_rows.toDF(*cols)
+            merged = ins if target is None else target.unionByName(ins)
+            self.current.relations[st.insert.relation] = merged.localCheckpoint(eager=True)
+        self._derived_cache.clear()
+
+    # ------------------------------------------------------------ sessions
+
+    def add_session_fact(self, relation: str, *values) -> None:
+        """Ephemeral fact visible only until `.session clear` — overlays
+        the shared KG like the reference's per-session facts
+        (src/session.rs:114, snapshot overlay src/storage_engine/snapshot.rs)."""
+        self.session_facts.setdefault(relation, []).append(tuple(values))
+        self._derived_cache.clear()
+
+    # ------------------------------------------------------------ IO
+
+    def load_csv(self, relation: str, path: str, header: bool = True) -> None:
+        """CSV load with type inference (reference src/storage/csv.rs)."""
+        df = self.spark.read.csv(path, header=header, inferSchema=True)
+        self.register(relation, df)
+
+    def save_csv(self, relation: str, path: str) -> None:
+        self._named_df(relation).write.mode("overwrite").csv(path, header=True)
+
+    def load_parquet(self, relation: str, path: str) -> None:
+        self.register(relation, self.spark.read.parquet(path))
+
+    def save_parquet(self, relation: str, path: str) -> None:
+        self._named_df(relation).write.mode("overwrite").parquet(path)
+
+    def _named_df(self, relation: str) -> DataFrame:
+        derived = self._materialize_all()
+        df = derived.get(relation) or self.current.relations.get(relation)
+        if df is None:
+            raise CompileError(f"unknown relation {relation}")
+        return df
+
+    def load_script(self, path: str, replace: bool = False) -> List[DataFrame]:
+        """`.load <file> [--replace]` (reference src/statement/meta.rs:72)."""
+        if replace:
+            self.current.relations.clear()
+            self.current.rules.clear()
+            self.current.schemas.clear()
+            self._derived_cache.clear()
+        with open(path) as fh:
+            return self.execute(fh.read())
+
+    # ------------------------------------------------------------ persistence
+
+    def save_kg(self, path: str) -> None:
+        """Durable snapshot of the current KG: one parquet per relation +
+        a JSON catalog (rules as IQL text, schemas, indexes). The Spark
+        analog of the reference's WAL+Parquet persistence
+        (src/storage/persist/) — parquet commit is the durability point."""
+        import json
+        import os
+
+        from inputlayer_spark.printer import rule_to_iql
+
+        os.makedirs(f"{path}/relations", exist_ok=True)
+        for name, df in self.current.relations.items():
+            df.write.mode("overwrite").parquet(f"{path}/relations/{name}.parquet")
+        catalog = {
+            "name": self.current.name,
+            "rules": [rule_to_iql(r) for r in self.current.rules],
+            "schemas": {
+                rel: [(f.name, f.dataType.simpleString()) for f in sch.fields]
+                for rel, sch in self.current.schemas.items()
+            },
+            "indexes": self.current.indexes,
+        }
+        tmp = f"{path}/catalog.json.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(catalog, fh, indent=2)
+        os.replace(tmp, f"{path}/catalog.json")
+
+    def load_kg(self, path: str) -> None:
+        """Restore a KG saved by save_kg into the current namespace."""
+        import glob
+        import json
+        import os
+
+        with open(f"{path}/catalog.json") as fh:
+            catalog = json.load(fh)
+        self.current.relations.clear()
+        self.current.rules.clear()
+        self.current.schemas.clear()
+        self.current.indexes.clear()
+        self._derived_cache.clear()
+        for p in glob.glob(f"{path}/relations/*.parquet"):
+            name = os.path.basename(p)[: -len(".parquet")]
+            self.current.relations[name] = self.spark.read.parquet(p)
+        for rule_text in catalog.get("rules", []):
+            self.execute(rule_text)
+        for name, meta in catalog.get("indexes", {}).items():
+            self.current.indexes[name] = tuple(meta)
 
     # ------------------------------------------------------------ queries
 
@@ -481,11 +602,11 @@ class IQLEngine:
 
     # ------------------------------------------------------------ meta
 
-    def _meta(self, st: MetaCommand) -> None:
+    def _meta(self, st: MetaCommand) -> Optional[DataFrame]:
         cmd, args = st.command, list(st.args)
         if cmd == "kg":
             if not args:
-                return
+                return None
             sub = args[0]
             if sub == "create" and len(args) > 1:
                 self.kgs.setdefault(args[1], KnowledgeGraph(args[1]))
@@ -496,6 +617,90 @@ class IQLEngine:
                 self.kgs.pop(args[1], None)
                 if self.current.name == args[1]:
                     self.current = self.kgs.setdefault("default", KnowledgeGraph("default"))
+            elif sub in ("list", "show"):
+                rows = [(name, name == self.current.name) for name in sorted(self.kgs)]
+                return self.spark.createDataFrame(rows, schema="name string, current boolean")
+        elif cmd == "rel":
+            if args and args[0] == "list":
+                rows = []
+                derived_heads = {r.head.relation for r in self._all_rules()}
+                for name, df in sorted(self.current.relations.items()):
+                    rows.append((name, len(df.columns), "base"))
+                for name in sorted(derived_heads):
+                    arity = len(
+                        next(
+                            r for r in self._all_rules() if r.head.relation == name
+                        ).head.terms
+                    )
+                    rows.append((name, arity, "derived"))
+                return self.spark.createDataFrame(
+                    rows or [("", 0, "")], schema="name string, arity int, kind string"
+                ).filter(F.col("name") != "")
+            if args and args[0] == "describe" and len(args) > 1:
+                df = self.current.relations.get(args[1])
+                if df is None:
+                    raise CompileError(f"unknown relation {args[1]}")
+                rows = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+                return self.spark.createDataFrame(rows, schema="column string, type string")
+            if args and args[0] == "drop" and len(args) > 1:
+                self._delete(Delete(args[1], drop=True))
+        elif cmd == "rule":
+            from inputlayer_spark.printer import rule_to_iql
+
+            if args and args[0] == "list":
+                rows = [
+                    (r.head.relation, rule_to_iql(r), r.persistent)
+                    for r in self._all_rules()
+                ]
+                return self.spark.createDataFrame(
+                    rows or [("", "", False)],
+                    schema="name string, definition string, persistent boolean",
+                ).filter(F.col("name") != "")
+            if args and args[0] in ("def", "drop") and len(args) > 1:
+                name = args[1]
+                if args[0] == "drop":
+                    self.current.rules = [
+                        r for r in self.current.rules if r.head.relation != name
+                    ]
+                    self.session_rules = [
+                        r for r in self.session_rules if r.head.relation != name
+                    ]
+                    self._derived_cache.clear()
+                    return None
+                rows = [
+                    (rule_to_iql(r),)
+                    for r in self._all_rules()
+                    if r.head.relation == name
+                ]
+                return self.spark.createDataFrame(
+                    rows or [("",)], schema="definition string"
+                ).filter(F.col("definition") != "")
+        elif cmd == "status":
+            rows = [
+                ("kg", self.current.name),
+                ("relations", str(len(self.current.relations))),
+                ("persistent_rules", str(len(self.current.rules))),
+                ("session_rules", str(len(self.session_rules))),
+                ("indexes", str(len(self.current.indexes))),
+            ]
+            return self.spark.createDataFrame(rows, schema="key string, value string")
+        elif cmd == "debug":
+            if args:
+                return self.debug(args[0])
+        elif cmd == "load":
+            if args:
+                raw = args[0]
+                replace = "--replace" in raw
+                path = raw.replace("--replace", "").replace("--merge", "").strip().strip('"')
+                self.load_script(path, replace=replace)
+        elif cmd in ("why", "why_not"):
+            if args:
+                from inputlayer_spark.provenance import explain_goal
+
+                rows = explain_goal(self, args[0], why_not=(cmd == "why_not"))
+                return self.spark.createDataFrame(
+                    rows, schema="depth int, conclusion string, via string"
+                )
         elif cmd == "index":
             if args and args[0] == "create":
                 # .index create <name> on <rel> ( <col> ) [metric m]
@@ -520,7 +725,28 @@ class IQLEngine:
             self.session_rules.clear()
             self.session_facts.clear()
             self._derived_cache.clear()
-        # .status/.compact/.rel/.rule introspection: no-ops for now
+        # .compact / .agent / auth: intentionally no-ops (no WAL to
+        # compact — parquet persistence is already compacted; no LLM
+        # assistant; auth belongs to a server layer)
+        return None
+
+    # ------------------------------------------------------------ debug
+
+    def debug(self, query_text: str) -> DataFrame:
+        """`.debug <query>` — compile without executing and return the
+        optimized/physical plan (reference: pipeline trace,
+        src/pipeline_trace.rs; ours shows Catalyst's plan instead)."""
+        prog = parse_program(query_text)
+        q = next((s for s in prog.statements if isinstance(s, Query)), None)
+        if q is None:
+            raise CompileError(".debug expects a query statement")
+        df = self._query(q)
+        explain_mode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(explain_mode)
+        rows = [(i, line) for i, line in enumerate(plan.split("\n"))]
+        return self.spark.createDataFrame(rows, schema="line int, plan string")
 
     # ------------------------------------------------------------ time
 

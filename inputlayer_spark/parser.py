@@ -34,6 +34,7 @@ from inputlayer_spark.ast_nodes import (
     Query,
     Rule,
     SchemaDecl,
+    Update,
     Var,
     VecLit,
 )
@@ -201,8 +202,20 @@ class Parser:
         raise ParseError(f"cannot start statement with {t.text!r} at {t.pos}")
 
     # ----- meta -----
+    _RAW_META = {"debug", "why", "why_not", "load"}
+
     def parse_meta(self) -> MetaCommand:
-        cmd = self.next().text.lstrip(".")
+        meta_tok = self.next()
+        cmd = meta_tok.text.lstrip(".")
+        if cmd in self._RAW_META:
+            # capture the rest of the line verbatim (these commands embed
+            # full statements / file paths that tokenized args would mangle)
+            start = meta_tok.pos + len(meta_tok.text)
+            end = self.src.find("\n", start)
+            raw = (self.src[start:] if end == -1 else self.src[start:end]).strip()
+            while self.peek() is not None and self.peek().kind != "nl":
+                self.next()
+            return MetaCommand(cmd, (raw,) if raw else ())
         args = []
         # consume idents/strings/numbers until next statement-start token
         while self.peek() is not None:
@@ -279,8 +292,8 @@ class Parser:
         body = self._body()
         return Rule(Atom(name, tuple(terms)), tuple(body), persistent=persistent)
 
-    # ----- delete -----
-    def parse_delete(self) -> Delete:
+    # ----- delete / atomic update -----
+    def parse_delete(self):
         self.expect("-")
         name = self._ident()
         if not self.at("("):
@@ -288,6 +301,19 @@ class Parser:
         self.expect("(")
         terms = self._term_list()
         self.expect(")")
+        # atomic update: -rel(old), +rel(new) <- cond
+        if self.at(",") and self.peek(1) is not None and self.peek(1).text == "+":
+            self.expect(",")
+            self.expect("+")
+            ins_name = self._ident()
+            self.expect("(")
+            ins_terms = self._term_list()
+            self.expect(")")
+            self.expect("<-")
+            body = tuple(self._body())
+            return Update(
+                Atom(name, tuple(terms)), Atom(ins_name, tuple(ins_terms)), body
+            )
         body: tuple = ()
         if self.eat("<-"):
             body = tuple(self._body())

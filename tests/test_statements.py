@@ -1,0 +1,138 @@
+"""Statement layer: atomic update, session facts, IO, persistence, meta
+commands, provenance, printer round-trip."""
+
+import pytest
+
+from inputlayer_spark.engine import IQLEngine
+from inputlayer_spark.parser import parse_program
+from inputlayer_spark.printer import rule_to_iql
+
+
+@pytest.fixture()
+def eng(spark):
+    return IQLEngine(spark)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_atomic_update_same_relation(eng):
+    eng.execute('+account[(1, 100), (2, 200)]')
+    eng.execute("-account(Id, Old), +account(Id, Old + 50) <- account(Id, Old), Old < 150")
+    assert _rows(eng.query("?account(Id, Bal)")) == [(1, 150), (2, 200)]
+
+
+def test_atomic_update_cross_relation(eng):
+    eng.execute('+queue[(1, "a"), (2, "b")]')
+    eng.execute("+done(id: int, name: string)")
+    eng.execute('-queue(Id, N), +done(Id, N) <- queue(Id, N), Id = 1')
+    assert _rows(eng.query("?queue(I, N)")) == [(2, "b")]
+    assert _rows(eng.query("?done(I, N)")) == [(1, "a")]
+
+
+def test_session_fact_overlay(eng):
+    eng.execute("+color[(1, \"red\")]")
+    eng.add_session_fact("color", 2, "blue")
+    assert _rows(eng.query("?color(I, C)")) == [(1, "red"), (2, "blue")]
+    eng.execute(".session clear")
+    assert _rows(eng.query("?color(I, C)")) == [(1, "red")]
+
+
+def test_save_load_kg(eng, tmp_path):
+    eng.execute('+emp[(1, "a", 10.0), (2, "b", 20.0)]')
+    eng.execute("+total(sum<S>) <- emp(_, _, S)")
+    eng.save_kg(str(tmp_path / "kg"))
+    eng2 = IQLEngine(eng.spark)
+    eng2.load_kg(str(tmp_path / "kg"))
+    assert _rows(eng2.query("?total(S)")) == [(30.0,)]
+
+
+def test_csv_roundtrip(eng, tmp_path):
+    eng.execute('+pts[(1, 2.5), (2, 3.5)]')
+    eng.save_csv("pts", str(tmp_path / "pts_csv"))
+    eng.load_csv("pts2", str(tmp_path / "pts_csv"))
+    assert _rows(eng.query("?pts2(A, B)")) == [(1, 2.5), (2, 3.5)]
+
+
+def test_load_script(eng, tmp_path):
+    script = tmp_path / "s.iql"
+    script.write_text('+f[(1), (2)]\n+g(X) <- f(X), X > 1\n')
+    eng.load_script(str(script))
+    assert _rows(eng.query("?g(X)")) == [(2,)]
+
+
+def test_meta_load_command(eng, tmp_path):
+    script = tmp_path / "s2.iql"
+    script.write_text("+h[(7)]\n")
+    eng.execute(f'.load "{script}"')
+    assert _rows(eng.query("?h(X)")) == [(7,)]
+
+
+def test_rel_list_and_describe(eng):
+    eng.execute("+user(id: int, name: string)")
+    eng.execute('+user[(1, "x")]')
+    eng.execute("+ids(I) <- user(I, _)")
+    rel_list = eng.execute(".rel list")[0]
+    rows = {(r["name"], r["kind"]) for r in rel_list.collect()}
+    assert ("user", "base") in rows and ("ids", "derived") in rows
+    desc = eng.execute(".rel describe user")[0]
+    assert [(r["column"], r["type"]) for r in desc.collect()] == [
+        ("id", "bigint"),
+        ("name", "string"),
+    ]
+
+
+def test_rule_list_def_drop(eng):
+    eng.execute("+p[(1)]")
+    eng.execute("+q(X) <- p(X)")
+    rules = eng.execute(".rule list")[0].collect()
+    assert any(r["name"] == "q" for r in rules)
+    d = eng.execute(".rule def q")[0].collect()
+    assert "q(X) <- p(X)" in d[0]["definition"]
+    eng.execute(".rule drop q")
+    assert not eng.execute(".rule list")[0].collect()
+
+
+def test_status(eng):
+    eng.execute("+p[(1)]")
+    st = {r["key"]: r["value"] for r in eng.execute(".status")[0].collect()}
+    assert st["relations"] == "1"
+
+
+def test_debug_plan(eng):
+    eng.execute("+p[(1, 2), (3, 4)]")
+    plan = eng.execute(".debug ?p(X, Y)")[0]
+    text = "\n".join(r["plan"] for r in plan.collect())
+    assert "Physical Plan" in text
+
+
+def test_why_base_and_rule(eng):
+    eng.execute("+edge[(1, 2), (2, 3)]")
+    eng.execute("+reach(A, B) <- edge(A, B)\n+reach(A, C) <- edge(A, B), reach(B, C)")
+    rows = eng.execute(".why reach(1, 3)")[0].collect()
+    vias = [r["via"] for r in rows]
+    assert any(v.startswith("rule:") for v in vias)
+    assert any(v == "base fact" for v in vias)
+
+
+def test_why_not(eng):
+    eng.execute("+edge[(1, 2)]")
+    eng.execute("+reach(A, B) <- edge(A, B)\n+reach(A, C) <- edge(A, B), reach(B, C)")
+    rows = eng.execute(".why_not reach(1, 9)")[0].collect()
+    assert rows and "not derivable" in rows[0]["via"]
+
+
+def test_printer_roundtrip():
+    src = '+path(A, C) <- edge(A, B), path(B, C), B != 5, D = B * 2'
+    rule = parse_program(src).statements[0]
+    printed = rule_to_iql(rule)
+    reparsed = parse_program(printed).statements[0]
+    assert rule_to_iql(reparsed) == printed
+
+
+def test_kg_list(eng):
+    eng.execute(".kg create other")
+    df = eng.execute(".kg list")[0]
+    names = {r["name"] for r in df.collect()}
+    assert {"default", "other"} <= names
