@@ -105,7 +105,31 @@ class IQLEngine:
         """Register an external DataFrame (e.g. a parquet table) as a base
         relation in the current KG."""
         self.current.relations[name] = df
-        self._derived_cache.clear()
+        self._invalidate(name)
+
+    def _invalidate(self, relation: str) -> None:
+        """Cascade invalidation: drop cached derivations that (transitively)
+        depend on `relation` — the reference's base→derived / derived→
+        derived invalidation maps (src/derived_relations.rs:50-65,
+        docs/internals/architecture.md:167-193). Untouched derivations
+        keep their (possibly checkpointed) materializations."""
+        rules = self._all_rules()
+        rev: Dict[str, set] = {}
+        for r in rules:
+            for lit in r.body:
+                if isinstance(lit, Atom):
+                    rev.setdefault(lit.relation, set()).add(r.head.relation)
+        dirty: set = set()
+        frontier = [relation]
+        while frontier:
+            rel = frontier.pop()
+            for head in rev.get(rel, ()):
+                if head not in dirty:
+                    dirty.add(head)
+                    frontier.append(head)
+        dirty.add(relation)
+        for head in dirty:
+            self._derived_cache.pop(head, None)
 
     def execute(self, text: str) -> List[DataFrame]:
         """Run an IQL program; returns one DataFrame per `?query`."""
@@ -163,7 +187,7 @@ class IQLEngine:
         if rel in self.current.relations:
             df = self.current.relations[rel].unionByName(df)
         self.current.relations[rel] = df
-        self._derived_cache.clear()
+        self._invalidate(rel)
 
     def _declare_schema(self, st: SchemaDecl) -> None:
         fields = [T.StructField(c, _spark_type_for(t), True) for c, t in st.columns]
@@ -172,7 +196,7 @@ class IQLEngine:
             self.current.relations[st.relation] = self.spark.createDataFrame(
                 [], schema=T.StructType(fields)
             )
-        self._derived_cache.clear()
+        self._invalidate(st.relation)
 
     # ------------------------------------------------------------ rules
 
@@ -182,7 +206,7 @@ class IQLEngine:
             self.current.rules.append(rule)
         else:
             self.session_rules.append(rule)
-        self._derived_cache.clear()
+        self._invalidate(rule.head.relation)
 
     def _validate_rule(self, rule: Rule) -> None:
         """Safety: head vars must be bound by positive body atoms or
@@ -214,7 +238,7 @@ class IQLEngine:
             self.current.relations.pop(st.relation, None)
             self.current.rules = [r for r in self.current.rules if r.head.relation != st.relation]
             self.session_rules = [r for r in self.session_rules if r.head.relation != st.relation]
-            self._derived_cache.clear()
+            self._invalidate(st.relation)
             return
         df = self.current.relations.get(st.relation)
         if df is None:
@@ -238,7 +262,7 @@ class IQLEngine:
                 cond = c if cond is None else (cond & c)
             keep = df.filter(~cond) if cond is not None else df.limit(0)
         self.current.relations[st.relation] = keep.localCheckpoint(eager=True)
-        self._derived_cache.clear()
+        self._invalidate(st.relation)
 
     def _update(self, st: Update) -> None:
         """Atomic update: retract old, assert new per cond binding in one
@@ -262,7 +286,8 @@ class IQLEngine:
             ins = ins_rows.toDF(*cols)
             merged = ins if target is None else target.unionByName(ins)
             self.current.relations[st.insert.relation] = merged.localCheckpoint(eager=True)
-        self._derived_cache.clear()
+        self._invalidate(rel)
+        self._invalidate(st.insert.relation)
 
     # ------------------------------------------------------------ sessions
 
@@ -271,7 +296,7 @@ class IQLEngine:
         the shared KG like the reference's per-session facts
         (src/session.rs:114, snapshot overlay src/storage_engine/snapshot.rs)."""
         self.session_facts.setdefault(relation, []).append(tuple(values))
-        self._derived_cache.clear()
+        self._invalidate(relation)
 
     # ------------------------------------------------------------ IO
 

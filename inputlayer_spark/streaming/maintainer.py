@@ -1,0 +1,114 @@
+"""Incremental view maintenance over Structured Streaming.
+
+What "streaming" means in the reference is incremental maintenance of
+derived relations, not event-time windowing: every write is a timestamped
+±1 delta pushed to a differential-dataflow worker that keeps derived
+relations current (`/root/reference/src/incremental.rs:10-56`,
+`docs/internals/architecture.md:199-296`). The Spark-native counterpart:
+
+- the base relation's write stream is a Structured Streaming source
+  (files appearing in a directory — the WAL-segment analog; in
+  production a Kafka/Delta-CDF source plugs into the same seam),
+- `foreachBatch` is the commit point: each micro-batch is appended to
+  the engine relation and the dependency DAG invalidates exactly the
+  derived relations that can observe the change (cascade invalidation,
+  reference src/derived_relations.rs),
+- re-materialization happens on the next query (lazy, like the
+  reference's materialize-on-read for session rules) or eagerly via
+  `refresh=True` for persistent rules (the reference's
+  auto-rematerialization path).
+
+Retraction fidelity note (SURVEY.md §2.8): deletes arriving as deltas
+recompute affected views from the new snapshot — correct by
+construction; we do not replicate DD's per-path multiplicity counting.
+
+Scale: one micro-batch = one Spark job over only the new files; the
+derived-relation recompute is a normal Catalyst plan over base tables,
+so 100 TB behavior is governed by the same partitioning/pushdown story
+as batch queries. Checkpointing makes the stream restartable
+(exactly-once file-source semantics).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import List, Optional
+
+from pyspark.sql import types as T
+
+
+class IncrementalMaintainer:
+    """Maintains one base relation (and everything derived from it) from
+    a directory-backed stream of parquet fact batches."""
+
+    def __init__(
+        self,
+        engine,
+        relation: str,
+        source_dir: str,
+        schema: T.StructType,
+        checkpoint_dir: str,
+        refresh: bool = True,
+    ):
+        self.engine = engine
+        self.relation = relation
+        self.source_dir = source_dir
+        self.schema = schema
+        self.checkpoint_dir = checkpoint_dir
+        self.refresh = refresh
+        self.batches_seen = 0
+        self._query = None
+        self._lock = threading.Lock()
+
+    # -------------------------------------------------------------- batch
+
+    def _on_batch(self, batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        with self._lock:
+            eng = self.engine
+            rel = self.relation
+            # append = the reference's (tuple, time, +1) delta stream;
+            # collect into the driver-held relation plan. The batch is
+            # tiny relative to the base (micro-batch), and checkpointing
+            # keeps the union lineage flat.
+            current = eng.current.relations.get(rel)
+            merged = batch_df if current is None else current.unionByName(batch_df)
+            eng.current.relations[rel] = merged.localCheckpoint(eager=True)
+            eng._invalidate(rel)
+            if self.refresh:
+                # auto-rematerialization of invalidated persistent rules
+                # (reference derived_relations.rs cascade → recompute)
+                eng._materialize_for(None)
+            self.batches_seen += 1
+
+    # -------------------------------------------------------------- control
+
+    def start(self, processing_interval: Optional[str] = None):
+        """Begin maintenance. With processing_interval=None runs with
+        availableNow (drain pending files, then stop) — the deterministic
+        mode tests use; give e.g. '5 seconds' for continuous operation."""
+        reader = (
+            self.engine.spark.readStream.schema(self.schema)
+            .format("parquet")
+            .load(self.source_dir)
+        )
+        writer = reader.writeStream.foreachBatch(self._on_batch).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if processing_interval is None:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_interval)
+        self._query = writer.start()
+        return self._query
+
+    def process_available(self) -> None:
+        """Drain all currently-available files and return (sync)."""
+        q = self.start(processing_interval=None)
+        q.awaitTermination()
+
+    def stop(self) -> None:
+        if self._query is not None:
+            self._query.stop()
+            self._query = None
