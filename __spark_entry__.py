@@ -211,6 +211,106 @@ def q_theta_join(spark, sf_dir):
     return df.select(F.col("C").alias("c_custkey"), F.col("S").alias("s_suppkey"))
 
 
+def q_string_funcs(spark, sf_dir):
+    """String builtins upper/lower/trim/substr/len/concat/replace through
+    the IQL engine (src/ast/mod.rs:174-188)."""
+    eng = _engine(spark, sf_dir, "part")
+    df = eng.query(
+        """
+        +pstr(K, U, L, S, N, C) <- part(K, Name, Brand, _, _, _),
+            U = upper(Name), L = lower(Brand), S = substr(Name, 0, 5),
+            N = len(Name), C = concat(Brand, "-", replace(Name, " ", "_"))
+        ?pstr(K, U, L, S, N, C)
+        """
+    )
+    return df.select(
+        F.col("K").alias("p_partkey"),
+        F.col("U").alias("upper_name"),
+        F.col("L").alias("lower_brand"),
+        F.col("S").alias("name5"),
+        F.col("N").alias("name_len"),
+        F.col("C").alias("tagged"),
+    )
+
+
+def q_math_funcs(spark, sf_dir):
+    """Math builtins sqrt/pow/log/exp/floor/ceil/sign/abs through the IQL
+    engine (src/ast/mod.rs:140-166)."""
+    eng = _engine(spark, sf_dir, "lineitem")
+    df = eng.query(
+        """
+        +m(O, L, SQ, PW, LG, FL, CE, SG, AB) <-
+            lineitem(O, _, _, L, Q, P, D, _, _, _, _), Q > 30.0,
+            SQ = sqrt(Q), PW = pow(D, 2.0), LG = log(P),
+            FL = floor(Q), CE = ceil(D), SG = sign(Q - 40.0),
+            AB = abs(Q - 40.0)
+        ?m(O, L, SQ, PW, LG, FL, CE, SG, AB)
+        """
+    )
+    return df.select(
+        F.col("O").alias("l_orderkey"),
+        F.col("L").alias("l_linenumber"),
+        F.col("SQ").alias("sqrt_qty"),
+        F.col("PW").alias("disc_sq"),
+        F.col("LG").alias("ln_price"),
+        F.col("FL").alias("floor_qty"),
+        F.col("CE").alias("ceil_disc"),
+        F.col("SG").alias("sign_dev"),
+        F.col("AB").alias("abs_dev"),
+    )
+
+
+def q_type_conversion(spark, sf_dir):
+    """to_int / to_float / min_val / max_val (src/ast/mod.rs:168-172,190)."""
+    eng = _engine(spark, sf_dir, "supplier")
+    df = eng.query(
+        """
+        +conv(S, I, FB, MN, MX) <- supplier(S, _, N, B),
+            I = to_int(B), FB = to_float(N),
+            MN = min_val(B, 5000.0), MX = max_val(B, 5000.0)
+        ?conv(S, I, FB, MN, MX)
+        """
+    )
+    return df.select(
+        F.col("S").alias("s_suppkey"),
+        F.col("I").alias("bal_int"),
+        F.col("FB").alias("nation_f"),
+        F.col("MN").alias("bal_capped"),
+        F.col("MX").alias("bal_floored"),
+    )
+
+
+def q_topk_threshold(spark, sf_dir):
+    """top_k_threshold ranking aggregate via IQL (src/ast/mod.rs:40,
+    vector_ops.rs:1514)."""
+    eng = _engine(spark, sf_dir, "customer")
+    df = eng.query(
+        """
+        +rich(N, top_k_threshold<3, 5000.0, C, B:desc>) <-
+            customer(C, _, N, B, _)
+        ?rich(N, C, B)
+        """
+    )
+    return df.select(
+        F.col("N").alias("c_nationkey"),
+        F.col("C").alias("c_custkey"),
+        F.col("B").alias("c_acctbal"),
+    )
+
+
+def q_within_radius_iql(spark, sf_dir):
+    """within_radius ranking aggregate via IQL (src/ast/mod.rs:49)."""
+    eng = _engine(spark, sf_dir, "customer")
+    df = eng.query(
+        """
+        +near_zero(within_radius<100.0, C, D:asc>) <-
+            customer(C, _, _, B, _), D = abs(B)
+        ?near_zero(C, D)
+        """
+    )
+    return df.select(F.col("C").alias("c_custkey"), F.col("D").alias("abs_bal"))
+
+
 def q_order_limit_offset(spark, sf_dir):
     """Query modifiers :desc + limit(n, offset)
     (src/statement/parser.rs:15-26)."""
@@ -531,6 +631,15 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
+    the LSH-bucketed path is the bucket_bits>0 mode of the same operator)."""
+    from inputlayer_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 200)
+    return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary columns + mapInPandas feature kernel
     (decode stubbed deterministically — container has no codec libs)."""
@@ -578,6 +687,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_clauses": q_union_clauses,
         "theta_join": q_theta_join,
         "order_limit_offset": q_order_limit_offset,
+        "string_funcs": q_string_funcs,
+        "math_funcs": q_math_funcs,
+        "type_conversion": q_type_conversion,
+        "topk_threshold": q_topk_threshold,
+        "within_radius_iql": q_within_radius_iql,
+        "embedding_dedup": q_embedding_dedup,
         "transitive_closure": q_transitive_closure,
         "reach_bound": q_reach_bound,
         "reach_bound_large": q_reach_bound_large,
@@ -737,6 +852,42 @@ def oracle_sql() -> dict[str, str]:
         "order_limit_offset": (
             "SELECT o_totalprice, o_orderkey FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 5"
+        ),
+        "string_funcs": (
+            "SELECT DISTINCT p_partkey, upper(p_name) AS upper_name, "
+            "lower(p_brand) AS lower_brand, substr(p_name, 1, 5) AS name5, "
+            "length(p_name)::BIGINT AS name_len, "
+            "p_brand || '-' || replace(p_name, ' ', '_') AS tagged FROM part"
+        ),
+        "math_funcs": (
+            "SELECT DISTINCT l_orderkey, l_linenumber, sqrt(l_quantity) AS sqrt_qty, "
+            "pow(l_discount, 2.0) AS disc_sq, ln(l_extendedprice) AS ln_price, "
+            "floor(l_quantity)::BIGINT AS floor_qty, ceil(l_discount)::BIGINT AS ceil_disc, "
+            "sign(l_quantity - 40.0)::DOUBLE AS sign_dev, abs(l_quantity - 40.0) AS abs_dev "
+            "FROM lineitem WHERE l_quantity > 30.0"
+        ),
+        "type_conversion": (
+            "SELECT DISTINCT s_suppkey, trunc(s_acctbal)::BIGINT AS bal_int, "
+            "s_nationkey::DOUBLE AS nation_f, least(s_acctbal, 5000.0) AS bal_capped, "
+            "greatest(s_acctbal, 5000.0) AS bal_floored FROM supplier"
+        ),
+        "topk_threshold": (
+            "SELECT c_nationkey, c_custkey, c_acctbal FROM ("
+            "  SELECT c_nationkey, c_custkey, c_acctbal, "
+            "  row_number() OVER (PARTITION BY c_nationkey "
+            "    ORDER BY c_acctbal DESC, c_custkey ASC) AS rn FROM customer) "
+            "WHERE rn <= 3 AND c_acctbal >= 5000.0"
+        ),
+        "within_radius_iql": (
+            "SELECT c_custkey, abs(c_acctbal) AS abs_bal FROM customer "
+            "WHERE abs(c_acctbal) <= 100.0"
+        ),
+        "embedding_dedup": (
+            "SELECT a.vec_id AS id1, b.vec_id AS id2, "
+            f"(1.0 - ({_cos_dist('a.embedding', 'b.embedding')})) AS cos_sim "
+            "FROM embeddings a, embeddings b "
+            "WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id "
+            f"AND (1.0 - ({_cos_dist('a.embedding', 'b.embedding')})) >= 0.35"
         ),
         "transitive_closure": (
             f"WITH RECURSIVE edge AS ({_EDGE_SQL.format(m=60)}), "
