@@ -98,6 +98,10 @@ class IQLEngine:
         # injectable clock for deterministic time_now (tests/oracles)
         self.now_ms = now_ms
         self._derived_cache: Dict[str, DataFrame] = {}
+        # relation -> callbacks fired when that relation (or a derivation
+        # of it) changes — the reference's change-notification channel
+        # (src/protocol/handler.rs:837-914) as an in-process API
+        self._subscribers: Dict[str, List] = {}
 
     # ------------------------------------------------------------ public
 
@@ -130,6 +134,18 @@ class IQLEngine:
         dirty.add(relation)
         for head in dirty:
             self._derived_cache.pop(head, None)
+        for rel in dirty:
+            for cb in self._subscribers.get(rel, ()):
+                try:
+                    cb(rel)
+                except Exception:
+                    pass
+
+    def subscribe(self, relation: str, callback) -> None:
+        """Register a change listener: `callback(relation_name)` fires when
+        the relation or any derivation depending on it is invalidated by a
+        write (reference change notifications, handler.rs:837-914)."""
+        self._subscribers.setdefault(relation, []).append(callback)
 
     def execute(self, text: str) -> List[DataFrame]:
         """Run an IQL program; returns one DataFrame per `?query`."""
@@ -741,6 +757,35 @@ class IQLEngine:
                 self.create_index(name, rel, col or "", metric)
             elif args and args[0] == "drop" and len(args) > 1:
                 self.current.indexes.pop(args[1], None)
+            elif args and args[0] == "list":
+                rows = [
+                    (name, rel, col, metric)
+                    for name, (rel, col, metric) in sorted(self.current.indexes.items())
+                ]
+                return self.spark.createDataFrame(
+                    rows or [("", "", "", "")],
+                    schema="name string, relation string, column string, metric string",
+                ).filter(F.col("name") != "")
+            elif args and args[0] == "stats" and len(args) > 1:
+                meta = self.current.indexes.get(args[1])
+                if meta is None:
+                    raise CompileError(f"unknown index {args[1]}")
+                rel, col, metric = meta
+                n = self._named_df(rel).count()
+                rows = [
+                    ("relation", rel),
+                    ("column", col),
+                    ("metric", metric),
+                    ("rows", str(n)),
+                    ("kind", "exact-scan (brute-force; LSH path in operators.similarity)"),
+                ]
+                return self.spark.createDataFrame(rows, schema="key string, value string")
+            elif args and args[0] == "rebuild":
+                # brute-force scan plans have no materialized state; the
+                # reference rebuilds HNSW graphs here (handler.rs:2008) —
+                # our equivalent is re-validating the target still resolves
+                if len(args) > 1 and args[1] in self.current.indexes:
+                    self._named_df(self.current.indexes[args[1]][0])
         elif cmd == "session":
             if args and args[0] == "clear":
                 self.session_rules.clear()
