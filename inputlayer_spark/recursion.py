@@ -226,24 +226,23 @@ def evaluate_scc(
             acc[h], _ = pin(acc[h])
         delta[h] = acc[h]
 
-    iteration = 0
-    while True:
-        iteration += 1
-        if iteration > max_iterations:
-            raise CompileError(f"fixpoint did not converge in {max_iterations} iterations")
+    def apply_rules(
+        cur_delta: Dict[str, Optional[DataFrame]],
+        cur_acc: Dict[str, Optional[DataFrame]],
+    ) -> Dict[str, Optional[DataFrame]]:
+        """One semi-naive application: per rule, one evaluation per
+        recursive occurrence with that occurrence reading the delta and
+        the rest the accumulator. Purely lazy — no actions."""
         new_tuples: Dict[str, Optional[DataFrame]] = {h: None for h in members}
         for r, rec_positions in rec_rules:
-            # semi-naive: one evaluation per recursive occurrence, with
-            # that occurrence reading the delta and the rest the acc
             for focus in rec_positions:
                 overlay: Dict[str, DataFrame] = {}
                 skip = False
                 body = list(r.body)
-                renamed: Dict[str, str] = {}
                 for idx, lit in enumerate(r.body):
                     if not (isinstance(lit, Atom) and not lit.negated and lit.relation in members):
                         continue
-                    source = delta if idx == focus else acc
+                    source = cur_delta if idx == focus else cur_acc
                     df = source[lit.relation]
                     if df is None:
                         skip = True
@@ -263,13 +262,29 @@ def evaluate_scc(
                     continue
                 prev = new_tuples[r.head.relation]
                 new_tuples[r.head.relation] = df if prev is None else prev.unionByName(df)
+        return new_tuples
+
+    # acc is kept as a lazy union of pinned deltas; every few iterations
+    # it is compacted into one fresh pinned frame so per-iteration plan
+    # analysis (anti-join against acc) stays O(1) instead of growing with
+    # the iteration count — measured to dominate deep-BFS fixpoints.
+    ACC_COMPACT_EVERY = 4
+    acc_parts: Dict[str, int] = {h: 1 for h in members}
+
+    iteration = 0
+    while True:
+        iteration += 1
+        if iteration > max_iterations:
+            raise CompileError(f"fixpoint did not converge in {max_iterations} iterations")
+
+        collected = apply_rules(delta, acc)
 
         any_new = False
         for h in members:
-            if new_tuples[h] is None:
+            if collected[h] is None:
                 delta[h] = None
                 continue
-            candidate = new_tuples[h].distinct()
+            candidate = collected[h].distinct()
             if acc[h] is not None:
                 candidate = candidate.join(acc[h], on=list(candidate.columns), how="left_anti")
             candidate, n = pin(candidate)
@@ -278,10 +293,13 @@ def evaluate_scc(
                 continue
             any_new = True
             delta[h] = candidate
-            # acc is a union of already-pinned deltas — unioning lazily
-            # costs nothing; re-materializing acc each iteration would
-            # copy the whole accumulator O(iterations) times
+            # acc grows as a lazy union of pinned deltas; compact it back
+            # to one pinned frame every few iterations (see above)
             acc[h] = candidate if acc[h] is None else acc[h].unionByName(candidate)
+            acc_parts[h] += 1
+            if acc_parts[h] >= ACC_COMPACT_EVERY:
+                acc[h], _ = pin(acc[h])
+                acc_parts[h] = 1
         if not any_new:
             break
 
