@@ -738,7 +738,12 @@ class IQLEngine:
             if args:
                 from inputlayer_spark.provenance import explain_goal
 
-                rows = explain_goal(self, args[0], why_not=(cmd == "why_not"))
+                goal_text = args[0]
+                # `.why full <goal>`: full proof tree (we always recurse to
+                # the depth cap; `full` is accepted for surface parity)
+                if goal_text.startswith("full "):
+                    goal_text = goal_text[len("full ") :]
+                rows = explain_goal(self, goal_text, why_not=(cmd == "why_not"))
                 return self.spark.createDataFrame(
                     rows, schema="depth int, conclusion string, via string"
                 )
@@ -791,6 +796,18 @@ class IQLEngine:
                 self.session_rules.clear()
                 self.session_facts.clear()
                 self._derived_cache.clear()
+            elif args and args[0] == "list":
+                from inputlayer_spark.printer import rule_to_iql
+
+                rows = [("rule", rule_to_iql(r)) for r in self.session_rules]
+                rows += [
+                    ("fact", f"{rel}{tuple(v)}")
+                    for rel, vals in self.session_facts.items()
+                    for v in vals
+                ]
+                return self.spark.createDataFrame(
+                    rows or [("", "")], schema="kind string, item string"
+                ).filter(F.col("kind") != "")
         elif cmd == "clear":
             self.session_rules.clear()
             self.session_facts.clear()
