@@ -1,0 +1,267 @@
+"""Golden-snapshot conformance runner against the reference test corpus.
+
+The reference ships 1,149 `.iql` scripts with `.iql.out` transcripts
+(`/root/reference/examples/iql/`, SURVEY.md §5) — engine-agnostic
+conformance tests. This runner replays a script through our IQLEngine
+and diffs each `?query`'s result rows against the rows in the golden's
+box-drawn table (order-insensitive, numeric tolerance, strings
+unquoted).
+
+Skips (counted, not hidden):
+- transcripts whose expected output contains client parse errors (the
+  reference *client* splits statements per line, so multi-line rules in
+  some goldens are mangled — the expected results reflect the mangled
+  state, which a correct engine cannot reproduce)
+- scripts using wall-clock (`time_now`) or engine-specific numerics
+  (LSH plane hashes differ by design)
+- categories for surfaces we don't ship (auth, agent, server timing)
+
+Usage:
+    python conformance.py [category ...]   # default: supported set
+    SPARK_GRAFT_CONF_LIMIT=n  to cap scripts per category
+
+Writes CONFORMANCE.md with per-category pass/fail/skip counts.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+GOLDEN_ROOT = "/root/reference/examples/iql"
+
+SUPPORTED_CATEGORIES = [
+    "02_relations",
+    "06_joins",
+    "07_filters",
+    "08_negation",
+    "09_recursion",
+    "10_edge_cases",
+    "11_types",
+    "14_aggregations",
+    "15_arithmetic",
+    "21_query_features",
+    "22_set_operations",
+    "25_unified_prefix",
+    "27_atomic_ops",
+    "32_math",
+    "34_type_conversion",
+    "35_strings",
+]
+
+_SKIP_OUT_MARKERS = (
+    "Parse error",
+    "Cannot insert placeholder",
+    "Unsupported",
+    "error:",
+    "Error:",
+    "Cannot insert variable",
+)
+_SKIP_SRC_MARKERS = ("time_now", "lsh_", "hnsw_", ".agent", ".auth", ".load")
+
+
+@dataclass
+class QueryExpectation:
+    columns: List[str]
+    rows: List[Tuple]
+    no_results: bool = False
+
+
+@dataclass
+class ScriptResult:
+    path: str
+    status: str  # pass | fail | skip | error
+    detail: str = ""
+
+
+def _norm_cell(s: str):
+    s = s.strip()
+    if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
+        return s[1:-1]
+    if s == "true":
+        return True
+    if s == "false":
+        return False
+    if s == "null":
+        return None
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    return s
+
+
+def parse_golden(out_text: str) -> List[QueryExpectation]:
+    """Extract expected results for each `> ?...` query echo, in order."""
+    lines = out_text.split("\n")
+    out: List[QueryExpectation] = []
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if line.startswith("> ?"):
+            j = i + 1
+            # look ahead past blank lines
+            while j < len(lines) and lines[j].strip() == "":
+                j += 1
+            if j < len(lines) and lines[j].startswith("No results"):
+                out.append(QueryExpectation(columns=[], rows=[], no_results=True))
+                i = j + 1
+                continue
+            if j < len(lines) and lines[j].startswith("┌"):
+                header = [c.strip() for c in lines[j + 1].strip().strip("│").split("│")]
+                rows: List[Tuple] = []
+                k = j + 3  # skip ├───┤
+                while k < len(lines) and lines[k].startswith("│"):
+                    cells = [c for c in lines[k].strip().strip("│").split("│")]
+                    rows.append(tuple(_norm_cell(c) for c in cells))
+                    k += 1
+                out.append(QueryExpectation(columns=header, rows=rows))
+                i = k
+                continue
+        i += 1
+    return out
+
+
+def _norm_value(v):
+    if isinstance(v, float) and v.is_integer():
+        return v  # keep float; compare handles int/float cross
+    return v
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, bool) or isinstance(b, bool):
+        return a is b or a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        try:
+            import math
+
+            return math.isclose(float(a), float(b), rel_tol=1e-6, abs_tol=1e-9)
+        except (TypeError, ValueError):
+            return False
+    return a == b
+
+
+def _rows_match(expected: List[Tuple], actual: List[Tuple]) -> bool:
+    if len(expected) != len(actual) or (expected and len(expected[0]) != len(actual[0])):
+        return False
+
+    def key(row):
+        return tuple(
+            f"{float(v):.6g}" if isinstance(v, (int, float)) and not isinstance(v, bool) else repr(v)
+            for v in row
+        )
+
+    return sorted(map(key, expected)) == sorted(map(key, actual))
+
+
+def run_script(spark, iql_path: str, out_path: str) -> ScriptResult:
+    from inputlayer_spark.ast_nodes import Query
+    from inputlayer_spark.engine import IQLEngine
+    from inputlayer_spark.parser import parse_program
+
+    src = open(iql_path).read()
+    golden = open(out_path).read()
+
+    for marker in _SKIP_OUT_MARKERS:
+        if marker in golden:
+            return ScriptResult(iql_path, "skip", f"golden contains {marker!r}")
+    for marker in _SKIP_SRC_MARKERS:
+        if marker in src:
+            return ScriptResult(iql_path, "skip", f"script uses {marker}")
+
+    expected = parse_golden(golden)
+
+    try:
+        parse_program(src)  # surface parse errors distinctly
+    except Exception as exc:
+        return ScriptResult(iql_path, "error", f"parse: {exc}")
+
+    try:
+        eng = IQLEngine(spark)
+        dfs = eng.execute(src)
+        actual = [(df.columns, [tuple(r) for r in df.collect()]) for df in dfs]
+    except Exception as exc:
+        return ScriptResult(iql_path, "error", str(exc)[:200])
+
+    # golden expectations are per ?query; our execute() returns query
+    # results (plus introspection-meta outputs, which this corpus's
+    # scripts don't use, so counts line up)
+    if len(actual) < len(expected):
+        return ScriptResult(
+            iql_path, "error", f"{len(expected)} expected results, {len(actual)} produced"
+        )
+    actual = actual[-len(expected) :] if expected else []
+
+    for qi, (exp, (cols, rows)) in enumerate(zip(expected, actual)):
+        if exp.no_results:
+            if rows:
+                return ScriptResult(iql_path, "fail", f"query {qi}: expected empty, got {len(rows)}")
+            continue
+        if not _rows_match(exp.rows, rows):
+            return ScriptResult(
+                iql_path,
+                "fail",
+                f"query {qi}: expected {exp.rows[:3]}..., got {rows[:3]}...",
+            )
+    return ScriptResult(iql_path, "pass")
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from inputlayer_spark.session import get_spark
+
+    categories = sys.argv[1:] or SUPPORTED_CATEGORIES
+    limit = int(os.environ.get("SPARK_GRAFT_CONF_LIMIT", "0")) or None
+
+    spark = get_spark("conformance")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    summary = {}
+    failures: List[ScriptResult] = []
+    for cat in categories:
+        cat_dir = os.path.join(GOLDEN_ROOT, cat)
+        if not os.path.isdir(cat_dir):
+            continue
+        scripts = sorted(f for f in os.listdir(cat_dir) if f.endswith(".iql"))
+        if limit:
+            scripts = scripts[:limit]
+        counts = {"pass": 0, "fail": 0, "skip": 0, "error": 0}
+        for s in scripts:
+            iql = os.path.join(cat_dir, s)
+            outp = iql + ".out"
+            if not os.path.exists(outp):
+                continue
+            r = run_script(spark, iql, outp)
+            counts[r.status] += 1
+            if r.status in ("fail", "error"):
+                failures.append(r)
+            print(f"[{r.status:5}] {cat}/{s}" + (f" — {r.detail}" if r.detail else ""), flush=True)
+        summary[cat] = counts
+
+    lines = ["# CONFORMANCE — reference golden corpus results", ""]
+    lines.append("| category | pass | fail | error | skip |")
+    lines.append("|---|---|---|---|---|")
+    tot = {"pass": 0, "fail": 0, "skip": 0, "error": 0}
+    for cat, c in summary.items():
+        lines.append(f"| {cat} | {c['pass']} | {c['fail']} | {c['error']} | {c['skip']} |")
+        for k in tot:
+            tot[k] += c[k]
+    lines.append(f"| **total** | **{tot['pass']}** | **{tot['fail']}** | **{tot['error']}** | **{tot['skip']}** |")
+    if failures:
+        lines += ["", "## Failures", ""]
+        for f in failures[:60]:
+            lines.append(f"- `{f.path}`: {f.detail}")
+    with open("CONFORMANCE.md", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines[:20]))
+
+
+if __name__ == "__main__":
+    main()

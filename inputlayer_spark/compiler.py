@@ -95,10 +95,13 @@ def term_to_column(term, bound: Set[str]) -> Column:
             return left % right
         raise CompileError(f"unknown arithmetic op {op}")
     if isinstance(term, Call):
-        fn = BUILTINS.get(term.func)
+        # builtin names are case-insensitive (reference lowercases in
+        # BuiltinFunc::parse, src/ast/mod.rs:200)
+        fname = term.func.lower()
+        fn = BUILTINS.get(fname)
         if fn is None:
             raise CompileError(f"unknown builtin {term.func}")
-        if term.func in _INT_PARAM_FUNCS:
+        if fname in _INT_PARAM_FUNCS:
             first = term_to_column(term.args[0], bound)
             rest = []
             for a in term.args[1:]:
@@ -203,6 +206,13 @@ def compile_body(
 
     # anti-joins last: all their join keys are now bound
     for natom in negated:
+        try:
+            resolve(natom.relation)
+        except CompileError:
+            # negating a relation that doesn't exist = negating the empty
+            # relation: everything survives (reference allows this,
+            # examples/iql/08_negation/25_negate_empty_relation.iql)
+            continue
         pos = Atom(natom.relation, natom.terms)
         right = scan_atom(pos, resolve)
         keys = [c for c in right.columns if c in set(acc.columns)]

@@ -496,16 +496,28 @@ class IQLEngine:
             derived = self._materialize_for(targets)
         resolve = self._resolver(derived)
 
-        if q.body:
-            # query with inline body: treat goal as head over the body
+        heads = {r.head.relation for r in self._all_rules()}
+        goal_resolvable = (
+            q.goal.relation in derived
+            or q.goal.relation in self.current.relations
+            or q.goal.relation in heads
+        )
+
+        if q.body and not goal_resolvable:
+            # fresh goal name: treat goal as head over the body
             body_df = compile_body(q.body, resolve, self._hnsw_resolver)
             df = compile_head(body_df, q.goal)
             names = _result_names(q.goal)
             df = df.toDF(*names)
         else:
-            # goal over an existing relation (base or derived)
-            atom_df = compile_body((q.goal,), resolve, self._hnsw_resolver)
-            # project to the goal's term order: vars in order of appearance
+            # goal over an existing relation; extra body literals filter it
+            # (`?words(W), W < "m"` — reference QueryGoal semantics)
+            atom_df = compile_body((q.goal,) + tuple(q.body), resolve, self._hnsw_resolver)
+            # project the goal's term order: vars by first binding,
+            # constants echoed as literal columns (reference prints
+            # `?path(1, X)` with the bound 1 as its own column)
+            from inputlayer_spark.printer import term_to_iql
+
             cols = []
             names = []
             seen = set()
@@ -514,9 +526,13 @@ class IQLEngine:
                     seen.add(t.name)
                     cols.append(F.col(t.name))
                     names.append(t.name)
-            df = atom_df.select(*cols).distinct() if cols else atom_df.limit(1).select(F.lit(True).alias("matched"))
-            if names:
-                df = df.toDF(*names)
+                elif isinstance(t, (Const, VecLit)):
+                    cols.append(lit_of(t))
+                    names.append(term_to_iql(t))
+            if cols:
+                df = atom_df.select(*cols).distinct().toDF(*names)
+            else:
+                df = atom_df.limit(1).select(F.lit(True).alias("matched"))
 
         order_cols = []
         for pos, direction in q.order_by:

@@ -296,6 +296,19 @@ class Parser:
     def parse_delete(self):
         self.expect("-")
         name = self._ident()
+        if self.at("["):
+            # batch delete: -rel[(...), (...)] — one Delete per tuple
+            self.expect("[")
+            deletes = []
+            while True:
+                self.expect("(")
+                terms = self._term_list()
+                self.expect(")")
+                deletes.append(Delete(name, tuple(terms)))
+                if not self.eat(","):
+                    break
+            self.expect("]")
+            return deletes if len(deletes) > 1 else deletes[0]
         if not self.at("("):
             return Delete(name, drop=True)
         self.expect("(")
@@ -435,6 +448,8 @@ class Parser:
             return []
         terms = [self._term()]
         while self.eat(","):
+            if self.at(")"):  # trailing comma: ("a",) — 1-tuple syntax
+                break
             terms.append(self._term())
         return terms
 

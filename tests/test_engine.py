@@ -16,7 +16,11 @@ def test_flights_recursion(engine):
         ?can_reach("New York", Dest)
         """
     )
-    assert rows(df) == [("London",), ("Paris",), ("Rome",)]
+    assert rows(df) == [
+        ("New York", "London"),
+        ("New York", "Paris"),
+        ("New York", "Rome"),
+    ]  # bound constants echo as columns, like the reference client output
 
 
 def test_transitive_closure_cycle_terminates(engine):
@@ -325,7 +329,7 @@ def test_same_generation(engine):
         """
     )
     # a~b share parent c; (a,d) does NOT hold: sg(c,e) is false
-    assert rows(df) == [("b",)]
+    assert rows(df) == [("a", "b")]
 
 
 def test_shortest_path_min_agg(engine):
@@ -340,4 +344,4 @@ def test_shortest_path_min_agg(engine):
         ?shortest(1, 3, D)
         """
     )
-    assert rows(df) == [(2.0,)]
+    assert rows(df) == [(1, 3, 2.0)]

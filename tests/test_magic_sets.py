@@ -62,7 +62,7 @@ def graph_engine(spark):
 
 def test_bound_reach_matches_full(graph_engine):
     rows = sorted(tuple(r) for r in graph_engine.query("?reach(0, Y)").collect())
-    assert rows == [(1,), (2,), (3,)]
+    assert rows == [(0, 1), (0, 2), (0, 3)]
 
 
 def test_point_query(graph_engine):
@@ -79,7 +79,7 @@ def test_left_linear_variant(spark):
     eng.execute("+edge[(0, 1), (1, 2), (2, 3), (5, 6)]")
     eng.execute("+lreach(A, B) <- edge(A, B)\n+lreach(A, C) <- lreach(A, B), edge(B, C)")
     rows = sorted(tuple(r) for r in eng.query("?lreach(0, Y)").collect())
-    assert rows == [(1,), (2,), (3,)]
+    assert rows == [(0, 1), (0, 2), (0, 3)]
 
 
 def test_magic_with_filter_rule(spark):
@@ -90,9 +90,9 @@ def test_magic_with_filter_rule(spark):
         "+bigreach(A, B) <- edge(A, B), B > 1"
     )
     rows = sorted(tuple(r) for r in eng.query("?bigreach(0, Y)").collect())
-    assert rows == [(2,), (3,)]
+    assert rows == [(0, 2), (0, 3)]
 
 
 def test_second_arg_bound(graph_engine):
     rows = sorted(tuple(r) for r in graph_engine.query("?reach(X, 3)").collect())
-    assert rows == [(0,), (1,), (2,)]
+    assert rows == [(0, 3), (1, 3), (2, 3)]

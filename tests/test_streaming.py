@@ -37,7 +37,7 @@ def test_streaming_incremental_maintenance(spark, tmp_path):
     ).parquet(str(src_dir))
     m.process_available()
     assert m.batches_seen == 1
-    assert _rows(eng.query("?reach(1, Y)")) == [(2,), (3,)]
+    assert _rows(eng.query("?reach(1, Y)")) == [(1, 2), (1, 3)]
 
     # second delta batch arrives → derived relations see it after drain
     spark.createDataFrame([(3, 4)], EDGE_SCHEMA).coalesce(1).write.mode(
@@ -45,7 +45,7 @@ def test_streaming_incremental_maintenance(spark, tmp_path):
     ).parquet(str(src_dir))
     m.process_available()
     assert m.batches_seen == 2
-    assert _rows(eng.query("?reach(1, Y)")) == [(2,), (3,), (4,)]
+    assert _rows(eng.query("?reach(1, Y)")) == [(1, 2), (1, 3), (1, 4)]
 
 
 def test_selective_invalidation(spark):
