@@ -244,7 +244,12 @@ def main() -> None:
                 failures.append(r)
             print(f"[{r.status:5}] {cat}/{s}" + (f" — {r.detail}" if r.detail else ""), flush=True)
         summary[cat] = counts
+        _write_summary(summary, failures)
 
+    print(open("CONFORMANCE.md").read()[:1200])
+
+
+def _write_summary(summary, failures) -> None:
     lines = ["# CONFORMANCE — reference golden corpus results", ""]
     lines.append("| category | pass | fail | error | skip |")
     lines.append("|---|---|---|---|---|")
@@ -253,14 +258,15 @@ def main() -> None:
         lines.append(f"| {cat} | {c['pass']} | {c['fail']} | {c['error']} | {c['skip']} |")
         for k in tot:
             tot[k] += c[k]
-    lines.append(f"| **total** | **{tot['pass']}** | **{tot['fail']}** | **{tot['error']}** | **{tot['skip']}** |")
+    lines.append(
+        f"| **total** | **{tot['pass']}** | **{tot['fail']}** | **{tot['error']}** | **{tot['skip']}** |"
+    )
     if failures:
         lines += ["", "## Failures", ""]
         for f in failures[:60]:
             lines.append(f"- `{f.path}`: {f.detail}")
     with open("CONFORMANCE.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print("\n".join(lines[:20]))
 
 
 if __name__ == "__main__":

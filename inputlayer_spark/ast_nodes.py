@@ -136,10 +136,21 @@ class Rule:
 
 @dataclass
 class Fact:
-    """Ground fact `+rel(c1, ..., cn)`."""
+    """Ground fact `+rel(c1, ..., cn)`; without the `+` prefix it is a
+    session fact — transient, cleared on `.session clear` / KG switch
+    (reference: Statement::Fact vs Insert, src/statement/mod.rs:42-46)."""
 
     relation: str
     values: tuple  # of Const / VecLit
+    session: bool = False
+
+
+@dataclass
+class EmptyBatch:
+    """`+rel[]` — declares an (arity-unknown) empty relation
+    (examples/iql/06_joins/36_empty_left_join.iql)."""
+
+    relation: str
 
 
 @dataclass
@@ -170,6 +181,17 @@ class SchemaDecl:
 
     relation: str
     columns: tuple  # of (name, type_name)
+
+
+@dataclass
+class TypeDecl:
+    """`type Name: TypeExpr` (reference: src/statement/types.rs:12-35).
+    Records/lists resolve to 'any' like the reference's to_schema_type
+    (statement/types.rs:48-49 — documentation-level today)."""
+
+    name: str
+    base: str  # resolved base type name ('int', 'string', ..., 'any')
+    definition: str = ""  # original surface text for .rule-style listing
 
 
 @dataclass

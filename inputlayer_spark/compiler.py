@@ -45,6 +45,11 @@ class CompileError(ValueError):
     pass
 
 
+class EmptyAritylessRelation(CompileError):
+    """Raised by resolvers for `+rel[]`-declared relations whose arity is
+    unknown; scan_atom synthesizes an empty frame at the atom's arity."""
+
+
 def positional_names(n: int) -> List[str]:
     return [f"c{i}" for i in range(n)]
 
@@ -129,7 +134,17 @@ def scan_atom(atom: Atom, resolve: Resolver) -> DataFrame:
     a variable repeated within the atom becomes a self-equality filter,
     wildcards are dropped.
     """
-    df = resolve(atom.relation)
+    try:
+        df = resolve(atom.relation)
+    except EmptyAritylessRelation:
+        from pyspark.sql import SparkSession
+        from pyspark.sql import types as T
+
+        spark = SparkSession.getActiveSession()
+        schema = T.StructType(
+            [T.StructField(f"c{i}", T.StringType(), True) for i in range(len(atom.terms))]
+        )
+        df = spark.createDataFrame([], schema=schema)
     cols = df.columns
     if len(cols) != len(atom.terms):
         raise CompileError(

@@ -25,18 +25,21 @@ from inputlayer_spark.ast_nodes import (
     Atom,
     Const,
     Delete,
+    EmptyBatch,
     Fact,
     HnswNearest,
     MetaCommand,
     Query,
     Rule,
     SchemaDecl,
+    TypeDecl,
     Update,
     Var,
     VecLit,
 )
 from inputlayer_spark.compiler import (
     CompileError,
+    EmptyAritylessRelation,
     compile_body,
     compile_head,
     lit_of,
@@ -86,6 +89,10 @@ class KnowledgeGraph:
     schemas: Dict[str, T.StructType] = field(default_factory=dict)
     indexes: Dict[str, Tuple[str, str, str]] = field(default_factory=dict)
     # index name -> (relation, column, metric)
+    type_aliases: Dict[str, str] = field(default_factory=dict)
+    # alias -> base type name ('type Email: string', SchemaType::Named)
+    empty_relations: set = field(default_factory=set)
+    # `+rel[]`-declared, arity unknown until first real insert
 
 
 class IQLEngine:
@@ -154,13 +161,23 @@ class IQLEngine:
         pending_facts: Dict[str, List[tuple]] = {}
         for st in prog.statements:
             if isinstance(st, Fact):
-                pending_facts.setdefault(st.relation, []).append(
-                    tuple(v.value if isinstance(v, Const) else list(v.values) for v in st.values)
+                row = tuple(
+                    v.value if isinstance(v, Const) else list(v.values) for v in st.values
                 )
+                if st.session:
+                    self._flush_facts(pending_facts)
+                    self.add_session_fact(st.relation, *row)
+                else:
+                    pending_facts.setdefault(st.relation, []).append(row)
                 continue
             self._flush_facts(pending_facts)
-            if isinstance(st, SchemaDecl):
+            if isinstance(st, EmptyBatch):
+                if st.relation not in self.current.relations:
+                    self.current.empty_relations.add(st.relation)
+            elif isinstance(st, SchemaDecl):
                 self._declare_schema(st)
+            elif isinstance(st, TypeDecl):
+                self._declare_type(st)
             elif isinstance(st, Rule):
                 self._add_rule(st)
             elif isinstance(st, Delete):
@@ -199,14 +216,33 @@ class IQLEngine:
             if rel in self.current.relations:
                 existing = self.current.relations[rel].schema
                 schema = existing
-        df = self.spark.createDataFrame(rows, schema=schema)
+        # literal facts are tiny: one partition, not defaultParallelism —
+        # otherwise a 3-way cross join of 3 literal relations fans out to
+        # 32^3 empty tasks (cartesian partition counts multiply)
+        df = self.spark.createDataFrame(rows, schema=schema).coalesce(1)
         if rel in self.current.relations:
             df = self.current.relations[rel].unionByName(df)
         self.current.relations[rel] = df
+        self.current.empty_relations.discard(rel)
         self._invalidate(rel)
 
+    def _resolve_type_name(self, name: str) -> str:
+        """Follow `type X: Y` alias chains to a base type name."""
+        seen = set()
+        base = name.split("(")[0]
+        while base in self.current.type_aliases and base not in seen:
+            seen.add(base)
+            base = self.current.type_aliases[base]
+        return name if base == name.split("(")[0] else base
+
+    def _declare_type(self, st) -> None:
+        self.current.type_aliases[st.name] = st.base
+
     def _declare_schema(self, st: SchemaDecl) -> None:
-        fields = [T.StructField(c, _spark_type_for(t), True) for c, t in st.columns]
+        fields = [
+            T.StructField(c, _spark_type_for(self._resolve_type_name(t)), True)
+            for c, t in st.columns
+        ]
         self.current.schemas[st.relation] = T.StructType(fields)
         if st.relation not in self.current.relations:
             self.current.relations[st.relation] = self.spark.createDataFrame(
@@ -460,10 +496,17 @@ class IQLEngine:
         input_tuples (src/lib.rs:507-512)."""
         df = self.current.relations.get(name)
         if df is None:
+            if name in self.session_facts:
+                rows = self.session_facts[name]
+                return self.spark.createDataFrame(
+                    rows, schema=_infer_schema(rows)
+                ).coalesce(1)
             return None
         if name in self.session_facts:
             rows = self.session_facts[name]
-            df = df.unionByName(self.spark.createDataFrame(rows, schema=df.schema))
+            df = df.unionByName(
+                self.spark.createDataFrame(rows, schema=df.schema).coalesce(1)
+            )
         return df
 
     def _resolver(self, derived: Dict[str, DataFrame]):
@@ -474,8 +517,18 @@ class IQLEngine:
                 df = self.current.relations[name]
                 if name in self.session_facts:
                     rows = self.session_facts[name]
-                    df = df.unionByName(self.spark.createDataFrame(rows, schema=df.schema))
+                    df = df.unionByName(
+                        self.spark.createDataFrame(rows, schema=df.schema).coalesce(1)
+                    )
                 return df
+            if name in self.session_facts:
+                # session-only relation (bare facts, no persistent base)
+                rows = self.session_facts[name]
+                return self.spark.createDataFrame(
+                    rows, schema=_infer_schema(rows)
+                ).coalesce(1)
+            if name in self.current.empty_relations:
+                raise EmptyAritylessRelation(f"empty relation {name}")
             raise CompileError(f"unknown relation {name}")
 
         return resolve
@@ -512,7 +565,17 @@ class IQLEngine:
         else:
             # goal over an existing relation; extra body literals filter it
             # (`?words(W), W < "m"` — reference QueryGoal semantics)
-            atom_df = compile_body((q.goal,) + tuple(q.body), resolve, self._hnsw_resolver)
+            # wildcards in a query goal bind fresh vars so their matched
+            # values appear as `_` columns (the reference client echoes
+            # them, examples/iql/07_filters/31_filter_with_wildcard.iql)
+            goal_terms = []
+            for i, t in enumerate(q.goal.terms):
+                if isinstance(t, Var) and t.is_wildcard:
+                    goal_terms.append(Var(f"__wild_{i}"))
+                else:
+                    goal_terms.append(t)
+            goal2 = Atom(q.goal.relation, tuple(goal_terms))
+            atom_df = compile_body((goal2,) + tuple(q.body), resolve, self._hnsw_resolver)
             # project the goal's term order: vars by first binding,
             # constants echoed as literal columns (reference prints
             # `?path(1, X)` with the bound 1 as its own column)
@@ -521,8 +584,11 @@ class IQLEngine:
             cols = []
             names = []
             seen = set()
-            for t in q.goal.terms:
-                if isinstance(t, Var) and not t.is_wildcard and t.name not in seen:
+            for t in goal_terms:
+                if isinstance(t, Var) and t.name.startswith("__wild_"):
+                    cols.append(F.col(t.name))
+                    names.append("_")
+                elif isinstance(t, Var) and not t.is_wildcard and t.name not in seen:
                     seen.add(t.name)
                     cols.append(F.col(t.name))
                     names.append(t.name)
@@ -669,6 +735,10 @@ class IQLEngine:
                 self.kgs.setdefault(args[1], KnowledgeGraph(args[1]))
             elif sub == "use" and len(args) > 1:
                 self.current = self.kgs.setdefault(args[1], KnowledgeGraph(args[1]))
+                # session overlays are per-KG-connection: switching clears
+                # them (examples/iql/04_session/02_session_facts.iql)
+                self.session_rules.clear()
+                self.session_facts.clear()
                 self._derived_cache.clear()
             elif sub == "drop" and len(args) > 1:
                 self.kgs.pop(args[1], None)

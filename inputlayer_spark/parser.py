@@ -27,6 +27,7 @@ from inputlayer_spark.ast_nodes import (
     Comparison,
     Const,
     Delete,
+    EmptyBatch,
     Fact,
     HnswNearest,
     MetaCommand,
@@ -34,6 +35,7 @@ from inputlayer_spark.ast_nodes import (
     Query,
     Rule,
     SchemaDecl,
+    TypeDecl,
     Update,
     Var,
     VecLit,
@@ -69,7 +71,7 @@ _TOKEN_RE = re.compile(
   | (?P<cmp>>=|<=|!=|=|<|>)
   | (?P<meta>\.[a-zA-Z_?][a-zA-Z0-9_]*)
   | (?P<ident>[a-zA-Z_][a-zA-Z0-9_]*)
-  | (?P<punct>[()\[\],:+\-*/%!<>?])
+  | (?P<punct>[()\[\]{},:+\-*/%!<>?.])
     """,
     re.VERBOSE,
 )
@@ -184,6 +186,7 @@ class Parser:
                 self.next()
                 continue
             prog.statements.append(self.parse_statement())
+            self.eat(".")  # optional statement-terminating dot
         return prog
 
     def parse_statement(self):
@@ -196,10 +199,47 @@ class Parser:
             return self.parse_delete()
         if t.text == "?":
             return self.parse_query()
+        # type alias declaration: type Name: TypeExpr
+        if (
+            t.kind == "ident"
+            and t.text == "type"
+            and self.peek(1) is not None
+            and self.peek(1).kind == "ident"
+            and self.peek(2) is not None
+            and self.peek(2).text == ":"
+        ):
+            return self.parse_typedecl()
         # bare session rule: name(...) <- body
         if t.kind == "ident":
             return self.parse_rule(persistent=False)
         raise ParseError(f"cannot start statement with {t.text!r} at {t.pos}")
+
+    def parse_typedecl(self) -> TypeDecl:
+        """`type Email: string` / `type User: { id: int, ... }.` /
+        `type Tags: [string]` — records and lists are documentation-level
+        (map to 'any'), matching the reference (statement/types.rs:48)."""
+        self.next()  # 'type'
+        name = self._ident()
+        self.expect(":")
+        start = self.peek().pos if self.peek() else 0
+        if self.eat("{"):
+            depth = 1
+            while depth and self.peek() is not None:
+                tok = self.next()
+                if tok.text == "{":
+                    depth += 1
+                elif tok.text == "}":
+                    depth -= 1
+            base = "any"
+        elif self.eat("["):
+            while self.peek() is not None and not self.eat("]"):
+                self.next()
+            base = "any"
+        else:
+            base = self._ident()
+        end = self.toks[self.i - 1].pos + len(self.toks[self.i - 1].text)
+        self.eat(".")  # optional statement-terminating dot
+        return TypeDecl(name, base, self.src[start:end])
 
     # ----- meta -----
     _RAW_META = {"debug", "why", "why_not", "load"}
@@ -255,6 +295,8 @@ class Parser:
 
     def parse_batch(self, name: str):
         self.expect("[")
+        if self.eat("]"):
+            return EmptyBatch(name)
         facts = []
         while True:
             self.expect("(")
@@ -282,12 +324,26 @@ class Parser:
         self.expect(")")
         return SchemaDecl(name, tuple(cols))
 
-    # ----- rules -----
-    def parse_rule(self, persistent: bool) -> Rule:
+    # ----- rules / bare session statements -----
+    def parse_rule(self, persistent: bool):
         name = self._ident()
         self.expect("(")
+        # bare typed args = schema decl (Statement::SchemaDecl allows the
+        # un-prefixed form, src/statement/mod.rs:48)
+        if (
+            self.peek() is not None
+            and self.peek().kind == "ident"
+            and self.peek(1) is not None
+            and self.peek(1).text == ":"
+        ):
+            return self.parse_schema(name)
         terms = self._term_list()
         self.expect(")")
+        if not self.at("<-"):
+            # bare ground tuple = session fact (transient; reference
+            # Statement::Fact, examples/iql/04_session/02_session_facts.iql)
+            values = tuple(self._require_ground(t) for t in terms)
+            return Fact(name, values, session=True)
         self.expect("<-")
         body = self._body()
         return Rule(Atom(name, tuple(terms)), tuple(body), persistent=persistent)
