@@ -805,8 +805,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
             "WHERE c.c_mktsegment = 'BUILDING'"
         ),
+        # IQL `sum<X>` casts each value to i64 (truncate-toward-zero,
+        # saturating — reference value/mod.rs:353 to_i64) and sums; the
+        # oracle mirrors that documented semantics.
         "threeway_join_arith": (
-            "SELECT c_custkey, sum(r) AS revenue, count(*) AS n_items FROM ("
+            "SELECT c_custkey, sum(CAST(TRUNC(r) AS BIGINT)) AS revenue, "
+            "count(*) AS n_items FROM ("
             "  SELECT DISTINCT c.c_custkey, o.o_orderkey, l.l_linenumber, "
             "         l.l_extendedprice, l.l_discount, "
             "         l.l_extendedprice * (1.0 - l.l_discount) AS r "
@@ -825,8 +829,10 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_totalprice > 400000.0)"
         ),
         "agg_pricing_summary": (
-            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
-            "sum(l_extendedprice) AS sum_price, avg(l_discount) AS avg_disc, "
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(CAST(TRUNC(l_quantity) AS BIGINT)) AS sum_qty, "
+            "sum(CAST(TRUNC(l_extendedprice) AS BIGINT)) AS sum_price, "
+            "avg(l_discount) AS avg_disc, "
             "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "count_distinct": (

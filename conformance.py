@@ -18,9 +18,12 @@ Skips (counted, not hidden):
 
 Usage:
     python conformance.py [category ...]   # default: supported set
-    SPARK_GRAFT_CONF_LIMIT=n  to cap scripts per category
+    SPARK_GRAFT_CONF_LIMIT=n    to cap scripts per category
+    SPARK_GRAFT_CONF_OUT=path   summary output (default CONFORMANCE.md);
+                                lets shard workers run in parallel JVMs
+                                and merge afterwards (merge_conformance.py)
 
-Writes CONFORMANCE.md with per-category pass/fail/skip counts.
+Writes the summary file with per-category pass/fail/skip counts.
 """
 
 from __future__ import annotations
@@ -77,10 +80,23 @@ class ScriptResult:
     detail: str = ""
 
 
+def _unescape(s: str) -> str:
+    """The reference client re-escapes control chars and quotes when
+    printing (`line1\\nline2`, `\\"hello\\"` in the table are a real
+    newline / quote in storage — golden 35_strings/32_escape_sequences)."""
+    return (
+        s.replace("\\\\", "\x00")
+        .replace("\\n", "\n")
+        .replace("\\t", "\t")
+        .replace('\\"', '"')
+        .replace("\x00", "\\")
+    )
+
+
 def _norm_cell(s: str):
     s = s.strip()
     if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
-        return s[1:-1]
+        return _unescape(s[1:-1])
     if s == "true":
         return True
     if s == "false":
@@ -148,6 +164,15 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def _cell_match(e, a) -> bool:
+    """One expected cell vs one actual value; the reference client
+    width-truncates long strings to `"prefix …` (10_edge_cases/125)."""
+    if isinstance(e, str) and e.endswith("…"):
+        prefix = e[:-1].lstrip('"').rstrip()
+        return isinstance(a, str) and a.startswith(prefix)
+    return _values_equal(e, a)
+
+
 def _rows_match(expected: List[Tuple], actual: List[Tuple]) -> bool:
     if len(expected) != len(actual) or (expected and len(expected[0]) != len(actual[0])):
         return False
@@ -158,7 +183,22 @@ def _rows_match(expected: List[Tuple], actual: List[Tuple]) -> bool:
             for v in row
         )
 
-    return sorted(map(key, expected)) == sorted(map(key, actual))
+    if sorted(map(key, expected)) == sorted(map(key, actual)):
+        return True
+
+    # fallback: greedy bipartite match with numeric tolerance and
+    # client-truncated `…` cells (small result sets only)
+    if len(expected) > 500:
+        return False
+    remaining = list(actual)
+    for erow in expected:
+        for i, arow in enumerate(remaining):
+            if all(_cell_match(e, a) for e, a in zip(erow, arow)):
+                remaining.pop(i)
+                break
+        else:
+            return False
+    return True
 
 
 def run_script(spark, iql_path: str, out_path: str) -> ScriptResult:
@@ -186,13 +226,17 @@ def run_script(spark, iql_path: str, out_path: str) -> ScriptResult:
     try:
         eng = IQLEngine(spark)
         dfs = eng.execute(src)
-        actual = [(df.columns, [tuple(r) for r in df.collect()]) for df in dfs]
+        kinds = getattr(eng, "last_result_kinds", None) or ["query"] * len(dfs)
+        actual = [
+            (df.columns, [tuple(r) for r in df.collect()])
+            for df, kind in zip(dfs, kinds)
+            if kind == "query"
+        ]
     except Exception as exc:
         return ScriptResult(iql_path, "error", str(exc)[:200])
 
-    # golden expectations are per ?query; our execute() returns query
-    # results (plus introspection-meta outputs, which this corpus's
-    # scripts don't use, so counts line up)
+    # golden expectations are per ?query (kind filter above drops
+    # introspection-meta outputs like `.rule list`)
     if len(actual) < len(expected):
         return ScriptResult(
             iql_path, "error", f"{len(expected)} expected results, {len(actual)} produced"
@@ -230,6 +274,10 @@ def main() -> None:
         if not os.path.isdir(cat_dir):
             continue
         scripts = sorted(f for f in os.listdir(cat_dir) if f.endswith(".iql"))
+        shard = os.environ.get("SPARK_GRAFT_CONF_SHARD")  # "i/n" within-category split
+        if shard:
+            i, n = (int(x) for x in shard.split("/"))
+            scripts = scripts[i::n]
         if limit:
             scripts = scripts[:limit]
         counts = {"pass": 0, "fail": 0, "skip": 0, "error": 0}
@@ -246,7 +294,7 @@ def main() -> None:
         summary[cat] = counts
         _write_summary(summary, failures)
 
-    print(open("CONFORMANCE.md").read()[:1200])
+    print(open(os.environ.get("SPARK_GRAFT_CONF_OUT", "CONFORMANCE.md")).read()[:1200])
 
 
 def _write_summary(summary, failures) -> None:
@@ -265,7 +313,7 @@ def _write_summary(summary, failures) -> None:
         lines += ["", "## Failures", ""]
         for f in failures[:60]:
             lines.append(f"- `{f.path}`: {f.detail}")
-    with open("CONFORMANCE.md", "w") as fh:
+    with open(os.environ.get("SPARK_GRAFT_CONF_OUT", "CONFORMANCE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
 
 

@@ -19,6 +19,7 @@ use positional names c0..cn.
 
 from __future__ import annotations
 
+import itertools
 from functools import reduce
 from typing import Callable, Dict, List, Optional, Sequence, Set
 
@@ -126,6 +127,8 @@ def term_is_computable(term, bound: Set[str]) -> bool:
 
 # ------------------------------------------------------------ atom scan
 
+_ANON_SEQ = itertools.count()
+
 
 def scan_atom(atom: Atom, resolve: Resolver) -> DataFrame:
     """Atom → DataFrame with columns named by first-occurrence variables.
@@ -156,11 +159,25 @@ def scan_atom(atom: Atom, resolve: Resolver) -> DataFrame:
     for col_name, term in zip(cols, atom.terms):
         if isinstance(term, Var):
             if term.is_wildcard:
+                # Wildcards bind anonymous variables that STAY in the
+                # binding set: aggregates range over distinct full-body
+                # bindings, so `count<X> <- product(X, _)` counts every
+                # (X, _) pair — 100, not |distinct X| (golden
+                # 10_edge_cases/37_large_result.iql). Unique names keep
+                # them out of join keys.
+                var_to_col[f"_w{next(_ANON_SEQ)}"] = col_name
                 continue
             if term.name in var_to_col:
                 filters.append(F.col(col_name) == F.col(var_to_col[term.name]))
             else:
                 var_to_col[term.name] = col_name
+        elif isinstance(term, Const) and isinstance(term.value, bool):
+            # Boolean literals in body-atom argument positions do NOT
+            # constrain in the reference — `user(Id, Name, true)` matches
+            # every row regardless of the flag (golden
+            # 11_types/11_booleans.iql: both active_user and inactive_user
+            # return all three users). Replicate the quirk.
+            continue
         elif isinstance(term, (Const, VecLit)):
             filters.append(F.col(col_name) == lit_of(term))
         else:
@@ -266,9 +283,20 @@ def _apply_comparison(comp: Comparison, acc: DataFrame, bound: Set[str]):
     if left_ok and right_ok:
         lc = term_to_column(comp.left, bound)
         rc = term_to_column(comp.right, bound)
+        # Ordered comparisons are numeric-only in the reference: `A < B`
+        # over strings yields NO rows (while min/max over strings work) —
+        # golden 11_types/57_string_lexicographic.iql.
+        if comp.op in ("<", "<=", ">", ">=") and (
+            _is_string_term(comp.left, acc) or _is_string_term(comp.right, acc)
+        ):
+            return True, acc.filter(F.lit(False)), bound
+        # IQL equality is over dynamically-typed values, not SQL
+        # three-valued logic: null != 0 is TRUE and the row is kept
+        # (golden 11_types/19_null_handling.iql). eqNullSafe mirrors the
+        # reference's Value::eq on non-null operands exactly.
         ops = {
-            "=": lc == rc,
-            "!=": lc != rc,
+            "=": lc.eqNullSafe(rc),
+            "!=": ~lc.eqNullSafe(rc),
             "<": lc < rc,
             "<=": lc <= rc,
             ">": lc > rc,
@@ -278,13 +306,44 @@ def _apply_comparison(comp: Comparison, acc: DataFrame, bound: Set[str]):
     return False, acc, bound
 
 
+def _is_string_term(term, df: DataFrame) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(term, Const):
+        return isinstance(term.value, str)
+    if isinstance(term, Var) and not term.is_wildcard:
+        for f in df.schema.fields:
+            if f.name == term.name:
+                return isinstance(f.dataType, T.StringType)
+    return False
+
+
 # ------------------------------------------------------------ head
+
+
+_I64_MAX = (1 << 63) - 1
+_I64_MIN = -(1 << 63)
+
+
+def _saturating_sum(c: Column) -> Column:
+    """`sum<X>` returns Int64 with saturation in the reference: summing
+    floats truncates the total to int (0.1+0.2+0.3 → 0) and overflow
+    clamps to i64 bounds (goldens 11_types/31_float_precision.iql,
+    42_int64_boundaries.iql, 55_very_large_floats.iql). The double-sum
+    sentinel detects overflow; the long sum keeps exact arithmetic in
+    range (a double mantissa alone would round large in-range sums)."""
+    ds = F.sum(c.cast("double"))
+    return (
+        F.when(ds >= F.lit(float(1 << 63)), F.lit(_I64_MAX))
+        .when(ds <= F.lit(-float(1 << 63)), F.lit(_I64_MIN))
+        .otherwise(F.sum(c.cast("long")))
+    )
 
 
 STANDARD_AGGS = {
     "count": lambda c: F.count(c),
     "count_distinct": lambda c: F.count_distinct(c),
-    "sum": lambda c: F.sum(c),
+    "sum": _saturating_sum,
     "min": lambda c: F.min(c),
     "max": lambda c: F.max(c),
     "avg": lambda c: F.avg(c),
@@ -316,9 +375,12 @@ def compile_head(body_df: DataFrame, head: Atom, distinct: bool = True) -> DataF
     if ranking:
         return _compile_ranking(body_df, head, group_idx, ranking[0], bound)
 
-    # Datalog aggregates over the SET of body bindings (DD consolidates
-    # multiplicities, code_generator/mod.rs:2414): distinct before agg.
-    deduped = body_df.distinct()
+    # Aggregates range over body bindings as a BAG: base-fact duplicates
+    # count with multiplicity (sum over +vals[(100,),(100,),(100,)] → 300,
+    # golden 10_edge_cases/141_all_same_value.iql), and derived relations
+    # are already sets by rule materialization — exactly DD's consolidated
+    # multiplicities (code_generator/mod.rs:2414).
+    deduped = body_df
     agg_exprs = []
     for i, t in aggs:
         fn = STANDARD_AGGS.get(t.func)
@@ -330,7 +392,11 @@ def compile_head(body_df: DataFrame, head: Atom, distinct: bool = True) -> DataF
     if group_cols:
         out = deduped.groupBy(*group_cols).agg(*agg_exprs)
     else:
-        out = deduped.agg(*agg_exprs)
+        # Datalog global aggregates over an empty body yield NO rows, not
+        # one null/zero row (golden 10_edge_cases/103_empty_aggregation.iql:
+        # count over empty relation → "No results"). Grouping by a literal
+        # key gives exactly that: empty input → zero groups.
+        out = deduped.groupBy(F.lit(1).alias("_g")).agg(*agg_exprs)
     # restore positional order
     return out.select(*[f"c{i}" for i in range(len(head.terms))])
 
@@ -344,12 +410,22 @@ def _compile_ranking(body_df, head, group_idx, ranking, bound):
     2-column relation (golden: examples/iql/14_aggregations/07_top_k.iql).
     """
     i, agg = ranking
+    single_col = False
     if agg.func == "top_k":
-        if len(agg.args) != 3:
-            raise CompileError("top_k<K, Value, Score:dir> takes 3 arguments")
-        k = _const_int(agg.args[0], "top_k k")
-        val_t, score_t = agg.args[1], agg.args[2]
-        thresh = None
+        if len(agg.args) == 2:
+            # 2-arg form `top_k<K, Score:dir>`: value IS the score and the
+            # term expands to ONE column (golden
+            # 14_aggregations/136_multiple_rule_drops_aggs.iql)
+            k = _const_int(agg.args[0], "top_k k")
+            val_t = score_t = agg.args[1]
+            thresh = None
+            single_col = True
+        elif len(agg.args) == 3:
+            k = _const_int(agg.args[0], "top_k k")
+            val_t, score_t = agg.args[1], agg.args[2]
+            thresh = None
+        else:
+            raise CompileError("top_k<K, [Value,] Score:dir> takes 2 or 3 arguments")
     elif agg.func == "top_k_threshold":
         if len(agg.args) != 4:
             raise CompileError("top_k_threshold<K, T, Value, Score:dir> takes 4 arguments")
@@ -396,8 +472,9 @@ def _compile_ranking(body_df, head, group_idx, ranking, bound):
         if j == i:
             sel.append(F.col("__val").alias(f"c{pos}"))
             pos += 1
-            sel.append(F.col("__score").alias(f"c{pos}"))
-            pos += 1
+            if not single_col:
+                sel.append(F.col("__score").alias(f"c{pos}"))
+                pos += 1
         else:
             sel.append(term_to_column(t, outer_bound).alias(f"c{pos}"))
             pos += 1

@@ -158,6 +158,10 @@ class IQLEngine:
         """Run an IQL program; returns one DataFrame per `?query`."""
         prog = parse_program(text)
         results: List[DataFrame] = []
+        # parallel kind tags ("query" | "meta") so callers (conformance
+        # runner, server) can separate ?query results from introspection
+        # output like `.rule list`
+        self.last_result_kinds: List[str] = []
         pending_facts: Dict[str, List[tuple]] = {}
         for st in prog.statements:
             if isinstance(st, Fact):
@@ -186,10 +190,12 @@ class IQLEngine:
                 self._update(st)
             elif isinstance(st, Query):
                 results.append(self._query(st))
+                self.last_result_kinds.append("query")
             elif isinstance(st, MetaCommand):
                 out = self._meta(st)
                 if out is not None:
                     results.append(out)
+                    self.last_result_kinds.append("meta")
             else:
                 raise CompileError(f"unsupported statement {st!r}")
         self._flush_facts(pending_facts)
@@ -214,14 +220,27 @@ class IQLEngine:
         if schema is None:
             schema = _infer_schema(rows)
             if rel in self.current.relations:
-                existing = self.current.relations[rel].schema
-                schema = existing
+                # Mixed int/float across inserts widens the column to
+                # double — IQL relations are dynamically typed (golden
+                # 11_types/18_mixed_numeric_types.iql).
+                schema = _widen_schema(self.current.relations[rel].schema, schema)
+        rows = [_coerce_row(r, schema) for r in rows]
         # literal facts are tiny: one partition, not defaultParallelism —
         # otherwise a 3-way cross join of 3 literal relations fans out to
         # 32^3 empty tasks (cartesian partition counts multiply)
         df = self.spark.createDataFrame(rows, schema=schema).coalesce(1)
         if rel in self.current.relations:
-            df = self.current.relations[rel].unionByName(df)
+            old = self.current.relations[rel]
+            if [f.dataType for f in old.schema.fields] != [
+                f.dataType for f in schema.fields
+            ]:
+                old = old.select(
+                    [
+                        F.col(c).cast(schema.fields[i].dataType).alias(c)
+                        for i, c in enumerate(old.columns)
+                    ]
+                )
+            df = old.unionByName(df.toDF(*old.columns))
         self.current.relations[rel] = df
         self.current.empty_relations.discard(rel)
         self._invalidate(rel)
@@ -297,14 +316,33 @@ class IQLEngine:
             return
         if st.body:
             # conditional delete: -rel(X...) <- cond — delete tuples the
-            # body derives (reference src/statement/data.rs:24)
-            match = compile_head(
-                compile_body(st.body, self._resolver(self._materialize_all()), None),
-                Atom(st.relation, st.terms),
-            )
-            keep = df.join(
-                match.toDF(*df.columns), on=list(df.columns), how="left_anti"
-            )
+            # body derives (reference src/statement/data.rs:24). Pattern
+            # vars the body does NOT bind act as wildcards: `-edge(X, Y) <-
+            # source(X)` deletes every edge whose X is a source, any Y
+            # (golden 27_atomic_ops/05_conditional_delete.iql).
+            body_df = compile_body(st.body, self._resolver(self._materialize_all()), None)
+            bound = set(body_df.columns)
+            key_cols: List[str] = []
+            key_vars: List[str] = []
+            const_cond = None
+            for col_name, term in zip(df.columns, st.terms):
+                if isinstance(term, Var):
+                    if term.is_wildcard or term.name not in bound:
+                        continue
+                    key_cols.append(col_name)
+                    key_vars.append(term.name)
+                else:
+                    c = F.col(col_name) == lit_of(term)
+                    const_cond = c if const_cond is None else (const_cond & c)
+            doomed = df.filter(const_cond) if const_cond is not None else df
+            if key_cols:
+                keys = body_df.select(
+                    [F.col(v).alias(c) for v, c in zip(key_vars, key_cols)]
+                ).distinct()
+                doomed = doomed.join(keys, on=key_cols, how="left_semi")
+            elif body_df.limit(1).isEmpty():
+                doomed = doomed.limit(0)  # condition derived nothing
+            keep = df.join(doomed, on=list(df.columns), how="left_anti")
         else:
             cond = None
             for col_name, term in zip(df.columns, st.terms):
@@ -529,7 +567,11 @@ class IQLEngine:
                 ).coalesce(1)
             if name in self.current.empty_relations:
                 raise EmptyAritylessRelation(f"empty relation {name}")
-            raise CompileError(f"unknown relation {name}")
+            # Unknown relations behave as empty, not as errors: querying a
+            # nonexistent or dropped relation yields "No results."
+            # (goldens 10_edge_cases/01_empty_relation.iql,
+            # 14_aggregations/120_rule_drop_count.iql).
+            raise EmptyAritylessRelation(f"unknown relation {name}")
 
         return resolve
 
@@ -598,7 +640,10 @@ class IQLEngine:
             if cols:
                 df = atom_df.select(*cols).distinct().toDF(*names)
             else:
-                df = atom_df.limit(1).select(F.lit(True).alias("matched"))
+                # zero-arity goal: one empty-cell row when matched, none
+                # otherwise (golden 10_edge_cases/14_wildcard_patterns.iql
+                # prints `?has_any_data()` as a single blank row)
+                df = atom_df.limit(1).select(F.lit("").alias("_"))
 
         order_cols = []
         for pos, direction in q.order_by:
@@ -635,6 +680,24 @@ class IQLEngine:
             # non-recursive views are lazy DataFrames: Catalyst pushes the
             # goal's constant filters down on its own — no rewrite needed
             return None
+        # Magic sets here only handle LINEAR recursion (one recursive atom
+        # per body — the reference's bound-TC fast path is linear too,
+        # code_generator/mod.rs:834). Non-linear rules (e.g. symmetric
+        # closure sc(X,Z) <- sc(X,Y), sc(Y,Z)) would need supplementary
+        # predicates; without them the rewritten fixpoint's plans explode.
+        # Full evaluation + goal filter is correct and converges fast.
+        scc_members = set(scc)
+        for r in rules:
+            if r.head.relation in scc_members:
+                n_rec = sum(
+                    1
+                    for lit in r.body
+                    if isinstance(lit, Atom)
+                    and not lit.negated
+                    and lit.relation in scc_members
+                )
+                if n_rec > 1:
+                    return None
         rw = magic_rewrite(goal, rules, scc)
         if rw is None:
             return None
@@ -783,6 +846,24 @@ class IQLEngine:
                     rows or [("", "", False)],
                     schema="name string, definition string, persistent boolean",
                 ).filter(F.col("name") != "")
+            if args and args[0] == "remove" and len(args) > 2:
+                # `.rule remove <name> <n>` deletes the n-th (1-based)
+                # clause of a multi-clause rule (reference
+                # src/statement/meta.rs; golden
+                # 14_aggregations/132_rule_remove_clause_with_agg.iql)
+                name, idx = args[1], int(args[2])
+                seen = 0
+                for rules in (self.current.rules, self.session_rules):
+                    kept = []
+                    for r in rules:
+                        if r.head.relation == name:
+                            seen += 1
+                            if seen == idx:
+                                continue
+                        kept.append(r)
+                    rules[:] = kept
+                self._derived_cache.clear()
+                return None
             if args and args[0] in ("def", "drop") and len(args) > 1:
                 name = args[1]
                 if args[0] == "drop":
@@ -947,23 +1028,65 @@ def _result_names(goal: Atom) -> List[str]:
     return names
 
 
+def _type_of_value(v) -> Optional[T.DataType]:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, str):
+        return T.StringType()
+    if isinstance(v, list):
+        return T.ArrayType(T.FloatType())
+    raise CompileError(f"cannot infer type for {v!r}")
+
+
 def _infer_schema(rows: List[tuple]) -> T.StructType:
-    first = rows[0]
+    """Column types from ALL rows: int widens to double when any row holds
+    a float in that position (dynamic typing; golden
+    11_types/18_mixed_numeric_types.iql), nulls defer to the first typed
+    value (StringType if the column is all-null)."""
+    arity = len(rows[0])
     fields = []
-    for i, v in enumerate(first):
-        if isinstance(v, bool):
-            t: T.DataType = T.BooleanType()
-        elif isinstance(v, int):
-            t = T.LongType()
-        elif isinstance(v, float):
-            t = T.DoubleType()
-        elif isinstance(v, str):
-            t = T.StringType()
-        elif isinstance(v, list):
-            t = T.ArrayType(T.FloatType())
-        elif v is None:
-            t = T.StringType()
-        else:
-            raise CompileError(f"cannot infer type for {v!r}")
-        fields.append(T.StructField(f"c{i}", t, True))
+    for i in range(arity):
+        t: Optional[T.DataType] = None
+        for row in rows:
+            vt = _type_of_value(row[i])
+            if vt is None:
+                continue
+            if t is None or t == vt:
+                t = vt
+            elif {type(t), type(vt)} == {T.LongType, T.DoubleType}:
+                t = T.DoubleType()
+            # else keep first type; createDataFrame surfaces real conflicts
+        fields.append(T.StructField(f"c{i}", t or T.StringType(), True))
     return T.StructType(fields)
+
+
+def _widen_schema(existing: T.StructType, new: T.StructType) -> T.StructType:
+    """Merge an existing relation schema with a new batch's inferred
+    schema: int vs double in the same position widens to double; otherwise
+    the existing type wins (insert-time validation then applies)."""
+    if len(existing.fields) != len(new.fields):
+        return existing
+    fields = []
+    for ef, nf in zip(existing.fields, new.fields):
+        dt = ef.dataType
+        if {type(ef.dataType), type(nf.dataType)} == {T.LongType, T.DoubleType}:
+            dt = T.DoubleType()
+        fields.append(T.StructField(ef.name, dt, True))
+    return T.StructType(fields)
+
+
+def _coerce_row(row: tuple, schema: T.StructType):
+    out = []
+    for v, f in zip(row, schema.fields):
+        if isinstance(v, int) and not isinstance(v, bool) and isinstance(
+            f.dataType, T.DoubleType
+        ):
+            v = float(v)
+        out.append(v)
+    return tuple(out)

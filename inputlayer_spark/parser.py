@@ -65,7 +65,7 @@ _TOKEN_RE = re.compile(
   | (?P<ws>[^\S\n]+)
   | (?P<comment>//[^\n]*|/\*(?:[^*]|\*(?!/))*\*/)
   | (?P<string>"(?:\\.|[^"\\])*")
-  | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?)
+  | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<int>\d+)
   | (?P<arrow><-)
   | (?P<cmp>>=|<=|!=|=|<|>)
@@ -441,10 +441,12 @@ class Parser:
         t = self.peek()
         if t.kind == "ident" and t.text == "hnsw_nearest":
             return self._hnsw()
-        # atom: lowercase ident followed by '('
+        # atom: ident followed by '(' — ANY case: the reference parses
+        # `CONTAINS(S, "x")` as an atom over (nonexistent) relation
+        # CONTAINS, yielding no results (golden
+        # 35_strings/10_string_contains.iql); there is no contains builtin.
         if (
             t.kind == "ident"
-            and not self._is_var_name(t.text)
             and t.text not in AGGREGATES
             and self.peek(1) is not None
             and self.peek(1).text == "("

@@ -21,6 +21,10 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # IQL is dynamically typed: 100/0 yields null, not an error
+    # (golden 11_types/19_null_handling.iql), and bad casts yield null.
+    # Spark 4 defaults ANSI on; the reference's semantics are non-ANSI.
+    "spark.sql.ansi.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.cbo.enabled": "true",
@@ -65,6 +69,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, "true")
         except Exception:
             pass
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    except Exception:
+        pass
     try:
         spark.conf.set(
             "spark.sql.files.minPartitionNum", os.environ.get("SPARK_GRAFT_CPUS", "32")
