@@ -130,12 +130,12 @@ def term_is_computable(term, bound: Set[str]) -> bool:
 _ANON_SEQ = itertools.count()
 
 
-def scan_atom(atom: Atom, resolve: Resolver) -> DataFrame:
+def scan_atom(atom: Atom, resolve: Resolver, bool_consts_nop: bool = False) -> DataFrame:
     """Atom → DataFrame with columns named by first-occurrence variables.
 
     Mirrors build_scans (ir_builder/mod.rs:185): constants become filters,
     a variable repeated within the atom becomes a self-equality filter,
-    wildcards are dropped.
+    wildcards bind anonymous variables.
     """
     try:
         df = resolve(atom.relation)
@@ -144,8 +144,12 @@ def scan_atom(atom: Atom, resolve: Resolver) -> DataFrame:
         from pyspark.sql import types as T
 
         spark = SparkSession.getActiveSession()
+        # NullType columns: union/join type-coercion promotes them to the
+        # other side's type, so an unknown relation in one clause doesn't
+        # force sibling clauses' ints to strings (golden
+        # 22_set_operations/05_empty_set_operations.iql)
         schema = T.StructType(
-            [T.StructField(f"c{i}", T.StringType(), True) for i in range(len(atom.terms))]
+            [T.StructField(f"c{i}", T.NullType(), True) for i in range(len(atom.terms))]
         )
         df = spark.createDataFrame([], schema=schema)
     cols = df.columns
@@ -171,12 +175,12 @@ def scan_atom(atom: Atom, resolve: Resolver) -> DataFrame:
                 filters.append(F.col(col_name) == F.col(var_to_col[term.name]))
             else:
                 var_to_col[term.name] = col_name
-        elif isinstance(term, Const) and isinstance(term.value, bool):
-            # Boolean literals in body-atom argument positions do NOT
-            # constrain in the reference — `user(Id, Name, true)` matches
-            # every row regardless of the flag (golden
-            # 11_types/11_booleans.iql: both active_user and inactive_user
-            # return all three users). Replicate the quirk.
+        elif isinstance(term, Const) and isinstance(term.value, bool) and bool_consts_nop:
+            # PERSISTENT-rule materialization in the reference ignores
+            # boolean constant constraints (golden 11_types/11_booleans.iql:
+            # +active_user(Id, N) <- user(Id, N, true) returns ALL users)
+            # while session rules filter them (11_types/27_bool_logic.iql).
+            # Replicate the split via this flag.
             continue
         elif isinstance(term, (Const, VecLit)):
             filters.append(F.col(col_name) == lit_of(term))
@@ -197,6 +201,7 @@ def compile_body(
     body: Sequence,
     resolve: Resolver,
     hnsw_resolver: Optional[Callable[[HnswNearest], DataFrame]] = None,
+    bool_consts_nop: bool = False,
 ) -> DataFrame:
     """Conjunctive body → DataFrame with one column per bound variable."""
     atoms = [l for l in body if isinstance(l, Atom) and not l.negated]
@@ -206,7 +211,7 @@ def compile_body(
 
     acc: Optional[DataFrame] = None
     for atom in atoms:
-        scanned = scan_atom(atom, resolve)
+        scanned = scan_atom(atom, resolve, bool_consts_nop)
         acc = _conjoin(acc, scanned)
 
     for h in hnsws:
@@ -283,11 +288,16 @@ def _apply_comparison(comp: Comparison, acc: DataFrame, bound: Set[str]):
     if left_ok and right_ok:
         lc = term_to_column(comp.left, bound)
         rc = term_to_column(comp.right, bound)
-        # Ordered comparisons are numeric-only in the reference: `A < B`
-        # over strings yields NO rows (while min/max over strings work) —
-        # golden 11_types/57_string_lexicographic.iql.
-        if comp.op in ("<", "<=", ">", ">=") and (
-            _is_string_term(comp.left, acc) or _is_string_term(comp.right, acc)
+        # Column-vs-COLUMN ordered comparisons are numeric-only in the
+        # reference: `A < B` over string vars yields NO rows (golden
+        # 11_types/57_string_lexicographic.iql) — the Predicate enum has
+        # no col-vs-col string ordering. Column-vs-LITERAL string ordering
+        # works lexicographically (golden 07_filters/27_string_comparison).
+        if (
+            comp.op in ("<", "<=", ">", ">=")
+            and not isinstance(comp.left, Const)
+            and not isinstance(comp.right, Const)
+            and (_is_string_term(comp.left, acc) or _is_string_term(comp.right, acc))
         ):
             return True, acc.filter(F.lit(False)), bound
         # IQL equality is over dynamically-typed values, not SQL
@@ -375,12 +385,13 @@ def compile_head(body_df: DataFrame, head: Atom, distinct: bool = True) -> DataF
     if ranking:
         return _compile_ranking(body_df, head, group_idx, ranking[0], bound)
 
-    # Aggregates range over body bindings as a BAG: base-fact duplicates
-    # count with multiplicity (sum over +vals[(100,),(100,),(100,)] → 300,
-    # golden 10_edge_cases/141_all_same_value.iql), and derived relations
-    # are already sets by rule materialization — exactly DD's consolidated
-    # multiplicities (code_generator/mod.rs:2414).
-    deduped = body_df
+    # Aggregates range over the SET of body bindings INCLUDING anonymous
+    # wildcard positions (DD consolidates to distinct tuples before reduce,
+    # code_generator/mod.rs:2414): duplicate base facts collapse (golden
+    # 14_aggregations/11_having_filter.iql: four (5,100) orders sum to
+    # 100), while distinct tuples sharing the aggregated value all count
+    # (10_edge_cases/141_all_same_value.iql: sum over (_, V) → 300).
+    deduped = body_df.distinct()
     agg_exprs = []
     for i, t in aggs:
         fn = STANDARD_AGGS.get(t.func)

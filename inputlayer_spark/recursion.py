@@ -156,7 +156,15 @@ def evaluate_scc(
         out: Dict[str, DataFrame] = {}
         for head in scc:
             dfs = [
-                compile_head(compile_body(r.body, resolve, hnsw_resolver), r.head)
+                compile_head(
+                    compile_body(
+                        r.body,
+                        resolve,
+                        hnsw_resolver,
+                        bool_consts_nop=getattr(r, "persistent", False),
+                    ),
+                    r.head,
+                )
                 for r in scc_rules
                 if r.head.relation == head
             ]
@@ -213,7 +221,13 @@ def evaluate_scc(
 
     # initialize from exit rules + base extents (explicit facts / magic seeds)
     for r in exit_rules:
-        df = compile_head(compile_body(r.body, resolve, hnsw_resolver), r.head)
+        df = compile_head(
+            compile_body(
+                r.body, resolve, hnsw_resolver,
+                bool_consts_nop=getattr(r, "persistent", False),
+            ),
+            r.head,
+        )
         prev = acc[r.head.relation]
         acc[r.head.relation] = df if prev is None else prev.unionByName(df).distinct()
     for h in members:
@@ -256,7 +270,13 @@ def evaluate_scc(
                     continue
                 try:
                     df = compile_head(
-                        compile_body(tuple(body), resolve_with(overlay), hnsw_resolver), r.head
+                        compile_body(
+                            tuple(body),
+                            resolve_with(overlay),
+                            hnsw_resolver,
+                            bool_consts_nop=getattr(r, "persistent", False),
+                        ),
+                        r.head,
                     )
                 except _EmptyRelation:
                     continue
