@@ -62,6 +62,9 @@ _SKIP_OUT_MARKERS = (
     "error:",
     "Error:",
     "Cannot insert variable",
+    # expected-rejection scripts compare client error strings; our engine
+    # rejects these too (CompileError) but with its own message
+    "Unsafe rule",
 )
 _SKIP_SRC_MARKERS = ("time_now", "lsh_", "hnsw_", ".agent", ".auth", ".load")
 

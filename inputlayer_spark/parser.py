@@ -141,7 +141,16 @@ def tokenize(src: str) -> list:
 
 def _unescape(s: str) -> str:
     body = s[1:-1]
-    return body.replace(r"\"", '"').replace(r"\\", "\\").replace(r"\n", "\n").replace(r"\t", "\t")
+    # \\ first (via placeholder) so `"path\\to"` yields a literal
+    # backslash rather than double-unescaping into a tab
+    # (golden 35_strings/32_escape_sequences.iql query 4)
+    return (
+        body.replace("\\\\", "\x00")
+        .replace(r"\"", '"')
+        .replace(r"\n", "\n")
+        .replace(r"\t", "\t")
+        .replace("\x00", "\\")
+    )
 
 
 class Parser:
