@@ -399,7 +399,13 @@ def compile_head(body_df: DataFrame, head: Atom, distinct: bool = True) -> DataF
             raise CompileError(f"unknown aggregate {t.func}")
         if len(t.args) != 1:
             raise CompileError(f"{t.func} takes exactly one argument")
-        agg_exprs.append(fn(term_to_column(t.args[0], bound)).alias(f"c{i}"))
+        col = term_to_column(t.args[0], bound)
+        if t.func == "sum" and _is_string_term(t.args[0], deduped):
+            # Value::to_i64 maps non-numeric values to 0, so summing a
+            # string column yields 0, not null
+            # (golden 14_aggregations/94_sum_on_strings.iql)
+            col = F.lit(0)
+        agg_exprs.append(fn(col).alias(f"c{i}"))
     if group_cols:
         out = deduped.groupBy(*group_cols).agg(*agg_exprs)
     else:
