@@ -178,6 +178,36 @@ def evaluate_scc(
         return out
 
     # ---- recursive SCC: semi-naive fixpoint ----
+    # Per-iteration cost is dominated by fixed Spark overheads, not data:
+    # (a) base relations (e.g. the edge table) re-scan their source on
+    # every iteration — cache them once for the loop; (b) tiny deltas
+    # shuffle across the full configured partition count — narrow it for
+    # the loop's joins (a real cluster sizes this by cluster conf; the
+    # fixpoint's deltas are the smallest frames in the system either way).
+    import os as _os
+
+    base_cache: Dict[str, DataFrame] = {}
+    outer_resolve = resolve
+
+    def resolve(name: str) -> DataFrame:  # noqa: F811 — loop-scoped cache
+        if name not in base_cache:
+            base_cache[name] = outer_resolve(name).persist()
+        return base_cache[name]
+
+    spark = None
+    old_shuffle = None
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            _os.environ.get("SPARK_GRAFT_FIXPOINT_SHUFFLE", "4"),
+        )
+    except Exception:
+        spark = None
+
     exit_rules = []
     rec_rules = []
     for r in scc_rules:
@@ -205,19 +235,20 @@ def evaluate_scc(
 
         return _r
 
-    # Pinning strategy: persist()+count instead of localCheckpoint.
-    # A persisted frame becomes an InMemoryRelation leaf in downstream
-    # plans (lineage effectively truncated), and — unlike localCheckpoint
-    # blocks, which only the ContextCleaner frees after a JVM GC — can be
-    # unpersisted deterministically when the fixpoint finishes. Leaked
-    # iteration blocks otherwise degrade every later query in the session.
+    # Pinning strategy: eager localCheckpoint. persist() caches DATA but
+    # leaves the LOGICAL plan intact, so per-iteration plan analysis
+    # (unionByName/anti-join over an acc that references prior iterations)
+    # grows without bound — measured as 10s+ driver-side unionByName calls
+    # by iteration ~8 (faulthandler stack: py4j send_command inside
+    # unionByName). localCheckpoint swaps the plan for a LogicalRDD leaf:
+    # analysis stays O(1) per iteration. Checkpoint blocks are freed by
+    # the ContextCleaner (spark.cleaner.periodicGC.interval=45s,
+    # session.py) rather than deterministically — the lesser evil.
     pinned: List[DataFrame] = []
 
     def pin(df: DataFrame) -> Tuple[DataFrame, int]:
-        df = df.persist()
-        n = df.count()
-        pinned.append(df)
-        return df, n
+        df = df.localCheckpoint(eager=True)
+        return df, df.count()
 
     # initialize from exit rules + base extents (explicit facts / magic seeds)
     for r in exit_rules:
@@ -326,12 +357,13 @@ def evaluate_scc(
     out = {}
     for h in members:
         if acc[h] is not None:
-            # compact: acc is a union over every iteration's pinned delta;
-            # one localCheckpoint gives consumers a flat scan with no
-            # dependency on the pinned blocks, which are freed right after
+            # compact: acc is a lazy union over iteration checkpoints;
+            # one final checkpoint gives consumers a flat scan
             out[h] = acc[h].localCheckpoint(eager=True)
-    for df in pinned:
+    for df in base_cache.values():
         df.unpersist()
+    if spark is not None and old_shuffle is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     return out
 
 
