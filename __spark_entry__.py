@@ -153,7 +153,11 @@ def q_agg_pricing_summary(spark, sf_dir):
         F.col("LS").alias("l_linestatus"),
         F.col("SQ").alias("sum_qty"),
         F.col("SE").alias("sum_price"),
-        F.col("AD").alias("avg_disc"),
+        # Report avg at float32 precision: double avg is order-dependent in
+        # the last ulp (Spark merges per-partition partials; the oracle sums
+        # sequentially), and double->float is IEEE round-nearest-even in
+        # both engines, so the comparison becomes deterministic.
+        F.col("AD").cast("float").alias("avg_disc"),
         F.col("N").alias("n_rows"),
     )
 
@@ -534,8 +538,10 @@ def q_time_decay_sum(spark, sf_dir):
     now = ev.agg(F.max("__ts_ms")).collect()[0][0]
     day = 86400 * 1000
     w = TP.time_decay(F.col("__ts_ms"), F.lit(now), F.lit(day))
+    # float32 report: double sums are order-dependent in the last ulp
+    # (partition-merge order), float32 rounding makes the compare stable.
     return ev.groupBy("event_type").agg(
-        F.sum(w).alias("decayed_weight"), F.count("*").alias("n")
+        F.sum(w).cast("float").alias("decayed_weight"), F.count("*").alias("n")
     )
 
 
@@ -808,8 +814,10 @@ def oracle_sql() -> dict[str, str]:
         # IQL `sum<X>` casts each value to i64 (truncate-toward-zero,
         # saturating — reference value/mod.rs:353 to_i64) and sums; the
         # oracle mirrors that documented semantics.
+        # DuckDB sum(BIGINT) widens to HUGEINT (-> float64 in pandas) while
+        # Spark keeps int64; cast back so both sides hash as integers.
         "threeway_join_arith": (
-            "SELECT c_custkey, sum(CAST(TRUNC(r) AS BIGINT)) AS revenue, "
+            "SELECT c_custkey, CAST(sum(CAST(TRUNC(r) AS BIGINT)) AS BIGINT) AS revenue, "
             "count(*) AS n_items FROM ("
             "  SELECT DISTINCT c.c_custkey, o.o_orderkey, l.l_linenumber, "
             "         l.l_extendedprice, l.l_discount, "
@@ -830,9 +838,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "agg_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
-            "sum(CAST(TRUNC(l_quantity) AS BIGINT)) AS sum_qty, "
-            "sum(CAST(TRUNC(l_extendedprice) AS BIGINT)) AS sum_price, "
-            "avg(l_discount) AS avg_disc, "
+            "CAST(sum(CAST(TRUNC(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(TRUNC(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price, "
+            "CAST(avg(l_discount) AS REAL) AS avg_disc, "
             "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "count_distinct": (
@@ -974,9 +982,9 @@ def oracle_sql() -> dict[str, str]:
         "time_decay_sum": (
             "WITH n AS (SELECT max(epoch_ms(ts)) AS now FROM events) "
             "SELECT event_type, "
-            "sum(CASE WHEN now - epoch_ms(ts) <= 0 THEN 1.0 "
+            "CAST(sum(CASE WHEN now - epoch_ms(ts) <= 0 THEN 1.0 "
             "    ELSE power(0.5, (now - epoch_ms(ts))::DOUBLE / 86400000.0) END) "
-            "  AS decayed_weight, "
+            "  AS REAL) AS decayed_weight, "
             "count(*) AS n FROM events, n GROUP BY event_type"
         ),
         "interval_overlaps": (
