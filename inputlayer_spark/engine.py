@@ -216,6 +216,29 @@ class IQLEngine:
         pending.clear()
 
     def _insert_rows(self, rel: str, rows: List[tuple]) -> None:
+        # Arity enforcement mirrors the reference storage engine
+        # (src/storage_engine/mod.rs:444-466): a batch must be
+        # arity-consistent, and must match any existing extent or declared
+        # schema — silent truncation is a data-loss bug.
+        if rows:
+            new_arity = len(rows[0])
+            for r in rows:
+                if len(r) != new_arity:
+                    raise CompileError(
+                        f"Arity mismatch in insert batch: expected {new_arity}, "
+                        f"got {len(r)}"
+                    )
+            existing_arity = None
+            if rel in self.current.schemas:
+                existing_arity = len(self.current.schemas[rel].fields)
+            elif rel in self.current.relations:
+                existing_arity = len(self.current.relations[rel].columns)
+            if existing_arity is not None and existing_arity != new_arity:
+                raise CompileError(
+                    f"Arity mismatch for relation '{rel}': existing arity is "
+                    f"{existing_arity}, but trying to insert tuples with arity "
+                    f"{new_arity}"
+                )
         schema = self.current.schemas.get(rel)
         if schema is None:
             schema = _infer_schema(rows)
@@ -698,6 +721,14 @@ class IQLEngine:
                 )
                 if n_rec > 1:
                     return None
+        # A recursive predicate can ALSO have explicit base facts
+        # (+reach(7,99) alongside TC rules) or session-fact overlays. The
+        # rewritten program's base_of only feeds the seed relation, so the
+        # adorned relation would never see that base extent — fall back to
+        # full evaluation + goal filter, which unions base facts correctly.
+        for m in scc_members:
+            if m in self.current.relations or m in self.session_facts:
+                return None
         rw = magic_rewrite(goal, rules, scc)
         if rw is None:
             return None
@@ -807,6 +838,12 @@ class IQLEngine:
                 self.kgs.pop(args[1], None)
                 if self.current.name == args[1]:
                     self.current = self.kgs.setdefault("default", KnowledgeGraph("default"))
+                    # dropping the current KG is a namespace switch like
+                    # `kg use`: stale derivations and session overlays from
+                    # the dropped KG must not leak into the new current KG
+                    self.session_rules.clear()
+                    self.session_facts.clear()
+                    self._derived_cache.clear()
             elif sub in ("list", "show"):
                 rows = [(name, name == self.current.name) for name in sorted(self.kgs)]
                 return self.spark.createDataFrame(rows, schema="name string, current boolean")

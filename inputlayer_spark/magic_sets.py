@@ -346,6 +346,9 @@ def _rewrite_rule(
     work.extend(enqueue)
 
     head = Atom(_adorned(r.head.relation, ad), r.head.terms)
-    out = [Rule(head, tuple(new_body), persistent=False)]
+    # Propagate the source rule's persistence: compile_body applies
+    # boolean-constant no-op semantics only to persistent rules, and the
+    # magic fast path must filter identically to full evaluation.
+    out = [Rule(head, tuple(new_body), persistent=getattr(r, "persistent", False))]
     out.extend(magic_rules)
     return out

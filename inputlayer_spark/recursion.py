@@ -179,13 +179,11 @@ def evaluate_scc(
 
     # ---- recursive SCC: semi-naive fixpoint ----
     # Per-iteration cost is dominated by fixed Spark overheads, not data:
-    # (a) base relations (e.g. the edge table) re-scan their source on
-    # every iteration — cache them once for the loop; (b) tiny deltas
-    # shuffle across the full configured partition count — narrow it for
-    # the loop's joins (a real cluster sizes this by cluster conf; the
-    # fixpoint's deltas are the smallest frames in the system either way).
-    import os as _os
-
+    # base relations (e.g. the edge table) re-scan their source on every
+    # iteration — cache them once for the loop. Tiny-delta shuffle fan-out
+    # is handled by AQE partition coalescing (parallelismFirst=false,
+    # session.py) instead of mutating the session-wide shuffle-partition
+    # conf, which raced with concurrent queries on a shared SparkSession.
     base_cache: Dict[str, DataFrame] = {}
     outer_resolve = resolve
 
@@ -194,20 +192,25 @@ def evaluate_scc(
             base_cache[name] = outer_resolve(name).persist()
         return base_cache[name]
 
-    spark = None
-    old_shuffle = None
     try:
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.getActiveSession()
-        old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            _os.environ.get("SPARK_GRAFT_FIXPOINT_SHUFFLE", "4"),
+        return _seminaive_fixpoint(
+            scc_rules, members, resolve, hnsw_resolver, base_extent, max_iterations
         )
-    except Exception:
-        spark = None
+    finally:
+        # unpersist on every exit path (incl. non-convergence / compile
+        # errors) so cached base frames don't leak into later queries
+        for df in base_cache.values():
+            df.unpersist()
 
+
+def _seminaive_fixpoint(
+    scc_rules,
+    members,
+    resolve,
+    hnsw_resolver,
+    base_extent,
+    max_iterations,
+) -> Dict[str, DataFrame]:
     exit_rules = []
     rec_rules = []
     for r in scc_rules:
@@ -360,10 +363,6 @@ def evaluate_scc(
             # compact: acc is a lazy union over iteration checkpoints;
             # one final checkpoint gives consumers a flat scan
             out[h] = acc[h].localCheckpoint(eager=True)
-    for df in base_cache.values():
-        df.unpersist()
-    if spark is not None and old_shuffle is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     return out
 
 

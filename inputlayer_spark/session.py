@@ -17,6 +17,13 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce small shuffles to their data size, not default parallelism:
+    # fixpoint deltas are the smallest frames in the system and would
+    # otherwise fan out to 32 near-empty tasks per iteration. This replaces
+    # the (thread-unsafe) per-query shuffle.partitions mutation the
+    # fixpoint used to do.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -69,6 +76,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, "true")
         except Exception:
             pass
+    try:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+    except Exception:
+        pass
     try:
         spark.conf.set("spark.sql.ansi.enabled", "false")
     except Exception:

@@ -345,3 +345,28 @@ def test_shortest_path_min_agg(engine):
         """
     )
     assert rows(df) == [(1, 3, 2.0)]
+
+
+def test_arity_mismatch_insert_rejected(engine):
+    engine.execute("+r(1, 2)")
+    with pytest.raises(Exception, match="Arity mismatch for relation 'r'"):
+        engine.execute("+r(3, 4, 5)")
+    # original extent intact, nothing truncated in
+    assert sorted(tuple(x) for x in engine.query("?r(X, Y)").collect()) == [(1, 2)]
+
+
+def test_arity_mismatch_within_batch_rejected(engine):
+    with pytest.raises(Exception, match="Arity mismatch in insert batch"):
+        engine.execute("+s[(1, 2), (3, 4, 5)]")
+
+
+def test_kg_drop_current_clears_overlays_and_cache(engine):
+    engine.execute(".kg create tmp")
+    engine.execute(".kg use tmp")
+    engine.execute("+base(1)\n+v(X) <- base(X)")
+    assert engine.query("?v(X)").count() == 1
+    engine.add_session_fact("sf", 42)
+    engine.execute(".kg drop tmp")
+    assert not engine.session_facts
+    assert not engine.session_rules
+    assert not engine._derived_cache

@@ -96,3 +96,27 @@ def test_magic_with_filter_rule(spark):
 def test_second_arg_bound(graph_engine):
     rows = sorted(tuple(r) for r in graph_engine.query("?reach(X, 3)").collect())
     assert rows == [(0, 3), (1, 3), (2, 3)]
+
+
+def test_base_facts_of_recursive_predicate_visible_in_bound_query(spark):
+    """A recursive predicate can also have explicit base facts; the
+    magic-sets fast path must not lose them (reference unions
+    input_tuples with derivations, src/lib.rs:507-512)."""
+    eng = IQLEngine(spark)
+    eng.execute("+edge[(1, 2), (2, 3)]")
+    eng.execute("+reach(7, 99)")
+    eng.execute("+reach(X, Y) <- edge(X, Y)\n+reach(X, Z) <- reach(X, Y), edge(Y, Z)")
+    rows = sorted(tuple(r) for r in eng.query("?reach(7, Y)").collect())
+    assert rows == [(7, 99)]
+    # and the unbound query still sees everything
+    allrows = sorted(tuple(r) for r in eng.query("?reach(X, Y)").collect())
+    assert (7, 99) in allrows and (1, 3) in allrows
+
+
+def test_session_facts_of_recursive_predicate_visible_in_bound_query(spark):
+    eng = IQLEngine(spark)
+    eng.execute("+edge[(1, 2), (2, 3)]")
+    eng.execute("+reach(X, Y) <- edge(X, Y)\n+reach(X, Z) <- reach(X, Y), edge(Y, Z)")
+    eng.add_session_fact("reach", 8, 77)
+    rows = sorted(tuple(r) for r in eng.query("?reach(8, Y)").collect())
+    assert rows == [(8, 77)]
