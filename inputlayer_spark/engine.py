@@ -46,8 +46,13 @@ from inputlayer_spark.compiler import (
     term_to_column,
 )
 from inputlayer_spark.parser import parse_program
-from inputlayer_spark.magic_sets import magic_rewrite
+from inputlayer_spark.magic_sets import (
+    magic_rewrite,
+    seeded_tc_closure,
+    tc_bfs_shape,
+)
 from inputlayer_spark.recursion import condensation, evaluate_scc, is_recursive_scc
+from inputlayer_spark.session import small_local_df
 
 _TYPE_MAP = {
     "int": T.LongType(),
@@ -248,10 +253,13 @@ class IQLEngine:
                 # 11_types/18_mixed_numeric_types.iql).
                 schema = _widen_schema(self.current.relations[rel].schema, schema)
         rows = [_coerce_row(r, schema) for r in rows]
-        # literal facts are tiny: one partition, not defaultParallelism —
-        # otherwise a 3-way cross join of 3 literal relations fans out to
-        # 32^3 empty tasks (cartesian partition counts multiply)
-        df = self.spark.createDataFrame(rows, schema=schema).coalesce(1)
+        # Literal-fact frames are pinned JVM-side (small_local_df): a
+        # Python-list LocalRelation re-pays ~1.3s of serialization +
+        # planning on EVERY downstream action; a checkpointed
+        # single-partition RDD leaf costs ~0.15s. Fact relations are read
+        # many times per script — one eager job at insert time buys back
+        # an order of magnitude on every query.
+        df = small_local_df(self.spark, rows, schema)
         if rel in self.current.relations:
             old = self.current.relations[rel]
             if [f.dataType for f in old.schema.fields] != [
@@ -263,6 +271,7 @@ class IQLEngine:
                         for i, c in enumerate(old.columns)
                     ]
                 )
+            # both sides are pinned leaves; the union scans them directly
             df = old.unionByName(df.toDF(*old.columns))
         self.current.relations[rel] = df
         self.current.empty_relations.discard(rel)
@@ -729,6 +738,24 @@ class IQLEngine:
         for m in scc_members:
             if m in self.current.relations or m in self.session_facts:
                 return None
+
+        # pure binary-TC shape: run the blocked-doubling seeded BFS
+        # directly (log-ish Spark jobs on deep chains) instead of the
+        # generic adorned program (one job per hop)
+        shape = tc_bfs_shape(goal, rules, scc_members)
+        if shape is not None:
+            edge_rel, forward, seed_val, _other = shape
+            derived = self._materialize_for({edge_rel})
+            edge_df = self._resolver(derived)(edge_rel)
+            out = seeded_tc_closure(edge_df, seed_val, forward)
+            if not forward:
+                # closure returns (seed, reached); ?p(X, const) wants
+                # (reached, seed) positionally
+                out = out.select(
+                    out["c1"].alias("c0"), out["c0"].alias("c1")
+                )
+            return out
+
         rw = magic_rewrite(goal, rules, scc)
         if rw is None:
             return None

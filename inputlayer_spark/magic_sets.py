@@ -127,6 +127,176 @@ def magic_rewrite(
     return _rewrite_with_adornment(goal, ad, rules, members, scc_rules)
 
 
+def tc_bfs_shape(
+    goal: Atom, rules: Sequence[Rule], members: Set[str]
+) -> Optional[Tuple[str, bool, object, object]]:
+    """Recognize a bound goal over the pure binary-TC shape
+    (`p(A,B) <- e(A,B); p(A,C) <- e(A,B), p(B,C)` in either linearity —
+    both compute e+). Returns (edge_rel, forward, seed_const,
+    other_const_or_None): forward=True when the FIRST goal arg is bound
+    (BFS over e from the seed), False when only the second is (BFS over
+    reversed e). The caller runs `seeded_tc_closure` instead of the
+    generic magic program — same demand restriction, log-ish jobs.
+    """
+    if len(goal.terms) != 2 or len(members) != 1:
+        return None
+    pred = goal.relation
+    consts = [t.value if isinstance(t, Const) else None for t in goal.terms]
+    if all(c is None for c in consts):
+        return None
+    if any(isinstance(t, VecLit) for t in goal.terms):
+        return None
+    # repeated var ?p(X, X) is not a plain closure filter
+    vs = [t.name for t in goal.terms if isinstance(t, Var) and not t.is_wildcard]
+    if len(vs) != len(set(vs)):
+        return None
+    ad = "".join("b" if c is not None else "f" for c in consts)
+    flipped = _flip_tc_linearity(pred, ad, rules, members)
+    if flipped is None:
+        return None
+    # _flip_tc_linearity validated the exact two-rule TC shape; pull the
+    # edge relation from the (unchanged) exit rule
+    exit_rule = next(
+        r
+        for r in flipped
+        if r.head.relation == pred
+        and not any(
+            isinstance(l, Atom) and l.relation == pred for l in r.body
+        )
+    )
+    edge_rel = exit_rule.body[0].relation
+    if ad == "bb":
+        return edge_rel, True, consts[0], consts[1]
+    if ad == "bf":
+        return edge_rel, True, consts[0], None
+    return edge_rel, False, consts[1], None
+
+
+def seeded_tc_closure(
+    edge_df,
+    seed_value,
+    forward: bool = True,
+    growth_cap: int = 32,
+):
+    """Single-source reachability over `edge_df` (2 columns) by blocked
+    path doubling: square the step relation while it stays under
+    `growth_cap`x the edge count (on a path-like graph S^(<=2^k) grows
+    linearly, so squaring is cheap and each BFS job then advances up to
+    2^k hops), then frontier-BFS with the widened step. Deep chains take
+    O(log depth + depth/2^k) jobs instead of O(depth); dense graphs stop
+    squaring immediately and degrade to plain BFS, whose iteration count
+    (the diameter) is small for them anyway.
+
+    Returns a DataFrame (c0, c1) of (seed, reached) pairs — the adorned
+    goal relation of the magic rewrite, reachable-in->=1-hop semantics.
+    """
+    from pyspark.sql import functions as F
+
+    from pyspark.sql import types as T
+
+    cols = edge_df.columns
+    e_raw = edge_df.select(
+        edge_df[cols[0]].alias("s") if forward else edge_df[cols[1]].alias("s"),
+        edge_df[cols[1]].alias("t") if forward else edge_df[cols[0]].alias("t"),
+    )
+    spark = edge_df.sparkSession
+    empty = e_raw.select(
+        e_raw["s"].alias("c0"), e_raw["t"].alias("c1")
+    ).filter(F.lit(False))
+
+    # small graphs: pull the edge list straight into the driver (one
+    # limit-pushdown job) and BFS in Python — the broadcast-threshold
+    # principle. Distributed blocked doubling below is the 100TB path.
+    from inputlayer_spark.recursion import _local_fixpoint_max, _norm_key
+    from inputlayer_spark.session import small_local_df
+
+    lmax = _local_fixpoint_max()
+    head_rows = e_raw.limit(lmax + 1).collect()
+    if len(head_rows) <= lmax:
+        adj = {}
+        for r in head_rows:
+            s, t = r[0], r[1]
+            if s is None or t is None:
+                continue
+            adj.setdefault(_norm_key((s,))[0], []).append(t)
+        visited_local = set()
+        frontier_local = adj.get(_norm_key((seed_value,))[0], [])
+        while frontier_local:
+            nxt = []
+            for v in frontier_local:
+                key = _norm_key((v,))[0]
+                if key in visited_local:
+                    continue
+                visited_local.add(key)
+                nxt.extend(adj.get(key, ()))
+            frontier_local = nxt
+        if not visited_local:
+            return empty
+        seed_out = seed_value
+        if isinstance(e_raw.schema["s"].dataType, T.DoubleType) and isinstance(
+            seed_out, int
+        ):
+            seed_out = float(seed_out)
+        out_rows = [
+            (seed_out, (float("nan") if v == "__nan__" else v))
+            for v in visited_local
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("c0", e_raw.schema["s"].dataType, True),
+                T.StructField("c1", e_raw.schema["t"].dataType, True),
+            ]
+        )
+        return small_local_df(spark, out_rows, schema)
+
+    e = e_raw.distinct().localCheckpoint(eager=True)
+    n_e = e.count()
+    seed_lit = F.lit(seed_value).cast(e.schema["s"].dataType)
+    if n_e == 0:
+        return empty
+
+    def compose(sdf):
+        a, b = sdf.alias("__bd_l"), sdf.alias("__bd_r")
+        return a.join(
+            b, F.col("__bd_l.t") == F.col("__bd_r.s"), "inner"
+        ).select(F.col("__bd_l.s"), F.col("__bd_r.t"))
+
+    step, n_step = e, n_e
+    for _ in range(16):
+        widened = step.unionByName(compose(step)).distinct().localCheckpoint(
+            eager=True
+        )
+        n_w = widened.count()
+        if n_w == n_step:
+            # closure reached outright — the seed filter is a lookup
+            return widened.filter(widened["s"] == seed_lit).select(
+                widened["s"].alias("c0"), widened["t"].alias("c1")
+            )
+        if n_w > growth_cap * n_e:
+            break  # squaring stopped paying; BFS with what we have
+        step, n_step = widened, n_w
+
+    visited = None
+    frontier = e.select("s").filter(e["s"] == seed_lit).distinct()
+    while True:
+        f, st = frontier.alias("__bfs_f"), step.alias("__bfs_s")
+        hop = (
+            f.join(st, F.col("__bfs_f.s") == F.col("__bfs_s.s"), "inner")
+            .select(F.col("__bfs_s.t").alias("s"))
+            .distinct()
+        )
+        if visited is not None:
+            hop = hop.join(visited, on="s", how="left_anti")
+        hop = hop.localCheckpoint(eager=True)
+        if hop.count() == 0:
+            break
+        visited = hop if visited is None else visited.unionByName(hop)
+        frontier = hop
+    if visited is None:
+        return empty
+    return visited.select(seed_lit.alias("c0"), F.col("s").alias("c1"))
+
+
 def _flip_tc_linearity(
     pred: str, ad: str, rules: Sequence[Rule], members: Set[str]
 ) -> Optional[List[Rule]]:
