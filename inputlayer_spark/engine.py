@@ -712,6 +712,40 @@ class IQLEngine:
             # non-recursive views are lazy DataFrames: Catalyst pushes the
             # goal's constant filters down on its own — no rewrite needed
             return None
+        if len(scc) > 1:
+            # mutual SCCs follow the reference's pinned quirk semantics
+            # (evaluate_scc: persistent → empty, session → mates dropped);
+            # the magic rewrite would run a joint fixpoint — fall back
+            return None
+        scc_rules = [r for r in rules if r.head.relation == goal.relation]
+        has_exit = any(
+            not any(
+                isinstance(lit, Atom)
+                and not lit.negated
+                and lit.relation == goal.relation
+                for lit in r.body
+            )
+            for r in scc_rules
+        )
+        if all(getattr(r, "persistent", False) for r in scc_rules) and not has_exit:
+            # Bound query over persistent recursion with no non-recursive
+            # exit rule: the reference's magic-sets path has no seeds (it
+            # never seeds from base facts) → empty result, even when base
+            # facts exist (golden 09_recursion/56_all_paths.iql; the
+            # unbound query over the same program returns the fixpoint,
+            # 41_level_tracking.iql).
+            base = self._base_of(goal.relation)
+            if base is not None:
+                return base.limit(0).toDF(
+                    *[f"c{i}" for i in range(len(base.columns))]
+                )
+            arity = len(goal.terms)
+            return self.spark.createDataFrame(
+                [],
+                schema=T.StructType(
+                    [T.StructField(f"c{i}", T.StringType()) for i in range(arity)]
+                ),
+            )
         # Magic sets here only handle LINEAR recursion (one recursive atom
         # per body — the reference's bound-TC fast path is linear too,
         # code_generator/mod.rs:834). Non-linear rules (e.g. symmetric

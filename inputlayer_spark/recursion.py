@@ -152,6 +152,63 @@ def evaluate_scc(
         # positional rename to the compiler's c0..cn convention
         return df.toDF(*[f"c{i}" for i in range(len(df.columns))])
 
+    # ---- reference recursion quirks (golden-pinned) --------------------
+    # The reference's *persistent*-rule recursion only evaluates SCCs that
+    # have a non-recursive exit rule, and never runs a joint fixpoint over
+    # a multi-predicate (mutual) SCC:
+    #   (A) persistent mutual SCC → every member empty
+    #       (examples/iql/09_recursion/08_mutual_recursion.iql,
+    #        09_three_way_mutual.iql: even/odd rules print "No results.")
+    #   (B) session-rule mutual SCC → each member is evaluated on its own
+    #       with branches that reference an SCC mate dropped — no joint
+    #       fixpoint (15_mutual_one_branch_empty.iql: a_derived stays
+    #       {1,2,3} even once b_derived={10,20})
+    #   (C) BOUND query over a persistent self-recursive predicate with no
+    #       non-recursive exit rule → empty (the reference's magic-sets
+    #       path never seeds from base facts: 56_all_paths.iql's
+    #       ?reachable("s",End,D) → empty, while the unbound
+    #       ?level(Node,Depth) of 41_level_tracking.iql returns the full
+    #       fixpoint incl. the base fact) — handled in _try_magic
+    if len(scc) > 1:
+        if all(getattr(r, "persistent", False) for r in scc_rules):
+            out = {}
+            for head in scc:
+                base = base_extent(head)
+                if base is not None:
+                    out[head] = base.limit(0)
+            return out  # members absent from `out` resolve as empty
+        out = {}
+        for head in scc:
+            kept = [
+                r
+                for r in scc_rules
+                if r.head.relation == head
+                and not any(
+                    isinstance(lit, Atom)
+                    and lit.relation in members
+                    and lit.relation != head
+                    for lit in r.body
+                )
+            ]
+            if kept:
+                out.update(
+                    evaluate_scc(
+                        [head], kept, resolve, hnsw_resolver,
+                        max_iterations, base_of,
+                    )
+                )
+            else:
+                base = base_extent(head)
+                if base is not None:
+                    out[head] = base.limit(0)
+        return out
+    # Quirk (C) — persistent self-recursion with no exit rule returns
+    # empty ONLY for bound queries (the reference's magic-sets path does
+    # not seed from base facts); unbound queries run the full fixpoint
+    # with base-fact seeds (41_level_tracking, 38_fibonacci_like). The
+    # bound case is handled in IQLEngine._try_magic.
+    # --------------------------------------------------------------------
+
     if not is_recursive_scc(scc, rules):
         out: Dict[str, DataFrame] = {}
         for head in scc:

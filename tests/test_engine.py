@@ -370,3 +370,44 @@ def test_kg_drop_current_clears_overlays_and_cache(engine):
     assert not engine.session_facts
     assert not engine.session_rules
     assert not engine._derived_cache
+
+
+def test_persistent_mutual_recursion_empty_quirk(engine):
+    # Reference pins persistent mutual SCCs to empty
+    # (examples/iql/09_recursion/08_mutual_recursion.iql)
+    engine.execute("+base_even[(0)]")
+    engine.execute("+succ[(0, 1), (1, 2), (2, 3)]")
+    engine.execute("+is_even(N) <- base_even(N)")
+    engine.execute("+is_even(N) <- succ(M, N), is_odd(M)")
+    engine.execute("+is_odd(N) <- succ(M, N), is_even(M)")
+    assert rows(engine.query("?is_even(X)")) == []
+    assert rows(engine.query("?is_odd(X)")) == []
+
+
+def test_session_mutual_recursion_drops_mate_branches(engine):
+    # Session-rule mutual SCCs evaluate each member with mate-referencing
+    # branches dropped (examples/iql/09_recursion/15_mutual_one_branch_empty.iql)
+    engine.execute("+a_base[(1), (2), (3)]")
+    engine.execute("+b_base[(10), (20)]")
+    engine.execute("a_derived(X) <- a_base(X)")
+    engine.execute("a_derived(X) <- b_derived(X)")
+    engine.execute("b_derived(X) <- b_base(X)")
+    engine.execute("b_derived(X) <- a_derived(X), X > 10")
+    assert rows(engine.query("?a_derived(X)")) == [(1,), (2,), (3,)]
+    assert rows(engine.query("?b_derived(X)")) == [(10,), (20,)]
+
+
+def test_bound_query_no_exit_rule_empty_quirk(engine):
+    # Bound queries over persistent recursion with no non-recursive exit
+    # rule are empty — the reference magic path never seeds from base
+    # facts (09_recursion/56_all_paths.iql); unbound queries DO include
+    # base-fact seeds (41_level_tracking.iql).
+    engine.execute('+edge[("s", "a"), ("a", "t")]')
+    engine.execute('+reachable("s", "s", 0)')
+    engine.execute(
+        "+reachable(S, E, D) <- reachable(S, M, D1), edge(M, E), D = D1 + 1, D < 5"
+    )
+    assert rows(engine.query('?reachable("s", End, D)')) == []
+    # unbound: full fixpoint seeded by the base fact
+    got = rows(engine.query("?reachable(S, E, D)"))
+    assert ("s", "s", 0) in got and ("s", "a", 1) in got and ("s", "t", 2) in got
