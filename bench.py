@@ -50,8 +50,14 @@ def main() -> None:
         "exact_dedup",
     ]
 
-    # warmup: JVM + parquet footer caches, one tiny action
-    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+    # warmup: JVM codegen + parquet file-listing/footer caches for every
+    # table the bench touches, so the first timed query measures its plan
+    # rather than session startup (VERDICT r1: bench hygiene)
+    for t in (
+        "nation", "customer", "orders", "lineitem",
+        "events", "documents", "embeddings",
+    ):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     for name in bench_names:
