@@ -223,7 +223,8 @@ def q_string_funcs(spark, sf_dir):
         """
         +pstr(K, U, L, S, N, C) <- part(K, Name, Brand, _, _, _),
             U = upper(Name), L = lower(Brand), S = substr(Name, 0, 5),
-            N = len(Name), C = concat(Brand, "-", replace(Name, " ", "_"))
+            N = len(Name), R = replace(Name, " ", "_"),
+            C = concat(Brand, "-", R)
         ?pstr(K, U, L, S, N, C)
         """
     )

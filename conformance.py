@@ -44,8 +44,10 @@ SUPPORTED_CATEGORIES = [
     "09_recursion",
     "10_edge_cases",
     "11_types",
+    "12_errors",
     "14_aggregations",
     "15_arithmetic",
+    "18_advanced_patterns",
     "21_query_features",
     "22_set_operations",
     "25_unified_prefix",
@@ -204,7 +206,126 @@ def _rows_match(expected: List[Tuple], actual: List[Tuple]) -> bool:
     return True
 
 
+# Expected-error response classifier: the reference client/server reports
+# these as error strings; our engine raises. Statement-wise replay asserts
+# raise-vs-success parity, not message text.
+_ERROR_RESP_RE = re.compile(
+    r"^(Parse error|Failed to register|Cannot insert|Query execution failed"
+    r"|Conflicting aggregation|Index error|Arity mismatch|Error\b|error\b"
+    r"|Unsupported|Unsafe|Unknown|Insert rejected|Delete error)"
+)
+
+
+def _parse_response_block(resp: List[str]) -> Optional[QueryExpectation]:
+    """Response lines of one `?query` echo → expectation, or None if the
+    block is not a result (e.g. a meta acknowledgment)."""
+    j = 0
+    while j < len(resp) and resp[j].strip() == "":
+        j += 1
+    if j < len(resp) and resp[j].startswith("No results"):
+        return QueryExpectation(columns=[], rows=[], no_results=True)
+    if j < len(resp) and resp[j].startswith("┌"):
+        header = [c.strip() for c in resp[j + 1].strip().strip("│").split("│")]
+        rows: List[Tuple] = []
+        k = j + 3  # skip ├───┤
+        while k < len(resp) and resp[k].startswith("│"):
+            cells = [c for c in resp[k].strip().strip("│").split("│")]
+            rows.append(tuple(_norm_cell(c) for c in cells))
+            k += 1
+        return QueryExpectation(columns=header, rows=rows)
+    return None
+
+
+def run_script_stmtwise(spark, iql_path: str, out_path: str) -> ScriptResult:
+    """Replay the golden transcript statement by statement, using the
+    client's own `> ` echoes (the reference client splits statements per
+    line, so this reproduces even 'mangled' multi-line scripts and their
+    expected parse errors)."""
+    from inputlayer_spark.engine import IQLEngine
+
+    golden = open(out_path).read()
+    src = open(iql_path).read()
+    for marker in _SKIP_SRC_MARKERS:
+        if marker in src:
+            return ScriptResult(iql_path, "skip", f"script uses {marker}")
+
+    blocks: List[Tuple[str, List[str]]] = []
+    cur: Optional[List[str]] = None
+    for line in golden.split("\n"):
+        if line.startswith("> "):
+            cur = []
+            blocks.append((line[2:], cur))
+        elif cur is not None:
+            cur.append(line)
+
+    eng = IQLEngine(spark)
+    for si, (stmt, resp) in enumerate(blocks):
+        first = next((x for x in resp if x.strip()), "")
+        expect_error = bool(_ERROR_RESP_RE.match(first))
+        is_query = stmt.lstrip().startswith("?")
+        try:
+            dfs = eng.execute(stmt)
+            kinds = getattr(eng, "last_result_kinds", None) or []
+        except Exception as exc:
+            if expect_error:
+                continue
+            return ScriptResult(
+                iql_path,
+                "fail",
+                f"stmt {si} `{stmt[:60]}`: unexpected {type(exc).__name__}: "
+                f"{str(exc)[:120]}",
+            )
+        if expect_error:
+            return ScriptResult(
+                iql_path,
+                "fail",
+                f"stmt {si} `{stmt[:60]}`: expected error "
+                f"`{first[:60]}`, got success",
+            )
+        if not is_query:
+            continue
+        exp = _parse_response_block(resp)
+        if exp is None:
+            continue
+        qdfs = [d for d, k in zip(dfs, kinds) if k == "query"]
+        if not qdfs:
+            return ScriptResult(
+                iql_path, "fail", f"stmt {si} `{stmt[:60]}`: no result produced"
+            )
+        try:
+            rows = [tuple(r) for r in qdfs[-1].collect()]
+        except Exception as exc:
+            return ScriptResult(
+                iql_path,
+                "fail",
+                f"stmt {si} `{stmt[:60]}`: collect failed: {str(exc)[:120]}",
+            )
+        if exp.no_results:
+            if rows:
+                return ScriptResult(
+                    iql_path,
+                    "fail",
+                    f"stmt {si} `{stmt[:60]}`: expected empty, got {len(rows)}",
+                )
+            continue
+        if not _rows_match(exp.rows, rows):
+            return ScriptResult(
+                iql_path,
+                "fail",
+                f"stmt {si} `{stmt[:60]}`: expected {exp.rows[:3]}..., "
+                f"got {rows[:3]}...",
+            )
+    return ScriptResult(iql_path, "pass")
+
+
 def run_script(spark, iql_path: str, out_path: str) -> ScriptResult:
+    """Statement-wise replay is the universal mode (it reproduces client
+    line-splitting, expected errors, and per-statement state); the legacy
+    whole-program comparator below remains for debugging."""
+    return run_script_stmtwise(spark, iql_path, out_path)
+
+
+def run_script_wholeprog(spark, iql_path: str, out_path: str) -> ScriptResult:
     from inputlayer_spark.ast_nodes import Query
     from inputlayer_spark.engine import IQLEngine
     from inputlayer_spark.parser import parse_program

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import itertools
 from functools import reduce
-from typing import Callable, Dict, List, Optional, Sequence, Set
+from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -208,6 +208,33 @@ def compile_body(
     negated = [l for l in body if isinstance(l, Atom) and l.negated]
     comps = [l for l in body if isinstance(l, Comparison)]
     hnsws = [l for l in body if isinstance(l, HnswNearest)]
+
+    # Reference quirk: wildcards at the SAME argument position of the SAME
+    # relation across different positive atoms denote ONE shared variable
+    # (18_advanced_patterns/30_self_comparison.iql: scores(_,N1,S1),
+    # scores(_,N2,S2) joins on the hidden id → ties only; 25_running_total:
+    # transactions(Id,_),transactions(OtherId,_) joins on amount). Within a
+    # single atom, wildcards stay independent.
+    wshare: Dict[Tuple[str, int], int] = {}
+    for a in atoms:
+        for i, t in enumerate(a.terms):
+            if isinstance(t, Var) and t.is_wildcard:
+                wshare[(a.relation, i)] = wshare.get((a.relation, i), 0) + 1
+    if any(n >= 2 for n in wshare.values()):
+        atoms = [
+            Atom(
+                a.relation,
+                tuple(
+                    Var(f"_ws_{a.relation}_{i}")
+                    if isinstance(t, Var)
+                    and t.is_wildcard
+                    and wshare[(a.relation, i)] >= 2
+                    else t
+                    for i, t in enumerate(a.terms)
+                ),
+            )
+            for a in atoms
+        ]
 
     acc: Optional[DataFrame] = None
     for atom in atoms:

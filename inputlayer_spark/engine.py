@@ -51,7 +51,12 @@ from inputlayer_spark.magic_sets import (
     seeded_tc_closure,
     tc_bfs_shape,
 )
-from inputlayer_spark.recursion import condensation, evaluate_scc, is_recursive_scc
+from inputlayer_spark.recursion import (
+    StratificationError,
+    condensation,
+    evaluate_scc,
+    is_recursive_scc,
+)
 from inputlayer_spark.session import small_local_df
 
 _TYPE_MAP = {
@@ -221,6 +226,15 @@ class IQLEngine:
         pending.clear()
 
     def _insert_rows(self, rel: str, rows: List[tuple]) -> None:
+        # Inserting into a relation that has rules is rejected — it is a
+        # view (golden 12_errors/21_insert_into_view_error.iql). Facts
+        # inserted BEFORE rules are registered stay valid base extents.
+        if any(r.head.relation == rel for r in self._all_rules()):
+            raise CompileError(
+                f"Cannot insert into '{rel}': it is a derived relation "
+                "(view). Use a base relation or drop the rule first with "
+                f"'.rule drop {rel}'."
+            )
         # Arity enforcement mirrors the reference storage engine
         # (src/storage_engine/mod.rs:444-466): a batch must be
         # arity-consistent, and must match any existing extent or declared
@@ -252,6 +266,17 @@ class IQLEngine:
                 # double — IQL relations are dynamically typed (golden
                 # 11_types/18_mixed_numeric_types.iql).
                 schema = _widen_schema(self.current.relations[rel].schema, schema)
+        else:
+            # Declared schemas are enforced: a batch with any type
+            # mismatch is rejected WHOLE (golden 12_errors/29: "Insert
+            # rejected for 'typed_rel': batch of 1 tuples had type/arity
+            # errors"). int→float widening is the only allowed coercion.
+            bad = sum(0 if _row_matches_schema(r, schema) else 1 for r in rows)
+            if bad:
+                raise CompileError(
+                    f"Insert rejected for '{rel}': batch of {len(rows)} "
+                    "tuples had type/arity errors"
+                )
         rows = [_coerce_row(r, schema) for r in rows]
         # Literal-fact frames are pinned JVM-side (small_local_df): a
         # Python-list LocalRelation re-pays ~1.3s of serialization +
@@ -305,33 +330,179 @@ class IQLEngine:
 
     def _add_rule(self, rule: Rule) -> None:
         self._validate_rule(rule)
+        self._check_clause_compat(rule)
         if rule.persistent:
+            # Registration-time stratification: the KG's persistent rule
+            # set must stay stratified — a rule introducing a negation
+            # cycle (incl. self-negation) is rejected and NOT registered
+            # (goldens 12_errors/17,28,31,33,43,60: "Failed to register
+            # rule: Unstratified negation"). Session rules skip the check
+            # (12_errors/36,66 accept cyclic session rules and evaluate
+            # them in registration order).
+            try:
+                condensation(list(self.current.rules) + [rule])
+            except StratificationError as exc:
+                raise CompileError(
+                    f"Failed to register rule: Unstratified negation: {exc}"
+                ) from None
             self.current.rules.append(rule)
         else:
             self.session_rules.append(rule)
         self._invalidate(rule.head.relation)
+        # The reference evaluates a rule eagerly at registration, so an
+        # unbound variable in a filter comparison errors HERE — but the
+        # rule stays registered and every later query re-raises (golden
+        # 12_errors/39: both the rule stmt and ?bad(X) print "Variable 'Y'
+        # not found"). compile_body raises the same way at query time.
+        self._check_comparisons(rule)
+
+    def _check_clause_compat(self, rule: Rule) -> None:
+        """A new clause for an existing persistent rule must agree with it
+        on arity and aggregation signature — mismatches are rejected at
+        registration like the reference (14_aggregations/175-179: 'Failed
+        to register rule: Arity mismatch ...' / 'Conflicting aggregation:
+        cannot add clause ...'; the reference's DD dataflow would
+        otherwise panic on merge). Variable names may differ between
+        clauses; aggregate type, constant params, ordering, and position
+        may not."""
+        from inputlayer_spark.ast_nodes import Agg
+
+        def sig(head):
+            out = []
+            for t in head.terms:
+                if isinstance(t, Agg):
+                    consts = tuple(
+                        a for a in t.args if not isinstance(a, Var)
+                    )
+                    out.append(("agg", t.func, consts, t.order if t.is_ranking else None))
+                else:
+                    out.append("plain")
+            return tuple(out)
+
+        def spec(head):
+            for t in head.terms:
+                if isinstance(t, Agg):
+                    parts = []
+                    for a in t.args:
+                        parts.append(
+                            a.name
+                            if isinstance(a, Var)
+                            else str(getattr(a, "value", a))
+                        )
+                    if t.is_ranking and parts:
+                        parts[-1] = f"{parts[-1]}:{t.order}"
+                    return f"{t.func}<{', '.join(parts)}>" if parts else t.func
+            return "no aggregation"
+
+        rel = rule.head.relation
+        existing = self.current.rules if rule.persistent else self.session_rules
+        kind = "rule" if rule.persistent else "session rule"
+        fix = (
+            f"Drop the rule first with '.rule drop {rel}' and re-create it."
+            if rule.persistent
+            else f"Use '.session drop {rel}' to remove the existing rule first."
+        )
+        prefix = "Failed to register rule: " if rule.persistent else ""
+        for ex in existing:
+            if ex.head.relation != rel:
+                continue
+            if len(ex.head.terms) != len(rule.head.terms):
+                raise CompileError(
+                    f"{prefix}Arity mismatch: {kind} '{rel}' has "
+                    f"{len(ex.head.terms)} argument(s) but new clause has "
+                    f"{len(rule.head.terms)}. {fix}"
+                )
+            # Simple aggregates (sum/max/...) in different clauses of the
+            # same head are fine — each clause contributes rows, set-union
+            # semantics (14_aggregations/155: sum<V> + max<V> → {60, 30}).
+            # Only RANKING aggregates (top_k / top_k_threshold /
+            # within_radius) lock the head's shape: any signature change
+            # involving a ranking agg is rejected.
+            def has_ranking(head):
+                from inputlayer_spark.ast_nodes import Agg as _A
+
+                return any(
+                    isinstance(t, _A) and t.is_ranking for t in head.terms
+                )
+
+            if (has_ranking(ex.head) or has_ranking(rule.head)) and sig(
+                ex.head
+            ) != sig(rule.head):
+                raise CompileError(
+                    f"{prefix}Conflicting aggregation: cannot add clause "
+                    f"with '{spec(rule.head)}' to {kind} '{rel}' which "
+                    f"already has a clause with '{spec(ex.head)}'. {fix}"
+                )
+            break
 
     def _validate_rule(self, rule: Rule) -> None:
         """Safety: head vars must be bound by positive body atoms or
         computed terms (reference src/ast/mod.rs:1071-1092)."""
-        from inputlayer_spark.ast_nodes import Agg, Comparison, literal_vars, term_vars
+        from inputlayer_spark.ast_nodes import Agg, Call, term_vars
 
-        positive: set = set()
-        for lit in rule.body:
-            if isinstance(lit, Atom) and not lit.negated:
-                positive |= literal_vars(lit)
-            elif isinstance(lit, Comparison):
-                positive |= literal_vars(lit)  # bindings add vars; checked at compile
-            elif isinstance(lit, HnswNearest):
-                positive |= {lit.id_var.name, lit.dist_var.name}
+        # Function calls in rule heads are rejected by the reference
+        # ("Function calls in rule head not yet fully supported",
+        # golden 12_errors/38) — bindings (`V = f(X)`) are the supported
+        # spelling.
+        for t in rule.head.terms:
+            if isinstance(t, Call):
+                raise CompileError(
+                    "Function calls in rule head not yet fully supported. "
+                    "Use a binding (V = f(...)) in the body instead."
+                )
+
+        bound = self._bound_vars(rule)
         for t in rule.head.terms:
             if isinstance(t, Agg):
                 continue
             for v in term_vars(t):
-                if v not in positive:
+                if v not in bound:
                     raise CompileError(
                         f"unsafe rule {rule.head.relation}: head variable {v} "
                         "not bound in body"
+                    )
+
+    def _bound_vars(self, rule: Rule) -> set:
+        """Vars bound by positive atoms plus `V = expr` binding chains
+        (fixpoint, since bindings may reference earlier bindings)."""
+        from inputlayer_spark.ast_nodes import Comparison, literal_vars, term_vars
+
+        bound: set = set()
+        for lit in rule.body:
+            if isinstance(lit, Atom) and not lit.negated:
+                bound |= literal_vars(lit)
+            elif isinstance(lit, HnswNearest):
+                bound |= {lit.id_var.name, lit.dist_var.name}
+        comps = [l for l in rule.body if isinstance(l, Comparison)]
+        changed = True
+        while changed:
+            changed = False
+            for c in comps:
+                for tgt, src in ((c.left, c.right), (c.right, c.left)):
+                    if (
+                        c.op == "="
+                        and isinstance(tgt, Var)
+                        and not tgt.is_wildcard
+                        and tgt.name not in bound
+                        and term_vars(src) <= bound
+                    ):
+                        bound.add(tgt.name)
+                        changed = True
+        return bound
+
+    def _check_comparisons(self, rule: Rule) -> None:
+        """Unbound vars in filter comparisons error at evaluation —
+        mirrors compile_body's binding fixpoint (compiler.py:253-269)."""
+        from inputlayer_spark.ast_nodes import Comparison, term_vars
+
+        bound = self._bound_vars(rule)
+        for c in rule.body:
+            if not isinstance(c, Comparison):
+                continue
+            for v in sorted(term_vars(c.left) | term_vars(c.right)):
+                if v not in bound:
+                    raise CompileError(
+                        f"Variable '{v}' not found in schema {sorted(bound)}"
                     )
 
     # ------------------------------------------------------------ delete
@@ -343,6 +514,18 @@ class IQLEngine:
             self.session_rules = [r for r in self.session_rules if r.head.relation != st.relation]
             self._invalidate(st.relation)
             return
+        if not st.body:
+            # Unconditional deletes take constants (and `_` wildcards)
+            # only — a named variable is rejected like the reference
+            # (02_relations/12_delete_wildcard.iql: `-items(Id, "a", Val)`
+            # → "Delete error: Cannot insert variable 'Id' - use constants
+            # only"). Conditional deletes (`-r(X) <- body`) bind vars.
+            for term in st.terms:
+                if isinstance(term, Var) and not term.is_wildcard:
+                    raise CompileError(
+                        f"Cannot insert variable '{term.name}' - use "
+                        "constants only"
+                    )
         df = self.current.relations.get(st.relation)
         if df is None:
             return
@@ -542,7 +725,18 @@ class IQLEngine:
                 needed.add(h)
                 frontier.extend(body_rels.get(h, ()))
 
-        for scc in condensation(rules):
+        try:
+            sccs = condensation(rules)
+        except StratificationError:
+            # Cyclic negation can only involve session rules (persistent
+            # registration rejects it). The reference accepts such session
+            # rules and evaluates them ONE PASS in registration order —
+            # each rule sees earlier heads' results, later heads as empty,
+            # no fixpoint (goldens 12_errors/36_three_way_cycle.iql,
+            # 66_negation_cycle.iql: a<- !b, b<- !a yields a={base}, b={}).
+            return self._single_pass_eval(rules)
+
+        for scc in sccs:
             if skip & set(scc):
                 continue
             if needed is not None and not (needed & set(scc)):
@@ -558,6 +752,33 @@ class IQLEngine:
             for h, df in out.items():
                 derived[h] = df
                 self._derived_cache[h] = df
+        return derived
+
+    def _single_pass_eval(self, rules) -> Dict[str, DataFrame]:
+        """Registration-order single-pass evaluation for unstratifiable
+        session-rule programs: each rule is evaluated exactly once against
+        the extents derived so far (later heads resolve as empty), no
+        fixpoint. Matches the reference, which materializes each session
+        rule at registration time (goldens 12_errors/36,66)."""
+        from inputlayer_spark.compiler import compile_body, compile_head
+
+        derived: Dict[str, DataFrame] = {}
+        for r in rules:
+            resolve = self._resolver(derived)
+            df = compile_head(
+                compile_body(
+                    r.body,
+                    resolve,
+                    self._hnsw_resolver,
+                    bool_consts_nop=getattr(r, "persistent", False),
+                ),
+                r.head,
+            )
+            head = r.head.relation
+            if head in derived:
+                derived[head] = derived[head].unionByName(df).distinct()
+            else:
+                derived[head] = df.distinct()
         return derived
 
     def _base_of(self, name: str) -> Optional[DataFrame]:
@@ -629,6 +850,21 @@ class IQLEngine:
             or q.goal.relation in self.current.relations
             or q.goal.relation in heads
         )
+
+        # Reference quirk: a query whose pattern arity mismatches the
+        # relation is NOT an error — it returns the relation's full extent
+        # with generic col0..colN names, ignoring the pattern
+        # (12_errors/01: ?r(X,Y,Z) on arity-2 r → 2 cols; 63: ?r(X,Y) on
+        # arity-3 r → 3 cols).
+        if not q.body and goal_resolvable and q.goal.terms:
+            try:
+                extent = resolve(q.goal.relation)
+            except EmptyAritylessRelation:
+                extent = None
+            if extent is not None and len(extent.columns) != len(q.goal.terms):
+                return extent.toDF(
+                    *[f"col{i}" for i in range(len(extent.columns))]
+                ).distinct()
 
         if q.body and not goal_resolvable:
             # fresh goal name: treat goal as head over the body
@@ -944,12 +1180,33 @@ class IQLEngine:
                     rows or [("", "", False)],
                     schema="name string, definition string, persistent boolean",
                 ).filter(F.col("name") != "")
+            if args and args[0] == "edit":
+                # "Rule editing is not supported in server mode." —
+                # informational no-op, not an error (17_rule_commands/08)
+                return None
             if args and args[0] == "remove" and len(args) > 2:
                 # `.rule remove <name> <n>` deletes the n-th (1-based)
                 # clause of a multi-clause rule (reference
                 # src/statement/meta.rs; golden
-                # 14_aggregations/132_rule_remove_clause_with_agg.iql)
+                # 14_aggregations/132_rule_remove_clause_with_agg.iql).
+                # Nonexistent rule / out-of-bounds index are errors
+                # (17_rule_commands/14,15: "Error: Failed to remove rule
+                # clause: ...").
                 name, idx = args[1], int(args[2])
+                total = sum(
+                    1 for r in self._all_rules() if r.head.relation == name
+                )
+                if total == 0:
+                    raise CompileError(
+                        f"Error: Failed to remove rule clause: Rule "
+                        f"'{name}' does not exist"
+                    )
+                if idx < 1 or idx > total:
+                    raise CompileError(
+                        f"Error: Failed to remove rule clause: Clause "
+                        f"index {idx} out of bounds. Rule '{name}' has "
+                        f"{total} clause(s)."
+                    )
                 seen = 0
                 for rules in (self.current.rules, self.session_rules):
                     kept = []
@@ -962,9 +1219,25 @@ class IQLEngine:
                     rules[:] = kept
                 self._derived_cache.clear()
                 return None
-            if args and args[0] in ("def", "drop") and len(args) > 1:
+            if args and args[0] == "drop" and len(args) > 2 and args[1] == "prefix":
+                # `.rule drop prefix <p>` drops every rule whose head
+                # starts with <p> (17_rule_commands/30-32)
+                p = args[2]
+                self.current.rules = [
+                    r for r in self.current.rules if not r.head.relation.startswith(p)
+                ]
+                self.session_rules = [
+                    r for r in self.session_rules if not r.head.relation.startswith(p)
+                ]
+                self._derived_cache.clear()
+                return None
+            if args and args[0] in ("def", "drop", "clear") and len(args) > 1:
                 name = args[1]
-                if args[0] == "drop":
+                if args[0] in ("drop", "clear"):
+                    # `.rule clear <name>` empties the rule's clause list;
+                    # for query purposes that is identical to drop
+                    # (unknown relations resolve empty) —
+                    # 17_rule_commands/07_rule_clear.iql
                     self.current.rules = [
                         r for r in self.current.rules if r.head.relation != name
                     ]
@@ -1061,6 +1334,29 @@ class IQLEngine:
                 self.session_rules.clear()
                 self.session_facts.clear()
                 self._derived_cache.clear()
+            elif args and args[0] == "drop" and len(args) > 1:
+                # `.session drop <n>` removes the n-th session rule
+                # (1-based); out-of-bounds is a no-op message, index < 1
+                # is an error (33_meta/06,08,09). `.session drop <name>`
+                # removes every session rule for that head
+                # (04_session/26_session_drop_by_name.iql).
+                tgt = args[1]
+                if tgt.lstrip("-").isdigit():
+                    idx = int(tgt)
+                    if idx < 1:
+                        raise CompileError(
+                            "Parse error: Index must be 1 or greater "
+                            "(1-based indexing)"
+                        )
+                    if idx <= len(self.session_rules):
+                        self.session_rules.pop(idx - 1)
+                        self._derived_cache.clear()
+                else:
+                    self.session_rules = [
+                        r for r in self.session_rules if r.head.relation != tgt
+                    ]
+                    self.session_facts.pop(tgt, None)
+                    self._derived_cache.clear()
             elif args and args[0] == "list":
                 from inputlayer_spark.printer import rule_to_iql
 
@@ -1177,6 +1473,34 @@ def _widen_schema(existing: T.StructType, new: T.StructType) -> T.StructType:
             dt = T.DoubleType()
         fields.append(T.StructField(ef.name, dt, True))
     return T.StructType(fields)
+
+
+def _row_matches_schema(row: tuple, schema: T.StructType) -> bool:
+    """Strict value/type check against a DECLARED schema (nulls pass;
+    int→float widening is the only coercion, reference storage rejects
+    everything else — golden 12_errors/29_type_mismatch_error.iql)."""
+    if len(row) != len(schema.fields):
+        return False
+    for v, f in zip(row, schema.fields):
+        if v is None:
+            continue
+        dt = f.dataType
+        if isinstance(dt, (T.LongType, T.IntegerType)):
+            if not isinstance(v, int) or isinstance(v, bool):
+                return False
+        elif isinstance(dt, (T.DoubleType, T.FloatType)):
+            if not isinstance(v, (int, float)) or isinstance(v, bool):
+                return False
+        elif isinstance(dt, T.StringType):
+            if not isinstance(v, str):
+                return False
+        elif isinstance(dt, T.BooleanType):
+            if not isinstance(v, bool):
+                return False
+        elif isinstance(dt, T.ArrayType):
+            if not isinstance(v, (list, tuple)):
+                return False
+    return True
 
 
 def _coerce_row(row: tuple, schema: T.StructType):

@@ -65,6 +65,7 @@ _TOKEN_RE = re.compile(
   | (?P<ws>[^\S\n]+)
   | (?P<comment>//[^\n]*|/\*(?:[^*]|\*(?!/))*\*/)
   | (?P<string>"(?:\\.|[^"\\])*")
+  | (?P<dident>\d+[a-zA-Z_][a-zA-Z0-9_]*)
   | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<int>\d+)
   | (?P<arrow><-)
@@ -112,6 +113,13 @@ def tokenize(src: str) -> list:
         kind = m.lastgroup
         if kind in ("ws", "comment"):
             continue
+        if kind == "dident":
+            # digit-leading identifiers are legal relation names in the
+            # reference (golden 12_errors/37_identifier_validation.iql:
+            # `+123invalid(1, 2)` inserts fine) — but reclassify pure
+            # exponent floats (2e3) that the dident pattern also matches
+            text = m.group()
+            kind = "float" if re.fullmatch(r"\d+[eE][+-]?\d+", text) else "ident"
         raw.append(Token(kind, m.group(), m.start()))
 
     tokens: list = []
@@ -195,7 +203,17 @@ class Parser:
                 self.next()
                 continue
             prog.statements.append(self.parse_statement())
-            self.eat(".")  # optional statement-terminating dot
+            # A trailing '.' after a fact/rule/query is a parse error in
+            # the reference (10_edge_cases/13_comments_syntax.iql:
+            # `+edge(1, 2).` → "Parse error: Expected parentheses";
+            # `+path(X,Y) <- edge(X,Y).` → "Invalid term: 'Y).'").
+            # Statements are newline-terminated, never '.'-terminated.
+            if self.at("."):
+                t = self.peek()
+                raise ParseError(
+                    f"Invalid term: statements are not '.'-terminated "
+                    f"(at {t.pos})"
+                )
         return prog
 
     def parse_statement(self):
@@ -224,28 +242,22 @@ class Parser:
         raise ParseError(f"cannot start statement with {t.text!r} at {t.pos}")
 
     def parse_typedecl(self) -> TypeDecl:
-        """`type Email: string` / `type User: { id: int, ... }.` /
-        `type Tags: [string]` — records and lists are documentation-level
-        (map to 'any'), matching the reference (statement/types.rs:48)."""
+        """`type Email: string` — scalar aliases only. Record (`{...}`) and
+        list (`[...]`) bodies are REJECTED like the reference
+        (11_types/67_record_type.iql, 24_rel_schemas/02: "Parse error:
+        Unknown base type: '{ id: int, ... }.'")."""
         self.next()  # 'type'
         name = self._ident()
         self.expect(":")
         start = self.peek().pos if self.peek() else 0
-        if self.eat("{"):
-            depth = 1
-            while depth and self.peek() is not None:
-                tok = self.next()
-                if tok.text == "{":
-                    depth += 1
-                elif tok.text == "}":
-                    depth -= 1
-            base = "any"
-        elif self.eat("["):
-            while self.peek() is not None and not self.eat("]"):
-                self.next()
-            base = "any"
-        else:
-            base = self._ident()
+        if self.at("{") or self.at("["):
+            end = self.src.find("\n", start)
+            body = (self.src[start:] if end == -1 else self.src[start:end]).strip()
+            raise ParseError(
+                f"Unknown base type: '{body}'. Use int, string, bool, "
+                "float, or a type name."
+            )
+        base = self._ident()
         end = self.toks[self.i - 1].pos + len(self.toks[self.i - 1].text)
         self.eat(".")  # optional statement-terminating dot
         return TypeDecl(name, base, self.src[start:end])
@@ -256,6 +268,16 @@ class Parser:
     def parse_meta(self) -> MetaCommand:
         meta_tok = self.next()
         cmd = meta_tok.text.lstrip(".")
+        # `.rule edit <name> <n> <full statement...>` embeds an entire
+        # rule statement — capture it raw so the tail is not parsed as a
+        # second statement (17_rule_commands/08_rule_edit.iql).
+        if cmd == "rule" and self.peek() is not None and self.peek().text == "edit":
+            start = self.peek().pos
+            end = self.src.find("\n", start)
+            raw = (self.src[start:] if end == -1 else self.src[start:end]).strip()
+            while self.peek() is not None and self.peek().kind != "nl":
+                self.next()
+            return MetaCommand(cmd, ("edit", raw))
         if cmd in self._RAW_META:
             # capture the rest of the line verbatim (these commands embed
             # full statements / file paths that tokenized args would mangle)
@@ -622,6 +644,19 @@ class Parser:
         self.expect("(")
         args = self._term_list() if not self.at(")") else []
         self.expect(")")
+        # The reference's builtin set is CLOSED and case-sensitive
+        # (BuiltinFunc::parse): an unknown name in expression position is
+        # a parse error (32_math/15: `M = MIN(A, B)` → "Invalid term"),
+        # and so is a nested call argument (32_math/23:
+        # `max_int64(0, min_int64(X, 10))` → "Invalid term").
+        from inputlayer_spark.functions import BUILTINS
+
+        if func not in BUILTINS:
+            raise ParseError(f"Invalid term: '{func}(...)' — unknown function")
+        if any(isinstance(a, Call) for a in args):
+            raise ParseError(
+                f"Invalid term: nested function call in '{func}(...)'"
+            )
         return Call(func, tuple(args))
 
     # ----- small helpers -----

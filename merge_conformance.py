@@ -28,7 +28,13 @@ def main() -> None:
                 continue
             m = ROW.match(line)
             if m and not m.group(1).startswith("**"):
-                cats[m.group(1)] = tuple(int(m.group(i)) for i in range(2, 6))
+                new = tuple(int(m.group(i)) for i in range(2, 6))
+                old = cats.get(m.group(1))
+                # same category split across shards (SPARK_GRAFT_CONF_SHARD)
+                # → counts are additive
+                cats[m.group(1)] = (
+                    tuple(a + b for a, b in zip(old, new)) if old else new
+                )
 
     order = [c for c in SUPPORTED_CATEGORIES if c in cats] + sorted(
         c for c in cats if c not in SUPPORTED_CATEGORIES
