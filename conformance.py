@@ -169,12 +169,41 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def _fmt_vec(a) -> str:
+    """Render an array cell the way the reference client prints vectors."""
+    def one(x):
+        if isinstance(x, bool):
+            return "true" if x else "false"
+        if isinstance(x, float):
+            return repr(x)
+        return str(x)
+
+    return "[" + ", ".join(one(x) for x in a) + "]"
+
+
 def _cell_match(e, a) -> bool:
     """One expected cell vs one actual value; the reference client
     width-truncates long strings to `"prefix …` (10_edge_cases/125)."""
+    if isinstance(a, float) and (a != a or a in (float("inf"), float("-inf"))):
+        # the reference serves results as JSON; serde_json renders
+        # non-finite f64 as null (16_vectors/23: euclidean dim mismatch
+        # → INFINITY internally, printed as null by the client)
+        a = None
     if isinstance(e, str) and e.endswith("…"):
         prefix = e[:-1].lstrip('"').rstrip()
+        if isinstance(a, (list, tuple)):
+            return _fmt_vec(a).startswith(prefix)
         return isinstance(a, str) and a.startswith(prefix)
+    if isinstance(a, (list, tuple)) and isinstance(e, str):
+        # vector cell: the golden prints `[127, 63, -64]`; actual rows
+        # carry real arrays — compare element-wise with numeric tolerance
+        if e.startswith("[") and e.endswith("]"):
+            inner = e[1:-1].strip()
+            parts = [] if not inner else [_norm_cell(p) for p in inner.split(",")]
+            return len(parts) == len(a) and all(
+                _values_equal(pe, pa) for pe, pa in zip(parts, a)
+            )
+        return False
     return _values_equal(e, a)
 
 

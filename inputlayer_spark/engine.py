@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 
 from inputlayer_spark.ast_nodes import (
     Atom,
+    Comparison,
     Const,
     Delete,
     EmptyBatch,
@@ -882,6 +883,12 @@ class IQLEngine:
             for i, t in enumerate(q.goal.terms):
                 if isinstance(t, Var) and t.is_wildcard:
                     goal_terms.append(Var(f"__wild_{i}"))
+                elif isinstance(t, VecLit):
+                    # vector constants in query patterns don't filter —
+                    # the reference binds the position and prints it as a
+                    # `_v{i}` column with every row's actual value
+                    # (examples/iql/16_vectors/20_vector_constant.iql)
+                    goal_terms.append(Var(f"__veclit_{i}"))
                 else:
                     goal_terms.append(t)
             goal2 = Atom(q.goal.relation, tuple(goal_terms))
@@ -898,6 +905,9 @@ class IQLEngine:
                 if isinstance(t, Var) and t.name.startswith("__wild_"):
                     cols.append(F.col(t.name))
                     names.append("_")
+                elif isinstance(t, Var) and t.name.startswith("__veclit_"):
+                    cols.append(F.col(t.name))
+                    names.append(f"_v{t.name.rsplit('_', 1)[1]}")
                 elif isinstance(t, Var) and not t.is_wildcard and t.name not in seen:
                     seen.add(t.name)
                     cols.append(F.col(t.name))
@@ -905,6 +915,29 @@ class IQLEngine:
                 elif isinstance(t, (Const, VecLit)):
                     cols.append(lit_of(t))
                     names.append(term_to_iql(t))
+            # body literals extend the projection: new vars bound by
+            # positive atoms, hnsw_nearest, and `=`-bindings appear as
+            # extra columns in first-occurrence order (reference prints
+            # all query variables — examples/iql/80_sip/01: ?user(U,N),
+            # order(O,U,A) → U,N,O,A; 30_quantization/01: ?emb(Id,V),
+            # Q = quantize_linear(V) → Id,V,Q). Body constants are not echoed.
+            for lit in q.body:
+                new_vars = []
+                if isinstance(lit, Atom) and not lit.negated:
+                    new_vars = [
+                        t for t in lit.terms
+                        if isinstance(t, Var) and not t.is_wildcard
+                    ]
+                elif isinstance(lit, Comparison) and lit.op == "=":
+                    if isinstance(lit.left, Var) and not lit.left.is_wildcard:
+                        new_vars = [lit.left]
+                elif isinstance(lit, HnswNearest):
+                    new_vars = [lit.id_var, lit.dist_var]
+                for v in new_vars:
+                    if v.name not in seen:
+                        seen.add(v.name)
+                        cols.append(F.col(v.name))
+                        names.append(v.name)
             if cols:
                 df = atom_df.select(*cols).distinct().toDF(*names)
             else:

@@ -22,8 +22,13 @@ _L = "long"
 
 
 def to_ms(ts: Column) -> Column:
-    """Spark timestamp → Unix ms long. Longs pass through unchanged."""
-    return (ts.cast("double") * 1000).cast(_L)
+    """Spark timestamp → Unix ms long.
+
+    `unix_micros` over a TIMESTAMP cast handles TIMESTAMP_NTZ too (the
+    NTZ→LTZ cast is identity under the engine's UTC session timezone,
+    matching DuckDB's epoch_ms on naive timestamps); Spark 4 forbids a
+    direct NTZ→DOUBLE cast."""
+    return (F.unix_micros(ts.cast("timestamp")) / F.lit(1000)).cast(_L)
 
 
 def time_now() -> Column:

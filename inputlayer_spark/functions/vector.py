@@ -69,15 +69,17 @@ def manhattan(a: Column, b: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine *distance* = 1 − cosine similarity (vector_ops.rs:139).
 
-    Zero-norm input → distance 1.0 (orthogonal by convention), matching the
-    reference's guard behavior.
+    Zero-norm input → distance 0.0 ("treat zero vectors as identical",
+    vector_ops.rs:158-160); similarity clamped to [-1, 1] before the
+    subtraction, as the reference does.
     """
     num = F.aggregate(
         F.zip_with(a, b, lambda x, y: _d(x) * _d(y)), F.lit(0.0), lambda acc, x: acc + x
     )
     na, nb = vector_norm(a), vector_norm(b)
-    sim = F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(num / (na * nb))
-    return F.when(F.size(a) != F.size(b), F.lit(float("inf"))).otherwise(F.lit(1.0) - sim)
+    sim = F.least(F.greatest(num / (na * nb), F.lit(-1.0)), F.lit(1.0))
+    dist = F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(F.lit(1.0) - sim)
+    return F.when(F.size(a) != F.size(b), F.lit(float("inf"))).otherwise(dist)
 
 
 def hamming(a: Column, b: Column) -> Column:

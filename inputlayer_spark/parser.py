@@ -489,8 +489,15 @@ class Parser:
         nxt = self.peek()
         if nxt is None or nxt.text not in ("=", "!=", "<", "<=", ">", ">="):
             if isinstance(left, Call):
-                # e.g. `within_last(T, Now, Dur)` used directly as predicate
-                return Comparison("=", left, Const(True))
+                # A bare builtin call in predicate position — e.g.
+                # `within_last(T, Now, Dur)` with no comparison — is an
+                # ATOM over a (nonexistent) relation of that name in the
+                # reference grammar, so the body matches nothing. The
+                # 29_temporal goldens pin this: every bare temporal
+                # predicate rule prints "No results"
+                # (examples/iql/29_temporal/06..09,11,20). Builtins only
+                # act as filters inside comparisons (`X = time_before(..)`).
+                return Atom(left.func, tuple(left.args))
             raise ParseError(
                 f"expected comparison op after term at "
                 f"{nxt.pos if nxt else 'end of input'}"
