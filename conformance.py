@@ -68,7 +68,7 @@ _SKIP_OUT_MARKERS = (
     # rejects these too (CompileError) but with its own message
     "Unsafe rule",
 )
-_SKIP_SRC_MARKERS = ("time_now", "lsh_", "hnsw_", ".agent", ".auth", ".load")
+_SKIP_SRC_MARKERS = ("time_now", "hnsw_", ".agent", ".auth")
 
 
 @dataclass
@@ -274,6 +274,10 @@ def run_script_stmtwise(spark, iql_path: str, out_path: str) -> ScriptResult:
 
     golden = open(out_path).read()
     src = open(iql_path).read()
+    if os.path.basename(iql_path).startswith("_helper"):
+        # helper inputs for `.load` tests, not tests themselves — their
+        # `.out` transcripts are from an older `.`-terminated client
+        return ScriptResult(iql_path, "skip", "helper file (loaded by other tests)")
     for marker in _SKIP_SRC_MARKERS:
         if marker in src:
             return ScriptResult(iql_path, "skip", f"script uses {marker}")
@@ -288,9 +292,16 @@ def run_script_stmtwise(spark, iql_path: str, out_path: str) -> ScriptResult:
             cur.append(line)
 
     eng = IQLEngine(spark)
+    eng.load_paths.append("/root/reference")
     for si, (stmt, resp) in enumerate(blocks):
-        first = next((x for x in resp if x.strip()), "")
-        expect_error = bool(_ERROR_RESP_RE.match(first))
+        nonblank = [x for x in resp if x.strip()]
+        first = nonblank[0] if nonblank else ""
+        # the error line may follow an informational line (`.load` prints
+        # "Loading file: ..." before "Failed to read script ...")
+        expect_error = any(
+            _ERROR_RESP_RE.match(x) or x.startswith("Failed to read script")
+            for x in nonblank[:2]
+        )
         is_query = stmt.lstrip().startswith("?")
         try:
             dfs = eng.execute(stmt)
@@ -378,6 +389,7 @@ def run_script_wholeprog(spark, iql_path: str, out_path: str) -> ScriptResult:
 
     try:
         eng = IQLEngine(spark)
+        eng.load_paths.append("/root/reference")
         dfs = eng.execute(src)
         kinds = getattr(eng, "last_result_kinds", None) or ["query"] * len(dfs)
         actual = [

@@ -46,7 +46,7 @@ from inputlayer_spark.compiler import (
     lit_of,
     term_to_column,
 )
-from inputlayer_spark.parser import parse_program
+from inputlayer_spark.parser import ParseError, parse_program
 from inputlayer_spark.magic_sets import (
     magic_rewrite,
     seeded_tc_closure,
@@ -112,6 +112,9 @@ class IQLEngine:
         self.kgs: Dict[str, KnowledgeGraph] = {"default": KnowledgeGraph("default")}
         self.current = self.kgs["default"]
         self.session_rules: List[Rule] = []
+        # search roots for relative `.load` paths (cwd first; callers may
+        # append e.g. a corpus root)
+        self.load_paths: List[str] = ["."]
         self.session_facts: Dict[str, List[tuple]] = {}
         # injectable clock for deterministic time_now (tests/oracles)
         self.now_ms = now_ms
@@ -628,14 +631,52 @@ class IQLEngine:
         return df
 
     def load_script(self, path: str, replace: bool = False) -> List[DataFrame]:
-        """`.load <file> [--replace]` (reference src/statement/meta.rs:72)."""
+        """`.load <file> [--replace]` (reference src/statement/meta.rs:72).
+
+        Relative paths resolve against `load_paths` (cwd first); a missing
+        file raises the reference's wording
+        (40_load_command/04_load_nonexistent_error.iql)."""
+        import os as _os
+
+        resolved = None
+        candidates = [path] if _os.path.isabs(path) else [
+            _os.path.join(base, path) for base in self.load_paths
+        ]
+        for cand in candidates:
+            if _os.path.exists(cand):
+                resolved = cand
+                break
+        if resolved is None:
+            raise CompileError(
+                f"Failed to read script '{path}': No such file or directory "
+                f"(os error 2)"
+            )
+        with open(resolved) as fh:
+            text = fh.read()
         if replace:
-            self.current.relations.clear()
-            self.current.rules.clear()
-            self.current.schemas.clear()
-            self._derived_cache.clear()
-        with open(path) as fh:
-            return self.execute(fh.read())
+            # LoadMode::Replace swaps only what the file defines — other
+            # relations survive (40_load_command/02: existing_data intact
+            # after `.load _helper_data.iql --replace`; statement/meta.rs:232
+            # "atomically replace rules/relations")
+            try:
+                prog = parse_program(text)
+            except ParseError:
+                prog = None
+            if prog is not None:
+                touched = set()
+                for st in prog.statements:
+                    if isinstance(st, Fact):
+                        touched.add(st.relation)
+                    elif isinstance(st, Rule):
+                        touched.add(st.head.relation)
+                for rel in touched:
+                    self.current.relations.pop(rel, None)
+                    self.current.rules = [
+                        r for r in self.current.rules if r.head.relation != rel
+                    ]
+                    self.current.schemas.pop(rel, None)
+                    self._invalidate(rel)
+        return self.execute(text)
 
     # ------------------------------------------------------------ persistence
 
@@ -834,6 +875,56 @@ class IQLEngine:
         for lit in q.body:
             if isinstance(lit, Atom):
                 targets.add(lit.relation)
+
+        # Reference quirk: a bound query over a NON-recursive session-rule
+        # head with multiple clauses returns nothing — the reference fails
+        # to project the extra body variables of the added clause, so the
+        # constant filter matches no rows (04_session/11: ?connected(1,X)
+        # → "No results" after a second non-recursive clause, while the
+        # recursive path/edge rules in 04_session/01,10 answer bound
+        # queries fine through the fixpoint path).
+        if (
+            not q.body
+            and any(isinstance(t, (Const, VecLit)) for t in q.goal.terms)
+            and q.goal.relation not in self.current.relations
+        ):
+            s_clauses = [
+                r for r in self.session_rules if r.head.relation == q.goal.relation
+            ]
+            p_clauses = [
+                r
+                for r in self.current.rules
+                if r.head.relation == q.goal.relation
+            ]
+            if len(s_clauses) >= 2 and not p_clauses:
+                try:
+                    sccs = condensation(self._all_rules())
+                    scc = next(
+                        (s for s in sccs if q.goal.relation in s), None
+                    )
+                    recursive = scc is not None and is_recursive_scc(
+                        scc, self._all_rules()
+                    )
+                except Exception:
+                    recursive = True
+                if not recursive and any(
+                    {t.name for t in r.head.terms if isinstance(t, Var)}
+                    != {
+                        t.name
+                        for lit in r.body
+                        if isinstance(lit, Atom) and not lit.negated
+                        for t in lit.terms
+                        if isinstance(t, Var) and not t.is_wildcard
+                    }
+                    for r in s_clauses
+                ):
+                    names = [
+                        t.name if isinstance(t, Var) else f"c{i}"
+                        for i, t in enumerate(q.goal.terms)
+                    ]
+                    return self.spark.createDataFrame(
+                        [], schema=", ".join(f"`{n}` string" for n in names)
+                    )
 
         # magic-sets fast path: bound query over a recursive predicate
         magic_df = None
@@ -1306,18 +1397,32 @@ class IQLEngine:
                 path = raw.replace("--replace", "").replace("--merge", "").strip().strip('"')
                 self.load_script(path, replace=replace)
         elif cmd in ("why", "why_not"):
-            if args:
-                from inputlayer_spark.provenance import explain_goal
-
-                goal_text = args[0]
-                # `.why full <goal>`: full proof tree (we always recurse to
-                # the depth cap; `full` is accepted for surface parity)
-                if goal_text.startswith("full "):
-                    goal_text = goal_text[len("full ") :]
-                rows = explain_goal(self, goal_text, why_not=(cmd == "why_not"))
-                return self.spark.createDataFrame(
-                    rows, schema="depth int, conclusion string, via string"
+            if not args or not args[0].strip():
+                # bare `.why` / `.why_not` are usage parse errors
+                # (examples/iql/36_explain_trace/20_why_error_cases.iql)
+                usage = (
+                    "Usage: .why <query>"
+                    if cmd == "why"
+                    else "Usage: .why_not <relation>(<values>)"
                 )
+                raise ParseError(usage)
+            from inputlayer_spark.provenance import explain_goal
+
+            goal_text = args[0]
+            # `.why full <goal>`: full proof tree (we always recurse to
+            # the depth cap; `full` is accepted for surface parity)
+            if goal_text.startswith("full "):
+                goal_text = goal_text[len("full ") :]
+            if cmd == "why" and goal_text.lstrip().startswith("?"):
+                # `.why ?query` runs the query and prints its plain result
+                # table — the reference only builds proof trees for ground
+                # goals (examples/iql/36_explain_trace/01..08,21..23 all
+                # show ordinary result tables for the ? form)
+                return self._query(parse_program(goal_text).statements[0])
+            rows = explain_goal(self, goal_text, why_not=(cmd == "why_not"))
+            return self.spark.createDataFrame(
+                rows, schema="depth int, conclusion string, via string"
+            )
         elif cmd == "index":
             if args and args[0] == "create":
                 # .index create <name> on <rel> ( <col> ) [metric m]
@@ -1330,8 +1435,21 @@ class IQLEngine:
                         col = args[j + 1]
                     if a == "metric" and j + 1 < len(args):
                         metric = args[j + 1]
+                if rel not in self.current.schemas:
+                    # the reference requires a registered schema before an
+                    # index can be created (handler "Index error: No schema
+                    # found", 33_meta/15_index_operations.iql)
+                    raise CompileError(
+                        f"Index error: No schema found for relation "
+                        f"'{rel}'. Register a schema first."
+                    )
                 self.create_index(name, rel, col or "", metric)
             elif args and args[0] == "drop" and len(args) > 1:
+                if args[1] not in self.current.indexes:
+                    raise CompileError(
+                        f"Index error: Index '{args[1]}' not found "
+                        f"(no incremental engine)"
+                    )
                 self.current.indexes.pop(args[1], None)
             elif args and args[0] == "list":
                 rows = [
@@ -1345,7 +1463,10 @@ class IQLEngine:
             elif args and args[0] == "stats" and len(args) > 1:
                 meta = self.current.indexes.get(args[1])
                 if meta is None:
-                    raise CompileError(f"unknown index {args[1]}")
+                    raise CompileError(
+                        f"Index error: Index '{args[1]}' not found "
+                        f"(no incremental engine)"
+                    )
                 rel, col, metric = meta
                 n = self._named_df(rel).count()
                 rows = [
@@ -1403,9 +1524,25 @@ class IQLEngine:
                     rows or [("", "")], schema="kind string, item string"
                 ).filter(F.col("kind") != "")
         elif cmd == "clear":
-            self.session_rules.clear()
-            self.session_facts.clear()
-            self._derived_cache.clear()
+            if args and args[0] == "prefix":
+                # `.clear prefix p_` empties every stored relation whose
+                # name starts with the prefix (reference
+                # protocol/handler.rs:3348-3372 — facts removed, relation
+                # kept, so later queries print "No results")
+                prefix = args[1] if len(args) > 1 else ""
+                for name in sorted(self.current.relations):
+                    if name.startswith(prefix):
+                        df = self.current.relations[name]
+                        self.current.relations[name] = df.limit(0)
+                        self._invalidate(name)
+                for name in list(self.session_facts):
+                    if name.startswith(prefix):
+                        self.session_facts.pop(name, None)
+                        self._invalidate(name)
+            else:
+                self.session_rules.clear()
+                self.session_facts.clear()
+                self._derived_cache.clear()
         # .compact / .agent / auth: intentionally no-ops (no WAL to
         # compact — parquet persistence is already compacted; no LLM
         # assistant; auth belongs to a server layer)

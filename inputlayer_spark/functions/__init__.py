@@ -45,12 +45,17 @@ BUILTINS: Dict[str, Callable[..., Column]] = {
     "quantize_symmetric": vector.quantize_symmetric,
     "dequantize": vector.dequantize,
     "dequantize_scaled": vector.dequantize_scaled,
-    # LSH (table/bits params arrive as plain ints from the compiler)
+    # LSH (table/bits/probe params arrive as plain ints from the compiler;
+    # signatures mirror the reference codegen: lsh_bucket(v, table, bits),
+    # lsh_probes(bucket, bits, probes), lsh_multi_probe(v, table, bits,
+    # probes) — code_generator/mod.rs:2990-3099)
     "lsh_bucket": lambda v, table=0, bits=16: vector.lsh_bucket(v, _as_int(table), _as_int(bits)),
-    "lsh_multi_probe": lambda v, tables=4, bits=16: vector.lsh_multi_probe(
-        v, _as_int(tables), _as_int(bits)
+    "lsh_multi_probe": lambda v, table=0, bits=16, probes=8: vector.lsh_multi_probe(
+        v, _as_int(table), _as_int(bits), _as_int(probes)
     ),
-    "lsh_probes": lambda v, table=0, bits=16: vector.lsh_probes(v, _as_int(table), _as_int(bits)),
+    "lsh_probes": lambda b, bits=16, probes=8: vector.lsh_probes(
+        b, _as_int(bits), _as_int(probes)
+    ),
     # temporal
     "time_now": temporal.time_now,
     "time_diff": temporal.time_diff,

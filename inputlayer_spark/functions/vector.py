@@ -154,45 +154,211 @@ manhattan_int8 = manhattan
 
 # ------------------------------------------------------------ LSH
 
-# Deterministic random-hyperplane sign hash. The reference caches seeded
-# Gaussian hyperplanes per (table, bits, dim) (vector_ops.rs:1038-1097); we
-# need the same determinism but JVM-side, so the "plane" coefficients are
-# derived from a hash of (table, bit, dim-index) mapped to [-1, 1]. This is
-# a valid random-hyperplane family (coordinates iid symmetric around 0) and
-# is reproducible in any engine with xxhash64 — including the DuckDB oracle.
+# Reference-exact deterministic random-hyperplane family. The reference
+# derives every hyperplane coefficient from a seeded PRNG:
+# DefaultHasher (SipHash-1-3, keys (0,0)) over the u64 seed
+# table*1_000_000_007 + h*31337 + d, low 32 bits mapped to [-1, 1] as f32
+# (vector_ops.rs:891-927). Replicating SipHash-1-3 here reproduces the
+# reference's bucket ids bit-for-bit (goldens 31_lsh/01..05,
+# 16_vectors/10), so LSH results are portable across both engines.
+
+import struct
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+_SIP_MASK = (1 << 64) - 1
 
 
-def _plane_coeff(table: int, bit: int, j: Column) -> Column:
-    h = F.xxhash64(F.lit(int(table)), F.lit(int(bit)), j)
-    # map i64 hash → uniform [-1, 1]
-    return (h.cast("double") / F.lit(float(2**63))).cast("double")
+def _rotl64(x: int, b: int) -> int:
+    return ((x << b) | (x >> (64 - b))) & _SIP_MASK
+
+
+def _sipround(v0, v1, v2, v3):
+    v0 = (v0 + v1) & _SIP_MASK
+    v1 = _rotl64(v1, 13) ^ v0
+    v0 = _rotl64(v0, 32)
+    v2 = (v2 + v3) & _SIP_MASK
+    v3 = _rotl64(v3, 16) ^ v2
+    v0 = (v0 + v3) & _SIP_MASK
+    v3 = _rotl64(v3, 21) ^ v0
+    v2 = (v2 + v1) & _SIP_MASK
+    v1 = _rotl64(v1, 17) ^ v2
+    v2 = _rotl64(v2, 32)
+    return v0, v1, v2, v3
+
+
+def _siphash13(data: bytes) -> int:
+    """SipHash-1-3 with zero keys — Rust std DefaultHasher::new()."""
+    v0 = 0x736F6D6570736575
+    v1 = 0x646F72616E646F6D
+    v2 = 0x6C7967656E657261
+    v3 = 0x7465646279746573
+    n = len(data)
+    i = 0
+    while i + 8 <= n:
+        m = int.from_bytes(data[i : i + 8], "little")
+        v3 ^= m
+        v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+        v0 ^= m
+        i += 8
+    b = (n & 0xFF) << 56 | int.from_bytes(data[i:n], "little")
+    v3 ^= b
+    v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+    v0 ^= b
+    v2 ^= 0xFF
+    for _ in range(3):
+        v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+    return (v0 ^ v1 ^ v2 ^ v3) & _SIP_MASK
+
+
+def _rand_f32(seed: int) -> float:
+    bits = _siphash13(struct.pack("<Q", seed & _SIP_MASK)) & 0xFFFFFFFF
+    unit = bits / 0xFFFFFFFF
+    return struct.unpack("f", struct.pack("f", unit * 2.0 - 1.0))[0]
+
+
+@lru_cache(maxsize=512)
+def _ref_planes(table: int, num_bits: int, dim: int):
+    """(num_bits, dim) float32 hyperplane matrix, identical to the
+    reference's generate_hyperplanes (vector_ops.rs:909-927)."""
+    data = [
+        _rand_f32((table * 1_000_000_007 + h * 31337 + d) & _SIP_MASK)
+        for h in range(min(num_bits, 62))
+        for d in range(dim)
+    ]
+    return np.asarray(data, dtype=np.float32).reshape(min(num_bits, 62), dim)
+
+
+def _ref_bucket(v, table: int, num_bits: int) -> int:
+    """f32-accumulated sign hash (vector_ops.rs:991-1003)."""
+    if v is None or len(v) == 0 or num_bits <= 0:
+        return 0
+    x = np.asarray(v, dtype=np.float32)
+    dots = _ref_planes(table, num_bits, len(x)) @ x
+    bucket = 0
+    for h, d in enumerate(dots):
+        if d > 0.0:
+            bucket |= 1 << h
+    return bucket
+
+
+def _ref_probes(bucket: int, num_bits: int, num_probes: int):
+    """Hamming-ball probe order: self, 1-bit flips, 2-bit flips
+    (vector_ops.rs:1127-1160)."""
+    if num_probes <= 0:
+        return []
+    nb = min(num_bits, 62)
+    probes = [bucket]
+    for bit in range(nb):
+        if len(probes) >= num_probes:
+            return probes
+        probes.append(bucket ^ (1 << bit))
+    for i in range(nb):
+        for j in range(i + 1, nb):
+            if len(probes) >= num_probes:
+                return probes
+            probes.append(bucket ^ (1 << i) ^ (1 << j))
+    return probes
+
+
+def _ref_multi_probe(v, table: int, num_bits: int, num_probes: int):
+    """Boundary-distance-ranked probes (lsh_bucket_with_distances f64
+    accumulation + lsh_probes_ranked, vector_ops.rs:1198-1400)."""
+    if num_probes <= 0:
+        return []
+    if v is None or len(v) == 0 or num_bits <= 0:
+        return [0]
+    x64 = np.asarray(v, dtype=np.float64)
+    planes = _ref_planes(table, num_bits, len(x64)).astype(np.float64)
+    dots = planes @ x64
+    bucket = 0
+    for h, d in enumerate(dots):
+        if d > 0.0:
+            bucket |= 1 << h
+    order = sorted(range(len(dots)), key=lambda h: abs(dots[h]))
+    probes = [bucket]
+    for bit in order:
+        if len(probes) >= num_probes:
+            return probes
+        probes.append(bucket ^ (1 << bit))
+    for i in range(len(order)):
+        for j in range(i + 1, len(order)):
+            if len(probes) >= num_probes:
+                return probes
+            probes.append(bucket ^ (1 << order[i]) ^ (1 << order[j]))
+    for i in range(len(order)):
+        for j in range(i + 1, len(order)):
+            for k in range(j + 1, len(order)):
+                if len(probes) >= num_probes:
+                    return probes
+                probes.append(
+                    bucket ^ (1 << order[i]) ^ (1 << order[j]) ^ (1 << order[k])
+                )
+    return probes
 
 
 def lsh_bucket(a: Column, table: int = 0, num_bits: int = 16) -> Column:
-    """Sign-hash bucket id in [0, 2^num_bits) (vector_ops.rs:1038)."""
-    num_bits = min(int(num_bits), 62)
-    acc = F.lit(0).cast("long")
-    for bit in range(num_bits):
-        proj = F.aggregate(
-            F.zip_with(
-                a,
-                F.transform(F.sequence(F.lit(0), F.size(a) - 1), lambda j: _plane_coeff(table, bit, j)),
-                lambda x, p: _d(x) * p,
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
+    """Sign-hash bucket id in [0, 2^num_bits) (vector_ops.rs:1038).
+
+    Arrow-batched pandas kernel: the hyperplane family is the reference's
+    seeded-SipHash PRNG (not expressible as a JVM hash), the planes matrix
+    is cached per (table, bits, dim), and the per-batch work is one
+    float32 matmul. The scale-path dedup/similarity operators keep their
+    all-JVM xxhash64 family (operators/dedup.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    t, nb = int(table), min(int(num_bits), 62)
+
+    @pandas_udf("long")
+    def _bucket(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: _ref_bucket(v, t, nb))
+
+    return _bucket(a)
+
+
+def lsh_probes(bucket: Column, num_bits: int = 16, num_probes: int = 8) -> Column:
+    """lsh_probes(bucket, num_hyperplanes, num_probes) → probe buckets as a
+    float32 vector (the reference casts probe ids to f32,
+    code_generator/mod.rs:3030-3041). Pure bit math over literal masks —
+    stays JVM-side."""
+    nb, np_ = min(int(num_bits), 62), int(num_probes)
+    if np_ <= 0:
+        return F.array().cast("array<float>")
+    masks = [0]
+    for bit in range(nb):
+        if len(masks) >= np_:
+            break
+        masks.append(1 << bit)
+    if len(masks) < np_:
+        for i in range(nb):
+            for j in range(i + 1, nb):
+                if len(masks) >= np_:
+                    break
+                masks.append((1 << i) | (1 << j))
+            if len(masks) >= np_:
+                break
+    b = bucket.cast("long")
+    return F.array(
+        *[b.bitwiseXOR(F.lit(m).cast("long")).cast("float") for m in masks]
+    )
+
+
+def lsh_multi_probe(
+    a: Column, table: int = 0, num_bits: int = 16, num_probes: int = 8
+) -> Column:
+    """lsh_multi_probe(v, table_idx, num_hyperplanes, num_probes) →
+    boundary-ranked probe buckets as a float32 vector
+    (vector_ops.rs:1392-1400)."""
+    from pyspark.sql.functions import pandas_udf
+
+    t, nb, np_ = int(table), min(int(num_bits), 62), int(num_probes)
+
+    @pandas_udf("array<float>")
+    def _probes(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: [float(p) for p in _ref_multi_probe(v, t, nb, np_)]
         )
-        acc = acc + F.when(proj >= 0, F.lit(1 << bit).cast("long")).otherwise(F.lit(0).cast("long"))
-    return acc
 
-
-def lsh_probes(a: Column, table: int = 0, num_bits: int = 16) -> Column:
-    """Bucket plus all 1-bit-flip neighbors (multi-probe; vector_ops.rs:1127)."""
-    base = lsh_bucket(a, table, num_bits)
-    probes = [base] + [base.bitwiseXOR(F.lit(1 << b).cast("long")) for b in range(min(num_bits, 62))]
-    return F.array(*probes)
-
-
-def lsh_multi_probe(a: Column, num_tables: int = 4, num_bits: int = 16) -> Column:
-    """One bucket per table (vector_ops.rs:1392)."""
-    return F.array(*[lsh_bucket(a, t, num_bits) for t in range(num_tables)])
+    return _probes(a)

@@ -651,13 +651,15 @@ class Parser:
         self.expect("(")
         args = self._term_list() if not self.at(")") else []
         self.expect(")")
-        # The reference's builtin set is CLOSED and case-sensitive
-        # (BuiltinFunc::parse): an unknown name in expression position is
-        # a parse error (32_math/15: `M = MIN(A, B)` → "Invalid term"),
+        # The reference's builtin set is CLOSED but case-INSENSITIVE
+        # (BuiltinFunc::parse lowercases, ast/mod.rs:200 — `LEN(S)` works,
+        # 35_strings/05): an unknown name in expression position is a
+        # parse error (32_math/15: `M = MIN(A, B)` → "Invalid term"),
         # and so is a nested call argument (32_math/23:
         # `max_int64(0, min_int64(X, 10))` → "Invalid term").
         from inputlayer_spark.functions import BUILTINS
 
+        func = func.lower() if func.lower() in BUILTINS else func
         if func not in BUILTINS:
             raise ParseError(f"Invalid term: '{func}(...)' — unknown function")
         if any(isinstance(a, Call) for a in args):
