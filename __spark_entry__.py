@@ -771,9 +771,13 @@ _DOTQ = (
 
 
 def _cos_dist(a: str, b: str) -> str:
-    return (
-        f"(1.0 - ({_DOTQ.format(a=a, b=b)}) / ({_NORM.format(v=a)}) / ({_NORM.format(v=b)}))"
+    # similarity clamped to [-1, 1] before the subtraction, matching the
+    # engine (and the reference, vector_ops.rs:164) — self-distance is an
+    # exact 0.0 on both sides instead of a ±1-ulp residue
+    sim = (
+        f"({_DOTQ.format(a=a, b=b)}) / ({_NORM.format(v=a)}) / ({_NORM.format(v=b)})"
     )
+    return f"(1.0 - greatest(-1.0, least(1.0, {sim})))"
 
 
 def _eu_dist(a: str, b: str) -> str:

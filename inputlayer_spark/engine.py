@@ -958,8 +958,15 @@ class IQLEngine:
                     *[f"col{i}" for i in range(len(extent.columns))]
                 ).distinct()
 
-        if q.body and not goal_resolvable:
+        body_has_positive = any(
+            (isinstance(l, Atom) and not l.negated) or isinstance(l, HnswNearest)
+            for l in q.body
+        )
+        if q.body and not goal_resolvable and body_has_positive:
             # fresh goal name: treat goal as head over the body
+            # (comparison-only bodies fall through to the goal-filter
+            # branch so `?unknown(Id, C), C > 1` prints "No results" like
+            # the reference — 28_docs_coverage/11)
             body_df = compile_body(q.body, resolve, self._hnsw_resolver)
             df = compile_head(body_df, q.goal)
             names = _result_names(q.goal)

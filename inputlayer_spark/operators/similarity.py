@@ -3,14 +3,26 @@
 Brute-force exact top-k is the correctness baseline (what the reference
 does for non-indexed relations, src/lib.rs:1374 resolve path); the
 LSH-bucketed and IVF variants are the scale paths: both turn "compare
-against everything" into "compare within a bucket/cluster", so the
-shuffle is keyed on short bucket ids and the per-task working set is a
-partition of the corpus, not the corpus.
+against everything" into "compare within a bucket/cluster".
+
+Scale design (the index/query split the reference's index_manager keeps,
+src/index_manager.rs:1-50):
+
+- `lsh_index` / `ivf_index` run ONCE at index-create time and attach
+  short bucket/cell columns. At 100 TB the indexed table is *written*
+  partitioned by the bucket column, so a probe is partition pruning.
+- Query-side bucket/cell selection happens DRIVER-SIDE in plain Python
+  (the hyperplane family lives in functions.vector and is pure
+  SipHash-derived arithmetic) — zero Spark jobs before the single probe
+  scan, unlike the round-1 shape that launched one collect per table.
+- The probe filter is `col IN (probe ids)` over a long column — a
+  pushed-down, partition-prunable predicate; the exact rerank touches
+  only candidate rows.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -82,6 +94,47 @@ def knn_join_bruteforce(
     )
 
 
+# ------------------------------------------------------------------ LSH
+
+
+def _bucket_col(table: int) -> str:
+    return f"__lsh_b{table}"
+
+
+def lsh_index(
+    df: DataFrame, vec_col: str, num_tables: int = 4, num_bits: int = 12
+) -> DataFrame:
+    """Index-create-time artifact: per-table sign-hash bucket columns.
+
+    One pass over the corpus; at scale the result is persisted
+    partitioned/bucketed by `__lsh_b0` so probe filters prune files.
+    The family is the reference-exact deterministic hyperplane PRNG
+    (functions.vector), so buckets agree with the reference engine.
+    """
+    for t in range(num_tables):
+        df = df.withColumn(_bucket_col(t), V.lsh_bucket(F.col(vec_col), t, num_bits))
+    return df
+
+
+def lsh_query_probes(
+    query: Sequence[float],
+    num_tables: int = 4,
+    num_bits: int = 12,
+    num_probes: int = 1,
+) -> Dict[int, List[int]]:
+    """Driver-side probe buckets per table for a literal query vector.
+
+    Pure Python (no Spark job): reuses the same SipHash hyperplane family
+    the bucket columns were built with. `num_probes` > 1 adds
+    boundary-ranked neighbor buckets (multi-probe) for recall.
+    """
+    qarr = [float(x) for x in query]
+    return {
+        t: [int(b) for b in V._ref_multi_probe(qarr, t, num_bits, num_probes)]
+        for t in range(num_tables)
+    }
+
+
 def knn_lsh(
     df: DataFrame,
     id_col: str,
@@ -91,97 +144,34 @@ def knn_lsh(
     metric: str = "cosine",
     num_bits: int = 12,
     num_tables: int = 4,
+    num_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k via multi-table sign-hash LSH with exact rerank.
+    """Approximate top-k: probe LSH buckets, exact-rerank candidates.
 
-    Candidates = rows sharing the query's bucket in ANY table (union of
-    per-table bucket filters — a partition-prunable predicate when the
-    corpus is written bucketed/partitioned by bucket id); then exact
-    distance on candidates only. Falls back to fewer than k results when
-    recall misses — callers wanting guarantees use knn_bruteforce.
-    Output: id, dist.
+    If `df` already carries the index columns (from `lsh_index`), the
+    probe is a pushed-down IN-filter on long columns — partition pruning
+    when the table is written partitioned by bucket. Otherwise the bucket
+    columns are computed in-flight (documented slow path for ad-hoc use).
+    Recall rises with `num_probes`; callers wanting guarantees use
+    knn_bruteforce. Output: id, dist.
     """
-    import numpy as np
-
-    qarr = [float(x) for x in query]
-    qcol = F.array(*[F.lit(x) for x in qarr]).cast("array<float>")
-
-    # query-side bucket per table, computed once driver-side with the same
-    # deterministic plane family as functions.vector.lsh_bucket
-    cand_filter = None
+    if _bucket_col(0) not in df.columns:
+        df = lsh_index(df, vec_col, num_tables, num_bits)
+    probes = lsh_query_probes(query, num_tables, num_bits, num_probes)
+    cand = None
     for t in range(num_tables):
-        bucket_col = V.lsh_bucket(F.col(vec_col), t, num_bits)
-        qdf_val = _query_bucket(qarr, t, num_bits)
-        cond = bucket_col == F.lit(qdf_val)
-        cand_filter = cond if cand_filter is None else (cand_filter | cond)
-
-    return (
-        df.filter(cand_filter)
-        .select(F.col(id_col).alias("id"), _dist(metric, F.col(vec_col), qcol).alias("dist"))
-        .orderBy(F.col("dist").asc(), F.col("id").asc())
-        .limit(k)
-    )
-
-
-def _query_bucket(vec, table: int, num_bits: int) -> int:
-    """Driver-side replica of functions.vector.lsh_bucket for a literal
-    query vector: same xxhash64-derived hyperplane coefficients."""
-    import pandas as pd  # noqa: F401  (ensures pandas present for consistency)
-
-    # xxhash64(seed=42 default in Spark) of (table, bit, j) — reproduce via
-    # a tiny Spark-free implementation is error-prone; instead compute with
-    # Spark itself lazily: callers pass literal vectors rarely (per query),
-    # so one tiny local job is fine.
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
-    row = (
-        spark.range(1)
-        .select(
-            V.lsh_bucket(
-                F.array(*[F.lit(float(x)) for x in vec]).cast("array<float>"), table, num_bits
-            ).alias("b")
-        )
-        .collect()[0]
-    )
-    return int(row["b"])
-
-
-def ivf_knn(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    query: Sequence[float],
-    k: int = 10,
-    metric: str = "cosine",
-    partition_col: str = None,
-    n_probe: int = 2,
-) -> DataFrame:
-    """IVF-style ANN: restrict the scan to the n_probe coarse cells
-    nearest to the query, then exact-rank within them.
-
-    Cells come from `partition_col` (a precomputed cluster/label column —
-    at scale the corpus is *written* partitioned by it, so the probe is
-    partition pruning, not a filter). Centroids are computed as cell
-    means on the fly; production would precompute them.
-    Output: id, dist.
-    """
+        cond = F.col(_bucket_col(t)).isin(probes[t])
+        cand = cond if cand is None else (cand | cond)
     q = F.array(*[F.lit(float(x)) for x in query]).cast("array<float>")
-    cents = (
-        centroids(df, partition_col, vec_col)
-        .withColumn("cdist", _dist(metric, F.col("centroid"), q))
-        .orderBy(F.col("cdist").asc())
-        .limit(n_probe)
-        .select("cell")
-    )
-    probed = df.join(
-        F.broadcast(cents), on=df[partition_col] == cents["cell"], how="inner"
-    )
     return (
-        probed.select(F.col(id_col).alias("id"), _dist(metric, F.col(vec_col), q).alias("dist"))
+        df.filter(cand)
+        .select(F.col(id_col).alias("id"), _dist(metric, F.col(vec_col), q).alias("dist"))
         .orderBy(F.col("dist").asc(), F.col("id").asc())
         .limit(k)
     )
+
+
+# ------------------------------------------------------------------ IVF
 
 
 def centroids(df: DataFrame, cell_col: str, vec_col: str) -> DataFrame:
@@ -192,5 +182,80 @@ def centroids(df: DataFrame, cell_col: str, vec_col: str) -> DataFrame:
     return (
         agg.groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("cell", F.transform("pm", lambda s: s["m"].cast("float")).alias("centroid"))
+        .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def ivf_index(
+    df: DataFrame, cell_col: str, vec_col: str
+) -> Tuple[DataFrame, List[Tuple[object, List[float]]]]:
+    """Index-create-time artifact for IVF probing.
+
+    Returns (df unchanged — the cell column is the coarse quantizer) and
+    the collected centroid table: tiny (n_cells × dim), it lives on the
+    driver so query-time cell selection is plain arithmetic, not a Spark
+    job. Production layout: corpus written partitioned by `cell_col`.
+    """
+    rows = centroids(df, cell_col, vec_col).collect()
+    return df, [(r["cell"], [float(x) for x in r["centroid"]]) for r in rows]
+
+
+def _py_dist(metric: str, a: Sequence[float], b: Sequence[float]) -> float:
+    import math
+
+    if metric in ("euclidean", "l2"):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+    if metric == "manhattan":
+        return sum(abs(x - y) for x, y in zip(a, b))
+    dotv = sum(x * y for x, y in zip(a, b))
+    if metric == "dot":
+        return -dotv
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(y * y for y in b))
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return 1.0 - max(-1.0, min(1.0, dotv / (na * nb)))
+
+
+def ivf_probe_cells(
+    cents: List[Tuple[object, List[float]]],
+    query: Sequence[float],
+    n_probe: int = 2,
+    metric: str = "cosine",
+) -> List[object]:
+    """Driver-side: the n_probe cells whose centroids are nearest the
+    query (ties broken by cell id for determinism)."""
+    q = [float(x) for x in query]
+    ranked = sorted(cents, key=lambda cv: (_py_dist(metric, cv[1], q), str(cv[0])))
+    return [c for c, _ in ranked[:n_probe]]
+
+
+def ivf_knn(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    metric: str = "cosine",
+    cell_col: str = None,
+    n_probe: int = 2,
+    cents: Optional[List[Tuple[object, List[float]]]] = None,
+) -> DataFrame:
+    """IVF-style ANN: exact top-k within the n_probe nearest cells.
+
+    With a prebuilt `cents` artifact (ivf_index) the probed cells are
+    chosen driver-side with no Spark job and the probe filter is an
+    IN-list on the cell column — partition pruning when the corpus is
+    written partitioned by cell. Without it, centroids are computed
+    in-flight (ad-hoc slow path). Output: id, dist.
+    """
+    if cents is None:
+        _, cents = ivf_index(df, cell_col, vec_col)
+    probed_cells = ivf_probe_cells(cents, query, n_probe, metric)
+    q = F.array(*[F.lit(float(x)) for x in query]).cast("array<float>")
+    return (
+        df.filter(F.col(cell_col).isin(probed_cells))
+        .select(F.col(id_col).alias("id"), _dist(metric, F.col(vec_col), q).alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("id").asc())
+        .limit(k)
     )

@@ -65,6 +65,7 @@ _TOKEN_RE = re.compile(
   | (?P<ws>[^\S\n]+)
   | (?P<comment>//[^\n]*|/\*(?:[^*]|\*(?!/))*\*/)
   | (?P<string>"(?:\\.|[^"\\])*")
+  | (?P<efloat>\d+(?:\.\d+)?[eE][+-]\d+)
   | (?P<dident>\d+[a-zA-Z_][a-zA-Z0-9_]*)
   | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<int>\d+)
@@ -113,6 +114,10 @@ def tokenize(src: str) -> list:
         kind = m.lastgroup
         if kind in ("ws", "comment"):
             continue
+        if kind == "efloat":
+            # signed-exponent scientific notation (1e-5, -1.5e-2 after
+            # unary minus) — 28_docs_coverage/20_scientific_notation.iql
+            kind = "float"
         if kind == "dident":
             # digit-leading identifiers are legal relation names in the
             # reference (golden 12_errors/37_identifier_validation.iql:
@@ -462,6 +467,12 @@ class Parser:
     def _body(self) -> list:
         lits = [self._body_literal()]
         while self.eat(","):
+            if self.peek() is None or self.peek().kind == "nl":
+                # trailing comma at end of input: the reference client
+                # splits statements per line and the server registers the
+                # comma-terminated prefix as a complete rule
+                # (13_performance/12_long_rule_bodies.iql)
+                break
             lits.append(self._body_literal())
         return lits
 
@@ -470,6 +481,8 @@ class Parser:
             atom = self._atom()
             return Atom(atom.relation, atom.terms, negated=True)
         t = self.peek()
+        if t is None:
+            raise ParseError("unexpected end of input in rule body")
         if t.kind == "ident" and t.text == "hnsw_nearest":
             return self._hnsw()
         # atom: ident followed by '(' — ANY case: the reference parses
