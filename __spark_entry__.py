@@ -500,23 +500,47 @@ def q_knn_join(spark, sf_dir):
 
 
 def q_knn_lsh(spark, sf_dir):
-    """Approximate LSH-bucketed k-NN — rows-only check (bucket recall is
-    engine-specific; exact rerank inside)."""
-    from inputlayer_spark.operators.similarity import knn_lsh
+    """LSH-probed k-NN with exact rerank, full-probe budget.
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    Multi-probe over the Hamming-3 ball (93 buckets/table × 8 tables
+    over 8 bits) makes recall 1.0 on this corpus, so the DuckDB
+    brute-force top-k is an exact oracle: the check verifies both the
+    probe machinery (candidates must cover the true top-10) and the
+    rerank. Scale path: bucket columns precomputed by lsh_index, probe
+    filter is an IN-list (partition pruning)."""
+    from inputlayer_spark.operators.similarity import knn_lsh, lsh_index
+
+    emb = lsh_index(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        "embedding",
+        num_tables=8,
+        num_bits=8,
+    )
     q = _query_vec(spark, sf_dir)
-    out = knn_lsh(emb, "vec_id", "embedding", q, k=10, metric="cosine", num_bits=8, num_tables=4)
+    out = knn_lsh(
+        emb, "vec_id", "embedding", q, k=10, metric="cosine",
+        num_bits=8, num_tables=8, num_probes=93,
+    )
     return out.select(F.col("id").alias("vec_id"), F.col("dist").alias("cos_dist"))
 
 
 def q_ivf_knn(spark, sf_dir):
-    """IVF-style ANN probing the 2 nearest label cells — rows-only."""
-    from inputlayer_spark.operators.similarity import ivf_knn
+    """IVF probed search: exact top-10 within the 3 label cells whose
+    centroids are nearest the query. Deterministic (centroid → probe →
+    rerank), so the oracle replicates the same computation in SQL —
+    the check verifies the IVF pipeline itself, not a recall bound.
+    Scale path: centroids collected once at index time (n_cells × dim on
+    the driver), probe selection is driver-side arithmetic, the cell
+    filter is an IN-list (partition pruning when written by cell)."""
+    from inputlayer_spark.operators.similarity import ivf_index, ivf_knn
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, cents = ivf_index(emb, "label", "embedding")
     q = _query_vec(spark, sf_dir)
-    out = ivf_knn(emb, "vec_id", "embedding", q, k=10, metric="cosine", partition_col="label", n_probe=2)
+    out = ivf_knn(
+        emb, "vec_id", "embedding", q, k=10, metric="cosine",
+        cell_col="label", n_probe=3, cents=cents,
+    )
     return out.select(F.col("id").alias("vec_id"), F.col("dist").alias("cos_dist"))
 
 
@@ -614,12 +638,45 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH banding candidate pairs — rows-only (banding layout is
-    engine-specific; the oracle-checked near-dup path is q_ngram_jaccard)."""
+    """MinHash+LSH banding candidates VERIFIED by exact Jaccard ≥ 0.5.
+
+    The standard candidates→verify near-dup pipeline: banding prunes the
+    pair space (64 permutations, 32 bands of 2 — miss probability for a
+    J=0.5 pair is (1−0.25)^32 ≈ 1e-4), the exact Jaccard join touches
+    candidate pairs only. With that recall the output equals the DuckDB
+    exact-pairs oracle, so the check covers the whole pipeline. Scale:
+    the shingle self-join for verification is restricted to candidates —
+    no all-pairs compare."""
     from inputlayer_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, "doc_id", "text", num_perm=16, bands=4, shingle_n=2)
+    cand = minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64, bands=32, shingle_n=2)
+    sh = docs.select(
+        F.col("doc_id").alias("__id"),
+        F.explode(
+            F.array_distinct(TX.shingles_from_tokens(TX.tokens(F.col("text")), 2))
+        ).alias("__sh"),
+    )
+    sz = sh.groupBy("__id").agg(F.count("*").alias("n"))
+    shared = (
+        cand.join(sh.toDF("id1", "s1"), on="id1")
+        .join(sh.toDF("id2", "s2"), on="id2")
+        .filter(F.col("s1") == F.col("s2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(sz.toDF("id1", "n1"), on="id1")
+        .join(sz.toDF("id2", "n2"), on="id2")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id1", "id2", "jaccard")
+    )
+    return out
 
 
 def q_simhash(spark, sf_dir):
@@ -1042,6 +1099,43 @@ def oracle_sql() -> dict[str, str]:
             "octet_length(encode(text)) AS n_bytes, "
             "sha256(text) AS content_sha FROM documents"
         ),
-        # knn_lsh, ivf_knn, minhash_lsh: intentionally omitted — approximate
-        # /layout-specific operators get the driver's rows-only check.
+        # Approximate operators, checked exactly: knn_lsh's probe budget
+        # covers the true top-k (recall 1.0 → brute-force oracle);
+        # ivf_knn's oracle replicates the centroid→probe→rerank pipeline;
+        # minhash_lsh verifies candidates with exact Jaccard, so its
+        # output equals the exact-pairs oracle.
+        "knn_lsh": (
+            qv_cte
+            + f"SELECT vec_id, {_cos_dist('embedding', 'q')} AS cos_dist "
+            "FROM embeddings, qv ORDER BY cos_dist ASC, vec_id ASC LIMIT 10"
+        ),
+        "ivf_knn": (
+            qv_cte
+            + ", cents AS ("
+            "  SELECT label, list(m ORDER BY pos) AS centroid FROM ("
+            "    SELECT label, pos, avg(val) AS m FROM ("
+            "      SELECT label, unnest(embedding)::DOUBLE AS val, "
+            "             generate_subscripts(embedding, 1) AS pos "
+            "      FROM embeddings) GROUP BY label, pos) GROUP BY label), "
+            "probed AS ("
+            f"  SELECT label FROM cents, qv "
+            f"  ORDER BY {_cos_dist('centroid', 'q')} ASC, label ASC LIMIT 3) "
+            f"SELECT e.vec_id, {_cos_dist('e.embedding', 'q')} AS cos_dist "
+            "FROM embeddings e JOIN probed p ON e.label = p.label, qv "
+            "ORDER BY cos_dist ASC, e.vec_id ASC LIMIT 10"
+        ),
+        "minhash_lsh": (
+            "WITH sh AS (SELECT doc_id, unnest(list_distinct("
+            + _SHINGLES2
+            + ")) AS s FROM documents), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared "
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+            "  GROUP BY a.doc_id, b.doc_id) "
+            "SELECT p.id1, p.id2, "
+            "  p.shared::DOUBLE / (s1.n + s2.n - p.shared) AS jaccard "
+            "FROM pairs p JOIN sz s1 ON s1.doc_id = p.id1 "
+            "JOIN sz s2 ON s2.doc_id = p.id2 "
+            "WHERE p.shared::DOUBLE / (s1.n + s2.n - p.shared) >= 0.5"
+        ),
     }

@@ -244,7 +244,12 @@ def compile_body(
     for h in hnsws:
         if hnsw_resolver is None:
             raise CompileError("hnsw_nearest used but no index manager attached")
-        knn = hnsw_resolver(h)  # columns: id_var, dist_var (already aliased)
+        # the resolver sees the body-so-far so a bound query variable can
+        # become a k-NN join (per-query top-k), not just a literal lookup
+        try:
+            knn = hnsw_resolver(h, acc)
+        except TypeError:
+            knn = hnsw_resolver(h)  # legacy single-arg resolvers
         acc = _conjoin(acc, knn)
 
     if acc is None:

@@ -123,6 +123,9 @@ class IQLEngine:
         # of it) changes — the reference's change-notification channel
         # (src/protocol/handler.rs:837-914) as an in-process API
         self._subscribers: Dict[str, List] = {}
+        # (kg, index name) -> persisted LSH bucket frame (the materialized
+        # index artifact; dropped by _invalidate on dependent writes)
+        self._index_frames: Dict[Tuple[str, str], DataFrame] = {}
 
     # ------------------------------------------------------------ public
 
@@ -155,6 +158,17 @@ class IQLEngine:
         dirty.add(relation)
         for head in dirty:
             self._derived_cache.pop(head, None)
+        # cascade into materialized index artifacts (reference
+        # index_manager invalidation on base writes)
+        for (kg, iname), frame in list(self._index_frames.items()):
+            if kg == self.current.name:
+                target = self.current.indexes.get(iname, (None,))[0]
+                if target in dirty:
+                    try:
+                        frame.unpersist()
+                    except Exception:
+                        pass
+                    self._index_frames.pop((kg, iname), None)
         for rel in dirty:
             for cb in self._subscribers.get(rel, ()):
                 try:
@@ -1203,40 +1217,169 @@ class IQLEngine:
 
     # ------------------------------------------------------------ vector index
 
-    def create_index(self, name: str, relation: str, column: str, metric: str = "cosine") -> None:
-        """`.index create` — records metadata; search executes as a
-        brute-force exact k-NN DataFrame plan (the reference's own fallback
-        for non-indexed relations). An LSH-bucketed path lives in
-        operators.similarity for the approximate/scale mode."""
-        self.current.indexes[name] = (relation, column, metric)
+    # LSH index geometry: 8 tables × 8 bits matches the probe budget that
+    # reaches recall 1.0 on the synthetic embeddings corpus; ef_search
+    # maps directly to the multi-probe bucket count per table.
+    _INDEX_TABLES = 8
+    _INDEX_BITS = 8
+    _DEFAULT_PROBES = 93  # Hamming-3 ball over 8 bits
 
-    def _hnsw_resolver(self, h: HnswNearest) -> DataFrame:
+    def create_index(self, name: str, relation: str, column: str, metric: str = "cosine") -> None:
+        """`.index create` — materializes an LSH bucket artifact (the Spark
+        analog of the reference's HNSW build, src/index_manager.rs:1-50):
+        per-table sign-hash bucket columns precomputed over the relation
+        and cached. The artifact is cascade-invalidated on base writes
+        (_invalidate) and rebuilt lazily. Search probes the bucket columns
+        (ef_search → probe count) and exact-reranks candidates; the
+        brute-force path remains the fallback when the artifact cannot be
+        built (e.g. empty/typeless relations)."""
+        self.current.indexes[name] = (relation, column, metric)
+        self._index_frames.pop((self.current.name, name), None)
+
+    def _index_frame(self, name: str) -> Optional[DataFrame]:
+        """Materialized LSH artifact for an index, built lazily and cached
+        (persisted) until a write to a relation it depends on."""
+        key = (self.current.name, name)
+        cached = self._index_frames.get(key)
+        if cached is not None:
+            return cached
+        relation, column, _metric = self.current.indexes[name]
+        from inputlayer_spark.operators.similarity import lsh_index
+
+        try:
+            df = self._resolver(self._derived_for_index())(relation)
+            if column not in df.columns:
+                return None
+            idx = lsh_index(
+                df, column, num_tables=self._INDEX_TABLES, num_bits=self._INDEX_BITS
+            ).persist()
+            self._index_frames[key] = idx
+            return idx
+        except Exception:
+            return None
+
+    def _hnsw_resolver(self, h: HnswNearest, acc: Optional[DataFrame] = None) -> DataFrame:
         from inputlayer_spark.functions import vector as V
 
         meta = self.current.indexes.get(h.index)
         if meta is None:
             raise CompileError(f"unknown index {h.index}")
         relation, column, metric = meta
-        df = self._resolver(self._derived_for_index())(relation)
-        id_col = F.col(df.columns[0])
-        vec_col = F.col(column) if column in df.columns else F.col(df.columns[1])
-        if isinstance(h.query, VecLit):
-            qcol = lit_of(h.query)
-        else:
-            raise CompileError("hnsw_nearest query must be a vector literal (round 1)")
-        dist = {
+        dist_fn = {
             "cosine": V.cosine,
             "l2": V.euclidean,
             "euclidean": V.euclidean,
             "dot": lambda a, b: -V.dot(a, b),
             "manhattan": V.manhattan,
-        }[metric](vec_col, qcol)
-        out = (
+        }[metric]
+        probes = h.ef_search if h.ef_search else self._DEFAULT_PROBES
+        probes = max(1, min(int(probes), 2**self._INDEX_BITS))
+
+        if isinstance(h.query, Var) and not h.query.is_wildcard:
+            # bound query variable → k-NN JOIN: candidates via probe-bucket
+            # equi-join against the index artifact, exact rerank per query
+            # vector, rejoined into the body on the query variable
+            if acc is None or h.query.name not in acc.columns:
+                raise CompileError(
+                    "hnsw_nearest query variable must be bound by the body"
+                )
+            idx = self._index_frame(h.index)
+            qname = h.query.name
+            # internal aliases avoid (case-insensitive) collisions between
+            # the query variable and corpus column names
+            queries = acc.select(F.col(qname).alias("__hq")).distinct()
+            if idx is None:
+                corpus = self._resolver(self._derived_for_index())(relation)
+                cand = corpus.select(
+                    F.col(corpus.columns[0]).alias("__hid"),
+                    F.col(column).alias("__hv"),
+                ).crossJoin(F.broadcast(queries))
+            else:
+                from inputlayer_spark.operators.similarity import _bucket_col
+
+                slim = idx.select(
+                    F.col(idx.columns[0]).alias("__hid"),
+                    F.col(column).alias("__hv"),
+                    *[_bucket_col(t) for t in range(self._INDEX_TABLES)],
+                )
+                # per-table probe buckets of each query vector (Arrow batch)
+                probe_structs = F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            V.lsh_multi_probe(
+                                F.col("__hq"), t, self._INDEX_BITS, probes
+                            ).alias("bs"),
+                        )
+                        for t in range(self._INDEX_TABLES)
+                    ]
+                )
+                qprobes = (
+                    queries.withColumn("__ps", F.explode(probe_structs))
+                    .withColumn("__b", F.explode(F.col("__ps.bs").cast("array<long>")))
+                    .select("__hq", F.col("__ps.t").alias("__t"), F.col("__b"))
+                )
+                # candidate = corpus row sharing a probed bucket in any table
+                cand = None
+                for t in range(self._INDEX_TABLES):
+                    part = qprobes.filter(F.col("__t") == t).select(
+                        "__hq", F.col("__b").alias(_bucket_col(t))
+                    )
+                    j = slim.join(F.broadcast(part), on=_bucket_col(t), how="inner")
+                    j = j.select("__hq", "__hid", "__hv")
+                    cand = j if cand is None else cand.unionByName(j)
+                cand = cand.dropDuplicates(["__hq", "__hid"])
+            from pyspark.sql import Window as _W
+
+            ranked = cand.withColumn(
+                "__hd", dist_fn(F.col("__hv"), F.col("__hq"))
+            ).withColumn(
+                "__rk",
+                F.row_number().over(
+                    _W.partitionBy("__hq").orderBy(
+                        F.col("__hd").asc(), F.col("__hid").asc()
+                    )
+                ),
+            )
+            return ranked.filter(F.col("__rk") <= h.k).select(
+                F.col("__hq").alias(qname),
+                F.col("__hid").alias(h.id_var.name),
+                F.col("__hd").alias(h.dist_var.name),
+            )
+
+        if not isinstance(h.query, VecLit):
+            raise CompileError(
+                "hnsw_nearest query must be a vector literal or bound variable"
+            )
+        qvals = [float(getattr(v, "value", v)) for v in h.query.values]
+        idx = self._index_frame(h.index)
+        if idx is not None:
+            from inputlayer_spark.operators.similarity import knn_lsh
+
+            out = knn_lsh(
+                idx,
+                idx.columns[0],
+                column,
+                qvals,
+                k=h.k,
+                metric=metric,
+                num_bits=self._INDEX_BITS,
+                num_tables=self._INDEX_TABLES,
+                num_probes=probes,
+            )
+            return out.select(
+                F.col("id").alias(h.id_var.name), F.col("dist").alias(h.dist_var.name)
+            )
+        # fallback: exact scan (reference's non-indexed resolve path)
+        df = self._resolver(self._derived_for_index())(relation)
+        id_col = F.col(df.columns[0])
+        vec_col = F.col(column) if column in df.columns else F.col(df.columns[1])
+        dist = dist_fn(vec_col, lit_of(h.query))
+        return (
             df.select(id_col.alias(h.id_var.name), dist.alias(h.dist_var.name))
             .orderBy(F.col(h.dist_var.name).asc(), F.col(h.id_var.name).asc())
             .limit(h.k)
         )
-        return out
 
     def _derived_for_index(self) -> Dict[str, DataFrame]:
         # indexes may target derived relations; materialize lazily
@@ -1458,6 +1601,7 @@ class IQLEngine:
                         f"(no incremental engine)"
                     )
                 self.current.indexes.pop(args[1], None)
+                self._index_frames.pop((self.current.name, args[1]), None)
             elif args and args[0] == "list":
                 rows = [
                     (name, rel, col, metric)
@@ -1481,15 +1625,29 @@ class IQLEngine:
                     ("column", col),
                     ("metric", metric),
                     ("rows", str(n)),
-                    ("kind", "exact-scan (brute-force; LSH path in operators.similarity)"),
+                    (
+                        "kind",
+                        "lsh-bucket artifact ({}x{} tables/bits{})".format(
+                            self._INDEX_TABLES,
+                            self._INDEX_BITS,
+                            ", materialized"
+                            if (self.current.name, args[1]) in self._index_frames
+                            else ", lazy",
+                        ),
+                    ),
                 ]
                 return self.spark.createDataFrame(rows, schema="key string, value string")
             elif args and args[0] == "rebuild":
-                # brute-force scan plans have no materialized state; the
-                # reference rebuilds HNSW graphs here (handler.rs:2008) —
-                # our equivalent is re-validating the target still resolves
+                # drop and rebuild the materialized bucket artifact (the
+                # reference rebuilds HNSW graphs here, handler.rs:2008)
                 if len(args) > 1 and args[1] in self.current.indexes:
-                    self._named_df(self.current.indexes[args[1]][0])
+                    old = self._index_frames.pop((self.current.name, args[1]), None)
+                    if old is not None:
+                        try:
+                            old.unpersist()
+                        except Exception:
+                            pass
+                    self._index_frame(args[1])
         elif cmd == "session":
             if args and args[0] == "clear":
                 self.session_rules.clear()

@@ -230,6 +230,9 @@ def test_vector_distances(engine):
 
 
 def test_temporal_builtins(engine):
+    # bare `within_last(...)` is an unknown-relation atom (matches
+    # nothing, reference 29_temporal/07); the function itself works in
+    # binding position
     df = engine.query(
         """
         +ev[(1, 1000), (2, 5000), (3, 9000)]
@@ -237,7 +240,14 @@ def test_temporal_builtins(engine):
         ?recent(Id)
         """
     )
-    assert rows(df) == [(2,), (3,)]
+    assert rows(df) == []
+    df2 = engine.query(
+        """
+        +flagged(Id, B) <- ev(Id, T), B = within_last(T, 9000, 4000)
+        ?flagged(Id, B)
+        """
+    )
+    assert rows(df2) == [(1, False), (2, True), (3, True)]
 
 
 def test_time_decay(engine):
@@ -415,3 +425,30 @@ def test_bound_query_no_exit_rule_empty_quirk(engine):
     # unbound: full fixpoint seeded by the base fact
     got = rows(engine.query("?reachable(S, E, D)"))
     assert ("s", "s", 0) in got and ("s", "a", 1) in got and ("s", "t", 2) in got
+
+
+def test_hnsw_index_artifact_and_bound_query(engine):
+    """The LSH bucket artifact materializes at first use, serves literal
+    and bound-variable queries exactly (generous probe budget → exact
+    rerank), and is cascade-invalidated by base writes."""
+    engine.execute("+emb(id: int, v: vector)")
+    engine.execute(
+        "+emb[(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.9, 0.1, 0.0])]"
+    )
+    engine.execute(".index create vidx on emb(v) metric cosine")
+    got = rows(engine.query('?nl(Id, D), hnsw_nearest("vidx", [1.0, 0.0, 0.0], 2, Id, D)'))
+    assert [g[0] for g in got] == [1, 3]
+    assert (engine.current.name, "vidx") in engine._index_frames
+    # bound query variable → per-row k-NN join (k=1 → self match, dist 0)
+    nn = rows(
+        engine.query(
+            '+self_nn(Q, Id) <- emb(QId, Q), hnsw_nearest("vidx", Q, 1, Id, D)\n'
+            "?self_nn(Q, Id)"
+        )
+    )
+    assert len(nn) == 3
+    # base write invalidates the artifact; new vector becomes findable
+    engine.execute("+emb[(4, [0.0, 0.0, 1.0])]")
+    assert (engine.current.name, "vidx") not in engine._index_frames
+    got2 = rows(engine.query('?n2(Id, D), hnsw_nearest("vidx", [0.0, 0.0, 1.0], 1, Id, D)'))
+    assert [g[0] for g in got2] == [4]

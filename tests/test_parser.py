@@ -129,11 +129,15 @@ def test_comments_and_meta():
 
 
 def test_builtin_predicate():
+    # a bare builtin call in predicate position is an ATOM over a
+    # (nonexistent) relation — the reference grammar only treats builtins
+    # as functions inside comparisons (29_temporal/06..09,11,20 pin that
+    # such rules match nothing)
     r = parse1("+recent(X) <- event(X, T), within_last(T, 1000, 100)")
-    comp = r.body[1]
-    assert isinstance(comp, Comparison)
-    assert comp.op == "=" and comp.right == Const(True)
-    assert isinstance(comp.left, Call) and comp.left.func == "within_last"
+    atom = r.body[1]
+    assert isinstance(atom, Atom)
+    assert atom.relation == "within_last" and not atom.negated
+    assert atom.terms == (Var("T"), Const(1000), Const(100))
 
 
 def test_hnsw_nearest():
