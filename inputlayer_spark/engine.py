@@ -89,6 +89,14 @@ def _spark_type_for(name: str) -> T.DataType:
     return t
 
 
+def _parse_dtype(s: str) -> T.DataType:
+    """simpleString → DataType (snapshot catalog round-trip)."""
+    try:
+        return T._parse_datatype_string(s)
+    except Exception:
+        return T.StringType()
+
+
 @dataclass
 class KnowledgeGraph:
     """One namespace of relations + rules + schemas + indexes
@@ -107,7 +115,12 @@ class KnowledgeGraph:
 
 
 class IQLEngine:
-    def __init__(self, spark: SparkSession, now_ms: Optional[int] = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        now_ms: Optional[int] = None,
+        wal_dir: Optional[str] = None,
+    ):
         self.spark = spark
         self.kgs: Dict[str, KnowledgeGraph] = {"default": KnowledgeGraph("default")}
         self.current = self.kgs["default"]
@@ -126,6 +139,14 @@ class IQLEngine:
         # (kg, index name) -> persisted LSH bucket frame (the materialized
         # index artifact; dropped by _invalidate on dependent writes)
         self._index_frames: Dict[Tuple[str, str], DataFrame] = {}
+        # write-ahead statement log + snapshot dir: when set, persistent
+        # mutations are appended durably and replayed on startup over the
+        # last snapshot (reference src/storage/persist/wal.rs:76-122,
+        # architecture.md:530-539 — replay-on-start)
+        self.wal_dir = wal_dir
+        self._wal_replaying = False
+        if wal_dir:
+            self._recover()
 
     # ------------------------------------------------------------ public
 
@@ -170,7 +191,11 @@ class IQLEngine:
                         pass
                     self._index_frames.pop((kg, iname), None)
         for rel in dirty:
-            for cb in self._subscribers.get(rel, ()):
+            # "*" subscribers receive every change (the wire protocol's
+            # per-connection persistent_update notifications)
+            for cb in list(self._subscribers.get(rel, [])) + list(
+                self._subscribers.get("*", [])
+            ):
                 try:
                     cb(rel)
                 except Exception:
@@ -181,6 +206,11 @@ class IQLEngine:
         the relation or any derivation depending on it is invalidated by a
         write (reference change notifications, handler.rs:837-914)."""
         self._subscribers.setdefault(relation, []).append(callback)
+
+    def unsubscribe(self, relation: str, callback) -> None:
+        cbs = self._subscribers.get(relation, [])
+        if callback in cbs:
+            cbs.remove(callback)
 
     def execute(self, text: str) -> List[DataFrame]:
         """Run an IQL program; returns one DataFrame per `?query`."""
@@ -227,7 +257,92 @@ class IQLEngine:
             else:
                 raise CompileError(f"unsupported statement {st!r}")
         self._flush_facts(pending_facts)
+        self._wal_append(text, prog)
         return results
+
+    # ------------------------------------------------------------ WAL
+
+    _WAL_META_CMDS = frozenset({"kg", "index", "clear", "load", "rel", "rule"})
+
+    def _wal_append(self, text: str, prog) -> None:
+        """Durably log a program that mutated persistent state. The log
+        records the original IQL text (JSON-lines), replayed over the
+        last snapshot at startup. Session-only statements are not
+        persisted (reference WAL semantics: ephemeral overlays die with
+        the connection)."""
+        if not self.wal_dir or self._wal_replaying:
+            return
+
+        def mutates(st) -> bool:
+            if isinstance(st, Fact):
+                return not st.session
+            if isinstance(st, Rule):
+                return bool(getattr(st, "persistent", True))
+            if isinstance(st, (Delete, Update, SchemaDecl, TypeDecl, EmptyBatch)):
+                return True
+            if isinstance(st, MetaCommand):
+                return st.command in self._WAL_META_CMDS
+            return False
+
+        if not any(mutates(st) for st in prog.statements):
+            return
+        import json as _json
+        import os as _os
+
+        _os.makedirs(self.wal_dir, exist_ok=True)
+        with open(_os.path.join(self.wal_dir, "wal.log"), "a") as fh:
+            fh.write(_json.dumps({"t": text}) + "\n")
+            fh.flush()
+            _os.fsync(fh.fileno())
+
+    def _recover(self) -> None:
+        """Startup recovery: last snapshot + WAL replay
+        (reference wal.rs:76-122 replay-on-start)."""
+        import json as _json
+        import os as _os
+
+        self._wal_replaying = True
+        try:
+            snap = _os.path.join(self.wal_dir, "snapshot")
+            if _os.path.exists(_os.path.join(snap, "catalog.json")):
+                self.load_kg(snap)
+            wal = _os.path.join(self.wal_dir, "wal.log")
+            if _os.path.exists(wal):
+                with open(wal) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        try:
+                            self.execute(_json.loads(line)["t"])
+                        except Exception:
+                            # a torn tail record (crash mid-append) or a
+                            # statement invalidated by later semantics
+                            # must not brick recovery
+                            continue
+        finally:
+            self._wal_replaying = False
+
+    def checkpoint(self) -> None:
+        """Snapshot current state and truncate the WAL (`.compact`):
+        recovery cost returns to O(snapshot) instead of O(history)."""
+        import os as _os
+
+        if not self.wal_dir:
+            return
+        self._wal_replaying = True  # save/load internals must not re-log
+        try:
+            # pin relation frames in cluster storage first: a relation
+            # lazily read from the PREVIOUS snapshot would otherwise be
+            # overwritten underneath its own scan
+            for name, df in list(self.current.relations.items()):
+                self.current.relations[name] = df.localCheckpoint(eager=True)
+            self.save_kg(_os.path.join(self.wal_dir, "snapshot"))
+        finally:
+            self._wal_replaying = False
+        wal = _os.path.join(self.wal_dir, "wal.log")
+        if _os.path.exists(wal):
+            _os.truncate(wal, 0)
 
     def query(self, text: str) -> DataFrame:
         """Convenience: run a program whose last statement is a query."""
@@ -739,6 +854,10 @@ class IQLEngine:
             self.current.relations[name] = self.spark.read.parquet(p)
         for rule_text in catalog.get("rules", []):
             self.execute(rule_text)
+        for rel, fields in catalog.get("schemas", {}).items():
+            self.current.schemas[rel] = T.StructType(
+                [T.StructField(n, _parse_dtype(t), True) for n, t in fields]
+            )
         for name, meta in catalog.get("indexes", {}).items():
             self.current.indexes[name] = tuple(meta)
 
@@ -809,6 +928,87 @@ class IQLEngine:
                 derived[h] = df
                 self._derived_cache[h] = df
         return derived
+
+    # ---------------------------------------------- incremental aggregates
+
+    _MERGEABLE_AGGS = ("sum", "count", "min", "max")
+
+    def try_delta_merge(
+        self, head: str, delta_rel: str, delta_df: DataFrame, old_base: DataFrame
+    ) -> Optional[DataFrame]:
+        """O(delta) maintenance of a materialized aggregate view.
+
+        For a non-recursive single-clause rule `+v(G.., agg<X>..) <-
+        base(..)` whose aggregates are all merge-able semigroups
+        (sum/count/min/max), the new view is
+        `merge(old_view, aggregate(delta rows))` — no re-aggregation of
+        the base (reference re-query after +10..1000 rows: 3.9-8.3 ms,
+        BENCHMARKS.md:89-93; this is the Spark analog of its differential
+        update). Returns the merged view, or None when the rule shape
+        doesn't qualify (joins, negation, avg/count_distinct/ranking,
+        recursion) — callers then fall back to full recompute.
+
+        Set-semantics fidelity: IQL aggregates range over DISTINCT body
+        bindings, so for sum/count the delta bindings are anti-joined
+        against the pre-append base's bindings (a broadcast filter scan,
+        no shuffle/re-aggregation); min/max are duplicate-insensitive.
+        """
+        from inputlayer_spark.ast_nodes import Agg
+        from inputlayer_spark.compiler import compile_body, compile_head
+
+        rules = [r for r in self.current.rules if r.head.relation == head]
+        if len(rules) != 1:
+            return None
+        r = rules[0]
+        pos_atoms = [l for l in r.body if isinstance(l, Atom) and not l.negated]
+        neg_atoms = [l for l in r.body if isinstance(l, Atom) and l.negated]
+        hnsws = [l for l in r.body if isinstance(l, HnswNearest)]
+        if len(pos_atoms) != 1 or pos_atoms[0].relation != delta_rel or neg_atoms or hnsws:
+            return None
+        aggs = [(i, t) for i, t in enumerate(r.head.terms) if isinstance(t, Agg)]
+        if not aggs or any(t.func not in self._MERGEABLE_AGGS for _, t in aggs):
+            return None
+        old = self._derived_cache.get(head)
+        if old is None:
+            return None
+
+        def _resolver_for(df):
+            def resolve(name):
+                if name == delta_rel:
+                    return df
+                raise EmptyAritylessRelation(f"unknown relation {name}")
+
+            return resolve
+
+        delta_body = compile_body(
+            r.body, _resolver_for(delta_df), self._hnsw_resolver,
+            bool_consts_nop=getattr(r, "persistent", False),
+        )
+        if any(t.func in ("sum", "count") for _, t in aggs):
+            old_body = compile_body(
+                r.body, _resolver_for(old_base), self._hnsw_resolver,
+                bool_consts_nop=getattr(r, "persistent", False),
+            )
+            delta_body = delta_body.distinct().join(
+                old_body.distinct(), on=list(delta_body.columns), how="left_anti"
+            )
+        delta_view = compile_head(delta_body, r.head)
+
+        merge_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+        gcols = [
+            f"c{i}" for i, t in enumerate(r.head.terms) if not isinstance(t, Agg)
+        ]
+        both = old.unionByName(delta_view)
+        merge_exprs = [
+            merge_fns[t.func](F.col(f"c{i}")).alias(f"c{i}") for i, t in aggs
+        ]
+        merged = (
+            both.groupBy(*gcols).agg(*merge_exprs) if gcols
+            else both.agg(*merge_exprs)
+        )
+        # restore positional column order
+        merged = merged.select(*[f"c{i}" for i in range(len(r.head.terms))])
+        return merged.localCheckpoint(eager=True)
 
     def _single_pass_eval(self, rules) -> Dict[str, DataFrame]:
         """Registration-order single-pass evaluation for unstratifiable
@@ -1708,9 +1908,13 @@ class IQLEngine:
                 self.session_rules.clear()
                 self.session_facts.clear()
                 self._derived_cache.clear()
-        # .compact / .agent / auth: intentionally no-ops (no WAL to
-        # compact — parquet persistence is already compacted; no LLM
-        # assistant; auth belongs to a server layer)
+        elif cmd == "compact":
+            # snapshot + truncate the statement log (reference WAL
+            # compaction, src/storage/persist/wal.rs); no-op without a
+            # wal_dir
+            self.checkpoint()
+        # .agent / auth: intentionally no-ops (no LLM assistant; auth
+        # belongs to a server layer)
         return None
 
     # ------------------------------------------------------------ debug

@@ -1,16 +1,29 @@
-"""Minimal JSON-over-HTTP query server (stdlib-only).
+"""JSON query server speaking the reference wire protocol (stdlib-only).
 
 The reference serves IQL over a JSON WebSocket/REST protocol
 (`/root/reference/src/protocol/wire.rs:12-334`, routes
 `src/protocol/rest/mod.rs:234-244`: /ws, /sessions/:id/ws, /health).
-This façade speaks the same *shape* — columnar results with column
-defs — over plain HTTP so it runs with no third-party dependencies:
+This server speaks the same shape with no third-party dependencies:
 
+HTTP:
     POST /query    {"query": "<iql>", "session": "<id>?"}
         → {"results": [{"columns": [{"name","type"}...],
                         "rows": [[...], ...]} ...]}
     GET  /health   → {"status": "ok"}
     GET  /status   → engine .status as JSON
+
+WebSocket (RFC 6455, `GET /ws` and `GET /sessions/<id>/ws`) — message
+protocol mirrors src/protocol/rest/handlers/ws.rs:9-23:
+    client → {"type": "query", "query": "..."}
+             {"type": "insert_facts", "relation": r, "tuples": [[..]..]}
+             {"type": "retract_facts", "relation": r, "tuples": [[..]..]}
+             {"type": "add_rule", "rule": "h(..) <- b(..)"}
+             {"type": "ping"}
+    server → {"type": "result", "columns": [...], "rows": [...]}
+             {"type": "ack", "message": "..."} | {"type": "pong"}
+             {"type": "error", "message": "..."}
+             {"type": "notification", "event": "persistent_update",
+              "relation": "..."}  (pushed on engine changes)
 
 Per-session ephemeral facts/rules ride on a session id: each session id
 gets its own IQLEngine view of the shared SparkSession (the reference's
@@ -22,18 +35,32 @@ single-node server with worker threads.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
+import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict
 
 from inputlayer_spark.engine import IQLEngine
 
+# Results are collected into driver JSON; cap the row count so one huge
+# query can't OOM the driver (clients page with limit/offset).
+MAX_WIRE_ROWS = 10_000
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
 
 def _df_payload(df) -> dict:
     cols = [{"name": f.name, "type": f.dataType.simpleString()} for f in df.schema.fields]
-    rows = [[_json_val(v) for v in row] for row in df.collect()]
-    return {"columns": cols, "rows": rows}
+    collected = df.limit(MAX_WIRE_ROWS + 1).collect()
+    truncated = len(collected) > MAX_WIRE_ROWS
+    rows = [[_json_val(v) for v in row] for row in collected[:MAX_WIRE_ROWS]]
+    out = {"columns": cols, "rows": rows}
+    if truncated:
+        out["truncated"] = True
+    return out
 
 
 def _json_val(v):
@@ -41,7 +68,50 @@ def _json_val(v):
         return [_json_val(x) for x in v]
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        return None  # serde_json renders non-finite f64 as null
     return v
+
+
+# ------------------------------------------------------------ websocket
+
+
+def _ws_accept_key(key: str) -> str:
+    return base64.b64encode(
+        hashlib.sha1((key + _WS_GUID).encode()).digest()
+    ).decode()
+
+
+def _ws_read_frame(rfile):
+    """Read one client frame → (opcode, payload bytes) or None on EOF."""
+    hdr = rfile.read(2)
+    if len(hdr) < 2:
+        return None
+    b1, b2 = hdr[0], hdr[1]
+    opcode = b1 & 0x0F
+    masked = b2 & 0x80
+    length = b2 & 0x7F
+    if length == 126:
+        length = struct.unpack(">H", rfile.read(2))[0]
+    elif length == 127:
+        length = struct.unpack(">Q", rfile.read(8))[0]
+    mask = rfile.read(4) if masked else b"\x00" * 4
+    data = rfile.read(length)
+    if masked:
+        data = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+    return opcode, data
+
+
+def _ws_frame(opcode: int, payload: bytes) -> bytes:
+    """Server→client frame (FIN set, unmasked)."""
+    n = len(payload)
+    if n < 126:
+        head = struct.pack(">BB", 0x80 | opcode, n)
+    elif n < 65536:
+        head = struct.pack(">BBH", 0x80 | opcode, 126, n)
+    else:
+        head = struct.pack(">BBQ", 0x80 | opcode, 127, n)
+    return head + payload
 
 
 class QueryServer:
@@ -74,8 +144,131 @@ class QueryServer:
                         df = outer.engine.execute(".status")[0]
                         rows = {r["key"]: r["value"] for r in df.collect()}
                     self._send(200, rows)
+                elif self.path == "/ws" or (
+                    self.path.startswith("/sessions/") and self.path.endswith("/ws")
+                ):
+                    self._websocket()
                 else:
                     self._send(404, {"error": "not found"})
+
+            # ---------------------------------------------- websocket
+
+            def _websocket(self):
+                key = self.headers.get("Sec-WebSocket-Key")
+                if not key or "websocket" not in (
+                    self.headers.get("Upgrade", "").lower()
+                ):
+                    self._send(400, {"error": "expected websocket upgrade"})
+                    return
+                self.send_response(101, "Switching Protocols")
+                self.send_header("Upgrade", "websocket")
+                self.send_header("Connection", "Upgrade")
+                self.send_header("Sec-WebSocket-Accept", _ws_accept_key(key))
+                self.end_headers()
+                self.close_connection = True
+
+                session_id = None
+                if self.path.startswith("/sessions/"):
+                    session_id = self.path.split("/")[2]
+                engine = outer._engine_for(session_id)
+
+                send_lock = threading.Lock()
+
+                def send_json(obj) -> bool:
+                    try:
+                        with send_lock:
+                            self.wfile.write(
+                                _ws_frame(0x1, json.dumps(obj).encode())
+                            )
+                        return True
+                    except OSError:
+                        return False
+
+                # pushed change notifications for persistent updates
+                # (reference ws.rs:23 / handler.rs:837-914)
+                def on_change(rel):
+                    send_json(
+                        {
+                            "type": "notification",
+                            "event": "persistent_update",
+                            "relation": rel,
+                        }
+                    )
+
+                outer.engine.subscribe("*", on_change)
+                try:
+                    while True:
+                        try:
+                            frame = _ws_read_frame(self.rfile)
+                        except OSError:
+                            break  # client went away without a close frame
+                        if frame is None:
+                            break
+                        opcode, data = frame
+                        if opcode == 0x8:  # close
+                            with send_lock:
+                                self.wfile.write(_ws_frame(0x8, data[:2]))
+                            break
+                        if opcode == 0x9:  # ping → pong
+                            with send_lock:
+                                self.wfile.write(_ws_frame(0xA, data))
+                            continue
+                        if opcode != 0x1:
+                            continue
+                        try:
+                            msg = json.loads(data.decode())
+                        except ValueError:
+                            send_json({"type": "error", "message": "invalid JSON"})
+                            continue
+                        self._ws_dispatch(engine, msg, send_json)
+                finally:
+                    outer.engine.unsubscribe("*", on_change)
+
+            def _ws_dispatch(self, engine, msg, send_json):
+                mtype = msg.get("type")
+                try:
+                    if mtype == "ping":
+                        send_json({"type": "pong"})
+                    elif mtype == "query":
+                        with outer._lock:
+                            dfs = engine.execute(msg.get("query", ""))
+                            payloads = [_df_payload(df) for df in dfs]
+                        if payloads:
+                            for p in payloads:
+                                send_json({"type": "result", **p})
+                        else:
+                            send_json({"type": "ack", "message": "ok"})
+                    elif mtype == "insert_facts":
+                        rel = msg["relation"]
+                        stmts = []
+                        for tup in msg.get("tuples", []):
+                            vals = ", ".join(json.dumps(v) for v in tup)
+                            stmts.append(f"+{rel}[({vals})]")
+                        with outer._lock:
+                            engine.execute("\n".join(stmts))
+                        send_json(
+                            {
+                                "type": "ack",
+                                "message": f"Inserted {len(msg.get('tuples', []))} fact(s) into '{rel}'.",
+                            }
+                        )
+                    elif mtype == "retract_facts":
+                        rel = msg["relation"]
+                        with outer._lock:
+                            for tup in msg.get("tuples", []):
+                                vals = ", ".join(json.dumps(v) for v in tup)
+                                engine.execute(f"-{rel}({vals})")
+                        send_json({"type": "ack", "message": "retracted"})
+                    elif mtype == "add_rule":
+                        with outer._lock:
+                            engine.execute(msg.get("rule", ""))
+                        send_json({"type": "ack", "message": "rule added"})
+                    else:
+                        send_json(
+                            {"type": "error", "message": f"unknown type {mtype!r}"}
+                        )
+                except Exception as exc:  # noqa: BLE001 — wire errors back
+                    send_json({"type": "error", "message": str(exc)})
 
             def do_POST(self):
                 if self.path != "/query":
@@ -108,6 +301,9 @@ class QueryServer:
                 eng = IQLEngine(self.spark)
                 eng.kgs = self.engine.kgs  # shared persistent state
                 eng.current = self.engine.current
+                # one notification bus across all sessions: a write in any
+                # session pushes persistent_update to every connection
+                eng._subscribers = self.engine._subscribers
                 self.sessions[session_id] = eng
             return eng
 

@@ -57,6 +57,8 @@ class IncrementalMaintainer:
         self.checkpoint_dir = checkpoint_dir
         self.refresh = refresh
         self.batches_seen = 0
+        self.delta_merges = 0  # views maintained by O(delta) merge
+        self.full_recomputes = 0  # views invalidated for full recompute
         self._query = None
         self._lock = threading.Lock()
 
@@ -73,12 +75,35 @@ class IncrementalMaintainer:
             # tiny relative to the base (micro-batch), and checkpointing
             # keeps the union lineage flat.
             current = eng.current.relations.get(rel)
+            # O(delta) path first: aggregate views over this relation whose
+            # shape qualifies are merged from the micro-batch alone
+            # (engine.try_delta_merge; reference differential update,
+            # BENCHMARKS.md:89-93) BEFORE invalidation wipes their cache.
+            merged_views = {}
+            if current is not None:
+                for rule in eng.current.rules:
+                    deps = {
+                        l.relation
+                        for l in rule.body
+                        if hasattr(l, "relation") and not getattr(l, "negated", False)
+                    }
+                    if rel not in deps:
+                        continue
+                    v = eng.try_delta_merge(rule.head.relation, rel, batch_df, current)
+                    if v is not None:
+                        merged_views[rule.head.relation] = v
             merged = batch_df if current is None else current.unionByName(batch_df)
             eng.current.relations[rel] = merged.localCheckpoint(eager=True)
             eng._invalidate(rel)
+            # re-seed the cache with delta-merged views so the follow-up
+            # materialization (and later queries) reuse them
+            for h, v in merged_views.items():
+                eng._derived_cache[h] = v
+            self.delta_merges += len(merged_views)
             if self.refresh:
-                # auto-rematerialization of invalidated persistent rules
+                # auto-rematerialization of remaining invalidated rules
                 # (reference derived_relations.rs cascade → recompute)
+                self.full_recomputes += 1
                 eng._materialize_for(None)
             self.batches_seen += 1
 

@@ -92,3 +92,113 @@ def test_index_meta(spark):
     eng.execute(".index rebuild vidx")
     eng.execute(".index drop vidx")
     assert not eng.execute(".index list")[0].collect()
+
+
+class _WsClient:
+    """Minimal stdlib RFC 6455 client for driving the server's /ws."""
+
+    def __init__(self, port, path="/ws"):
+        import base64 as b64
+        import os
+        import socket
+
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        key = b64.b64encode(os.urandom(16)).decode()
+        self.sock.sendall(
+            (
+                f"GET {path} HTTP/1.1\r\nHost: 127.0.0.1:{port}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        self.buf = b""
+        while b"\r\n\r\n" not in self.buf:
+            self.buf += self.sock.recv(4096)
+        head, self.buf = self.buf.split(b"\r\n\r\n", 1)
+        assert b"101" in head.split(b"\r\n")[0]
+
+    def _read_exact(self, n):
+        while len(self.buf) < n:
+            chunk = self.sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("closed")
+            self.buf += chunk
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+    def send(self, obj):
+        import os
+        import struct as st
+
+        payload = json.dumps(obj).encode()
+        mask = os.urandom(4)
+        n = len(payload)
+        if n < 126:
+            head = st.pack(">BB", 0x81, 0x80 | n)
+        else:
+            head = st.pack(">BBH", 0x81, 0x80 | 126, n)
+        masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        self.sock.sendall(head + mask + masked)
+
+    def recv(self):
+        import struct as st
+
+        hdr = self._read_exact(2)
+        opcode = hdr[0] & 0x0F
+        length = hdr[1] & 0x7F
+        if length == 126:
+            length = st.unpack(">H", self._read_exact(2))[0]
+        elif length == 127:
+            length = st.unpack(">Q", self._read_exact(8))[0]
+        data = self._read_exact(length)
+        if opcode == 0x1:
+            return json.loads(data.decode())
+        return {"type": "_opcode", "opcode": opcode}
+
+    def recv_until(self, mtype, limit=10):
+        """Next message of the given type, skipping interleaved
+        notifications (the server notifies the writer's own connection
+        too, and the push may land before the ack)."""
+        seen = []
+        for _ in range(limit):
+            m = self.recv()
+            if m["type"] == mtype:
+                return m, seen
+            seen.append(m)
+        raise AssertionError(f"no {mtype} in {seen}")
+
+    def close(self):
+        self.sock.close()
+
+
+def test_websocket_protocol_and_notifications(spark):
+    """Drive a WS session with the reference message protocol
+    (ws.rs:9-23): query, insert_facts, ping, and a pushed
+    persistent_update notification on a base-relation write."""
+    srv = QueryServer(spark).start()
+    try:
+        ws = _WsClient(srv.port)
+        ws.send({"type": "ping"})
+        assert ws.recv()["type"] == "pong"
+
+        ws.send({"type": "insert_facts", "relation": "wse", "tuples": [[1, 2], [3, 4]]})
+        ws.recv_until("ack")
+
+        ws.send({"type": "add_rule", "rule": "+wsd(X) <- wse(X, _)"})
+        ws.recv_until("ack")
+
+        ws.send({"type": "query", "query": "?wsd(X)"})
+        res, _ = ws.recv_until("result")
+        assert sorted(r[0] for r in res["rows"]) == [1, 3]
+
+        # a second connection's write pushes a notification to this one
+        ws2 = _WsClient(srv.port, path="/sessions/abc/ws")
+        ws2.send({"type": "insert_facts", "relation": "wse", "tuples": [[5, 6]]})
+        ws2.recv_until("ack")
+        note, _ = ws.recv_until("notification")
+        assert note["event"] == "persistent_update"
+        assert note["relation"] in ("wse", "wsd")
+        ws.close()
+        ws2.close()
+    finally:
+        srv.stop()

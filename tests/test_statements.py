@@ -136,3 +136,36 @@ def test_kg_list(eng):
     df = eng.execute(".kg list")[0]
     names = {r["name"] for r in df.collect()}
     assert {"default", "other"} <= names
+
+
+def test_wal_crash_recovery(spark, tmp_path):
+    """Startup recovery = last snapshot + WAL replay (reference
+    wal.rs:76-122): statements after the snapshot survive a crash with no
+    explicit save; `.compact` truncates the log; session-only state does
+    not come back."""
+    wal = str(tmp_path / "wal")
+    eng = IQLEngine(spark, wal_dir=wal)
+    eng.execute('+emp[(1, "a", 10.0), (2, "b", 20.0)]')
+    eng.execute("+total(sum<S>) <- emp(_, _, S)")
+    eng.checkpoint()  # snapshot; log truncated
+    eng.execute('+emp[(3, "c", 5.0)]')  # post-snapshot, WAL only
+    eng.add_session_fact("emp", 9, "z", 99.0)  # session — must NOT recover
+    eng.execute("scratch(X) <- emp(X, _, _)")  # session rule — ditto
+
+    # "crash": a brand-new engine over the same wal_dir
+    eng2 = IQLEngine(spark, wal_dir=wal)
+    assert _rows(eng2.query("?emp(I, N, S)")) == [
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+        (3, "c", 5.0),
+    ]
+    assert _rows(eng2.query("?total(S)")) == [(35.0,)]
+    assert eng2.session_rules == [] and eng2.session_facts == {}
+
+    # compaction folds the tail into the snapshot and empties the log
+    eng2.execute(".compact")
+    import os
+
+    assert os.path.getsize(os.path.join(wal, "wal.log")) == 0
+    eng3 = IQLEngine(spark, wal_dir=wal)
+    assert _rows(eng3.query("?total(S)")) == [(35.0,)]

@@ -62,3 +62,66 @@ def test_selective_invalidation(spark):
     assert "da" not in eng._derived_cache
     assert "dd" not in eng._derived_cache
     assert _rows(eng.query("?dd(X)")) == [(1,), (2,)]
+
+
+SALE_SCHEMA = T.StructType(
+    [
+        T.StructField("region", T.StringType()),
+        T.StructField("amount", T.LongType()),
+    ]
+)
+
+
+def test_incremental_aggregate_delta_merge(spark, tmp_path):
+    """Aggregate views over a streamed base are maintained by O(delta)
+    merge (old state ⊕ micro-batch aggregate), not full recompute — the
+    Spark analog of the reference's differential re-query
+    (BENCHMARKS.md:89-93). Correctness: the merged view must equal a
+    from-scratch evaluation, including IQL's distinct-bindings semantics
+    (a delta row duplicating an existing base row must not change sums)."""
+    ckpt = tmp_path / "ckpt2"
+    src_dir = tmp_path / "sales"
+    src_dir.mkdir()
+
+    eng = IQLEngine(spark)
+    eng.execute("+sale(region: string, amount: int)")
+    eng.execute("+summary(R, sum<A>, count<A>, max<A>) <- sale(R, A)")
+
+    m = IncrementalMaintainer(
+        eng, "sale", str(src_dir), SALE_SCHEMA, str(ckpt), refresh=True
+    )
+
+    spark.createDataFrame(
+        [("eu", 10), ("eu", 20), ("us", 5)], SALE_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    m.process_available()
+    assert m.delta_merges == 0  # first batch: nothing cached to merge into
+    assert _rows(eng.query("?summary(R, S, N, M)")) == [
+        ("eu", 30, 2, 20),
+        ("us", 5, 1, 5),
+    ]
+
+    # +delta batch: new group, new row in an old group, and an exact
+    # duplicate of an existing base row (must be a no-op under set
+    # semantics)
+    spark.createDataFrame(
+        [("ap", 7), ("eu", 40), ("eu", 10)], SALE_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    m.process_available()
+    assert m.delta_merges == 1  # summary was maintained by merge
+    assert _rows(eng.query("?summary(R, S, N, M)")) == [
+        ("ap", 7, 1, 7),
+        ("eu", 70, 3, 40),
+        ("us", 5, 1, 5),
+    ]
+    # and the merged state keeps accumulating on a third batch
+    spark.createDataFrame([("us", 15)], SALE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src_dir))
+    m.process_available()
+    assert m.delta_merges == 2
+    assert _rows(eng.query("?summary(R, S, N, M)")) == [
+        ("ap", 7, 1, 7),
+        ("eu", 70, 3, 40),
+        ("us", 20, 2, 15),
+    ]
