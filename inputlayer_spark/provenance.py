@@ -88,7 +88,11 @@ def _head_bindings(rule, values: Tuple) -> Optional[Dict[str, object]]:
 
 
 def _bound_body_df(engine, rule, bind: Dict[str, object]):
-    derived = engine._materialize_for(None)
+    from inputlayer_spark.ast_nodes import Atom as _Atom
+
+    derived = engine._materialize_for(
+        {l.relation for l in rule.body if isinstance(l, _Atom)}
+    )
     body_df = compile_body(rule.body, engine._resolver(derived), engine._hnsw_resolver)
     for name, v in bind.items():
         if name in body_df.columns:
@@ -190,7 +194,11 @@ def _explain_absent(
 def _first_blocker(engine, rule, bind: Dict[str, object]) -> str:
     from inputlayer_spark.printer import literal_to_iql
 
-    derived = engine._materialize_for(None)
+    from inputlayer_spark.ast_nodes import Atom as _Atom
+
+    derived = engine._materialize_for(
+        {l.relation for l in rule.body if isinstance(l, _Atom)}
+    )
     resolve = engine._resolver(derived)
     for k in range(1, len(rule.body) + 1):
         prefix = rule.body[:k]

@@ -42,8 +42,13 @@ _DEFAULTS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Small single-file tables otherwise scan as 1 partition, serializing
     # compute-heavy narrow pipelines (shingling, hashing) onto one core.
-    # On a real cluster this floor is the executor-core count.
+    # On a real cluster this floor is the executor-core count. The
+    # openCostInBytes default (4 MB) floors the split size, which defeats
+    # minPartitionNum exactly on the small local files — lower it so the
+    # split honors the requested parallelism (no effect at 100 TB where
+    # files dwarf both constants).
     "spark.sql.files.minPartitionNum": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.files.openCostInBytes": "131072",
     # Fixpoint loops shed checkpoint/broadcast blocks only after a JVM GC
     # (ContextCleaner); the 30min default lets dead blocks pile up and
     # slow later queries in long sessions.
@@ -106,6 +111,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         spark.conf.set(
             "spark.sql.files.minPartitionNum", os.environ.get("SPARK_GRAFT_CPUS", "32")
         )
+        spark.conf.set("spark.sql.files.openCostInBytes", "131072")
     except Exception:
         pass
     try:
