@@ -202,3 +202,32 @@ def test_websocket_protocol_and_notifications(spark):
         ws2.close()
     finally:
         srv.stop()
+
+
+def test_client_sdk(spark):
+    """Fluent client over the wire: insert/add_rule/query/ResultSet and a
+    change notification through the shared WS connection."""
+    import time as _time
+
+    from inputlayer_spark.client import Client
+
+    srv = QueryServer(spark).start()
+    try:
+        c = Client(f"http://127.0.0.1:{srv.port}")
+        assert c.health()
+        seen = []
+        c.on_change(seen.append)
+        c.insert("cedge", [(1, 2), (2, 3)])
+        c.add_rule("+cpath(X, Y) <- cedge(X, Y)")
+        rs = c.query("?cpath(X, Y)")
+        assert rs.columns == ["X", "Y"]
+        assert sorted(rs.to_tuples()) == [(1, 2), (2, 3)]
+        assert rs.first() in ((1, 2), (2, 3)) and len(rs) == 2
+        assert c.query("+n(count<X>) <- cedge(X, _)\n?n(C)").scalar() == 2
+        deadline = _time.time() + 15
+        while not seen and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert seen, "no persistent_update notification received"
+        c.close()
+    finally:
+        srv.stop()
