@@ -1,0 +1,80 @@
+"""Physical-plan audits: the properties that matter at 100 TB.
+
+These pin the *plan shape*, not timings: filters must reach the parquet
+scan, dimension sides must broadcast, aggregates must be partial
+(map-side combine), top-k must be TakeOrderedAndProject, and no hot
+path may fall back to row-at-a-time Python evaluation. A regression
+here is a scale regression even when small-SF results stay correct.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "scan_filter")
+    assert "PushedFilters" in plan and "IsNotNull" in plan or "GreaterThan" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_dimension_join_broadcasts(spark):
+    plan = _plan(spark, "join_two_way")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_threeway_join_no_cartesian(spark):
+    plan = _plan(spark, "threeway_join_arith")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_aggregate_is_partial_hash(spark):
+    plan = _plan(spark, "agg_pricing_summary")
+    # partial + final HashAggregate = map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_knn_is_top_k_not_full_sort(spark):
+    plan = _plan(spark, "knn_cosine")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_exact_dedup_shuffles_hashes_not_documents(spark):
+    plan = _plan(spark, "exact_dedup")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_python_eval_in_jvm_operator_paths(spark):
+    """Everything except the LSH probe family (deliberate Arrow-batched
+    pandas kernels) must stay fully JVM-side."""
+    for name in (
+        "scan_filter",
+        "agg_pricing_summary",
+        "topk_per_group",
+        "knn_cosine",
+        "pairwise_cosine",
+        "exact_dedup",
+        "ngram_jaccard",
+        "simhash",
+        "doc_fingerprint",
+        "token_stats",
+        "quality_lang",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
