@@ -223,25 +223,49 @@ def embedding_cosine_pairs(
     vec_col: str,
     threshold: float = 0.95,
     bucket_bits: int = 0,
+    num_tables: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine similarity >= threshold.
 
     bucket_bits=0 → exact all-pairs (correctness baseline; O(n²) compare
     but only within Spark's join, usable to ~100k rows).
-    bucket_bits>0 → LSH-bucketed: join only within sign-hash buckets —
-    the 100 TB path (bucket key shuffle, no cross product).
+    bucket_bits>0 → LSH-bucketed: candidates share a sign-hash bucket in
+    ANY of `num_tables` tables (explode to (table, bucket) keys →
+    equi-join → distinct), then the exact cosine filter — the 100 TB
+    path: short-key shuffle, no cross product, recall 1−(1−p)^T per the
+    random-hyperplane collision rate p = (1 − θ/π)^bits.
     Output: id1, id2, cos_sim.
     """
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     if bucket_bits > 0:
-        base = base.withColumn("__b", V.lsh_bucket(F.col("__v"), 0, bucket_bits))
-        joined = base.toDF("id1", "v1", "b").join(base.toDF("id2", "v2", "b"), on="b")
+        keys = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    V.lsh_bucket(F.col("__v"), t, bucket_bits).alias("b"),
+                )
+                for t in range(num_tables)
+            ]
+        )
+        exploded = base.withColumn("__tb", F.explode(keys)).select(
+            "__id", "__v", F.col("__tb.t").alias("t"), F.col("__tb.b").alias("b")
+        )
+        joined = (
+            exploded.toDF("id1", "v1", "t", "b")
+            .join(exploded.select("__id", "t", "b").toDF("id2", "t", "b"), on=["t", "b"])
+            .filter(F.col("id1") < F.col("id2"))
+            .dropDuplicates(["id1", "id2"])
+            .join(
+                base.select("__id", "__v").toDF("id2", "v2"), on="id2"
+            )
+        )
     else:
-        joined = base.toDF("id1", "v1").crossJoin(base.toDF("id2", "v2"))
+        joined = base.toDF("id1", "v1").crossJoin(base.toDF("id2", "v2")).filter(
+            F.col("id1") < F.col("id2")
+        )
     sim = F.lit(1.0) - V.cosine(F.col("v1"), F.col("v2"))
     return (
-        joined.filter(F.col("id1") < F.col("id2"))
-        .withColumn("cos_sim", sim)
+        joined.withColumn("cos_sim", sim)
         .filter(F.col("cos_sim") >= threshold)
         .select("id1", "id2", "cos_sim")
     )

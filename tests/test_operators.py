@@ -131,3 +131,29 @@ def test_video_frame_sampling(spark):
     )
     out = sample_video_frames(media, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000, 3000]
+
+
+def test_embedding_dedup_bucketed_mode(spark):
+    """The LSH-bucketed scale mode: candidates are always a SUBSET of the
+    exact pairs (the exact cosine filter runs on candidates), and the
+    multi-table union reaches full recall on this corpus at
+    (bits=2, tables=8) — per the random-hyperplane collision model."""
+    import pyspark.sql.functions as F
+
+    from inputlayer_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    exact = {
+        (r.id1, r.id2)
+        for r in embedding_cosine_pairs(emb, "vec_id", "embedding", 0.35).collect()
+    }
+    bucketed = {
+        (r.id1, r.id2)
+        for r in embedding_cosine_pairs(
+            emb, "vec_id", "embedding", 0.35, bucket_bits=2, num_tables=8
+        ).collect()
+    }
+    assert bucketed <= exact
+    assert len(bucketed & exact) / max(1, len(exact)) >= 0.95
