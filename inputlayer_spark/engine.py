@@ -304,7 +304,22 @@ class IQLEngine:
         self._wal_replaying = True
         try:
             snap = _os.path.join(self.wal_dir, "snapshot")
-            if _os.path.exists(_os.path.join(snap, "catalog.json")):
+            manifest_path = _os.path.join(snap, "manifest.json")
+            if _os.path.exists(manifest_path):
+                with open(manifest_path) as fh:
+                    manifest = _json.load(fh)
+                for kg_name in manifest.get("kgs", []):
+                    kg_dir = _os.path.join(snap, kg_name)
+                    if not _os.path.exists(_os.path.join(kg_dir, "catalog.json")):
+                        continue
+                    self.current = self.kgs.setdefault(
+                        kg_name, KnowledgeGraph(kg_name)
+                    )
+                    self.load_kg(kg_dir)
+                cur = manifest.get("current", "default")
+                self.current = self.kgs.setdefault(cur, KnowledgeGraph(cur))
+            elif _os.path.exists(_os.path.join(snap, "catalog.json")):
+                # legacy single-KG snapshot layout
                 self.load_kg(snap)
             wal = _os.path.join(self.wal_dir, "wal.log")
             if _os.path.exists(wal):
@@ -324,21 +339,32 @@ class IQLEngine:
             self._wal_replaying = False
 
     def checkpoint(self) -> None:
-        """Snapshot current state and truncate the WAL (`.compact`):
-        recovery cost returns to O(snapshot) instead of O(history)."""
+        """Snapshot ALL knowledge graphs and truncate the WAL
+        (`.compact`): recovery cost returns to O(snapshot) instead of
+        O(history)."""
+        import json as _json
         import os as _os
 
         if not self.wal_dir:
             return
         self._wal_replaying = True  # save/load internals must not re-log
+        cur = self.current
         try:
-            # pin relation frames in cluster storage first: a relation
-            # lazily read from the PREVIOUS snapshot would otherwise be
-            # overwritten underneath its own scan
-            for name, df in list(self.current.relations.items()):
-                self.current.relations[name] = df.localCheckpoint(eager=True)
-            self.save_kg(_os.path.join(self.wal_dir, "snapshot"))
+            for kg_name, kg in list(self.kgs.items()):
+                # pin relation frames in cluster storage first: a relation
+                # lazily read from the PREVIOUS snapshot would otherwise
+                # be overwritten underneath its own scan
+                for name, df in list(kg.relations.items()):
+                    kg.relations[name] = df.localCheckpoint(eager=True)
+                self.current = kg
+                self.save_kg(_os.path.join(self.wal_dir, "snapshot", kg_name))
+            manifest = {"kgs": sorted(self.kgs), "current": cur.name}
+            tmp = _os.path.join(self.wal_dir, "snapshot", "manifest.json.tmp")
+            with open(tmp, "w") as fh:
+                _json.dump(manifest, fh)
+            _os.replace(tmp, _os.path.join(self.wal_dir, "snapshot", "manifest.json"))
         finally:
+            self.current = cur
             self._wal_replaying = False
         wal = _os.path.join(self.wal_dir, "wal.log")
         if _os.path.exists(wal):

@@ -169,3 +169,22 @@ def test_wal_crash_recovery(spark, tmp_path):
     assert os.path.getsize(os.path.join(wal, "wal.log")) == 0
     eng3 = IQLEngine(spark, wal_dir=wal)
     assert _rows(eng3.query("?total(S)")) == [(35.0,)]
+
+
+def test_wal_multi_kg_checkpoint(spark, tmp_path):
+    """`.compact` snapshots EVERY knowledge graph (manifest + per-KG
+    dirs) and recovery restores all of them plus the active KG."""
+    wal = str(tmp_path / "walm")
+    eng = IQLEngine(spark, wal_dir=wal)
+    eng.execute("+a[(1)]")
+    eng.execute(".kg create other")
+    eng.execute(".kg use other")
+    eng.execute("+b[(2)]")
+    eng.execute(".compact")
+    eng.execute("+b[(3)]")  # post-snapshot tail, WAL only
+
+    eng2 = IQLEngine(spark, wal_dir=wal)
+    assert eng2.current.name == "other"
+    assert _rows(eng2.query("?b(X)")) == [(2,), (3,)]
+    eng2.execute(".kg use default")
+    assert _rows(eng2.query("?a(X)")) == [(1,)]
