@@ -68,7 +68,7 @@ _SKIP_OUT_MARKERS = (
     # rejects these too (CompileError) but with its own message
     "Unsafe rule",
 )
-_SKIP_SRC_MARKERS = ("time_now", "hnsw_", ".agent", ".auth")
+_SKIP_SRC_MARKERS = ("hnsw_", ".agent", ".auth")
 
 
 @dataclass
