@@ -1,7 +1,15 @@
 from inputlayer_spark.sources.readers import (
+    read_bucketed,
     read_relation,
     stream_relation,
+    write_bucketed,
     write_relation,
 )
 
-__all__ = ["read_relation", "write_relation", "stream_relation"]
+__all__ = [
+    "read_bucketed",
+    "read_relation",
+    "stream_relation",
+    "write_bucketed",
+    "write_relation",
+]

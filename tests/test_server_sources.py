@@ -231,3 +231,40 @@ def test_client_sdk(spark):
         c.close()
     finally:
         srv.stop()
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Tables bucketed on the same key join without a shuffle on either
+    side: the physical plan has no Exchange above the scans — the
+    co-located layout that matters for recurring 100 TB joins."""
+    from pyspark.sql import functions as F
+
+    from inputlayer_spark.sources import read_bucketed, write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS bk_orders")
+    spark.sql("DROP TABLE IF EXISTS bk_cust")
+    orders = spark.range(1000).select(
+        F.col("id").alias("o_id"), (F.col("id") % 100).alias("cust_id")
+    )
+    cust = spark.range(100).select(
+        F.col("id").alias("cust_id"), (F.col("id") * 2).alias("score")
+    )
+    write_bucketed(
+        orders, "bk_orders", "cust_id", 8, path=str(tmp_path / "bko")
+    )
+    write_bucketed(cust, "bk_cust", "cust_id", 8, path=str(tmp_path / "bkc"))
+
+    a = read_bucketed(spark, "bk_orders")
+    b = read_bucketed(spark, "bk_cust")
+    # disable broadcast so the join must be shuffle-or-bucketed SMJ
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, on="cust_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:800]
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
+        spark.sql("DROP TABLE IF EXISTS bk_cust")
