@@ -157,3 +157,27 @@ def test_embedding_dedup_bucketed_mode(spark):
     }
     assert bucketed <= exact
     assert len(bucketed & exact) / max(1, len(exact)) >= 0.95
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting is a pure physical rewrite: results equal the plain join,
+    with the hot key's rows spread across salt sub-keys."""
+    import pyspark.sql.functions as F
+
+    from inputlayer_spark.operators.skew import salted_join
+
+    # key 7 is pathologically hot on the big side
+    big = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    expected = big.join(small, on="k").groupBy("k").count()
+    got = salted_join(big, small, "k", salt=8).groupBy("k").count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+    hot = spark.createDataFrame([(7,)], "k long")
+    got2 = salted_join(big, small, "k", salt=8, hot_keys=hot).groupBy("k").count()
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, expected.collect()))
