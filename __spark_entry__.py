@@ -652,9 +652,10 @@ def q_minhash_lsh(spark, sf_dir):
     from inputlayer_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    cand = minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64, bands=16, shingle_n=2)
     # tokens materialized FIRST — shingling off tokens(text) directly
-    # re-tokenizes per shingle, O(len²) (shingles_from_tokens docstring)
+    # re-tokenizes per shingle, O(len²) (shingles_from_tokens docstring);
+    # ONE persisted shingle frame feeds both the signature computation
+    # and the exact-Jaccard verification
     sh = (
         docs.select(F.col("doc_id").alias("__id"), TX.tokens(F.col("text")).alias("__toks"))
         .select(
@@ -663,6 +664,10 @@ def q_minhash_lsh(spark, sf_dir):
                 F.array_distinct(TX.shingles_from_tokens(F.col("__toks"), 2))
             ).alias("__sh"),
         )
+        .persist()
+    )
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, shingle_n=2, shingled=sh
     )
     sz = sh.groupBy("__id").agg(F.count("*").alias("n"))
     # shared-shingle count per candidate pair: expand candidates by id1's

@@ -58,6 +58,7 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    shingled: DataFrame = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -73,15 +74,21 @@ def minhash_lsh_pairs(
     # Tokenize ONCE into a column, then shingle off the column reference —
     # shingling directly off tokens(text) re-tokenizes per shingle
     # (see shingles_from_tokens docstring; measured 12× at sf0.1).
-    shingled = (
-        df.select(F.col(id_col).alias("__id"), TX.tokens(F.col(text_col)).alias("__toks"))
-        .select(
-            "__id",
-            F.explode(
-                F.array_distinct(TX.shingles_from_tokens(F.col("__toks"), shingle_n))
-            ).alias("__sh"),
+    # Callers that also need the (id, shingle) frame downstream (e.g.
+    # exact-Jaccard verification) pass it in via `shingled` (columns
+    # __id, __sh) so the explode runs once for the whole pipeline.
+    if shingled is None:
+        shingled = (
+            df.select(
+                F.col(id_col).alias("__id"), TX.tokens(F.col(text_col)).alias("__toks")
+            )
+            .select(
+                "__id",
+                F.explode(
+                    F.array_distinct(TX.shingles_from_tokens(F.col("__toks"), shingle_n))
+                ).alias("__sh"),
+            )
         )
-    )
     # per-permutation hash = xxhash64(seed_i, shingle): true re-ordering
     # per seed (a monotonic a*h+b mix would make every permutation share
     # one argmin shingle and collapse the signature)
