@@ -48,6 +48,9 @@ def main() -> None:
         "doc_fingerprint",
         "minhash_lsh",
         "exact_dedup",
+        "knn_lsh",
+        "ivf_knn",
+        "quality_lang",
     ]
 
     # warmup: JVM codegen + parquet file-listing/footer caches for every

@@ -313,7 +313,21 @@ def lsh_bucket(a: Column, table: int = 0, num_bits: int = 16) -> Column:
 
     @pandas_udf("long")
     def _bucket(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: _ref_bucket(v, t, nb))
+        # vectorized per Arrow batch: group rows by dimension and compute
+        # one (rows x dim) @ (dim x bits) f32 matmul per group — orders of
+        # magnitude over per-row Python on wide corpora
+        arrs = s.tolist()
+        dims = [len(v) if v is not None else 0 for v in arrs]
+        out = np.zeros(len(arrs), dtype=np.int64)
+        for dim in set(dims):
+            if dim == 0 or nb <= 0:
+                continue
+            idx = [i for i, d in enumerate(dims) if d == dim]
+            m = np.asarray([arrs[i] for i in idx], dtype=np.float32)
+            dots = m @ _ref_planes(t, nb, dim).T  # (n, nb) float32
+            bits = (dots > 0.0).astype(np.int64)
+            out[idx] = (bits << np.arange(nb, dtype=np.int64)).sum(axis=1)
+        return pd.Series(out)
 
     return _bucket(a)
 
