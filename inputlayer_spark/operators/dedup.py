@@ -89,13 +89,18 @@ def minhash_lsh_pairs(
                 ).alias("__sh"),
             )
         )
-    # per-permutation hash = xxhash64(seed_i, shingle): true re-ordering
-    # per seed (a monotonic a*h+b mix would make every permutation share
-    # one argmin shingle and collapse the signature)
+    # per-permutation hash = xxhash64(seed_i, base_hash): a true
+    # re-ordering per seed (a monotonic a*h+b mix would make every
+    # permutation share one argmin shingle and collapse the signature).
+    # The shingle STRING is hashed once into a long; the num_perm
+    # per-seed hashes then run over the long — ~64 string hashes per
+    # shingle row become 1 string hash + 64 word-sized mixes.
+    hashed = shingled.withColumn("__h0", F.xxhash64(F.col("__sh")))
     sig_cols = [
-        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"h{i}") for i in range(num_perm)
+        F.min(F.xxhash64(F.lit(i), F.col("__h0"))).alias(f"h{i}")
+        for i in range(num_perm)
     ]
-    banded = shingled.groupBy("__id").agg(*sig_cols)
+    banded = hashed.groupBy("__id").agg(*sig_cols)
     band_rows = banded.select(
         "__id",
         F.explode(
