@@ -238,14 +238,20 @@ class IQLEngine:
                     self.current.empty_relations.add(st.relation)
             elif isinstance(st, SchemaDecl):
                 self._declare_schema(st)
+                self._wal_log(st)
             elif isinstance(st, TypeDecl):
                 self._declare_type(st)
+                self._wal_log(st)
             elif isinstance(st, Rule):
                 self._add_rule(st)
+                if getattr(st, "persistent", True):
+                    self._wal_log(st)
             elif isinstance(st, Delete):
                 self._delete(st)
+                self._wal_log(st)
             elif isinstance(st, Update):
                 self._update(st)
+                self._wal_log(st)
             elif isinstance(st, Query):
                 results.append(self._query(st))
                 self.last_result_kinds.append("query")
@@ -254,37 +260,42 @@ class IQLEngine:
                 if out is not None:
                     results.append(out)
                     self.last_result_kinds.append("meta")
+                if st.command in self._WAL_META_CMDS:
+                    self._wal_log(st)
             else:
                 raise CompileError(f"unsupported statement {st!r}")
         self._flush_facts(pending_facts)
-        self._wal_append(text, prog)
         return results
 
     # ------------------------------------------------------------ WAL
 
-    _WAL_META_CMDS = frozenset({"kg", "index", "clear", "load", "rel", "rule"})
+    # Meta commands with persistent effects. `.load` is intentionally
+    # absent: load_script() routes the file's statements back through
+    # execute(), which logs each one individually — the WAL stays
+    # self-contained even if the loaded file later changes or disappears.
+    # `.compact` is likewise never logged, so checkpoint() can never be
+    # re-triggered from WAL replay.
+    _WAL_META_CMDS = frozenset({"kg", "index", "clear", "rel", "rule"})
 
-    def _wal_append(self, text: str, prog) -> None:
-        """Durably log a program that mutated persistent state. The log
-        records the original IQL text (JSON-lines), replayed over the
-        last snapshot at startup. Session-only statements are not
-        persisted (reference WAL semantics: ephemeral overlays die with
-        the connection)."""
+    def _wal_log(self, st) -> None:
+        """Durably log ONE successfully-applied persistent mutation,
+        rendered back to IQL (JSON-lines, fsync'd; replayed over the last
+        snapshot at startup). Per-statement logging — not per-program —
+        so a multi-statement program that fails midway leaves the WAL
+        covering exactly the mutations that were applied, and `.compact`
+        mixed into a program never lands in the log. Session-only
+        statements are not persisted (reference WAL semantics: ephemeral
+        overlays die with the connection)."""
         if not self.wal_dir or self._wal_replaying:
             return
+        if isinstance(st, Fact) and st.session:
+            return
+        from inputlayer_spark.printer import statement_to_iql
 
-        def mutates(st) -> bool:
-            if isinstance(st, Fact):
-                return not st.session
-            if isinstance(st, Rule):
-                return bool(getattr(st, "persistent", True))
-            if isinstance(st, (Delete, Update, SchemaDecl, TypeDecl, EmptyBatch)):
-                return True
-            if isinstance(st, MetaCommand):
-                return st.command in self._WAL_META_CMDS
-            return False
+        self._wal_write(statement_to_iql(st))
 
-        if not any(mutates(st) for st in prog.statements):
+    def _wal_write(self, text: str) -> None:
+        if not self.wal_dir or self._wal_replaying:
             return
         import json as _json
         import os as _os
@@ -308,8 +319,12 @@ class IQLEngine:
             if _os.path.exists(manifest_path):
                 with open(manifest_path) as fh:
                     manifest = _json.load(fh)
+                # generation layout (crash-atomic `.compact`); "gen"
+                # absent → legacy flat layout under snapshot/ directly
+                gen = manifest.get("gen")
+                base = snap if gen is None else _os.path.join(snap, f"gen-{int(gen):06d}")
                 for kg_name in manifest.get("kgs", []):
-                    kg_dir = _os.path.join(snap, kg_name)
+                    kg_dir = _os.path.join(base, kg_name)
                     if not _os.path.exists(_os.path.join(kg_dir, "catalog.json")):
                         continue
                     self.current = self.kgs.setdefault(
@@ -341,12 +356,35 @@ class IQLEngine:
     def checkpoint(self) -> None:
         """Snapshot ALL knowledge graphs and truncate the WAL
         (`.compact`): recovery cost returns to O(snapshot) instead of
-        O(history)."""
+        O(history).
+
+        Crash-atomic: each snapshot is written to a FRESH generation
+        directory (`snapshot/gen-000N/`) and becomes live only when the
+        manifest is atomically replaced to point at it — a crash
+        mid-snapshot leaves the previous generation (and the un-truncated
+        WAL) untouched. Old generations are deleted only after the
+        manifest flip and WAL truncation both land. No-op during WAL
+        replay: truncating the log out from under _recover's iteration
+        would permanently drop the un-replayed tail."""
+        import glob as _glob
         import json as _json
         import os as _os
+        import shutil as _shutil
 
-        if not self.wal_dir:
+        if not self.wal_dir or self._wal_replaying:
             return
+        snap = _os.path.join(self.wal_dir, "snapshot")
+        manifest_path = _os.path.join(snap, "manifest.json")
+        prev_gen = 0
+        if _os.path.exists(manifest_path):
+            try:
+                with open(manifest_path) as fh:
+                    prev_gen = int(_json.load(fh).get("gen", 0))
+            except Exception:
+                prev_gen = 0
+        gen = prev_gen + 1
+        gen_dir = _os.path.join(snap, f"gen-{gen:06d}")
+        prior_flag = self._wal_replaying
         self._wal_replaying = True  # save/load internals must not re-log
         cur = self.current
         try:
@@ -357,18 +395,29 @@ class IQLEngine:
                 for name, df in list(kg.relations.items()):
                     kg.relations[name] = df.localCheckpoint(eager=True)
                 self.current = kg
-                self.save_kg(_os.path.join(self.wal_dir, "snapshot", kg_name))
-            manifest = {"kgs": sorted(self.kgs), "current": cur.name}
-            tmp = _os.path.join(self.wal_dir, "snapshot", "manifest.json.tmp")
+                self.save_kg(_os.path.join(gen_dir, kg_name))
+            manifest = {"kgs": sorted(self.kgs), "current": cur.name, "gen": gen}
+            tmp = _os.path.join(snap, "manifest.json.tmp")
             with open(tmp, "w") as fh:
                 _json.dump(manifest, fh)
-            _os.replace(tmp, _os.path.join(self.wal_dir, "snapshot", "manifest.json"))
+                fh.flush()
+                _os.fsync(fh.fileno())
+            _os.replace(tmp, manifest_path)  # durability flip point
         finally:
             self.current = cur
-            self._wal_replaying = False
+            self._wal_replaying = prior_flag
         wal = _os.path.join(self.wal_dir, "wal.log")
         if _os.path.exists(wal):
             _os.truncate(wal, 0)
+        # old generations (and any pre-generation flat layout) are now
+        # unreachable — reclaim best-effort
+        for d in _glob.glob(_os.path.join(snap, "gen-*")):
+            if _os.path.abspath(d) != _os.path.abspath(gen_dir):
+                _shutil.rmtree(d, ignore_errors=True)
+        for entry in _os.listdir(snap):
+            p = _os.path.join(snap, entry)
+            if _os.path.isdir(p) and not entry.startswith("gen-"):
+                _shutil.rmtree(p, ignore_errors=True)
 
     def query(self, text: str) -> DataFrame:
         """Convenience: run a program whose last statement is a query."""
@@ -382,6 +431,12 @@ class IQLEngine:
     def _flush_facts(self, pending: Dict[str, List[tuple]]) -> None:
         for rel, rows in pending.items():
             self._insert_rows(rel, rows)
+            # one WAL record per applied batch (not per fact): a single
+            # fsync amortizes over the whole insert
+            if self.wal_dir and not self._wal_replaying:
+                from inputlayer_spark.printer import fact_batch_to_iql
+
+                self._wal_write(fact_batch_to_iql(rel, rows))
         pending.clear()
 
     def _insert_rows(self, rel: str, rows: List[tuple]) -> None:
@@ -833,12 +888,21 @@ class IQLEngine:
                     elif isinstance(st, Rule):
                         touched.add(st.head.relation)
                 for rel in touched:
+                    existed = (
+                        rel in self.current.relations
+                        or any(r.head.relation == rel for r in self.current.rules)
+                    )
                     self.current.relations.pop(rel, None)
                     self.current.rules = [
                         r for r in self.current.rules if r.head.relation != rel
                     ]
                     self.current.schemas.pop(rel, None)
                     self._invalidate(rel)
+                    # `.load` itself is never WAL-logged (the file may
+                    # change or vanish before replay); log the replace
+                    # semantics explicitly so replay reproduces it
+                    if existed:
+                        self._wal_write(f"-{rel}")
         return self.execute(text)
 
     # ------------------------------------------------------------ persistence

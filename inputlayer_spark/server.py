@@ -185,15 +185,42 @@ class QueryServer:
                         return False
 
                 # pushed change notifications for persistent updates
-                # (reference ws.rs:23 / handler.rs:837-914)
+                # (reference ws.rs:23 / handler.rs:837-914). on_change
+                # fires synchronously inside engine.execute() with the
+                # server lock held — it must NEVER touch the client
+                # socket (a peer that stops reading would stall every
+                # request on TCP backpressure). Notifications are
+                # enqueued and flushed by this connection's own writer
+                # thread; a full queue (slow consumer) drops rather than
+                # blocks.
+                import queue as _queue
+
+                notif_q: _queue.Queue = _queue.Queue(maxsize=256)
+                notif_stop = threading.Event()
+
                 def on_change(rel):
-                    send_json(
-                        {
-                            "type": "notification",
-                            "event": "persistent_update",
-                            "relation": rel,
-                        }
-                    )
+                    try:
+                        notif_q.put_nowait(
+                            {
+                                "type": "notification",
+                                "event": "persistent_update",
+                                "relation": rel,
+                            }
+                        )
+                    except _queue.Full:
+                        pass
+
+                def _notif_writer():
+                    while not notif_stop.is_set():
+                        try:
+                            obj = notif_q.get(timeout=0.25)
+                        except _queue.Empty:
+                            continue
+                        if not send_json(obj):
+                            return
+
+                notif_thread = threading.Thread(target=_notif_writer, daemon=True)
+                notif_thread.start()
 
                 outer.engine.subscribe("*", on_change)
                 try:
@@ -223,6 +250,8 @@ class QueryServer:
                         self._ws_dispatch(engine, msg, send_json)
                 finally:
                     outer.engine.unsubscribe("*", on_change)
+                    notif_stop.set()
+                    notif_thread.join(timeout=1.0)
 
             def _ws_dispatch(self, engine, msg, send_json):
                 mtype = msg.get("type")

@@ -24,7 +24,7 @@ def _plan(spark, name: str) -> str:
 
 def test_filter_pushdown_reaches_scan(spark):
     plan = _plan(spark, "scan_filter")
-    assert "PushedFilters" in plan and "IsNotNull" in plan or "GreaterThan" in plan
+    assert "PushedFilters" in plan and ("IsNotNull" in plan or "GreaterThan" in plan)
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
 
 

@@ -171,6 +171,96 @@ def test_wal_crash_recovery(spark, tmp_path):
     assert _rows(eng3.query("?total(S)")) == [(35.0,)]
 
 
+def test_wal_per_statement_covers_partial_programs(spark, tmp_path):
+    """A multi-statement program that fails midway must leave the WAL
+    covering exactly the mutations that were applied (ADVICE r2: the old
+    whole-program-at-end append lost them all)."""
+    import pytest
+
+    wal = str(tmp_path / "walp")
+    eng = IQLEngine(spark, wal_dir=wal)
+    eng.execute("+typed(a: int)")
+    with pytest.raises(Exception):
+        # first insert applies and must be durable; the second violates
+        # the declared schema and aborts the program
+        eng.execute('+ok[(1)]\n+typed("not an int")')
+    eng2 = IQLEngine(spark, wal_dir=wal)
+    assert _rows(eng2.query("?ok(X)")) == [(1,)]
+
+
+def test_wal_replay_tolerates_legacy_compact_record(spark, tmp_path):
+    """A `.compact` that lands in the log (legacy whole-program records)
+    must NOT truncate the WAL out from under replay — statements after it
+    survive recovery (ADVICE r2 medium)."""
+    import json
+    import os
+
+    wal = str(tmp_path / "walc")
+    os.makedirs(wal)
+    records = ["+edge[(1, 2)]", "+edge[(2, 3)]\n.compact", "+edge[(3, 4)]"]
+    with open(os.path.join(wal, "wal.log"), "w") as fh:
+        for r in records:
+            fh.write(json.dumps({"t": r}) + "\n")
+    eng = IQLEngine(spark, wal_dir=wal)
+    assert _rows(eng.query("?edge(X, Y)")) == [(1, 2), (2, 3), (3, 4)]
+    # and the log itself was not truncated by the replayed .compact
+    assert os.path.getsize(os.path.join(wal, "wal.log")) > 0
+
+
+def test_compact_crash_leaves_previous_snapshot_intact(spark, tmp_path):
+    """`.compact` is crash-atomic: a failure mid-snapshot must leave the
+    previous generation + WAL as the recovery source (ADVICE r2 medium:
+    the old layout overwrote the only durable copy in place)."""
+    import pytest
+
+    wal = str(tmp_path / "walg")
+    eng = IQLEngine(spark, wal_dir=wal)
+    eng.execute("+a[(1)]")
+    eng.execute(".compact")  # gen-1
+    eng.execute("+a[(2)]")  # WAL tail
+
+    orig = eng.save_kg
+
+    def boom(path):
+        orig(path)
+        raise RuntimeError("disk full mid-compact")
+
+    eng.save_kg = boom
+    with pytest.raises(RuntimeError):
+        eng.execute(".compact")  # dies before the manifest flip
+    # recovery: previous generation + un-truncated WAL still intact
+    eng2 = IQLEngine(spark, wal_dir=wal)
+    assert _rows(eng2.query("?a(X)")) == [(1,), (2,)]
+    # a later successful compact supersedes and reclaims old generations
+    eng2.execute(".compact")
+    eng3 = IQLEngine(spark, wal_dir=wal)
+    assert _rows(eng3.query("?a(X)")) == [(1,), (2,)]
+    import glob
+    import os
+
+    gens = glob.glob(os.path.join(wal, "snapshot", "gen-*"))
+    assert len(gens) == 1
+
+
+def test_wal_self_contained_after_load_replace(spark, tmp_path):
+    """`.load file --replace` logs its effects (drops + the file's own
+    statements), not the command — recovery works even after the loaded
+    file is deleted."""
+    import os
+
+    wal = str(tmp_path / "wall")
+    script = tmp_path / "defs.iql"
+    script.write_text("+cfg[(1, 10)]\n")
+    eng = IQLEngine(spark, wal_dir=wal)
+    eng.execute("+cfg[(9, 99)]")
+    script2 = tmp_path / "defs2.iql"
+    script2.write_text("+cfg[(2, 20)]\n")
+    eng.execute(f".load {script2} --replace")
+    os.remove(str(script2))  # file gone before "crash"
+    eng2 = IQLEngine(spark, wal_dir=wal)
+    assert _rows(eng2.query("?cfg(A, B)")) == [(2, 20)]
+
+
 def test_wal_multi_kg_checkpoint(spark, tmp_path):
     """`.compact` snapshots EVERY knowledge graph (manifest + per-KG
     dirs) and recovery restores all of them plus the active KG."""
