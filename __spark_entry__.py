@@ -422,14 +422,84 @@ def q_shortest_path(spark, sf_dir):
 _INDEX_CACHE: dict = {}
 
 
+def _lsh_indexed(spark, sf_dir, num_tables: int = 8, num_bits: int = 8):
+    """Materialized LSH bucket artifact for the embeddings corpus.
+
+    persist() is lazy, so the fill COUNTS the frame immediately — index
+    construction happens at .index-create time (here), never inside a
+    probe query. `warmup()` pre-fills this for the bench."""
+    key = ("lsh_index", sf_dir, num_tables, num_bits)
+    emb = _INDEX_CACHE.get(key)
+    if emb is None:
+        from inputlayer_spark.operators.similarity import lsh_index
+
+        emb = lsh_index(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            "embedding",
+            num_tables=num_tables,
+            num_bits=num_bits,
+        ).persist()
+        emb.count()
+        _INDEX_CACHE[key] = emb
+    return emb
+
+
+def _lsh_sel_indexed(spark, sf_dir):
+    """Materialized 16-bit LSH artifact over the near-dup view
+    (`_augmented_emb`) for the production-selectivity probe query."""
+    key = ("lsh_sel", sf_dir)
+    emb = _INDEX_CACHE.get(key)
+    if emb is None:
+        from inputlayer_spark.operators.similarity import lsh_index
+
+        emb = lsh_index(
+            _augmented_emb(spark, sf_dir), "embedding", num_tables=8, num_bits=16
+        ).persist()
+        emb.count()
+        _INDEX_CACHE[key] = emb
+    return emb
+
+
+def _ivf_cents(spark, sf_dir):
+    """Collected IVF centroid artifact (n_cells × dim, driver-side)."""
+    ck = ("ivf_cents", sf_dir)
+    cents = _INDEX_CACHE.get(ck)
+    if cents is None:
+        from inputlayer_spark.operators.similarity import ivf_index
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _, cents = ivf_index(emb, "label", "embedding")
+        _INDEX_CACHE[ck] = cents
+    return cents
+
+
 def _query_vec(spark, sf_dir):
-    row = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .collect()[0]
-    )
-    return [float(x) for x in row["embedding"]]
+    qk = ("query_vec", sf_dir)
+    q = _INDEX_CACHE.get(qk)
+    if q is None:
+        row = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()[0]
+        )
+        q = [float(x) for x in row["embedding"]]
+        _INDEX_CACHE[qk] = q
+    return q
+
+
+def warmup(spark: SparkSession, sf_dir: str) -> None:
+    """Pre-build every index artifact the ANN queries probe.
+
+    Mirrors the engine's `.index create` lifecycle: bucket columns and
+    centroids are index-create-time work, so the bench (and any caller
+    issuing repeated queries) pays them once here and the timed queries
+    measure probe + rerank only."""
+    tune_session(spark)
+    _query_vec(spark, sf_dir)
+    _lsh_indexed(spark, sf_dir, num_tables=8, num_bits=8)
+    _lsh_sel_indexed(spark, sf_dir)
+    _ivf_cents(spark, sf_dir)
 
 
 def q_knn_cosine(spark, sf_dir):
@@ -513,25 +583,69 @@ def q_knn_lsh(spark, sf_dir):
     probe machinery (candidates must cover the true top-10) and the
     rerank. Scale path: bucket columns precomputed by lsh_index, probe
     filter is an IN-list (partition pruning)."""
-    from inputlayer_spark.operators.similarity import knn_lsh, lsh_index
+    from inputlayer_spark.operators.similarity import knn_lsh
 
     # the bucket artifact belongs to index-create time, not query time —
-    # cache it per corpus like engine.create_index does, so repeated
-    # queries measure the probe+rerank, not the index build
-    key = ("lsh_index", sf_dir)
-    emb = _INDEX_CACHE.get(key)
-    if emb is None:
-        emb = lsh_index(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-            "embedding",
-            num_tables=8,
-            num_bits=8,
-        ).persist()
-        _INDEX_CACHE[key] = emb
+    # cached AND materialized per corpus like engine.create_index does,
+    # so queries measure the probe+rerank, not the index build
+    emb = _lsh_indexed(spark, sf_dir, num_tables=8, num_bits=8)
     q = _query_vec(spark, sf_dir)
     out = knn_lsh(
         emb, "vec_id", "embedding", q, k=10, metric="cosine",
         num_bits=8, num_tables=8, num_probes=93,
+    )
+    return out.select(F.col("id").alias("vec_id"), F.col("dist").alias("cos_dist"))
+
+
+def _augmented_emb(spark, sf_dir):
+    """embeddings ∪ 10 deterministic near-duplicates of vec 0.
+
+    The synthetic corpus is isotropic (measured max pairwise cosine sim
+    0.51 at sf0.01, median ~0) — the textbook no-LSH-gap regime where NO
+    hash family can beat a scan for generic top-k. Production-selectivity
+    LSH exists for corpora WITH near neighbors, so this view plants them:
+    copy j perturbs component i of vec 0 by ((j*31+i*17)%13−6)/100 —
+    integer arithmetic + one exact-int double division, bit-identical in
+    Spark and DuckDB, so the brute-force oracle over the same view is
+    exact. Resulting copies sit at cos_dist ≈ 1e-3 (true near-dups)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    copies = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.explode(F.array(*[F.lit(j) for j in range(1, 11)])).alias("j"), "embedding")
+        .select(
+            (F.lit(1000000) + F.col("j")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x.cast("double")
+                    + ((F.col("j") * 31 + (i + 1) * 17) % 13 - 6).cast("double")
+                    / F.lit(100.0)
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    return emb.unionByName(copies)
+
+
+def q_knn_lsh_selective(spark, sf_dir):
+    """LSH k-NN at production selectivity: 16-bit buckets, 8 boundary-
+    ranked probes per table × 8 tables — the probe set covers 8 of the
+    65,536 buckets per table, so this exercises bucket PRUNING (the
+    100 TB path: partition pruning on the bucket column), unlike
+    q_knn_lsh's full Hamming-3 ball. Corpus = `_augmented_emb` (the
+    near-dup view — see its docstring for why the raw isotropic corpus
+    cannot have an LSH gap); the true top-10 are the planted near-dups,
+    all of which the probe finds (measured recall@10 = 1.0; candidate
+    fraction asserted ≤5% in tests/test_operators.py), so the DuckDB
+    brute-force top-10 over the same view is an exact oracle
+    (reference probe semantics: src/vector_ops.rs:1127-1400)."""
+    from inputlayer_spark.operators.similarity import knn_lsh
+
+    emb = _lsh_sel_indexed(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    out = knn_lsh(
+        emb, "vec_id", "embedding", q, k=10, metric="cosine",
+        num_bits=16, num_tables=8, num_probes=8,
     )
     return out.select(F.col("id").alias("vec_id"), F.col("dist").alias("cos_dist"))
 
@@ -544,14 +658,10 @@ def q_ivf_knn(spark, sf_dir):
     Scale path: centroids collected once at index time (n_cells × dim on
     the driver), probe selection is driver-side arithmetic, the cell
     filter is an IN-list (partition pruning when written by cell)."""
-    from inputlayer_spark.operators.similarity import ivf_index, ivf_knn
+    from inputlayer_spark.operators.similarity import ivf_knn
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    ck = ("ivf_cents", sf_dir)
-    cents = _INDEX_CACHE.get(ck)
-    if cents is None:
-        _, cents = ivf_index(emb, "label", "embedding")
-        _INDEX_CACHE[ck] = cents
+    cents = _ivf_cents(spark, sf_dir)
     q = _query_vec(spark, sf_dir)
     out = ivf_knn(
         emb, "vec_id", "embedding", q, k=10, metric="cosine",
@@ -665,48 +775,34 @@ def q_minhash_lsh(spark, sf_dir):
     exact-pairs oracle, so the check covers the whole pipeline. Scale:
     the shingle self-join for verification is restricted to candidates —
     no all-pairs compare."""
-    from inputlayer_spark.operators.dedup import minhash_lsh_pairs
+    from inputlayer_spark.operators.dedup import (
+        doc_shingle_arrays,
+        jaccard_verify_pairs,
+        minhash_lsh_pairs,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # tokens materialized FIRST — shingling off tokens(text) directly
-    # re-tokenizes per shingle, O(len²) (shingles_from_tokens docstring);
-    # ONE persisted shingle frame feeds both the signature computation
-    # and the exact-Jaccard verification
-    sh = (
-        docs.select(F.col("doc_id").alias("__id"), TX.tokens(F.col("text")).alias("__toks"))
-        .select(
-            "__id",
-            F.explode(
-                F.array_distinct(TX.shingles_from_tokens(F.col("__toks"), 2))
-            ).alias("__sh"),
-        )
-        .persist()
-    )
+    # ONE persisted per-doc shingle-array frame feeds both the signature
+    # computation and the exact-Jaccard verification (array_intersect);
+    # rebalanced to all cores — the single-row-group test file otherwise
+    # serializes shingling onto one task (doc_shingle_arrays docstring).
+    # The previous call's cache entry is dropped first: Spark's
+    # CacheManager matches canonicalized plans, so a repeated run would
+    # otherwise silently skip the shingling it claims to measure.
+    old = _INDEX_CACHE.pop(("mh_arr", sf_dir), None)
+    if old is not None:
+        old.unpersist(blocking=False)
+    arr = doc_shingle_arrays(
+        docs, "doc_id", "text", shingle_n=2,
+        rebalance=spark.sparkContext.defaultParallelism,
+    ).persist()
+    _INDEX_CACHE[("mh_arr", sf_dir)] = arr
     cand = minhash_lsh_pairs(
-        docs, "doc_id", "text", num_perm=64, bands=16, shingle_n=2, shingled=sh
+        docs, "doc_id", "text", num_perm=64, bands=16, shingle_n=2, shingle_arrays=arr
     )
-    sz = sh.groupBy("__id").agg(F.count("*").alias("n"))
-    # shared-shingle count per candidate pair: expand candidates by id1's
-    # shingles, then equi-join on (id2, shingle) — never the shingles²
-    # cross product per pair
-    shared = (
-        cand.join(sh.toDF("id1", "s"), on="id1")
-        .join(sh.toDF("id2", "s"), on=["id2", "s"])
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("shared"))
-    )
-    out = (
-        shared.join(sz.toDF("id1", "n1"), on="id1")
-        .join(sz.toDF("id2", "n2"), on="id2")
-        .withColumn(
-            "jaccard",
-            F.col("shared").cast("double")
-            / (F.col("n1") + F.col("n2") - F.col("shared")),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id1", "id2", "jaccard")
-    )
-    return out
+    # banding prunes candidates to a sliver of the corpus → broadcast the
+    # pair side; the verify adds zero shuffles beyond the banded join
+    return jaccard_verify_pairs(cand, arr, threshold=0.5, broadcast_candidates=True)
 
 
 def q_simhash(spark, sf_dir):
@@ -798,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_roundtrip": q_quantize_roundtrip,
         "knn_join": q_knn_join,
         "knn_lsh": q_knn_lsh,
+        "knn_lsh_selective": q_knn_lsh_selective,
         "ivf_knn": q_ivf_knn,
         "recent_events": q_recent_events,
         "time_decay_sum": q_time_decay_sum,
@@ -1138,6 +1235,25 @@ def oracle_sql() -> dict[str, str]:
             qv_cte
             + f"SELECT vec_id, {_cos_dist('embedding', 'q')} AS cos_dist "
             "FROM embeddings, qv ORDER BY cos_dist ASC, vec_id ASC LIMIT 10"
+        ),
+        # knn_lsh_selective: brute force over the SAME near-dup view the
+        # Spark query indexes (embeddings ∪ 10 deterministic perturbed
+        # copies of vec 0 — exact integer arithmetic, bit-identical on
+        # both engines). The 16-bit/8-probe pruned probe finds all
+        # planted near-dups (measured recall@10 = 1.0), so this oracle
+        # is exact while the probe touches <5% of the corpus.
+        "knn_lsh_selective": (
+            qv_cte
+            + ", aug AS ("
+            "  SELECT vec_id, embedding FROM embeddings"
+            "  UNION ALL"
+            "  SELECT 1000000 + j AS vec_id,"
+            "    list_transform(range(1, 65), i ->"
+            "      (embedding[i]::DOUBLE + ((j*31 + i*17) % 13 - 6)::DOUBLE / 100.0)::FLOAT"
+            "    ) AS embedding"
+            "  FROM embeddings, range(1, 11) t(j) WHERE vec_id = 0) "
+            f"SELECT vec_id, {_cos_dist('embedding', 'q')} AS cos_dist "
+            "FROM aug, qv ORDER BY cos_dist ASC, vec_id ASC LIMIT 10"
         ),
         "ivf_knn": (
             qv_cte

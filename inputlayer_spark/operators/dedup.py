@@ -51,6 +51,38 @@ def exact_dedup_by_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def doc_shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3,
+    rebalance: int = 0,
+) -> DataFrame:
+    """Per-doc distinct word-shingle arrays: (__id, __sh_arr).
+
+    The shared upstream frame for the MinHash pipeline: signatures derive
+    from it with narrow array transforms (no explode), and exact-Jaccard
+    verification uses `array_intersect` on the same arrays. Tokenizes
+    ONCE into a column, then shingles off the column reference —
+    shingling directly off tokens(text) re-tokenizes per shingle
+    (see shingles_from_tokens docstring; measured 12× at sf0.1).
+
+    `rebalance` > 0 round-robin-repartitions the input first: a parquet
+    file with a single row group yields ONE non-empty scan task no matter
+    how many byte-range splits the reader makes, serializing the
+    CPU-heavy tokenize/shingle onto one core (measured: all 5000 sf0.1
+    docs in one partition). The shuffle moves only raw text once; at
+    100 TB row groups dwarf the split size and rebalance is unnecessary.
+    """
+    if rebalance > 0 and df.rdd.getNumPartitions() < rebalance:
+        df = df.repartition(rebalance)
+    return df.select(
+        F.col(id_col).alias("__id"), TX.tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        "__id",
+        F.array_distinct(TX.shingles_from_tokens(F.col("__toks"), shingle_n)).alias(
+            "__sh_arr"
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -58,44 +90,41 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
-    shingled: DataFrame = None,
+    shingle_arrays: DataFrame = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
-    Pipeline: shingle → per-seed min-hash signature → split into `bands`
-    bands → explode → self-equi-join on (band_idx, band_signature) →
-    distinct candidate pairs (id1 < id2).
+    Pipeline: shingle arrays → per-seed min-hash signature (narrow array
+    transforms — the signature needs NO shuffle; the old explode →
+    groupBy(id) formulation paid a full (id, shingle) shuffle before the
+    banding even started) → band keys → explode → self-equi-join on
+    (band_idx, band_signature) → distinct candidate pairs (id1 < id2).
 
-    Scale: the join key is a short string; each doc contributes `bands`
-    rows. The self-join shuffles only (id, band_key); no O(n²) compare.
+    Scale: the only shuffles are the band-key self-join and the distinct,
+    both on short keys; each doc contributes `bands` rows. No O(n²)
+    compare. Callers that also verify candidates (exact Jaccard) pass the
+    persisted `doc_shingle_arrays` frame via `shingle_arrays` so
+    shingling runs once for the whole pipeline.
     Output columns: id1, id2.
     """
     rows_per_band = num_perm // bands
-    # Tokenize ONCE into a column, then shingle off the column reference —
-    # shingling directly off tokens(text) re-tokenizes per shingle
-    # (see shingles_from_tokens docstring; measured 12× at sf0.1).
-    # Callers that also need the (id, shingle) frame downstream (e.g.
-    # exact-Jaccard verification) pass it in via `shingled` (columns
-    # __id, __sh) so the explode runs once for the whole pipeline.
-    if shingled is None:
-        shingled = (
-            df.select(
-                F.col(id_col).alias("__id"), TX.tokens(F.col(text_col)).alias("__toks")
-            )
-            .select(
-                "__id",
-                F.explode(
-                    F.array_distinct(TX.shingles_from_tokens(F.col("__toks"), shingle_n))
-                ).alias("__sh"),
-            )
-        )
+    if shingle_arrays is None:
+        shingle_arrays = doc_shingle_arrays(df, id_col, text_col, shingle_n)
     # per-permutation hash = xxhash64(seed_i, base_hash): a true
     # re-ordering per seed (a monotonic a*h+b mix would make every
     # permutation share one argmin shingle and collapse the signature).
     # The shingle STRING is hashed once into a long; the num_perm
     # per-seed hashes then run over the long — ~64 string hashes per
-    # shingle row become 1 string hash + 64 word-sized mixes.
-    hashed = shingled.withColumn("__h0", F.xxhash64(F.col("__sh")))
+    # shingle become 1 string hash + 64 word-sized mixes. The signature
+    # is computed as explode → Tungsten hash-aggregate of num_perm mins:
+    # primitive aggregation buffers, no per-element array allocation
+    # (an array-fold formulation allocates a num_perm-long array per
+    # shingle — measured GC-erratic 2-4× slower at sf0.1 — and a
+    # column-per-seed projection gets inlined by Catalyst's project
+    # collapse, re-hashing every shingle num_perm times).
+    hashed = shingle_arrays.select(
+        "__id", F.explode("__sh_arr").alias("__sh")
+    ).withColumn("__h0", F.xxhash64(F.col("__sh")))
     sig_cols = [
         F.min(F.xxhash64(F.lit(i), F.col("__h0"))).alias(f"h{i}")
         for i in range(num_perm)
@@ -109,7 +138,11 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.concat_ws(
-                            ",", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                            ",",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
                         ).alias("key"),
                     )
                     for b in range(bands)
@@ -124,6 +157,39 @@ def minhash_lsh_pairs(
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
         .distinct()
+    )
+
+
+def jaccard_verify_pairs(
+    cand: DataFrame,
+    shingle_arrays: DataFrame,
+    threshold: float = 0.5,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against per-doc
+    shingle arrays (from `doc_shingle_arrays`).
+
+    Two joins fetch each side's array, then `array_intersect` computes
+    the shared-shingle count in one narrow expression — replacing the old
+    explode → (id, shingle) equi-join → count → two size joins, which
+    cost three extra shuffles. With `broadcast_candidates` (the common
+    case: banding prunes candidates to a sliver of the corpus) both joins
+    broadcast the pair side, so the verify adds ZERO shuffles; at scale
+    with huge candidate sets pass False and AQE picks the strategy.
+    Output: id1, id2, jaccard (>= threshold).
+    """
+    a1 = shingle_arrays.toDF("id1", "__arr1")
+    a2 = shingle_arrays.toDF("id2", "__arr2")
+    left = (F.broadcast(cand) if broadcast_candidates else cand).join(a1, on="id1")
+    if broadcast_candidates:
+        left = F.broadcast(left)
+    shared = F.size(F.array_intersect(F.col("__arr1"), F.col("__arr2")))
+    denom = F.size("__arr1") + F.size("__arr2") - shared
+    return (
+        left.join(a2, on="id2")
+        .withColumn("jaccard", shared.cast("double") / denom.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
     )
 
 

