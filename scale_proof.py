@@ -1,0 +1,166 @@
+"""Scale proof-point: headline queries at sf0.01 / sf0.1 / sf1 (10×).
+
+Purpose (VERDICT r2 #4 / r3 #4): demonstrate how per-query wall-clock
+grows with data volume on local[32]. The reference's BASELINE.md anchors
+are millisecond-scale single-process numbers on tiny data; Spark carries
+a fixed ~0.3-0.9 s per-action floor (job scheduling, codegen dispatch,
+stage barriers) that is *invariant in data volume*. If query time is
+flat or strongly sublinear across a 100× SF sweep, the floor — not the
+per-row work — dominates at bench scale, and the floor amortizes to
+nothing at the 100 TB design point.
+
+sf1 is derived deterministically from sf0.1 (the driver ships no larger
+SF): every fact table is unioned as 10 copies with all entity keys
+shifted by copy_index * 10_000_000, preserving join fan-out and key
+cardinality ratios while multiplying volume 10×. Document texts get a
+per-copy suffix token so text operators see distinct content; dimension
+tables (region, nation) stay fixed, as they would at any SF. Written as
+32-partition parquet so scans parallelize (the sf0.1 single-row-group
+files do not).
+
+Usage:
+    python scale_proof.py             # builds .scale/sf1 if missing
+    python scale_proof.py --rebuild   # force-rebuild sf1
+
+Prints per-SF timings as a markdown table + one JSON line; results are
+recorded in BASELINE.md ("Scale proof" section).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+OFF = 10_000_000
+COPIES = 10
+SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1")
+
+# (table, {col: kind}) — kind "key" gets the copy offset, "text" gets a
+# distinguishing suffix; everything else is carried through unchanged.
+SCALED = {
+    "customer": {"c_custkey": "key"},
+    "supplier": {"s_suppkey": "key"},
+    "part": {"p_partkey": "key"},
+    "orders": {"o_orderkey": "key", "o_custkey": "key"},
+    "lineitem": {"l_orderkey": "key", "l_partkey": "key", "l_suppkey": "key"},
+    "events": {"event_id": "key", "user_id": "key"},
+    "documents": {"doc_id": "key", "text": "text"},
+    "embeddings": {"vec_id": "key"},
+}
+PASSTHROUGH = ("region", "nation")
+
+QUERIES = [
+    # relational core — data volume scales 10× per step
+    "scan_filter",
+    "join_two_way",
+    "threeway_join_arith",
+    "agg_pricing_summary",
+    "topk_per_group",
+    "antijoin",
+    # temporal / text — events & documents scale too
+    "time_decay_sum",
+    "doc_fingerprint",
+    "quality_lang",
+    "exact_dedup",
+    "minhash_lsh",
+    # vector: brute force grows linearly with the corpus, the pruned
+    # LSH probe should stay flat — the contrast is the point
+    "knn_cosine",
+    "knn_lsh",
+]
+
+
+def build_sf1(spark) -> None:
+    src = "/root/testdata/sf0.1"
+    tmp = SF1_DIR + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    copies = spark.range(COPIES).toDF("__c")
+    for t, mods in SCALED.items():
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        out = df.crossJoin(copies)
+        for c, kind in mods.items():
+            if kind == "key":
+                out = out.withColumn(c, F.col(c) + F.col("__c") * F.lit(OFF))
+            elif kind == "text":
+                out = out.withColumn(
+                    c,
+                    F.when(F.col("__c") == 0, F.col(c)).otherwise(
+                        F.concat(F.col(c), F.lit(" v"), F.col("__c").cast("string"))
+                    ),
+                )
+        out.drop("__c").repartition(32).write.mode("overwrite").parquet(
+            f"{tmp}/{t}.parquet"
+        )
+    for t in PASSTHROUGH:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        df.write.mode("overwrite").parquet(f"{tmp}/{t}.parquet")
+    shutil.rmtree(SF1_DIR, ignore_errors=True)
+    os.replace(tmp, SF1_DIR)
+
+
+def main() -> None:
+    from inputlayer_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("scale-proof")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if "--rebuild" in sys.argv:
+        shutil.rmtree(SF1_DIR, ignore_errors=True)
+    if not os.path.isdir(SF1_DIR):
+        print("# building sf1 (10x of sf0.1) ...", file=sys.stderr)
+        t0 = time.perf_counter()
+        build_sf1(spark)
+        print(f"# built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    sf_dirs = [
+        ("0.01", "/root/testdata/sf0.01"),
+        ("0.1", "/root/testdata/sf0.1"),
+        ("1 (10x derived)", SF1_DIR),
+    ]
+    qs = entry.queries()
+    # same protocol as bench.py: JIT-warm the heavy codegen once, build
+    # index artifacts outside the timed region, min-of-2 per query
+    qs["minhash_lsh"](spark, "/root/testdata/sf0.001").count()
+
+    results: dict[str, dict[str, float]] = {name: {} for name in QUERIES}
+    rows_seen: dict[str, dict[str, int]] = {name: {} for name in QUERIES}
+    for label, d in sf_dirs:
+        entry.warmup(spark, d)
+        for name in QUERIES:
+            fn = qs[name]
+            best, n = None, 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = fn(spark, d).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            results[name][label] = round(best, 3)
+            rows_seen[name][label] = n
+            print(f"# sf{label} {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+
+    labels = [lbl for lbl, _ in sf_dirs]
+    print("| query | " + " | ".join(f"sf{lbl}" for lbl in labels) + " | 100× growth |")
+    print("|---|" + "---|" * (len(labels) + 1))
+    for name in QUERIES:
+        r = results[name]
+        growth = r[labels[-1]] / max(r[labels[0]], 1e-9)
+        print(
+            f"| {name} | "
+            + " | ".join(f"{r[lbl]:.2f}s" for lbl in labels)
+            + f" | {growth:.1f}× |"
+        )
+    print(json.dumps({"metric": "scale_proof", "unit": "sec", "results": results}))
+
+
+if __name__ == "__main__":
+    main()
