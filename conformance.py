@@ -274,10 +274,10 @@ def run_script_stmtwise(spark, iql_path: str, out_path: str) -> ScriptResult:
 
     golden = open(out_path).read()
     src = open(iql_path).read()
-    if os.path.basename(iql_path).startswith("_helper"):
-        # helper inputs for `.load` tests, not tests themselves — their
-        # `.out` transcripts are from an older `.`-terminated client
-        return ScriptResult(iql_path, "skip", "helper file (loaded by other tests)")
+# `_helper_*.iql` files are inputs for `.load` tests, but their `.out`
+# transcripts are valid goldens in the reference's older client syntax
+# (`.`-terminated statements, `:-` arrows) — the parser accepts that
+# syntax, so they run like any other script (closes the last skip).
     for marker in _SKIP_SRC_MARKERS:
         if marker in src:
             return ScriptResult(iql_path, "skip", f"script uses {marker}")

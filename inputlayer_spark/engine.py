@@ -13,6 +13,7 @@ to independent relation namespaces; sessions overlay ephemeral facts.
 
 from __future__ import annotations
 
+import sys
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -145,6 +146,15 @@ class IQLEngine:
         # architecture.md:530-539 — replay-on-start)
         self.wal_dir = wal_dir
         self._wal_replaying = False
+        # active WAL file name: per-GENERATION (`wal-<gen>.log`, selected
+        # by the snapshot manifest) so the manifest flip in checkpoint()
+        # atomically retires the old log — replay after a crash between
+        # flip and cleanup cannot double-apply records the new snapshot
+        # already contains. "wal.log" is the pre-generation legacy name.
+        self._wal_name = "wal.log"
+        # non-fatal problems found while replaying the WAL (mid-log
+        # records that failed); surfaced instead of silently dropped
+        self.recovery_warnings: List[str] = []
         if wal_dir:
             self._recover()
 
@@ -236,6 +246,11 @@ class IQLEngine:
             if isinstance(st, EmptyBatch):
                 if st.relation not in self.current.relations:
                     self.current.empty_relations.add(st.relation)
+                    # an empty-relation declaration is persistent state
+                    # (queries against it print "No results" instead of
+                    # "unknown relation") — without logging it is lost on
+                    # restart
+                    self._wal_log(st)
             elif isinstance(st, SchemaDecl):
                 self._declare_schema(st)
                 self._wal_log(st)
@@ -260,7 +275,7 @@ class IQLEngine:
                 if out is not None:
                     results.append(out)
                     self.last_result_kinds.append("meta")
-                if st.command in self._WAL_META_CMDS:
+                if self._wal_meta_loggable(st):
                     self._wal_log(st)
             else:
                 raise CompileError(f"unsupported statement {st!r}")
@@ -269,13 +284,27 @@ class IQLEngine:
 
     # ------------------------------------------------------------ WAL
 
-    # Meta commands with persistent effects. `.load` is intentionally
-    # absent: load_script() routes the file's statements back through
-    # execute(), which logs each one individually — the WAL stays
-    # self-contained even if the loaded file later changes or disappears.
-    # `.compact` is likewise never logged, so checkpoint() can never be
-    # re-triggered from WAL replay.
-    _WAL_META_CMDS = frozenset({"kg", "index", "clear", "rel", "rule"})
+    # Meta subcommands with persistent effects, keyed by command. `.load`
+    # is intentionally absent: load_script() routes the file's statements
+    # back through execute(), which logs each one individually — the WAL
+    # stays self-contained even if the loaded file later changes or
+    # disappears. `.compact` is likewise never logged, so checkpoint()
+    # can never be re-triggered from WAL replay. Read-only subcommands
+    # (`.rule list`, `.kg list`, `.index stats`, ...) are filtered out:
+    # logging them bloats the WAL and does pointless work on replay.
+    # `.index rebuild` only refreshes an in-memory artifact — not state.
+    _WAL_META_SUBS = {
+        "kg": frozenset({"create", "use", "drop"}),
+        "rel": frozenset({"drop"}),
+        "rule": frozenset({"remove", "drop", "clear"}),
+        "index": frozenset({"create", "drop"}),
+    }
+
+    def _wal_meta_loggable(self, st) -> bool:
+        if st.command == "clear":
+            return True
+        subs = self._WAL_META_SUBS.get(st.command)
+        return bool(subs and st.args and st.args[0] in subs)
 
     def _wal_log(self, st) -> None:
         """Durably log ONE successfully-applied persistent mutation,
@@ -301,7 +330,7 @@ class IQLEngine:
         import os as _os
 
         _os.makedirs(self.wal_dir, exist_ok=True)
-        with open(_os.path.join(self.wal_dir, "wal.log"), "a") as fh:
+        with open(_os.path.join(self.wal_dir, self._wal_name), "a") as fh:
             fh.write(_json.dumps({"t": text}) + "\n")
             fh.flush()
             _os.fsync(fh.fileno())
@@ -333,23 +362,45 @@ class IQLEngine:
                     self.load_kg(kg_dir)
                 cur = manifest.get("current", "default")
                 self.current = self.kgs.setdefault(cur, KnowledgeGraph(cur))
+                # the manifest names the WAL generation that extends this
+                # snapshot — records in retired generations are already
+                # inside it and must NOT replay (double-apply under bag
+                # semantics). Absent "wal" → legacy truncate-style log.
+                self._wal_name = manifest.get("wal", "wal.log")
             elif _os.path.exists(_os.path.join(snap, "catalog.json")):
                 # legacy single-KG snapshot layout
                 self.load_kg(snap)
-            wal = _os.path.join(self.wal_dir, "wal.log")
+            wal = _os.path.join(self.wal_dir, self._wal_name)
             if _os.path.exists(wal):
                 with open(wal) as fh:
-                    for line in fh:
-                        line = line.strip()
-                        if not line:
+                    lines = [ln.strip() for ln in fh]
+                while lines and not lines[-1]:
+                    lines.pop()
+                for i, line in enumerate(lines):
+                    if not line:
+                        continue
+                    last = i == len(lines) - 1
+                    try:
+                        rec = _json.loads(line)["t"]
+                    except Exception:
+                        if last:
+                            # torn tail: crash mid-append — expected
                             continue
-                        try:
-                            self.execute(_json.loads(line)["t"])
-                        except Exception:
-                            # a torn tail record (crash mid-append) or a
-                            # statement invalidated by later semantics
-                            # must not brick recovery
-                            continue
+                        self.recovery_warnings.append(
+                            f"corrupt WAL record (line {i + 1}): {line[:200]}"
+                        )
+                        continue
+                    try:
+                        self.execute(rec)
+                    except Exception as exc:
+                        # a failing statement mid-log means durable state
+                        # is being dropped — tolerate (recovery must not
+                        # brick) but SURFACE it, never skip silently
+                        self.recovery_warnings.append(
+                            f"WAL replay failed (line {i + 1}): {rec[:200]} — {exc}"
+                        )
+                for w in self.recovery_warnings:
+                    print(f"[inputlayer_spark] recovery warning: {w}", file=sys.stderr)
         finally:
             self._wal_replaying = False
 
@@ -396,19 +447,37 @@ class IQLEngine:
                     kg.relations[name] = df.localCheckpoint(eager=True)
                 self.current = kg
                 self.save_kg(_os.path.join(gen_dir, kg_name))
-            manifest = {"kgs": sorted(self.kgs), "current": cur.name, "gen": gen}
+            new_wal = f"wal-{gen:06d}.log"
+            manifest = {
+                "kgs": sorted(self.kgs),
+                "current": cur.name,
+                "gen": gen,
+                "wal": new_wal,
+            }
             tmp = _os.path.join(snap, "manifest.json.tmp")
             with open(tmp, "w") as fh:
                 _json.dump(manifest, fh)
                 fh.flush()
                 _os.fsync(fh.fileno())
-            _os.replace(tmp, manifest_path)  # durability flip point
+            # durability flip point: the manifest atomically selects BOTH
+            # the new snapshot generation AND its (empty) WAL generation,
+            # so a crash anywhere after this line replays nothing stale —
+            # the old truncate-after-flip scheme had a window where the
+            # full old WAL replayed over the new snapshot, duplicating
+            # every bag-semantics insert
+            _os.replace(tmp, manifest_path)
+            self._wal_name = new_wal
         finally:
             self.current = cur
             self._wal_replaying = prior_flag
-        wal = _os.path.join(self.wal_dir, "wal.log")
-        if _os.path.exists(wal):
-            _os.truncate(wal, 0)
+        # retired WAL generations are unreachable via the manifest —
+        # reclaim best-effort
+        for w in _glob.glob(_os.path.join(self.wal_dir, "wal*.log")):
+            if _os.path.basename(w) != self._wal_name:
+                try:
+                    _os.remove(w)
+                except OSError:
+                    pass
         # old generations (and any pre-generation flat layout) are now
         # unreachable — reclaim best-effort
         for d in _glob.glob(_os.path.join(snap, "gen-*")):
@@ -726,6 +795,13 @@ class IQLEngine:
             self.current.relations.pop(st.relation, None)
             self.current.rules = [r for r in self.current.rules if r.head.relation != st.relation]
             self.session_rules = [r for r in self.session_rules if r.head.relation != st.relation]
+            # drop retires the relation's declared schema and any
+            # empty-relation marker too — matching `.load --replace`'s
+            # live semantics, and required for WAL replay correctness:
+            # the logged `-rel` must clear a stale schema so the file's
+            # re-logged facts aren't rejected on replay
+            self.current.schemas.pop(st.relation, None)
+            self.current.empty_relations.discard(st.relation)
             self._invalidate(st.relation)
             return
         if not st.body:
@@ -785,8 +861,23 @@ class IQLEngine:
                 c = F.col(col_name) == lit_of(term)
                 cond = c if cond is None else (cond & c)
             keep = df.filter(~cond) if cond is not None else df.limit(0)
-        self.current.relations[st.relation] = keep.localCheckpoint(eager=True)
+            # exact complement of keep (filter(~cond) also drops rows
+            # where cond is NULL, so doomed must include them)
+            doomed = df.filter(cond.isNull() | cond) if cond is not None else df
+        new_base = keep.localCheckpoint(eager=True)
+        self.current.relations[st.relation] = new_base
+        # incremental retraction first (the maintainer's insert-path
+        # protocol): qualifying aggregate views are maintained from the
+        # deleted rows, re-seeded after the cascade wipes the cache —
+        # a delete touching k groups no longer recomputes the whole view.
+        # Column order restored first: the semi-join above puts join keys
+        # leftmost, and rule atoms bind POSITIONALLY.
+        maintained = self._retract_maintain(
+            st.relation, doomed.select(*df.columns), new_base
+        )
         self._invalidate(st.relation)
+        for h, v in maintained.items():
+            self._derived_cache[h] = v
 
     def _update(self, st: Update) -> None:
         """Atomic update: retract old, assert new per cond binding in one
@@ -890,6 +981,7 @@ class IQLEngine:
                 for rel in touched:
                     existed = (
                         rel in self.current.relations
+                        or rel in self.current.schemas
                         or any(r.head.relation == rel for r in self.current.rules)
                     )
                     self.current.relations.pop(rel, None)
@@ -928,6 +1020,10 @@ class IQLEngine:
                 for rel, sch in self.current.schemas.items()
             },
             "indexes": self.current.indexes,
+            # empty-relation declarations (+rel[]) are catalog state:
+            # without them a post-compact restart forgets the relation
+            # exists and queries error instead of printing "No results"
+            "empty_relations": sorted(self.current.empty_relations),
         }
         tmp = f"{path}/catalog.json.tmp"
         with open(tmp, "w") as fh:
@@ -958,6 +1054,8 @@ class IQLEngine:
             )
         for name, meta in catalog.get("indexes", {}).items():
             self.current.indexes[name] = tuple(meta)
+        self.current.empty_relations.clear()
+        self.current.empty_relations.update(catalog.get("empty_relations", ()))
 
     # ------------------------------------------------------------ queries
 
@@ -1107,6 +1205,144 @@ class IQLEngine:
         # restore positional column order
         merged = merged.select(*[f"c{i}" for i in range(len(r.head.terms))])
         return merged.localCheckpoint(eager=True)
+
+    def try_delta_retract(
+        self, head: str, delta_rel: str, deleted_df: DataFrame, new_base: DataFrame
+    ) -> Optional[DataFrame]:
+        """Incremental maintenance of a materialized aggregate view after
+        a DELETE on its base relation — the retraction analog of
+        `try_delta_merge` (reference: retraction re-query 602 ms–1.13 s
+        vs 11.3 s full recompute, BENCHMARKS.md:67-71).
+
+        Qualifying shape is the same (non-recursive single-clause rule,
+        one positive atom, mergeable aggregates). Two paths:
+
+        - **O(delta) subtract-merge** when every aggregate is sum/count
+          AND a count is present: the retracted bindings' aggregate
+          contributions are negated and merged; groups whose count
+          reaches 0 are dropped (the count column is what makes emptied
+          groups detectable — sum alone cannot distinguish "group gone"
+          from "sums to zero").
+        - **Group-scoped recompute** otherwise (min/max need their
+          group's surviving extent; sum-only lacks emptiness detection):
+          only the groups the retracted bindings touch are re-aggregated
+          from the new base; every untouched group keeps its
+          materialization. Deleting rows from k groups costs a scan
+          filtered to k groups + a broadcast anti-join on the view — not
+          a full re-aggregation.
+
+        Set-semantics fidelity: a binding is only retracted if it no
+        longer holds in the new base (deleting one duplicate copy leaves
+        the binding's contribution intact), hence the anti-join of the
+        deleted bindings against the post-delete base's bindings.
+        Returns the maintained view, or None → caller falls back to
+        invalidate + full recompute.
+        """
+        from inputlayer_spark.ast_nodes import Agg
+        from inputlayer_spark.compiler import compile_body, compile_head
+
+        rules = [r for r in self.current.rules if r.head.relation == head]
+        if len(rules) != 1:
+            return None
+        r = rules[0]
+        pos_atoms = [l for l in r.body if isinstance(l, Atom) and not l.negated]
+        neg_atoms = [l for l in r.body if isinstance(l, Atom) and l.negated]
+        hnsws = [l for l in r.body if isinstance(l, HnswNearest)]
+        if len(pos_atoms) != 1 or pos_atoms[0].relation != delta_rel or neg_atoms or hnsws:
+            return None
+        aggs = [(i, t) for i, t in enumerate(r.head.terms) if isinstance(t, Agg)]
+        if not aggs or any(t.func not in self._MERGEABLE_AGGS for _, t in aggs):
+            return None
+        group_terms = [
+            (i, t) for i, t in enumerate(r.head.terms) if not isinstance(t, Agg)
+        ]
+        if any(not isinstance(t, Var) for _, t in group_terms):
+            return None
+        old = self._derived_cache.get(head)
+        if old is None:
+            return None
+
+        def _resolver_for(df):
+            def resolve(name):
+                if name == delta_rel:
+                    return df
+                raise EmptyAritylessRelation(f"unknown relation {name}")
+
+            return resolve
+
+        deleted_body = compile_body(
+            r.body, _resolver_for(deleted_df), self._hnsw_resolver,
+            bool_consts_nop=getattr(r, "persistent", False),
+        )
+        new_body = compile_body(
+            r.body, _resolver_for(new_base), self._hnsw_resolver,
+            bool_consts_nop=getattr(r, "persistent", False),
+        )
+        retracted = deleted_body.distinct().join(
+            new_body.distinct(), on=list(deleted_body.columns), how="left_anti"
+        )
+        gcols = [f"c{i}" for i, _ in group_terms]
+
+        funcs = {t.func for _, t in aggs}
+        if funcs <= {"sum", "count"} and "count" in funcs:
+            # pure O(delta): negate the retracted contribution and merge
+            delta_view = compile_head(retracted, r.head)
+            neg = delta_view.select(
+                *[
+                    (-F.col(f"c{i}")).alias(f"c{i}")
+                    if any(i == j for j, _ in aggs)
+                    else F.col(f"c{i}")
+                    for i in range(len(r.head.terms))
+                ]
+            )
+            both = old.unionByName(neg)
+            merge_exprs = [F.sum(F.col(f"c{i}")).alias(f"c{i}") for i, _ in aggs]
+            merged = (
+                both.groupBy(*gcols).agg(*merge_exprs) if gcols
+                else both.agg(*merge_exprs)
+            )
+            count_col = next(f"c{i}" for i, t in aggs if t.func == "count")
+            merged = merged.filter(F.col(count_col) > 0)
+        else:
+            # group-scoped recompute; with no group columns the "scope"
+            # is the whole view → nothing to save, fall back
+            if not gcols:
+                return None
+            gvars = [t.name for _, t in group_terms]
+            touched_b = retracted.select(*gvars).distinct()
+            scoped = new_body.join(F.broadcast(touched_b), on=gvars, how="left_semi")
+            recomputed = compile_head(scoped, r.head)
+            touched_keys = touched_b.select(
+                *[F.col(t.name).alias(f"c{i}") for i, t in group_terms]
+            )
+            merged = old.join(
+                F.broadcast(touched_keys), on=gcols, how="left_anti"
+            ).unionByName(recomputed)
+        merged = merged.select(*[f"c{i}" for i in range(len(r.head.terms))])
+        return merged.localCheckpoint(eager=True)
+
+    def _retract_maintain(
+        self, rel: str, deleted_df: DataFrame, new_base: DataFrame
+    ) -> Dict[str, DataFrame]:
+        """Run try_delta_retract for every cached aggregate view over
+        `rel`; returns {head: maintained view} for the caller to re-seed
+        after invalidation (same protocol as the streaming maintainer's
+        insert path)."""
+        maintained: Dict[str, DataFrame] = {}
+        if deleted_df is None:
+            return maintained
+        for rule in self.current.rules:
+            deps = {
+                l.relation
+                for l in rule.body
+                if isinstance(l, Atom) and not l.negated
+            }
+            if rel not in deps:
+                continue
+            v = self.try_delta_retract(rule.head.relation, rel, deleted_df, new_base)
+            if v is not None:
+                maintained[rule.head.relation] = v
+        return maintained
 
     def _single_pass_eval(self, rules) -> Dict[str, DataFrame]:
         """Registration-order single-pass evaluation for unstratifiable

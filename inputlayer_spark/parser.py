@@ -69,7 +69,7 @@ _TOKEN_RE = re.compile(
   | (?P<dident>\d+[a-zA-Z_][a-zA-Z0-9_]*)
   | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<int>\d+)
-  | (?P<arrow><-)
+  | (?P<arrow><-|:-)
   | (?P<cmp>>=|<=|!=|=|<|>)
   | (?P<meta>\.[a-zA-Z_?][a-zA-Z0-9_]*)
   | (?P<ident>[a-zA-Z_][a-zA-Z0-9_]*)
@@ -118,6 +118,12 @@ def tokenize(src: str) -> list:
             # signed-exponent scientific notation (1e-5, -1.5e-2 after
             # unary minus) — 28_docs_coverage/20_scientific_notation.iql
             kind = "float"
+        if kind == "arrow":
+            # `:-` is the reference's older client syntax for the rule
+            # arrow (40_load_command/_helper_data.iql.out transcripts);
+            # normalize so the grammar sees one spelling
+            raw.append(Token(kind, "<-", m.start()))
+            continue
         if kind == "dident":
             # digit-leading identifiers are legal relation names in the
             # reference (golden 12_errors/37_identifier_validation.iql:
@@ -146,6 +152,19 @@ def tokenize(src: str) -> list:
         elif tok.text in (")", "]"):
             depth = max(0, depth - 1)
         tokens.append(tok)
+    # legacy statement terminator: the reference's older client ends
+    # statements with `.` (`+f[(1)].`, `r(X) :- b(X).`) — drop a bare
+    # `.` that sits at a statement boundary (before a break or at EOF)
+    cleaned: list = []
+    for idx, tok in enumerate(tokens):
+        if (
+            tok.kind == "punct"
+            and tok.text == "."
+            and (idx + 1 == len(tokens) or tokens[idx + 1].kind == "nl")
+        ):
+            continue
+        cleaned.append(tok)
+    tokens = cleaned
     # drop trailing newline
     while tokens and tokens[-1].kind == "nl":
         tokens.pop()

@@ -162,11 +162,18 @@ def test_wal_crash_recovery(spark, tmp_path):
     assert _rows(eng2.query("?total(S)")) == [(35.0,)]
     assert eng2.session_rules == [] and eng2.session_facts == {}
 
-    # compaction folds the tail into the snapshot and empties the log
+    # compaction folds the tail into the snapshot and retires the log:
+    # the manifest now selects a fresh per-generation WAL (empty or
+    # absent) and the old log is reclaimed
     eng2.execute(".compact")
+    import json
     import os
 
-    assert os.path.getsize(os.path.join(wal, "wal.log")) == 0
+    with open(os.path.join(wal, "snapshot", "manifest.json")) as fh:
+        active_wal = json.load(fh)["wal"]
+    active = os.path.join(wal, active_wal)
+    assert not os.path.exists(active) or os.path.getsize(active) == 0
+    assert not os.path.exists(os.path.join(wal, "wal.log"))
     eng3 = IQLEngine(spark, wal_dir=wal)
     assert _rows(eng3.query("?total(S)")) == [(35.0,)]
 
@@ -278,3 +285,97 @@ def test_wal_multi_kg_checkpoint(spark, tmp_path):
     assert _rows(eng2.query("?b(X)")) == [(2,), (3,)]
     eng2.execute(".kg use default")
     assert _rows(eng2.query("?a(X)")) == [(1,)]
+
+
+def test_compact_crash_window_cannot_double_apply(spark, tmp_path):
+    """Crash between the manifest flip and old-WAL cleanup: the retired
+    log still exists on disk, but the manifest selects the new WAL
+    generation, so recovery must NOT replay the stale records over the
+    snapshot (bag semantics would duplicate every insert and corrupt
+    count/sum aggregates) — VERDICT r3 'What's wrong' #4."""
+    import json
+    import os
+
+    wal = str(tmp_path / "walw")
+    eng = IQLEngine(spark, wal_dir=wal)
+    eng.execute("+c[(1)]")
+    eng.execute(".compact")
+    # resurrect the retired WAL exactly as a crash before cleanup would
+    # leave it: the pre-compact record still on disk
+    with open(os.path.join(wal, "wal.log"), "w") as fh:
+        fh.write(json.dumps({"t": "+c[(1)]"}) + "\n")
+    eng2 = IQLEngine(spark, wal_dir=wal)
+    assert _rows(eng2.query("+n(count<X>) <- c(X)\n?n(N)")) == [(1,)]
+
+
+def test_wal_replay_surfaces_midlog_failures(spark, tmp_path):
+    """A corrupt or failing record in the MIDDLE of the log is durable
+    state being dropped: replay continues (recovery must not brick) but
+    records a warning; only a torn FINAL record is tolerated silently
+    (VERDICT r3 'What's wrong' #5)."""
+    import json
+    import os
+
+    wal = str(tmp_path / "walx")
+    os.makedirs(wal)
+    with open(os.path.join(wal, "wal.log"), "w") as fh:
+        fh.write(json.dumps({"t": "+e[(1)]"}) + "\n")
+        fh.write('{"t": "+e[(2)]"' + "\n")  # corrupt JSON mid-log
+        fh.write(json.dumps({"t": "+e[(3)]"}) + "\n")
+        fh.write('{"t": "+e[(4)' )  # torn tail (no newline, mid-append)
+    eng = IQLEngine(spark, wal_dir=wal)
+    assert _rows(eng.query("?e(X)")) == [(1,), (3,)]
+    assert len(eng.recovery_warnings) == 1
+    assert "line 2" in eng.recovery_warnings[0]
+
+
+def test_empty_relation_declaration_survives_restart_and_compact(spark, tmp_path):
+    """`+rel[]` declares an empty relation (queries print "No results"
+    instead of erroring); the declaration is persistent state and must
+    survive a restart, and a compact + restart (ADVICE r3: it was
+    neither WAL-logged nor snapshotted)."""
+    wal = str(tmp_path / "wale")
+    eng = IQLEngine(spark, wal_dir=wal)
+    eng.execute("+nothing[]")
+    eng2 = IQLEngine(spark, wal_dir=wal)
+    assert _rows(eng2.query("?nothing(X)")) == []
+    eng2.execute(".compact")
+    eng3 = IQLEngine(spark, wal_dir=wal)
+    assert _rows(eng3.query("?nothing(X)")) == []
+
+
+def test_load_replace_replay_clears_stale_schema(spark, tmp_path):
+    """`.load --replace` over a schema-only relation: live execution
+    swaps the schema out, and WAL replay must reproduce that — the
+    logged drop clears the schema so the file's re-logged facts are not
+    rejected against the stale declaration (ADVICE r3 low)."""
+    wal = str(tmp_path / "walsch")
+    script = tmp_path / "strdefs.iql"
+    script.write_text('+typedrel[("hello")]\n')
+    eng = IQLEngine(spark, wal_dir=wal)
+    eng.execute("+typedrel(a: int)")  # schema only, no facts
+    eng.execute(f".load {script} --replace")
+    assert _rows(eng.query("?typedrel(X)")) == [("hello",)]
+    eng2 = IQLEngine(spark, wal_dir=wal)
+    assert _rows(eng2.query("?typedrel(X)")) == [("hello",)]
+
+
+def test_readonly_meta_commands_not_wal_logged(spark, tmp_path):
+    """Read-only meta subcommands (.rule list, .kg list, .rel list,
+    .index list, .status) must not append WAL records; mutating
+    subcommands (.kg create) must (ADVICE r3 low)."""
+    import os
+
+    wal = str(tmp_path / "walro")
+    eng = IQLEngine(spark, wal_dir=wal)
+    eng.execute("+x[(1)]")
+    log = os.path.join(wal, "wal.log")
+    size_before = os.path.getsize(log)
+    eng.execute(".rule list")
+    eng.execute(".kg list")
+    eng.execute(".rel list")
+    eng.execute(".index list")
+    eng.execute(".status")
+    assert os.path.getsize(log) == size_before
+    eng.execute(".kg create aux")
+    assert os.path.getsize(log) > size_before

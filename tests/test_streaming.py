@@ -125,3 +125,106 @@ def test_incremental_aggregate_delta_merge(spark, tmp_path):
         ("eu", 70, 3, 40),
         ("us", 20, 2, 15),
     ]
+
+
+def _no_full_recompute(monkeypatch):
+    """Make any full SCC re-evaluation explode: queries after an
+    incrementally-maintained write must be served from the cache."""
+    import inputlayer_spark.engine as eng_mod
+
+    def boom(*a, **k):
+        raise AssertionError("full recompute ran — fast path not taken")
+
+    monkeypatch.setattr(eng_mod, "evaluate_scc", boom)
+
+
+def test_incremental_retraction_sum_count(spark, monkeypatch):
+    """Deleting 10 of 10k rows maintains a sum/count view by O(delta)
+    subtract-merge — no full re-aggregation (VERDICT r3 #5; reference
+    retraction 602ms vs 11.3s recompute, BENCHMARKS.md:67-71)."""
+    from pyspark.sql import functions as F
+
+    eng = IQLEngine(spark)
+    base = spark.range(10_000).select(
+        (F.col("id") % 100).alias("d"), F.col("id").cast("double").alias("s")
+    )
+    eng.register("emp", base)
+    eng.execute("+dstat(D, count<S>, sum<S>) <- emp(D, S)")
+    before = {r[0]: (r[1], r[2]) for r in eng.query("?dstat(D, N, S)").collect()}
+    assert "dstat" in eng._derived_cache
+    # one conditional delete removing the 10 rows of group 7 under 1000
+    eng.execute("-emp(7, S) <- emp(7, S), S < 1000.0")
+    assert "dstat" in eng._derived_cache  # cache maintained, not wiped
+    _no_full_recompute(monkeypatch)
+    after = {r[0]: (r[1], r[2]) for r in eng.query("?dstat(D, N, S)").collect()}
+    gone = [float(7 + 100 * i) for i in range(10)]
+    expected = dict(before)
+    expected[7] = (before[7][0] - 10, before[7][1] - sum(gone))
+    assert after.keys() == expected.keys()
+    for k in expected:
+        assert after[k][0] == expected[k][0]
+        assert abs(after[k][1] - expected[k][1]) < 1e-6
+
+
+def test_incremental_retraction_drops_emptied_group(spark, monkeypatch):
+    """A retraction that empties a group must remove the group's row
+    from the view (count==0 detection on the O(delta) path)."""
+    eng = IQLEngine(spark)
+    eng.execute('+sale[("eu", 10.0), ("eu", 20.0), ("us", 5.0)]')
+    eng.execute("+tot(R, count<V>, sum<V>) <- sale(R, V)")
+    assert sorted(tuple(r) for r in eng.query("?tot(R, N, S)").collect()) == [
+        ("eu", 2, 30.0),
+        ("us", 1, 5.0),
+    ]
+    eng.execute('-sale("us", 5.0)')
+    assert "tot" in eng._derived_cache
+    _no_full_recompute(monkeypatch)
+    assert sorted(tuple(r) for r in eng.query("?tot(R, N, S)").collect()) == [
+        ("eu", 2, 30.0),
+    ]
+
+
+def test_incremental_retraction_minmax_group_scoped(spark, monkeypatch):
+    """min/max retraction re-aggregates ONLY the touched group from the
+    new base (group-scoped recompute); untouched groups keep their
+    materialization and full recompute never runs."""
+    from pyspark.sql import functions as F
+
+    eng = IQLEngine(spark)
+    base = spark.range(1_000).select(
+        (F.col("id") % 10).alias("d"), F.col("id").cast("double").alias("s")
+    )
+    eng.register("m", base)
+    eng.execute("+gmax(D, max<S>) <- m(D, S)")
+    before = {r[0]: r[1] for r in eng.query("?gmax(D, S)").collect()}
+    assert before[3] == 993.0
+    eng.execute("-m(3, 993.0)")  # retract group 3's max
+    assert "gmax" in eng._derived_cache
+    _no_full_recompute(monkeypatch)
+    after = {r[0]: r[1] for r in eng.query("?gmax(D, S)").collect()}
+    assert after[3] == 983.0
+    assert {k: v for k, v in after.items() if k != 3} == {
+        k: v for k, v in before.items() if k != 3
+    }
+
+
+def test_incremental_retraction_duplicate_copy_keeps_binding(spark, monkeypatch):
+    """Set-semantics fidelity: aggregates range over DISTINCT bindings,
+    so deleting one copy of a duplicated tuple (all copies go — pattern
+    deletes remove every match) retracts the binding, but a binding that
+    still holds in the new base must not be retracted twice."""
+    eng = IQLEngine(spark)
+    # (a,1) duplicated; count<V>/sum<V> see the binding once
+    eng.execute('+t[("a", 1.0), ("a", 1.0), ("a", 2.0), ("b", 3.0)]')
+    eng.execute("+agg(K, count<V>, sum<V>) <- t(K, V)")
+    assert sorted(tuple(r) for r in eng.query("?agg(K, N, S)").collect()) == [
+        ("a", 2, 3.0),
+        ("b", 1, 3.0),
+    ]
+    eng.execute('-t("a", 2.0)')
+    assert "agg" in eng._derived_cache
+    _no_full_recompute(monkeypatch)
+    assert sorted(tuple(r) for r in eng.query("?agg(K, N, S)").collect()) == [
+        ("a", 1, 1.0),
+        ("b", 1, 3.0),
+    ]
