@@ -827,7 +827,27 @@ def q_embedding_dedup(spark, sf_dir):
     from inputlayer_spark.operators.dedup import embedding_cosine_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 200)
-    return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    return embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, bucket_bits=0
+    )
+
+
+def q_embedding_dedup_bucketed(spark, sf_dir):
+    """The SCALE path of the same operator, forced on: LSH-bucketed
+    candidate generation (2 sign-hash bits × 16 tables — short-key
+    equi-join, no cross product) then the exact cosine filter. At the
+    corpus's threshold (0.35) the per-pair miss probability is
+    (1 − (1 − θ/π)²·coverage)^16 ≈ 1e-3 and the measured candidate set
+    covers every true pair at sf0.001 AND sf0.01, so the exact-pairs
+    DuckDB oracle checks the bucketed pipeline end-to-end — this is the
+    CORRECTNESS row for the 100 TB default that
+    `embedding_cosine_pairs` auto-selects above 20k rows."""
+    from inputlayer_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 200)
+    return embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, bucket_bits=2, num_tables=16
+    )
 
 
 def q_media_features(spark, sf_dir):
@@ -883,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_threshold": q_topk_threshold,
         "within_radius_iql": q_within_radius_iql,
         "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_bucketed": q_embedding_dedup_bucketed,
         "transitive_closure": q_transitive_closure,
         "reach_bound": q_reach_bound,
         "reach_bound_large": q_reach_bound_large,
@@ -1086,6 +1107,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE abs(c_acctbal) <= 100.0"
         ),
         "embedding_dedup": (
+            "SELECT a.vec_id AS id1, b.vec_id AS id2, "
+            f"(1.0 - ({_cos_dist('a.embedding', 'b.embedding')})) AS cos_sim "
+            "FROM embeddings a, embeddings b "
+            "WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id "
+            f"AND (1.0 - ({_cos_dist('a.embedding', 'b.embedding')})) >= 0.35"
+        ),
+        # bucketed mode verified against the SAME exact-pairs oracle:
+        # candidate recall is 1.0 at this corpus/threshold (measured at
+        # sf0.001 and sf0.01), so output equality checks the bucketed
+        # candidate generation + exact filter end-to-end
+        "embedding_dedup_bucketed": (
             "SELECT a.vec_id AS id1, b.vec_id AS id2, "
             f"(1.0 - ({_cos_dist('a.embedding', 'b.embedding')})) AS cos_sim "
             "FROM embeddings a, embeddings b "

@@ -303,8 +303,12 @@ def run_script_stmtwise(spark, iql_path: str, out_path: str) -> ScriptResult:
             for x in nonblank[:2]
         )
         is_query = stmt.lstrip().startswith("?")
+        # `_helper_*.iql.out` transcripts were recorded by the OLDER
+        # `.`-terminated/`:-` client — replay them in the engine's
+        # legacy-dialect mode; all other goldens use the strict grammar
+        legacy = os.path.basename(iql_path).startswith("_helper")
         try:
-            dfs = eng.execute(stmt)
+            dfs = eng.execute(stmt, legacy=legacy)
             kinds = getattr(eng, "last_result_kinds", None) or []
         except Exception as exc:
             if expect_error:

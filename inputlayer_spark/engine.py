@@ -222,9 +222,13 @@ class IQLEngine:
         if callback in cbs:
             cbs.remove(callback)
 
-    def execute(self, text: str) -> List[DataFrame]:
-        """Run an IQL program; returns one DataFrame per `?query`."""
-        prog = parse_program(text)
+    def execute(self, text: str, legacy: bool = False) -> List[DataFrame]:
+        """Run an IQL program; returns one DataFrame per `?query`.
+
+        `legacy=True` parses the reference's OLDER client dialect
+        (`:-` arrows, `.`-terminated statements); default is the modern
+        strict grammar."""
+        prog = parse_program(text, legacy=legacy)
         results: List[DataFrame] = []
         # parallel kind tags ("query" | "meta") so callers (conformance
         # runner, server) can separate ?query results from introspection

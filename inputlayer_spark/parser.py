@@ -99,7 +99,7 @@ class Token:
 _CONTINUATION = {",", "<-", "(", "[", "+", "-", "*", "/", "%", "=", "!=", "<", "<=", ">", ">=", ":"}
 
 
-def tokenize(src: str) -> list:
+def tokenize(src: str, legacy: bool = False) -> list:
     """Tokenize; newlines become statement-break tokens ('nl') unless they
     fall inside brackets or directly after a continuation token. This makes
     multi-line rules work while keeping `\n+fact` from being parsed as
@@ -119,8 +119,13 @@ def tokenize(src: str) -> list:
             # unary minus) — 28_docs_coverage/20_scientific_notation.iql
             kind = "float"
         if kind == "arrow":
-            # `:-` is the reference's older client syntax for the rule
-            # arrow (40_load_command/_helper_data.iql.out transcripts);
+            if m.group() == ":-" and not legacy:
+                # strict (modern-client) mode: `:-` is not an arrow —
+                # re-emit as the two punct tokens it would otherwise be
+                raw.append(Token("punct", ":", m.start()))
+                raw.append(Token("punct", "-", m.start() + 1))
+                continue
+            # legacy dialect: `:-` is the older client's rule arrow;
             # normalize so the grammar sees one spelling
             raw.append(Token(kind, "<-", m.start()))
             continue
@@ -152,19 +157,23 @@ def tokenize(src: str) -> list:
         elif tok.text in (")", "]"):
             depth = max(0, depth - 1)
         tokens.append(tok)
-    # legacy statement terminator: the reference's older client ends
-    # statements with `.` (`+f[(1)].`, `r(X) :- b(X).`) — drop a bare
-    # `.` that sits at a statement boundary (before a break or at EOF)
-    cleaned: list = []
-    for idx, tok in enumerate(tokens):
-        if (
-            tok.kind == "punct"
-            and tok.text == "."
-            and (idx + 1 == len(tokens) or tokens[idx + 1].kind == "nl")
-        ):
-            continue
-        cleaned.append(tok)
-    tokens = cleaned
+    if legacy:
+        # legacy statement terminator: the reference's older client ends
+        # statements with `.` (`+f[(1)].`, `r(X) :- b(X).`) — drop a
+        # bare `.` at a statement boundary (before a break or at EOF).
+        # The modern client REJECTS these (10_edge_cases/13: `+edge(1,
+        # 2).` → "Parse error: Expected parentheses"), so stripping only
+        # happens in the explicit legacy dialect.
+        cleaned: list = []
+        for idx, tok in enumerate(tokens):
+            if (
+                tok.kind == "punct"
+                and tok.text == "."
+                and (idx + 1 == len(tokens) or tokens[idx + 1].kind == "nl")
+            ):
+                continue
+            cleaned.append(tok)
+        tokens = cleaned
     # drop trailing newline
     while tokens and tokens[-1].kind == "nl":
         tokens.pop()
@@ -186,9 +195,9 @@ def _unescape(s: str) -> str:
 
 
 class Parser:
-    def __init__(self, src: str):
+    def __init__(self, src: str, legacy: bool = False):
         self.src = src
-        self.toks = tokenize(src)
+        self.toks = tokenize(src, legacy=legacy)
         self.i = 0
 
     # ----- token helpers -----
@@ -755,9 +764,12 @@ _BUILTIN_FUNCS = {
 }
 
 
-def parse_program(src: str) -> Program:
-    """Parse an IQL program; batch facts are flattened into the statement list."""
-    prog = Parser(src).parse_program()
+def parse_program(src: str, legacy: bool = False) -> Program:
+    """Parse an IQL program; batch facts are flattened into the statement
+    list. `legacy=True` enables the reference's OLDER client dialect
+    (`:-` rule arrows, `.`-terminated statements) — the modern client
+    rejects both, so the default stays strict."""
+    prog = Parser(src, legacy=legacy).parse_program()
     flat = []
     for st in prog.statements:
         if isinstance(st, list):

@@ -223,3 +223,29 @@ def test_knn_lsh_selective_prunes_and_recalls(spark):
     for r in E.q_knn_lsh_selective(spark, sf_dir).collect():
         if r["vec_id"] in bf_dist:
             assert abs(r["cos_dist"] - bf_dist[r["vec_id"]]) < 1e-9
+
+
+def test_embedding_dedup_auto_selects_bucketed(spark, monkeypatch):
+    """Above AUTO_BUCKET_ROW_THRESHOLD rows, embedding_cosine_pairs must
+    pick the LSH-bucketed plan (no cartesian product) by itself — the
+    O(n²) crossJoin cannot be the silent default at scale — and the
+    bucketed output still covers the exact pairs on this corpus."""
+    import pyspark.sql.functions as F
+
+    import inputlayer_spark.operators.dedup as D
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    monkeypatch.setattr(D, "AUTO_BUCKET_ROW_THRESHOLD", 100)
+    auto = D.embedding_cosine_pairs(emb, "vec_id", "embedding", 0.35)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = auto._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    exact = {
+        (r.id1, r.id2)
+        for r in D.embedding_cosine_pairs(
+            emb, "vec_id", "embedding", 0.35, bucket_bits=0
+        ).collect()
+    }
+    assert {(r.id1, r.id2) for r in auto.collect()} == exact
