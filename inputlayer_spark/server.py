@@ -117,10 +117,16 @@ def _ws_frame(opcode: int, payload: bytes) -> bytes:
 class QueryServer:
     """Holds one shared engine plus per-session overlay engines."""
 
-    def __init__(self, spark, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, spark, host: str = "127.0.0.1", port: int = 0, auth=None):
+        """`auth`: optional `inputlayer_spark.auth.AuthStore`. When set,
+        every endpoint except `/health` requires a valid API key
+        (`Authorization: Bearer <key>` or `X-API-Key`), and statements
+        are authorized against the key's global role before execution
+        (reference src/auth.rs layer-1 authorization)."""
         self.spark = spark
         self.engine = IQLEngine(spark)
         self.sessions: Dict[str, IQLEngine] = {}
+        self.auth = auth
         self._lock = threading.Lock()
         outer = self
 
@@ -136,10 +142,40 @@ class QueryServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _identity(self):
+                """Resolve the request's AuthIdentity, or None. With no
+                AuthStore configured the server is open (returns a
+                pseudo-admin, matching the pre-auth behavior)."""
+                if outer.auth is None:
+                    from inputlayer_spark.auth import AuthIdentity
+
+                    return AuthIdentity("anonymous", "admin")
+                key = self.headers.get("X-API-Key")
+                if not key:
+                    bearer = self.headers.get("Authorization", "")
+                    if bearer.startswith("Bearer "):
+                        key = bearer[len("Bearer ") :]
+                if not key:
+                    return None
+                return outer.auth.authenticate_api_key(key)
+
+            def _authorize_program(self, identity, text: str) -> None:
+                from inputlayer_spark.auth import authorize
+                from inputlayer_spark.parser import parse_program
+
+                for st in parse_program(text).statements:
+                    authorize(identity, st)
+
             def do_GET(self):
                 if self.path == "/health":
                     self._send(200, {"status": "ok"})
-                elif self.path == "/status":
+                    return
+                ident = self._identity()
+                if ident is None:
+                    self._send(401, {"error": "invalid or missing API key"})
+                    return
+                self._auth_identity = ident
+                if self.path == "/status":
                     with outer._lock:
                         df = outer.engine.execute(".status")[0]
                         rows = {r["key"]: r["value"] for r in df.collect()}
@@ -260,6 +296,11 @@ class QueryServer:
                         send_json({"type": "pong"})
                     elif mtype == "query":
                         with outer._lock:
+                            self._authorize_program(
+                                getattr(self, "_auth_identity", None)
+                                or self._identity(),
+                                msg.get("query", ""),
+                            )
                             dfs = engine.execute(msg.get("query", ""))
                             payloads = [_df_payload(df) for df in dfs]
                         if payloads:
@@ -303,14 +344,22 @@ class QueryServer:
                 if self.path != "/query":
                     self._send(404, {"error": "not found"})
                     return
+                ident = self._identity()
+                if ident is None:
+                    self._send(401, {"error": "invalid or missing API key"})
+                    return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
+                    q = req.get("query", "")
                     engine = outer._engine_for(req.get("session"))
                     with outer._lock:
-                        results = engine.execute(req.get("query", ""))
+                        self._authorize_program(ident, q)
+                        results = engine.execute(q)
                         payload = {"results": [_df_payload(df) for df in results]}
                     self._send(200, payload)
+                except PermissionError as exc:
+                    self._send(403, {"error": str(exc)})
                 except Exception as exc:  # noqa: BLE001 — wire errors back
                     self._send(400, {"error": str(exc)})
 

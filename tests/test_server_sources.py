@@ -268,3 +268,97 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bk_orders")
         spark.sql("DROP TABLE IF EXISTS bk_cust")
+
+
+def _post_auth(port, payload, key=None, header="Authorization"):
+    headers = {"Content-Type": "application/json"}
+    if key is not None:
+        if header == "Authorization":
+            headers[header] = f"Bearer {key}"
+        else:
+            headers[header] = key
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/query",
+        data=json.dumps(payload).encode(),
+        headers=headers,
+    )
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read())
+
+
+def test_server_auth_api_keys_and_roles(spark, tmp_path):
+    """API-key auth on HTTP mirroring src/auth.rs: missing/wrong key →
+    401 (health stays open); valid key → 200; layer-1 role gates:
+    viewers cannot `.kg create`, non-admins cannot `.compact`; keys are
+    stored hashed and survive a store reload."""
+    from inputlayer_spark.auth import AuthStore, hash_api_key
+
+    store_path = str(tmp_path / "creds.json")
+    store = AuthStore(store_path)
+    store.add_user("root", "hunter2", role="admin")
+    store.add_user("ed", "pw", role="editor")
+    store.add_user("vi", "pw", role="viewer")
+    admin_key = store.issue_api_key("root")
+    editor_key = store.issue_api_key("ed")
+    viewer_key = store.issue_api_key("vi")
+    # only hashes are persisted
+    assert admin_key not in open(store_path).read()
+    assert hash_api_key(admin_key) in open(store_path).read()
+
+    srv = QueryServer(spark, auth=AuthStore(store_path)).start()
+    try:
+        # /health open without a key
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/health") as r:
+            assert json.loads(r.read())["status"] == "ok"
+        # no key → 401
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_auth(srv.port, {"query": "?x(X)"})
+        assert e.value.code == 401
+        # wrong key → 401
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_auth(srv.port, {"query": "?x(X)"}, key="bogus")
+        assert e.value.code == 401
+        # valid keys work (both header styles)
+        out = _post_auth(srv.port, {"query": "+t[(1)]\n?t(X)"}, key=admin_key)
+        assert out["results"][0]["rows"] == [[1]]
+        out = _post_auth(
+            srv.port, {"query": "?t(X)"}, key=editor_key, header="X-API-Key"
+        )
+        assert out["results"][0]["rows"] == [[1]]
+        # viewer cannot create a KG; editor can (auth.rs:381-389)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_auth(srv.port, {"query": ".kg create vkg"}, key=viewer_key)
+        assert e.value.code == 403
+        _post_auth(srv.port, {"query": ".kg create ekg"}, key=editor_key)
+        # compaction is admin-only (system-level, auth.rs layer 1)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_auth(srv.port, {"query": ".compact"}, key=editor_key)
+        assert e.value.code == 403
+    finally:
+        srv.stop()
+
+
+def test_auth_password_hashing_roundtrip(tmp_path):
+    """Password KDF + API-key generation semantics from src/auth.rs:
+    verify matches only the right password, malformed hashes never
+    raise, generated keys are 64 hex chars and unique."""
+    from inputlayer_spark.auth import (
+        AuthStore,
+        generate_api_key,
+        hash_password,
+        verify_password,
+    )
+
+    h = hash_password("s3cret")
+    assert verify_password("s3cret", h)
+    assert not verify_password("wrong", h)
+    assert not verify_password("s3cret", "garbage")
+    k1, k2 = generate_api_key(), generate_api_key()
+    assert len(k1) == 64 and k1 != k2
+    store = AuthStore(str(tmp_path / "c.json"))
+    store.add_user("u", "pw", role="editor")
+    ident = store.authenticate_password("u", "pw")
+    assert ident and ident.role == "editor"
+    assert store.authenticate_password("u", "nope") is None
+    with pytest.raises(ValueError):
+        store.add_user("bad", "pw", role="superuser")
