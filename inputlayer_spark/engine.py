@@ -1189,6 +1189,12 @@ class IQLEngine:
                 r.body, _resolver_for(old_base), self._hnsw_resolver,
                 bool_consts_nop=getattr(r, "persistent", False),
             )
+            # same gensym-column hazard as try_delta_retract: two
+            # compilations of a wildcard-bearing body cannot be joined
+            if set(delta_body.columns) != set(old_body.columns) or any(
+                c.startswith("_w") for c in delta_body.columns
+            ):
+                return None
             delta_body = delta_body.distinct().join(
                 old_body.distinct(), on=list(delta_body.columns), how="left_anti"
             )
@@ -1282,6 +1288,13 @@ class IQLEngine:
             r.body, _resolver_for(new_base), self._hnsw_resolver,
             bool_consts_nop=getattr(r, "persistent", False),
         )
+        # wildcard body vars compile to per-call gensym columns (`_wN`),
+        # so two compilations of the same body can't be joined on their
+        # columns — bail to full recompute for such bodies
+        if set(deleted_body.columns) != set(new_body.columns) or any(
+            c.startswith("_w") for c in deleted_body.columns
+        ):
+            return None
         retracted = deleted_body.distinct().join(
             new_body.distinct(), on=list(deleted_body.columns), how="left_anti"
         )
@@ -1343,7 +1356,15 @@ class IQLEngine:
             }
             if rel not in deps:
                 continue
-            v = self.try_delta_retract(rule.head.relation, rel, deleted_df, new_base)
+            try:
+                v = self.try_delta_retract(
+                    rule.head.relation, rel, deleted_df, new_base
+                )
+            except Exception:
+                # the fast path is an optimization — any analysis/compile
+                # hiccup falls back to invalidate + full recompute, never
+                # fails the delete itself
+                v = None
             if v is not None:
                 maintained[rule.head.relation] = v
         return maintained
