@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from inputlayer_spark.ast_nodes import (
+    Agg,
     Atom,
     Comparison,
     Const,
@@ -877,7 +878,7 @@ class IQLEngine:
         # Column order restored first: the semi-join above puts join keys
         # leftmost, and rule atoms bind POSITIONALLY.
         maintained = self._retract_maintain(
-            st.relation, doomed.select(*df.columns), new_base
+            st.relation, doomed.select(*df.columns), new_base, old_base=df
         )
         self._invalidate(st.relation)
         for h, v in maintained.items():
@@ -1339,12 +1340,17 @@ class IQLEngine:
         return merged.localCheckpoint(eager=True)
 
     def _retract_maintain(
-        self, rel: str, deleted_df: DataFrame, new_base: DataFrame
+        self,
+        rel: str,
+        deleted_df: DataFrame,
+        new_base: DataFrame,
+        old_base: Optional[DataFrame] = None,
     ) -> Dict[str, DataFrame]:
-        """Run try_delta_retract for every cached aggregate view over
-        `rel`; returns {head: maintained view} for the caller to re-seed
-        after invalidation (same protocol as the streaming maintainer's
-        insert path)."""
+        """Run the incremental retraction paths for every cached view
+        over `rel` — try_delta_retract for aggregate views, DRed for
+        positive recursive SCCs — returning {head: maintained view} for
+        the caller to re-seed after invalidation (same protocol as the
+        streaming maintainer's insert path)."""
         maintained: Dict[str, DataFrame] = {}
         if deleted_df is None:
             return maintained
@@ -1367,6 +1373,102 @@ class IQLEngine:
                 v = None
             if v is not None:
                 maintained[rule.head.relation] = v
+        if old_base is not None:
+            try:
+                maintained.update(
+                    self._try_dred_retract(rel, deleted_df, old_base)
+                )
+            except Exception:
+                pass  # fall back to invalidate + full recompute
+        return maintained
+
+    def _try_dred_retract(
+        self, rel: str, deleted_df: DataFrame, old_base: DataFrame
+    ) -> Dict[str, DataFrame]:
+        """DRed maintenance of cached POSITIVE RECURSIVE SCC fixpoints
+        that directly depend on the deleted base relation `rel`
+        (recursion.dred_retract; reference differential retraction,
+        src/incremental.rs:36-41). Bails — returning {} so the normal
+        invalidate + recompute path runs — whenever the shape is out of
+        scope: session overlays active, negation/aggregates/hnsw inside
+        the SCC, uncached members, or a lower stratum that is itself
+        dirtied by the delete."""
+        from inputlayer_spark.recursion import (
+            condensation,
+            dred_retract,
+            is_recursive_scc,
+        )
+
+        if self.session_rules or self.session_facts:
+            return {}
+        rules = self.current.rules
+        if not rules:
+            return {}
+        # transitive dirty set (what _invalidate will wipe)
+        rev: Dict[str, set] = {}
+        for r in rules:
+            for lit in r.body:
+                if isinstance(lit, Atom):
+                    rev.setdefault(lit.relation, set()).add(r.head.relation)
+        dirty: set = set()
+        frontier = [rel]
+        while frontier:
+            x = frontier.pop()
+            for head in rev.get(x, ()):
+                if head not in dirty:
+                    dirty.add(head)
+                    frontier.append(head)
+
+        maintained: Dict[str, DataFrame] = {}
+        for scc in condensation(rules):
+            if not is_recursive_scc(scc, rules):
+                continue
+            scc_set = set(scc)
+            scc_rules = [r for r in rules if r.head.relation in scc_set]
+            body_atoms = [
+                lit
+                for r in scc_rules
+                for lit in r.body
+                if isinstance(lit, Atom)
+            ]
+            if rel not in {a.relation for a in body_atoms}:
+                continue
+            if any(a.negated for a in body_atoms):
+                continue
+            if any(
+                isinstance(t, Agg) for r in scc_rules for t in r.head.terms
+            ):
+                continue
+            if any(
+                isinstance(l, HnswNearest) for r in scc_rules for l in r.body
+            ):
+                continue
+            if not all(h in self._derived_cache for h in scc_set):
+                continue
+            outside = {a.relation for a in body_atoms} - scc_set - {rel}
+            # a non-member dependency that the delete also dirties would
+            # feed stale extents into the DRed evaluation
+            if outside & dirty:
+                continue
+            clean_cache = {
+                h: df
+                for h, df in self._derived_cache.items()
+                if h not in scc_set
+            }
+            resolve_old = self._resolver({**clean_cache, rel: old_base})
+            resolve_new = self._resolver(clean_cache)
+            out = dred_retract(
+                scc_rules,
+                scc,
+                rel,
+                deleted_df,
+                {h: self._derived_cache[h] for h in scc_set},
+                resolve_old,
+                resolve_new,
+                self._hnsw_resolver,
+            )
+            if out is not None:
+                maintained.update(out)
         return maintained
 
     def _single_pass_eval(self, rules) -> Dict[str, DataFrame]:
