@@ -460,6 +460,25 @@ def _lsh_sel_indexed(spark, sf_dir):
     return emb
 
 
+def _hnsw_graph_art(spark, sf_dir):
+    """Driver-side HNSW graph over the near-dup view (the engine's
+    `.index create ... type hnsw` artifact — reference src/hnsw_index.rs
+    builds exactly this in-process structure). Built once per corpus,
+    deterministic (seeded levels, id-ordered insertion)."""
+    key = ("hnsw_graph", sf_dir)
+    g = _INDEX_CACHE.get(key)
+    if g is None:
+        from inputlayer_spark.operators.hnsw import HnswGraph
+
+        rows = _augmented_emb(spark, sf_dir).orderBy("vec_id").collect()
+        g = HnswGraph(len(rows[0][1]), metric="cosine")
+        g.add_batch(
+            [int(r[0]) for r in rows], [[float(x) for x in r[1]] for r in rows]
+        )
+        _INDEX_CACHE[key] = g
+    return g
+
+
 def _ivf_cents(spark, sf_dir):
     """Collected IVF centroid artifact (n_cells × dim, driver-side)."""
     ck = ("ivf_cents", sf_dir)
@@ -500,6 +519,7 @@ def warmup(spark: SparkSession, sf_dir: str) -> None:
     _lsh_indexed(spark, sf_dir, num_tables=8, num_bits=8)
     _lsh_sel_indexed(spark, sf_dir)
     _ivf_cents(spark, sf_dir)
+    _hnsw_graph_art(spark, sf_dir)
 
 
 def q_knn_cosine(spark, sf_dir):
@@ -648,6 +668,31 @@ def q_knn_lsh_selective(spark, sf_dir):
         num_bits=16, num_tables=8, num_probes=8,
     )
     return out.select(F.col("id").alias("vec_id"), F.col("dist").alias("cos_dist"))
+
+
+def q_hnsw_knn(spark, sf_dir):
+    """HNSW graph k-NN (reference src/hnsw_index.rs:214-223): the
+    in-process graph walk selects candidates (top-20 at ef=128 over the
+    near-dup view), Spark exact-reranks them in double precision — the
+    same candidates→rerank split as the engine's `type hnsw` index. The
+    walk finds all planted near-dups (the cluster is maximally navigable:
+    recall@10 = 1.0, deterministic — seeded levels, id-ordered inserts),
+    so the DuckDB brute-force top-10 over the same view is an exact
+    oracle."""
+    from inputlayer_spark.functions import vector as V
+
+    g = _hnsw_graph_art(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    cand_ids = [int(i) for i, _ in g.search(q, 20, ef=128)]
+    emb = _augmented_emb(spark, sf_dir).filter(F.col("vec_id").isin(cand_ids))
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        emb.select(
+            "vec_id", V.cosine(F.col("embedding"), qcol).alias("cos_dist")
+        )
+        .orderBy(F.col("cos_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
 
 
 def q_ivf_knn(spark, sf_dir):
@@ -916,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "knn_lsh": q_knn_lsh,
         "knn_lsh_selective": q_knn_lsh_selective,
+        "hnsw_knn": q_hnsw_knn,
         "ivf_knn": q_ivf_knn,
         "recent_events": q_recent_events,
         "time_decay_sum": q_time_decay_sum,
@@ -1275,6 +1321,23 @@ def oracle_sql() -> dict[str, str]:
         # planted near-dups (measured recall@10 = 1.0), so this oracle
         # is exact while the probe touches <5% of the corpus.
         "knn_lsh_selective": (
+            qv_cte
+            + ", aug AS ("
+            "  SELECT vec_id, embedding FROM embeddings"
+            "  UNION ALL"
+            "  SELECT 1000000 + j AS vec_id,"
+            "    list_transform(range(1, 65), i ->"
+            "      (embedding[i]::DOUBLE + ((j*31 + i*17) % 13 - 6)::DOUBLE / 100.0)::FLOAT"
+            "    ) AS embedding"
+            "  FROM embeddings, range(1, 11) t(j) WHERE vec_id = 0) "
+            f"SELECT vec_id, {_cos_dist('embedding', 'q')} AS cos_dist "
+            "FROM aug, qv ORDER BY cos_dist ASC, vec_id ASC LIMIT 10"
+        ),
+        # hnsw_knn: same near-dup view and exactness argument as
+        # knn_lsh_selective — the graph walk's candidate set covers the
+        # true top-10 (recall 1.0, deterministic build), and Spark
+        # exact-reranks in double, so brute force is an exact oracle.
+        "hnsw_knn": (
             qv_cte
             + ", aug AS ("
             "  SELECT vec_id, embedding FROM embeddings"

@@ -50,6 +50,7 @@ def main() -> None:
         "exact_dedup",
         "knn_lsh",
         "knn_lsh_selective",
+        "hnsw_knn",
         "ivf_knn",
         "quality_lang",
     ]

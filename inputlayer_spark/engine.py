@@ -108,8 +108,11 @@ class KnowledgeGraph:
     relations: Dict[str, DataFrame] = field(default_factory=dict)
     rules: List[Rule] = field(default_factory=list)
     schemas: Dict[str, T.StructType] = field(default_factory=dict)
-    indexes: Dict[str, Tuple[str, str, str]] = field(default_factory=dict)
-    # index name -> (relation, column, metric)
+    indexes: Dict[str, Tuple[str, str, str, str]] = field(default_factory=dict)
+    # index name -> (relation, column, metric, kind); kind is "lsh"
+    # (bucket-artifact, the distributed default) or "hnsw" (exact
+    # driver-side graph, reference src/hnsw_index.rs). Catalogs written
+    # before the kind field load as 3-tuples and are padded on read.
     type_aliases: Dict[str, str] = field(default_factory=dict)
     # alias -> base type name ('type Email: string', SchemaType::Named)
     empty_relations: set = field(default_factory=set)
@@ -141,6 +144,11 @@ class IQLEngine:
         # (kg, index name) -> persisted LSH bucket frame (the materialized
         # index artifact; dropped by _invalidate on dependent writes)
         self._index_frames: Dict[Tuple[str, str], DataFrame] = {}
+        # (kg, index name) -> driver-side HnswGraph for kind="hnsw"
+        # indexes (the reference's in-process hnsw_rs graph,
+        # src/hnsw_index.rs:27-64). Deletes tombstone into a live graph
+        # (_hnsw_tombstone); other writes drop it for lazy rebuild.
+        self._hnsw_graphs: Dict[Tuple[str, str], "object"] = {}
         # write-ahead statement log + snapshot dir: when set, persistent
         # mutations are appended durably and replayed on startup over the
         # last snapshot (reference src/storage/persist/wal.rs:76-122,
@@ -167,12 +175,16 @@ class IQLEngine:
         self.current.relations[name] = df
         self._invalidate(name)
 
-    def _invalidate(self, relation: str) -> None:
+    def _invalidate(self, relation: str, keep_indexes: Optional[set] = None) -> None:
         """Cascade invalidation: drop cached derivations that (transitively)
         depend on `relation` — the reference's base→derived / derived→
         derived invalidation maps (src/derived_relations.rs:50-65,
         docs/internals/architecture.md:167-193). Untouched derivations
-        keep their (possibly checkpointed) materializations."""
+        keep their (possibly checkpointed) materializations.
+
+        `keep_indexes`: (kg, index-name) keys whose in-memory artifact was
+        already maintained in place for this write (tombstoned HNSW
+        graphs) and must survive the cascade."""
         rules = self._all_rules()
         rev: Dict[str, set] = {}
         for r in rules:
@@ -201,6 +213,11 @@ class IQLEngine:
                     except Exception:
                         pass
                     self._index_frames.pop((kg, iname), None)
+        for (kg, iname) in list(self._hnsw_graphs):
+            if kg == self.current.name and (kg, iname) not in (keep_indexes or ()):
+                target = self.current.indexes.get(iname, (None,))[0]
+                if target in dirty:
+                    self._hnsw_graphs.pop((kg, iname), None)
         for rel in dirty:
             # "*" subscribers receive every change (the wire protocol's
             # per-connection persistent_update notifications)
@@ -880,9 +897,42 @@ class IQLEngine:
         maintained = self._retract_maintain(
             st.relation, doomed.select(*df.columns), new_base, old_base=df
         )
-        self._invalidate(st.relation)
+        kept_idx = self._hnsw_tombstone(st.relation, doomed.select(df.columns[0]))
+        self._invalidate(st.relation, keep_indexes=kept_idx)
         for h, v in maintained.items():
             self._derived_cache[h] = v
+
+    _HNSW_TOMBSTONE_CAP = 100_000
+
+    def _hnsw_tombstone(self, relation: str, doomed_ids: DataFrame) -> set:
+        """O(delta) index maintenance for deletes: tombstone the deleted
+        ids into any LIVE HnswGraph targeting `relation` instead of
+        dropping it for a full rebuild (reference hnsw_index.rs:373-404 —
+        tombstones + auto-compact at 30%). Falls back to the drop-and-
+        rebuild path (returns nothing) when the delete is too wide to
+        collect or the graph isn't materialized yet."""
+        kept: set = set()
+        targeting = [
+            (kg, iname)
+            for (kg, iname) in self._hnsw_graphs
+            if kg == self.current.name
+            and self.current.indexes.get(iname, (None,))[0] == relation
+        ]
+        if not targeting:
+            return kept
+        try:
+            rows = doomed_ids.limit(self._HNSW_TOMBSTONE_CAP + 1).collect()
+        except Exception:
+            return kept
+        if len(rows) > self._HNSW_TOMBSTONE_CAP:
+            return kept
+        ids = [r[0] for r in rows]
+        for key in targeting:
+            g = self._hnsw_graphs[key]
+            for i in ids:
+                g.delete(i)
+            kept.add(key)
+        return kept
 
     def _update(self, st: Update) -> None:
         """Atomic update: retract old, assert new per cond binding in one
@@ -1885,17 +1935,77 @@ class IQLEngine:
     _INDEX_BITS = 8
     _DEFAULT_PROBES = 93  # Hamming-3 ball over 8 bits
 
-    def create_index(self, name: str, relation: str, column: str, metric: str = "cosine") -> None:
-        """`.index create` — materializes an LSH bucket artifact (the Spark
-        analog of the reference's HNSW build, src/index_manager.rs:1-50):
-        per-table sign-hash bucket columns precomputed over the relation
-        and cached. The artifact is cascade-invalidated on base writes
-        (_invalidate) and rebuilt lazily. Search probes the bucket columns
-        (ef_search → probe count) and exact-reranks candidates; the
-        brute-force path remains the fallback when the artifact cannot be
-        built (e.g. empty/typeless relations)."""
-        self.current.indexes[name] = (relation, column, metric)
+    def create_index(
+        self,
+        name: str,
+        relation: str,
+        column: str,
+        metric: str = "cosine",
+        kind: str = "lsh",
+    ) -> None:
+        """`.index create` — two index kinds:
+
+        * ``lsh`` (default): a DISTRIBUTED bucket artifact (the Spark
+          analog of the reference's index build, src/index_manager.rs:1-50)
+          — per-table sign-hash bucket columns precomputed over the
+          relation and cached; search probes buckets (ef_search → probe
+          count) and exact-reranks candidates. The scale path: the
+          artifact is a DataFrame, candidates come from equi-joins.
+        * ``hnsw`` (`type hnsw`): the reference's exact in-process HNSW
+          graph (src/hnsw_index.rs:27-160) as a driver-side NumPy
+          structure — microsecond search, tombstoned deletes, for corpora
+          that fit one machine (the reference's only regime).
+
+        Both artifacts are cascade-invalidated on base writes
+        (_invalidate; HNSW deletes tombstone in place instead) and rebuilt
+        lazily; the brute-force scan remains the fallback when an artifact
+        cannot be built (e.g. empty/typeless relations)."""
+        if kind not in ("lsh", "hnsw"):
+            raise CompileError(f"Index error: unsupported index type '{kind}'")
+        self.current.indexes[name] = (relation, column, metric, kind)
         self._index_frames.pop((self.current.name, name), None)
+        self._hnsw_graphs.pop((self.current.name, name), None)
+
+    def _index_kind(self, name: str) -> str:
+        meta = self.current.indexes.get(name) or ()
+        return meta[3] if len(meta) > 3 else "lsh"
+
+    def _hnsw_graph(self, name: str):
+        """Lazily-built driver-side HnswGraph for a kind="hnsw" index:
+        corpus collected ONCE ordered by id (deterministic insertion
+        order → deterministic graph), cached until a dependent write.
+        Returns None when the corpus can't index (missing/ragged vector
+        column, duplicate ids) — callers fall back to LSH/exact."""
+        key = (self.current.name, name)
+        cached = self._hnsw_graphs.get(key)
+        if cached is not None:
+            return cached
+        relation, column = self.current.indexes[name][:2]
+        metric = self.current.indexes[name][2]
+        from inputlayer_spark.operators.hnsw import HnswGraph
+
+        try:
+            df = self._resolver(self._derived_for_index())(relation)
+            if column not in df.columns:
+                return None
+            id_col = df.columns[0]
+            rows = (
+                df.select(F.col(id_col), F.col(column))
+                .orderBy(F.col(id_col).asc())
+                .collect()
+            )
+            if not rows:
+                return None
+            dim = len(rows[0][1])
+            g = HnswGraph(dim, metric=metric)
+            g.add_batch(
+                [r[0] for r in rows],
+                [[float(x) for x in r[1]] for r in rows],
+            )
+            self._hnsw_graphs[key] = g
+            return g
+        except Exception:
+            return None
 
     def _index_frame(self, name: str) -> Optional[DataFrame]:
         """Materialized LSH artifact for an index, built lazily and cached
@@ -1904,7 +2014,7 @@ class IQLEngine:
         cached = self._index_frames.get(key)
         if cached is not None:
             return cached
-        relation, column, _metric = self.current.indexes[name]
+        relation, column = self.current.indexes[name][:2]
         from inputlayer_spark.operators.similarity import lsh_index
 
         try:
@@ -1925,7 +2035,7 @@ class IQLEngine:
         meta = self.current.indexes.get(h.index)
         if meta is None:
             raise CompileError(f"unknown index {h.index}")
-        relation, column, metric = meta
+        relation, column, metric = meta[:3]
         dist_fn = {
             "cosine": V.cosine,
             "l2": V.euclidean,
@@ -2013,6 +2123,18 @@ class IQLEngine:
                 "hnsw_nearest query must be a vector literal or bound variable"
             )
         qvals = [float(getattr(v, "value", v)) for v in h.query.values]
+        if self._index_kind(h.index) == "hnsw":
+            # exact in-process graph walk (reference hnsw_index.rs:214-223:
+            # search_k with ef override); hnsw_nearest's ef_search argument
+            # maps straight onto the beam width
+            g = self._hnsw_graph(h.index)
+            if g is not None:
+                hits = g.search(qvals, h.k, ef=(h.ef_search or None))
+                if hits:
+                    return self.spark.createDataFrame(
+                        [(hid, float(d)) for hid, d in hits]
+                    ).toDF(h.id_var.name, h.dist_var.name)
+            # unbuildable graph (ragged/duplicate-id corpus) → LSH/exact
         idx = self._index_frame(h.index)
         if idx is not None:
             from inputlayer_spark.operators.similarity import knn_lsh
@@ -2236,16 +2358,24 @@ class IQLEngine:
             )
         elif cmd == "index":
             if args and args[0] == "create":
-                # .index create <name> on <rel> ( <col> ) [metric m]
+                # .index create <name> on <rel> ( <col> ) [type t] [metric m]
+                # (reference syntax: `.index create emb_idx on
+                # embeddings(col2) type hnsw metric cosine`)
                 name = args[1]
                 rel = args[3] if args[2] == "on" else args[2]
                 col = None
                 metric = "cosine"
+                # default stays the distributed LSH artifact (Spark-first:
+                # candidates via equi-join, no driver state); `type hnsw`
+                # opts into the reference's exact in-process graph
+                kind = "lsh"
                 for j, a in enumerate(args):
                     if a == "(" and j + 1 < len(args):
                         col = args[j + 1]
                     if a == "metric" and j + 1 < len(args):
                         metric = args[j + 1]
+                    if a == "type" and j + 1 < len(args):
+                        kind = args[j + 1]
                 if rel not in self.current.schemas:
                     # the reference requires a registered schema before an
                     # index can be created (handler "Index error: No schema
@@ -2254,7 +2384,7 @@ class IQLEngine:
                         f"Index error: No schema found for relation "
                         f"'{rel}'. Register a schema first."
                     )
-                self.create_index(name, rel, col or "", metric)
+                self.create_index(name, rel, col or "", metric, kind=kind)
             elif args and args[0] == "drop" and len(args) > 1:
                 if args[1] not in self.current.indexes:
                     raise CompileError(
@@ -2263,10 +2393,11 @@ class IQLEngine:
                     )
                 self.current.indexes.pop(args[1], None)
                 self._index_frames.pop((self.current.name, args[1]), None)
+                self._hnsw_graphs.pop((self.current.name, args[1]), None)
             elif args and args[0] == "list":
                 rows = [
-                    (name, rel, col, metric)
-                    for name, (rel, col, metric) in sorted(self.current.indexes.items())
+                    (name, meta[0], meta[1], meta[2])
+                    for name, meta in sorted(self.current.indexes.items())
                 ]
                 return self.spark.createDataFrame(
                     rows or [("", "", "", "")],
@@ -2279,23 +2410,32 @@ class IQLEngine:
                         f"Index error: Index '{args[1]}' not found "
                         f"(no incremental engine)"
                     )
-                rel, col, metric = meta
+                rel, col, metric = meta[:3]
+                kind = meta[3] if len(meta) > 3 else "lsh"
                 n = self._named_df(rel).count()
+                if kind == "hnsw":
+                    g = self._hnsw_graphs.get((self.current.name, args[1]))
+                    kind_desc = "hnsw graph (m={}, ef_search={}{})".format(
+                        g.m if g is not None else 16,
+                        g.ef_search if g is not None else 50,
+                        f", materialized, {len(g.tombstones)} tombstones"
+                        if g is not None
+                        else ", lazy",
+                    )
+                else:
+                    kind_desc = "lsh-bucket artifact ({}x{} tables/bits{})".format(
+                        self._INDEX_TABLES,
+                        self._INDEX_BITS,
+                        ", materialized"
+                        if (self.current.name, args[1]) in self._index_frames
+                        else ", lazy",
+                    )
                 rows = [
                     ("relation", rel),
                     ("column", col),
                     ("metric", metric),
                     ("rows", str(n)),
-                    (
-                        "kind",
-                        "lsh-bucket artifact ({}x{} tables/bits{})".format(
-                            self._INDEX_TABLES,
-                            self._INDEX_BITS,
-                            ", materialized"
-                            if (self.current.name, args[1]) in self._index_frames
-                            else ", lazy",
-                        ),
-                    ),
+                    ("kind", kind_desc),
                 ]
                 return self.spark.createDataFrame(rows, schema="key string, value string")
             elif args and args[0] == "rebuild":
@@ -2308,7 +2448,11 @@ class IQLEngine:
                             old.unpersist()
                         except Exception:
                             pass
-                    self._index_frame(args[1])
+                    self._hnsw_graphs.pop((self.current.name, args[1]), None)
+                    if self._index_kind(args[1]) == "hnsw":
+                        self._hnsw_graph(args[1])
+                    else:
+                        self._index_frame(args[1])
         elif cmd == "session":
             if args and args[0] == "clear":
                 self.session_rules.clear()

@@ -1,0 +1,383 @@
+"""Exact HNSW (Hierarchical Navigable Small World) vector index.
+
+Re-expresses the reference's hnsw_rs-backed index
+(`src/hnsw_index.rs:27-160`: HnswConfig {m, ef_construction, ef_search},
+max_layer = log_M(N) clamped to [4, 16], tombstone deletes with
+auto-compact when the tombstone ratio exceeds 30% —
+`src/hnsw_index.rs:373-404` — and JSON persistence of config + vectors +
+tombstones, `src/hnsw_index.rs:466-540`) as a driver-side NumPy graph,
+following Malkov & Yashunin, "Efficient and robust approximate nearest
+neighbor search using Hierarchical Navigable Small World graphs"
+(IEEE TPAMI 2018) — Algorithms 1-5.
+
+Where it runs, and the 100 TB story
+-----------------------------------
+The graph lives on the DRIVER, exactly like the reference's in-process
+hnsw_rs graph lives in the server: HNSW is an intrinsically pointer-
+chasing structure with no shuffle-friendly formulation, so the Spark-
+first design keeps two regimes:
+
+* corpus fits one machine (the reference's only regime): build here,
+  search in microseconds, no cluster round-trip per query;
+* corpus does NOT fit (100 TB): `hnsw_knn_partitioned` below shards the
+  corpus by partition, builds an independent sub-graph per partition
+  inside `mapInPandas` (Arrow-batched, executor-side), takes each
+  shard's local top-k and merges globally — the standard sharded-ANN
+  (DiskANN/FAISS-shard) layout where recall of the merge equals the
+  min shard recall and the driver never holds the corpus.
+
+Determinism: level assignment derives from a per-graph seeded generator
+over insertion order, so the same corpus inserted in the same order
+yields the same graph — required for the oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import math
+import os
+import random
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["HnswGraph", "hnsw_knn_partitioned"]
+
+
+def _prep(metric: str, arr: np.ndarray) -> np.ndarray:
+    """Metric-specific preparation: cosine pre-normalizes (the reference
+    normalizes on insert and search, hnsw_index.rs:189,283,336) so the
+    hot distance is a single dot product."""
+    a = np.asarray(arr, dtype=np.float32)
+    if metric == "cosine":
+        n = np.linalg.norm(a, axis=-1, keepdims=True)
+        n[n == 0] = 1.0
+        return a / n
+    return a
+
+
+class HnswGraph:
+    """In-memory HNSW graph over (id, vector) pairs.
+
+    Parameters mirror `HnswConfig` (src/hnsw_index.rs:466-469):
+    `m` neighbors per node per layer (2m at layer 0), `ef_construction`
+    beam width at build, `ef_search` default beam width at query.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "cosine",
+        m: int = 16,
+        ef_construction: int = 100,
+        ef_search: int = 50,
+        seed: int = 0x51A9,
+    ) -> None:
+        if metric not in ("cosine", "l2", "euclidean", "dot", "manhattan"):
+            raise ValueError(f"unsupported metric {metric!r}")
+        self.dim = int(dim)
+        self.metric = metric
+        self.m = int(m)
+        self.ef_construction = int(ef_construction)
+        self.ef_search = int(ef_search)
+        self.seed = int(seed)
+        self._ml = 1.0 / math.log(self.m)
+        self._rng = random.Random(seed)
+        self.ids: List = []              # slot -> external id
+        self._slot: Dict = {}            # external id -> slot
+        self._vecs = np.zeros((0, self.dim), dtype=np.float32)  # raw
+        self._prep_vecs = np.zeros((0, self.dim), dtype=np.float32)
+        self._levels: List[int] = []
+        # slot -> [layer -> list of neighbor slots]
+        self._nbrs: List[List[List[int]]] = []
+        self._entry: Optional[int] = None
+        self._max_level = -1
+        self.tombstones: set = set()     # external ids (hnsw_index.rs:34)
+
+    # ------------------------------------------------------------ dist
+
+    def _dists(self, q: np.ndarray, slots: Sequence[int]) -> np.ndarray:
+        """Distance from prepared query to a batch of slots — one
+        vectorized NumPy op per neighbor expansion (the pure-Python HNSW
+        hot path; batching here is what makes build O(seconds))."""
+        vs = self._prep_vecs[slots]
+        if self.metric == "cosine":
+            return 1.0 - vs @ q
+        if self.metric == "dot":
+            return -(vs @ q)
+        if self.metric == "manhattan":
+            return np.abs(vs - q).sum(axis=1)
+        d = vs - q
+        return np.sqrt((d * d).sum(axis=1))
+
+    # ------------------------------------------------------------ build
+
+    def add_batch(self, ids: Iterable, vecs) -> None:
+        vecs = np.asarray(vecs, dtype=np.float32).reshape(-1, self.dim)
+        ids = list(ids)
+        if len(ids) != len(vecs):
+            raise ValueError("ids/vectors length mismatch")
+        base = len(self.ids)
+        self._vecs = np.vstack([self._vecs, vecs])
+        self._prep_vecs = np.vstack([self._prep_vecs, _prep(self.metric, vecs)])
+        for i, ext in enumerate(ids):
+            if ext in self._slot:
+                raise ValueError(f"duplicate id {ext!r}")
+            slot = base + i
+            self.ids.append(ext)
+            self._slot[ext] = slot
+            # geometric level draw (Malkov Alg. 1 line 4); seeded RNG over
+            # insertion order keeps the graph deterministic
+            level = int(-math.log(max(self._rng.random(), 1e-12)) * self._ml)
+            level = min(level, 16)  # reference clamps max_layer to [4,16]
+            self._levels.append(level)
+            self._nbrs.append([[] for _ in range(level + 1)])
+            self._insert(slot, level)
+
+    def add(self, ext_id, vec) -> None:
+        self.add_batch([ext_id], [vec])
+
+    def _insert(self, slot: int, level: int) -> None:
+        q = self._prep_vecs[slot]
+        if self._entry is None:
+            self._entry, self._max_level = slot, level
+            return
+        ep = [self._entry]
+        # greedy descent through layers above the new node's level (Alg. 1)
+        for lay in range(self._max_level, level, -1):
+            ep = [self._greedy(q, ep[0], lay)]
+        for lay in range(min(level, self._max_level), -1, -1):
+            cand = self._search_layer(q, ep, self.ef_construction, lay)
+            mmax = self.m * 2 if lay == 0 else self.m
+            chosen = self._select(q, [s for _, s in cand], self.m)
+            self._nbrs[slot][lay] = chosen
+            for nb in chosen:
+                lst = self._nbrs[nb][lay]
+                lst.append(slot)
+                if len(lst) > mmax:
+                    # shrink with the same diversity heuristic (Alg. 5)
+                    self._nbrs[nb][lay] = self._select(
+                        self._prep_vecs[nb], lst, mmax
+                    )
+            ep = [s for _, s in cand]
+        if level > self._max_level:
+            self._entry, self._max_level = slot, level
+
+    def _greedy(self, q: np.ndarray, start: int, layer: int) -> int:
+        cur = start
+        cur_d = float(self._dists(q, [cur])[0])
+        while True:
+            nbrs = self._nbrs[cur][layer]
+            if not nbrs:
+                return cur
+            ds = self._dists(q, nbrs)
+            j = int(np.argmin(ds))
+            if ds[j] < cur_d:
+                cur, cur_d = nbrs[j], float(ds[j])
+            else:
+                return cur
+
+    def _search_layer(
+        self, q: np.ndarray, eps: List[int], ef: int, layer: int
+    ) -> List[Tuple[float, int]]:
+        """Beam search on one layer (Malkov Alg. 2). Returns up to `ef`
+        (dist, slot) pairs, ascending by dist."""
+        visited = set(eps)
+        d0 = self._dists(q, eps)
+        cand = [(float(d), s) for d, s in zip(d0, eps)]   # min-heap
+        heapq.heapify(cand)
+        best = [(-d, s) for d, s in cand]                 # max-heap of kept
+        heapq.heapify(best)
+        while len(best) > ef:
+            heapq.heappop(best)
+        while cand:
+            d, s = heapq.heappop(cand)
+            if best and d > -best[0][0] and len(best) >= ef:
+                break
+            fresh = [n for n in self._nbrs[s][layer] if n not in visited]
+            if not fresh:
+                continue
+            visited.update(fresh)
+            ds = self._dists(q, fresh)
+            worst = -best[0][0] if best else float("inf")
+            for nd, ns in zip(ds, fresh):
+                nd = float(nd)
+                if len(best) < ef or nd < worst:
+                    heapq.heappush(cand, (nd, ns))
+                    heapq.heappush(best, (-nd, ns))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+                    worst = -best[0][0]
+        return sorted((-d, s) for d, s in best)
+
+    def _select(self, q: np.ndarray, cands: List[int], m: int) -> List[int]:
+        """Neighbor selection with the diversity heuristic (Malkov
+        Alg. 4): keep a candidate only if it is closer to q than to every
+        already-kept neighbor — prevents clustered neighbor lists that
+        break long-range connectivity."""
+        uniq = list(dict.fromkeys(cands))
+        if len(uniq) <= m:
+            return uniq
+        ds = self._dists(q, uniq)
+        order = np.argsort(ds, kind="stable")
+        kept: List[int] = []
+        for oi in order:
+            c = uniq[int(oi)]
+            dc = float(ds[oi])
+            if not kept:
+                kept.append(c)
+            else:
+                dk = self._dists(self._prep_vecs[c], kept)
+                if dc <= float(dk.min()):
+                    kept.append(c)
+            if len(kept) >= m:
+                return kept
+        # backfill with nearest remaining (standard keepPruned=true)
+        for oi in order:
+            c = uniq[int(oi)]
+            if c not in kept:
+                kept.append(c)
+                if len(kept) >= m:
+                    break
+        return kept
+
+    # ------------------------------------------------------------ search
+
+    def search(self, vec, k: int, ef: Optional[int] = None) -> List[Tuple[object, float]]:
+        """k nearest (id, distance), tombstones filtered AFTER the walk —
+        deleted nodes still route (reference filters results, not edges:
+        hnsw_index.rs:73-78)."""
+        if self._entry is None:
+            return []
+        ef = max(int(ef) if ef else self.ef_search, k)
+        q = _prep(self.metric, np.asarray(vec, dtype=np.float32).reshape(-1))
+        ep = self._entry
+        for lay in range(self._max_level, 0, -1):
+            ep = self._greedy(q, ep, lay)
+        found = self._search_layer(q, [ep], ef + len(self.tombstones), 0)
+        out = []
+        for d, s in found:
+            ext = self.ids[s]
+            if ext in self.tombstones:
+                continue
+            out.append((ext, float(d)))
+            if len(out) >= k:
+                break
+        return out
+
+    # ------------------------------------------------------------ delete
+
+    def delete(self, ext_id) -> None:
+        """Tombstone an id; auto-compact (full rebuild without the dead
+        rows) when tombstones exceed 30% of stored vectors
+        (hnsw_index.rs:373-404, issue #49 semantics)."""
+        if ext_id not in self._slot:
+            return
+        self.tombstones.add(ext_id)
+        if len(self.ids) and len(self.tombstones) / len(self.ids) > 0.3:
+            self.compact()
+
+    def compact(self) -> None:
+        live = [
+            (ext, self._vecs[self._slot[ext]])
+            for ext in self.ids
+            if ext not in self.tombstones
+        ]
+        fresh = HnswGraph(
+            self.dim, self.metric, self.m, self.ef_construction,
+            self.ef_search, self.seed,
+        )
+        if live:
+            fresh.add_batch([e for e, _ in live], np.array([v for _, v in live]))
+        self.__dict__.update(fresh.__dict__)
+
+    def __len__(self) -> int:
+        return len(self.ids) - len(self.tombstones)
+
+    # ------------------------------------------------------------ persist
+
+    def save(self, dir_path: str) -> None:
+        """`{dir}/index.json` with config + vectors + tombstones — the
+        graph itself is rebuilt on load, exactly like the reference's
+        PersistedHnsw (hnsw_index.rs:480-508: vectors are authoritative,
+        the hnsw_rs graph is reconstructed)."""
+        os.makedirs(dir_path, exist_ok=True)
+        payload = {
+            "dim": self.dim, "metric": self.metric, "m": self.m,
+            "ef_construction": self.ef_construction,
+            "ef_search": self.ef_search, "seed": self.seed,
+            "ids": list(self.ids),
+            "vectors": self._vecs.tolist(),
+            "tombstones": sorted(self.tombstones),
+        }
+        tmp = os.path.join(dir_path, "index.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, os.path.join(dir_path, "index.json"))
+
+    @classmethod
+    def load(cls, dir_path: str) -> "HnswGraph":
+        with open(os.path.join(dir_path, "index.json")) as fh:
+            p = json.load(fh)
+        g = cls(p["dim"], p["metric"], p["m"], p["ef_construction"],
+                p["ef_search"], p["seed"])
+        if p["ids"]:
+            g.add_batch(p["ids"], np.array(p["vectors"], dtype=np.float32))
+        g.tombstones = set(p["tombstones"])
+        return g
+
+
+# --------------------------------------------------------------- scale path
+
+
+def hnsw_knn_partitioned(
+    df,
+    id_col: str,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    metric: str = "cosine",
+    m: int = 16,
+    ef_construction: int = 100,
+    ef_search: int = 64,
+):
+    """Sharded HNSW k-NN for corpora too large for one graph: each Spark
+    partition builds an independent sub-graph inside `mapInPandas`
+    (Arrow-batched, executor-side — the driver never sees the vectors),
+    emits its local top-k, and a global top-k merge over (num_partitions
+    × k) rows finishes the query. This is the sharded-ANN layout
+    (per-shard index + top-k merge) that FAISS/DiskANN deployments use;
+    merge recall equals min-shard recall because every shard returns its
+    own true candidates.
+
+    Returns columns (id, dist), ascending by dist. At 100 TB the plan is
+    one narrow mapInPandas pass + a k-row-per-partition
+    TakeOrderedAndProject — no shuffle of the corpus.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark_df = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    q = [float(x) for x in query_vec]
+
+    def _shard(batches):
+        ids: list = []
+        chunks: list = []
+        for pdf in batches:
+            ids.extend(pdf["id"].tolist())
+            chunks.append(np.array(pdf["vec"].tolist(), dtype=np.float32))
+        if not ids:
+            return
+        vecs = np.vstack(chunks)
+        g = HnswGraph(vecs.shape[1], metric, m, ef_construction, ef_search)
+        g.add_batch(ids, vecs)
+        hits = g.search(q, k, ef=ef_search)
+        yield pd.DataFrame(
+            {"id": [h[0] for h in hits], "dist": [h[1] for h in hits]}
+        )
+
+    local = spark_df.mapInPandas(_shard, schema="id long, dist double")
+    return local.orderBy(F.col("dist").asc(), F.col("id").asc()).limit(k)

@@ -452,3 +452,48 @@ def test_hnsw_index_artifact_and_bound_query(engine):
     assert (engine.current.name, "vidx") not in engine._index_frames
     got2 = rows(engine.query('?n2(Id, D), hnsw_nearest("vidx", [0.0, 0.0, 1.0], 1, Id, D)'))
     assert [g[0] for g in got2] == [4]
+
+
+def test_hnsw_typed_index_exact_search_and_tombstone_delete(engine):
+    """`.index create ... type hnsw` builds the reference's exact
+    in-process graph (src/hnsw_index.rs) instead of the LSH artifact;
+    a `-rel(...)` delete tombstones into the LIVE graph (O(delta)
+    maintenance, hnsw_index.rs:373-404) rather than dropping it."""
+    engine.execute("+emb(id: int, v: vector)")
+    engine.execute(
+        "+emb[(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), "
+        "(3, [0.9, 0.1, 0.0]), (4, [0.0, 0.0, 1.0])]"
+    )
+    engine.execute(".index create vidx on emb(v) type hnsw metric cosine")
+    assert engine._index_kind("vidx") == "hnsw"
+    got = rows(
+        engine.query('?n(Id, D), hnsw_nearest("vidx", [1.0, 0.0, 0.0], 2, Id, D)')
+    )
+    assert [g[0] for g in got] == [1, 3]
+    assert ("default", "vidx") in engine._hnsw_graphs
+    engine.execute("-emb(1, [1.0, 0.0, 0.0])")
+    g = engine._hnsw_graphs.get(("default", "vidx"))
+    assert g is not None and g.tombstones == {1}  # maintained, not dropped
+    got2 = rows(
+        engine.query('?n2(Id, D), hnsw_nearest("vidx", [1.0, 0.0, 0.0], 2, Id, D)')
+    )
+    assert [g2[0] for g2 in got2] == [2, 3]
+    stats = {r[0]: r[1] for r in engine.execute(".index stats vidx")[0].collect()}
+    assert stats["kind"].startswith("hnsw graph")
+    assert "1 tombstones" in stats["kind"]
+
+
+def test_hnsw_typed_index_insert_invalidates_graph(engine):
+    """Inserts (no tombstone analog) still cascade-drop the graph for a
+    lazy rebuild that includes the new rows."""
+    engine.execute("+emb(id: int, v: vector)")
+    engine.execute("+emb[(1, [1.0, 0.0]), (2, [0.0, 1.0])]")
+    engine.execute(".index create vidx on emb(v) type hnsw")
+    engine.query('?n(Id, D), hnsw_nearest("vidx", [1.0, 0.0], 1, Id, D)')
+    assert ("default", "vidx") in engine._hnsw_graphs
+    engine.execute("+emb[(3, [0.99, 0.01])]")
+    assert ("default", "vidx") not in engine._hnsw_graphs
+    got = rows(engine.query('?m(Id, D), hnsw_nearest("vidx", [1.0, 0.0], 2, Id, D)'))
+    # the rebuilt graph contains the new row: top-2 = exact match (1) +
+    # the near-duplicate inserted after index creation (3)
+    assert {g[0] for g in got} == {1, 3}

@@ -249,3 +249,98 @@ def test_embedding_dedup_auto_selects_bucketed(spark, monkeypatch):
         ).collect()
     }
     assert {(r.id1, r.id2) for r in auto.collect()} == exact
+
+
+# ------------------------------------------------------------------ hnsw
+
+
+def test_hnsw_graph_recall_and_determinism():
+    """Graph search ≥0.9 recall@10 vs brute force on an isotropic corpus
+    (the hard regime), and two builds over the same insertion order are
+    bit-identical — required for the oracle-checked engine queries."""
+    import numpy as np
+
+    from inputlayer_spark.operators.hnsw import HnswGraph
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(1000, 32)).astype(np.float32)
+
+    def build():
+        g = HnswGraph(32, "cosine", m=16, ef_construction=100, ef_search=64)
+        g.add_batch(range(1000), vecs)
+        return g
+
+    g1, g2 = build(), build()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    recalls = []
+    for qi in range(20):
+        q = rng.normal(size=32).astype(np.float32)
+        true = set(np.argsort(1 - norm @ (q / np.linalg.norm(q)))[:10].tolist())
+        got = [i for i, _ in g1.search(q, 10)]
+        assert g2.search(q, 10) == g1.search(q, 10)
+        recalls.append(len(set(got) & true) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_hnsw_tombstone_and_autocompact():
+    import numpy as np
+
+    from inputlayer_spark.operators.hnsw import HnswGraph
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    g = HnswGraph(8, "l2", m=8)
+    g.add_batch(range(50), vecs)
+    top = [i for i, _ in g.search(vecs[7], 3)]
+    assert top[0] == 7
+    g.delete(7)
+    assert 7 not in [i for i, _ in g.search(vecs[7], 3)]
+    # >30% tombstones triggers auto-compact (reference hnsw_index.rs:377)
+    for i in range(16):
+        g.delete(i)
+    assert not g.tombstones  # compacted away
+    assert len(g) == 50 - 16  # {7} ∪ {0..15} = 16 distinct ids
+    assert 20 in [i for i, _ in g.search(vecs[20], 1)]
+
+
+def test_hnsw_save_load_roundtrip(tmp_path):
+    import numpy as np
+
+    from inputlayer_spark.operators.hnsw import HnswGraph
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(120, 16)).astype(np.float32)
+    g = HnswGraph(16, "cosine", m=8)
+    g.add_batch(range(120), vecs)
+    g.delete(3)
+    g.save(str(tmp_path))
+    h = HnswGraph.load(str(tmp_path))
+    q = rng.normal(size=16).astype(np.float32)
+    assert h.search(q, 5) == g.search(q, 5)
+    assert h.tombstones == {3}
+
+
+def test_hnsw_knn_partitioned_matches_bruteforce(spark):
+    """Sharded per-partition graphs + global top-k merge find the exact
+    top-k on a corpus with planted near neighbors (each shard returns its
+    local true candidates, so the merge's top-k ⊆ union of shard top-ks)."""
+    from inputlayer_spark.operators.hnsw import hnsw_knn_partitioned
+    from inputlayer_spark.operators.similarity import knn_bruteforce
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .repartition(4)
+    )
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0][1]]
+    got = [
+        (r.id, round(r.dist, 6))
+        for r in hnsw_knn_partitioned(
+            emb, "vec_id", "embedding", q, k=5, ef_search=128
+        ).collect()
+    ]
+    exact = [
+        (r.id, round(r.dist, 6))
+        for r in knn_bruteforce(emb, "vec_id", "embedding", q, k=5).collect()
+    ]
+    assert [i for i, _ in got] == [i for i, _ in exact]
