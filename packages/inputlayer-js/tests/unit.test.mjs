@@ -1,0 +1,95 @@
+import { test } from "node:test";
+import assert from "node:assert/strict";
+
+import {
+  ResultSet,
+  compileValue,
+  insertStatement,
+  deleteStatement,
+  errorFor,
+  AuthenticationError,
+  PermissionError,
+  QueryError,
+  encodeFrame,
+  decodeFrames,
+} from "../src/index.js";
+
+test("compileValue renders IQL literals", () => {
+  assert.equal(compileValue(42), "42");
+  assert.equal(compileValue(-1.5), "-1.5");
+  assert.equal(compileValue(true), "true");
+  assert.equal(compileValue('say "hi"'), '"say \\"hi\\""');
+  assert.equal(compileValue([1.0, 2.5]), "[1, 2.5]");
+  assert.equal(compileValue(123n), "123");
+  assert.throws(() => compileValue(null), TypeError);
+  assert.throws(() => compileValue({}), TypeError);
+});
+
+test("statement builders", () => {
+  assert.equal(
+    insertStatement("edge", [
+      [1, 2],
+      [2, 3],
+    ]),
+    "+edge[(1, 2), (2, 3)]",
+  );
+  assert.equal(deleteStatement("p", [7, "x"]), '-p(7, "x")');
+});
+
+test("ResultSet payload parsing and accessors", () => {
+  const rs = ResultSet.fromPayload({
+    columns: [
+      { name: "a", type: "int" },
+      { name: "b", type: "string" },
+    ],
+    rows: [
+      [1, "x"],
+      [2, "y"],
+    ],
+  });
+  assert.deepEqual(rs.columns, ["a", "b"]);
+  assert.deepEqual(rs.types, ["int", "string"]);
+  assert.equal(rs.length, 2);
+  assert.deepEqual(rs.first(), [1, "x"]);
+  assert.equal(rs.scalar(), 1);
+  assert.deepEqual(rs.toDicts(), [
+    { a: 1, b: "x" },
+    { a: 2, b: "y" },
+  ]);
+  assert.deepEqual([...rs], rs.toTuples());
+  assert.equal(new ResultSet().scalar(), null);
+});
+
+test("error mapping by status", () => {
+  assert.ok(errorFor(401, "k") instanceof AuthenticationError);
+  assert.ok(errorFor(403, "k") instanceof PermissionError);
+  assert.ok(errorFor(400, "k") instanceof QueryError);
+});
+
+test("ws frame codec round-trips (client-masked frames)", () => {
+  const payload = Buffer.from(JSON.stringify({ type: "ping" }));
+  const frame = encodeFrame(0x1, payload);
+  // decodeFrames unmasks masked frames, so a client frame round-trips
+  const { frames, rest } = decodeFrames(frame);
+  assert.equal(frames.length, 1);
+  assert.equal(frames[0].opcode, 0x1);
+  assert.deepEqual(frames[0].payload, payload);
+  assert.equal(rest.length, 0);
+});
+
+test("ws decoder handles split and concatenated frames", () => {
+  const f1 = encodeFrame(0x1, Buffer.from('{"a":1}'));
+  const f2 = encodeFrame(0x1, Buffer.from('{"b":2}'));
+  const both = Buffer.concat([f1, f2]);
+  const { frames } = decodeFrames(both);
+  assert.equal(frames.length, 2);
+  // partial frame: nothing decoded, all bytes kept
+  const part = both.subarray(0, f1.length + 3);
+  const r = decodeFrames(part);
+  assert.equal(r.frames.length, 1);
+  assert.equal(r.rest.length, 3);
+  // 126-length extended header path
+  const big = encodeFrame(0x1, Buffer.alloc(300, 0x41));
+  const rb = decodeFrames(big);
+  assert.equal(rb.frames[0].payload.length, 300);
+});
