@@ -13,9 +13,17 @@ operations (user management, compaction); editors and viewers pass data
 operations through, with `.kg create` denied to viewers
 (auth.rs:381-389).
 
-Per-KG ACLs (auth.rs:141-324, layer 2) are not implemented — scope cut
-recorded in COVERAGE.md; the statement-level hook (`authorize`) is
-where they would attach.
+Per-KG ACLs (auth.rs:141-324, layer 2): each KG maps usernames to a
+KgRole (owner/editor/viewer) — `kg_role_for` resolves the effective
+role (admins are implicit owners of every KG,
+handler.rs:get_kg_role_for_user), `authorize_kg` gates statements by
+that role (owner: everything; editor: everything except `.kg drop` and
+ACL management; viewer: queries, session rules, and read-only metas),
+and `target_kg` replicates the handler's target-KG resolution
+(handler.rs:4330-4369: named-KG metas target their argument;
+create/list/show/status/help are global; everything else targets the
+current KG). A non-admin with NO ACL entry for the target KG is denied
+("Access denied").
 """
 
 from __future__ import annotations
@@ -81,19 +89,57 @@ class AuthStore:
         self.path = path
         self.users: Dict[str, dict] = {}  # username -> {password, role}
         self.api_keys: Dict[str, str] = {}  # sha256(key) -> username
+        self.kg_acls: Dict[str, Dict[str, str]] = {}  # kg -> {user: kg_role}
         if path and os.path.exists(path):
             with open(path) as fh:
                 data = json.load(fh)
             self.users = data.get("users", {})
             self.api_keys = data.get("api_keys", {})
+            self.kg_acls = data.get("kg_acls", {})
 
     def save(self) -> None:
         if not self.path:
             return
         tmp = self.path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"users": self.users, "api_keys": self.api_keys}, fh, indent=2)
+            json.dump(
+                {
+                    "users": self.users,
+                    "api_keys": self.api_keys,
+                    "kg_acls": self.kg_acls,
+                },
+                fh,
+                indent=2,
+            )
         os.replace(tmp, self.path)
+
+    # ------------------------------------------------------ per-KG ACLs
+
+    def grant_kg(self, kg: str, username: str, kg_role: str) -> None:
+        """`.kg acl grant <kg> <user> <role>` — upserts the user's role
+        on the KG (handler.rs:handle_kg_acl_grant)."""
+        if kg_role not in KG_ROLES:
+            raise ValueError(
+                f"Invalid KG role '{kg_role}'. Valid: owner, editor, viewer"
+            )
+        self.kg_acls.setdefault(kg, {})[username] = kg_role
+        self.save()
+
+    def revoke_kg(self, kg: str, username: str) -> None:
+        self.kg_acls.get(kg, {}).pop(username, None)
+        self.save()
+
+    def kg_acl_list(self, kg: str):
+        """Sorted (user, role) entries for a KG."""
+        return sorted(self.kg_acls.get(kg, {}).items())
+
+    def kg_role_for(self, kg: str, identity: "AuthIdentity") -> Optional[str]:
+        """Effective per-KG role: admins are implicit owners of every KG
+        (handler.rs:get_kg_role_for_user); otherwise the explicit ACL
+        entry, or None = no access."""
+        if identity.role == "admin":
+            return "owner"
+        return self.kg_acls.get(kg, {}).get(identity.username)
 
     # ------------------------------------------------------------ users
 
@@ -141,8 +187,9 @@ class AuthStore:
 def authorize(identity: AuthIdentity, statement) -> None:
     """Global-role (layer 1) authorization: raises PermissionError when
     the statement is a system-level operation the role may not perform
-    (auth.rs:347-420). Data operations always pass — in the reference
-    they fall through to per-KG ACLs (layer 2, not implemented)."""
+    (auth.rs:347-420). Data operations always pass here and are gated
+    by per-KG ACLs instead (layer 2: `target_kg` + `kg_role_for` +
+    `authorize_kg`, enforced by the server)."""
     from inputlayer_spark.ast_nodes import MetaCommand
 
     if identity.role == "admin":
@@ -161,3 +208,87 @@ def authorize(identity: AuthIdentity, statement) -> None:
         raise PermissionError(
             "Permission denied: viewers cannot create knowledge graphs"
         )
+
+
+# ------------------------------------------------------- per-KG ACLs (layer 2)
+
+KG_ROLES = ("owner", "editor", "viewer")
+
+# read-only meta (command, first-arg) shapes a KG viewer may run
+# (auth.rs:authorize_kg_viewer); "" = bare command
+_VIEWER_META = {
+    ("kg", "show"), ("kg", "list"), ("kg", "use"), ("kg", "acl"),
+    ("rel", "list"), ("rel", "describe"),
+    ("rule", "list"), ("rule", "def"),
+    ("index", "list"), ("index", "stats"),
+    ("session", "list"), ("session", "clear"), ("session", "drop"),
+    ("debug", ""), ("why", ""), ("why_full", ""), ("why_not", ""),
+    ("status", ""), ("help", ""),
+}
+
+
+def target_kg(statement, current_kg: str):
+    """Which KG a statement operates on (handler.rs:4330-4369):
+    named-KG metas target their argument, KG-create/list/show and
+    system introspection are global (None = no per-KG check), and every
+    other statement targets the session's current KG."""
+    from inputlayer_spark.ast_nodes import MetaCommand
+
+    if isinstance(statement, MetaCommand):
+        args = list(statement.args)
+        sub = args[0] if args else ""
+        if statement.command == "kg":
+            if sub in ("use", "drop") and len(args) > 1:
+                return args[1]
+            if sub == "acl":
+                # .kg acl grant <kg> <user> <role> / revoke <kg> <user>
+                # / list <kg>
+                return args[2] if len(args) > 2 else current_kg
+            if sub in ("create", "list", "show", ""):
+                return None
+        if statement.command in ("status", "help", "compact"):
+            return None  # system-level (layer 1 territory)
+    return current_kg
+
+
+def authorize_kg(kg_role: str, statement) -> None:
+    """Layer-2 check: may `kg_role` run `statement` on its KG
+    (auth.rs:183-324)? Raises PermissionError when not."""
+    from inputlayer_spark.ast_nodes import MetaCommand, Query, Rule
+
+    if kg_role == "owner":
+        return
+    if isinstance(statement, MetaCommand):
+        args = list(statement.args)
+        sub = args[0] if args else ""
+        if statement.command == "kg":
+            if sub == "drop":
+                raise PermissionError(
+                    "Permission denied: only KG owners can drop this "
+                    "knowledge graph"
+                )
+            if sub == "acl" and len(args) > 1 and args[1] in ("grant", "revoke"):
+                raise PermissionError(
+                    "Permission denied: only KG owners can manage ACLs"
+                )
+        if kg_role == "editor":
+            return
+        # viewer: read-only meta shapes only
+        if (statement.command, sub) in _VIEWER_META or (
+            statement.command,
+            "",
+        ) in _VIEWER_META:
+            return
+        raise PermissionError(
+            "Permission denied: you have viewer access to this knowledge graph"
+        )
+    if kg_role == "editor":
+        return
+    # viewer: queries and ephemeral session rules only
+    if isinstance(statement, Query):
+        return
+    if isinstance(statement, Rule) and not getattr(statement, "persistent", True):
+        return
+    raise PermissionError(
+        "Permission denied: you have viewer access to this knowledge graph"
+    )

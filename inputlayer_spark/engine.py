@@ -144,6 +144,9 @@ class IQLEngine:
         # (kg, index name) -> persisted LSH bucket frame (the materialized
         # index artifact; dropped by _invalidate on dependent writes)
         self._index_frames: Dict[Tuple[str, str], DataFrame] = {}
+        # server-attached AuthStore for `.kg acl` commands (per-KG ACLs,
+        # reference auth.rs layer 2); None outside a server context
+        self.auth_store = None
         # (kg, index name) -> driver-side HnswGraph for kind="hnsw"
         # indexes (the reference's in-process hnsw_rs graph,
         # src/hnsw_index.rs:27-64). Deletes tombstone into a live graph
@@ -2201,6 +2204,38 @@ class IQLEngine:
             elif sub in ("list", "show"):
                 rows = [(name, name == self.current.name) for name in sorted(self.kgs)]
                 return self.spark.createDataFrame(rows, schema="name string, current boolean")
+            elif sub == "acl":
+                # .kg acl grant <kg> <user> <role> | revoke <kg> <user>
+                # | list <kg> — per-KG ACLs (reference auth.rs:141-324 +
+                # handler.rs:1695-1810). Entries live in the server's
+                # AuthStore; without one the commands are meaningless.
+                if self.auth_store is None:
+                    raise CompileError(
+                        "ACL error: no auth store configured on this engine"
+                    )
+                op = args[1] if len(args) > 1 else ""
+                if op == "grant" and len(args) > 4:
+                    if args[2] not in self.kgs:
+                        raise CompileError(
+                            f"Knowledge graph '{args[2]}' not found"
+                        )
+                    try:
+                        self.auth_store.grant_kg(args[2], args[3], args[4])
+                    except ValueError as exc:
+                        raise CompileError(str(exc)) from None
+                elif op == "revoke" and len(args) > 3:
+                    self.auth_store.revoke_kg(args[2], args[3])
+                elif op == "list" and len(args) > 2:
+                    rows = self.auth_store.kg_acl_list(args[2])
+                    return self.spark.createDataFrame(
+                        rows or [("", "")],
+                        schema="username string, kg_role string",
+                    ).filter(F.col("username") != "")
+                else:
+                    raise CompileError(
+                        "ACL error: usage .kg acl grant <kg> <user> <role> "
+                        "| revoke <kg> <user> | list <kg>"
+                    )
         elif cmd == "rel":
             if args and args[0] == "list":
                 rows = []

@@ -127,6 +127,10 @@ class QueryServer:
         self.engine = IQLEngine(spark)
         self.sessions: Dict[str, IQLEngine] = {}
         self.auth = auth
+        # `.kg acl grant/revoke/list` run through the engine but mutate
+        # the server's AuthStore (reference stores ACLs in an internal
+        # KG, handler.rs:1695-1810; ours live with the credentials)
+        self.engine.auth_store = auth
         self._lock = threading.Lock()
         outer = self
 
@@ -159,12 +163,44 @@ class QueryServer:
                     return None
                 return outer.auth.authenticate_api_key(key)
 
-            def _authorize_program(self, identity, text: str) -> None:
-                from inputlayer_spark.auth import authorize
+            def _authorize_program(self, identity, engine, text: str) -> None:
+                """Two-layer authorization (reference auth.rs:326-345 +
+                handler.rs:4330-4369): layer 1 gates system-level ops by
+                global role; layer 2 resolves each statement's target KG
+                and gates it by the identity's per-KG role — a non-admin
+                with no ACL entry on the target KG is denied outright.
+                `.kg use` that passes moves the current-KG cursor so
+                later statements in the same program check against the
+                right KG; `.kg create` auto-grants the creator owner
+                (handler.rs:4584)."""
+                from inputlayer_spark.auth import (
+                    authorize,
+                    authorize_kg,
+                    target_kg,
+                )
                 from inputlayer_spark.parser import parse_program
 
+                current = engine.current.name
                 for st in parse_program(text).statements:
                     authorize(identity, st)
+                    args = list(getattr(st, "args", ()))
+                    is_kg_meta = getattr(st, "command", None) == "kg"
+                    if outer.auth is not None and identity.role != "admin":
+                        kg = target_kg(st, current)
+                        if kg is not None:
+                            role = outer.auth.kg_role_for(kg, identity)
+                            if role is None:
+                                raise PermissionError("Access denied")
+                            authorize_kg(role, st)
+                    if is_kg_meta and len(args) > 1:
+                        if args[0] == "use":
+                            current = args[1]
+                        elif args[0] == "create" and outer.auth is not None:
+                            # creator becomes owner of the new KG
+                            if identity.role != "admin":
+                                outer.auth.grant_kg(
+                                    args[1], identity.username, "owner"
+                                )
 
             def do_GET(self):
                 if self.path == "/health":
@@ -299,6 +335,7 @@ class QueryServer:
                             self._authorize_program(
                                 getattr(self, "_auth_identity", None)
                                 or self._identity(),
+                                engine,
                                 msg.get("query", ""),
                             )
                             dfs = engine.execute(msg.get("query", ""))
@@ -354,7 +391,7 @@ class QueryServer:
                     q = req.get("query", "")
                     engine = outer._engine_for(req.get("session"))
                     with outer._lock:
-                        self._authorize_program(ident, q)
+                        self._authorize_program(ident, engine, q)
                         results = engine.execute(q)
                         payload = {"results": [_df_payload(df) for df in results]}
                     self._send(200, payload)
@@ -379,6 +416,7 @@ class QueryServer:
                 eng = IQLEngine(self.spark)
                 eng.kgs = self.engine.kgs  # shared persistent state
                 eng.current = self.engine.current
+                eng.auth_store = self.auth
                 # one notification bus across all sessions: a write in any
                 # session pushes persistent_update to every connection
                 eng._subscribers = self.engine._subscribers

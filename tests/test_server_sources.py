@@ -301,6 +301,10 @@ def test_server_auth_api_keys_and_roles(spark, tmp_path):
     admin_key = store.issue_api_key("root")
     editor_key = store.issue_api_key("ed")
     viewer_key = store.issue_api_key("vi")
+    # layer 2: non-admins need per-KG ACL entries (auth.rs:141-324 —
+    # a non-admin with no entry on the target KG is denied outright)
+    store.grant_kg("default", "ed", "editor")
+    store.grant_kg("default", "vi", "viewer")
     # only hashes are persisted
     assert admin_key not in open(store_path).read()
     assert hash_api_key(admin_key) in open(store_path).read()
@@ -362,3 +366,82 @@ def test_auth_password_hashing_roundtrip(tmp_path):
     assert store.authenticate_password("u", "nope") is None
     with pytest.raises(ValueError):
         store.add_user("bad", "pw", role="superuser")
+
+
+def test_server_per_kg_acls(spark, tmp_path):
+    """Layer-2 per-KG authorization (auth.rs:141-324 +
+    handler.rs:4330-4369): the per-KG role — not the global role — is
+    the authority for data access. A global editor with viewer ACL can
+    only read that KG; no ACL entry at all → Access denied; `.kg acl`
+    management is owner-only; creating a KG auto-grants the creator
+    owner (handler.rs:4584)."""
+    from inputlayer_spark.auth import AuthStore
+
+    store_path = str(tmp_path / "creds.json")
+    store = AuthStore(store_path)
+    store.add_user("root", "pw", role="admin")
+    store.add_user("alice", "pw", role="editor")
+    store.add_user("bob", "pw", role="editor")
+    admin_key = store.issue_api_key("root")
+    alice_key = store.issue_api_key("alice")
+    bob_key = store.issue_api_key("bob")
+    store.grant_kg("default", "alice", "editor")
+    store.grant_kg("default", "bob", "viewer")
+
+    srv = QueryServer(spark, auth=AuthStore(store_path)).start()
+    try:
+        # seed data as admin (implicit owner of every KG)
+        _post_auth(srv.port, {"query": "+t[(1)]"}, key=admin_key)
+        # alice (KG editor): read + write
+        out = _post_auth(srv.port, {"query": "?t(X)"}, key=alice_key)
+        assert out["results"][0]["rows"] == [[1]]
+        _post_auth(srv.port, {"query": "+t[(2)]"}, key=alice_key)
+        # bob is a GLOBAL editor but KG viewer here: reads pass,
+        # writes denied with the reference's wording
+        out = _post_auth(srv.port, {"query": "?t(X)"}, key=bob_key)
+        assert len(out["results"][0]["rows"]) == 2
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_auth(srv.port, {"query": "+t[(3)]"}, key=bob_key)
+        assert e.value.code == 403
+        assert "viewer access" in json.loads(e.value.read())["error"]
+        # KG editor cannot drop the KG (owner only) nor manage ACLs
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_auth(srv.port, {"query": ".kg drop default"}, key=alice_key)
+        assert e.value.code == 403
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_auth(
+                srv.port,
+                {"query": ".kg acl grant default bob editor"},
+                key=alice_key,
+            )
+        assert e.value.code == 403
+        # no ACL entry on another KG → Access denied outright
+        _post_auth(srv.port, {"query": ".kg create other"}, key=admin_key)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_auth(
+                srv.port, {"query": ".kg use other\n?t(X)"}, key=alice_key
+            )
+        assert e.value.code == 403
+        assert json.loads(e.value.read())["error"] == "Access denied"
+        # creator auto-grant: alice creates a KG → owner there, and an
+        # owner can manage its ACLs
+        _post_auth(srv.port, {"query": ".kg create alices"}, key=alice_key)
+        _post_auth(
+            srv.port,
+            {"query": ".kg acl grant alices bob viewer"},
+            key=alice_key,
+        )
+        out = _post_auth(
+            srv.port, {"query": ".kg acl list alices"}, key=alice_key
+        )
+        assert ["bob", "viewer"] in out["results"][0]["rows"]
+        # admin sees + revokes via the same surface
+        _post_auth(
+            srv.port, {"query": ".kg acl revoke alices bob"}, key=admin_key
+        )
+        out = _post_auth(
+            srv.port, {"query": ".kg acl list alices"}, key=admin_key
+        )
+        assert ["bob", "viewer"] not in out["results"][0]["rows"]
+    finally:
+        srv.stop()
