@@ -49,6 +49,13 @@ _DEFAULTS = {
     # files dwarf both constants).
     "spark.sql.files.minPartitionNum": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.files.openCostInBytes": "131072",
+    # Whole-stage codegen emits one janino class per stage; a many-query
+    # session (bench: 19 queries × 2 passes, some with 64-aggregate
+    # signatures) overflows the JVM's default 240 MB code cache, after
+    # which hot generated methods run deoptimized — measured as every
+    # late-session query going 2-3× slower. Local mode: driver JVM = the
+    # only executor JVM, so one knob covers both.
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
     # Fixpoint loops shed checkpoint/broadcast blocks only after a JVM GC
     # (ContextCleaner); the 30min default lets dead blocks pile up and
     # slow later queries in long sessions.
