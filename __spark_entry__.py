@@ -895,6 +895,55 @@ def q_embedding_dedup_bucketed(spark, sf_dir):
     )
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: 5-gram overlap of the corpus against a
+    20-doc "eval set" (docs 0-19 stand in for a benchmark), ≥3 shared
+    distinct shingles flags the pair — the n-gram collision test run
+    before training (GPT-3 appendix C style). Plan: benchmark side
+    broadcasts (eval sets are tiny next to a training corpus), so the
+    check is one narrow pass over the corpus with no corpus shuffle."""
+    from inputlayer_spark.operators.dedup import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    out = ngram_contamination(
+        docs, bench, "doc_id", "bench_id", "text", shingle_n=5, min_overlap=3
+    )
+    # self-pairs (doc vs itself in the eval set) excluded: the signal is
+    # cross-document leakage
+    return out.filter(F.col("doc_id") != F.col("bench_id"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII masking: emails/SSNs/phones/IPs redacted with typed
+    placeholders, plus the per-doc match count. The corpus text is
+    deterministically salted with synthetic PII (same expression in the
+    oracle) so the scrubber's work is actually exercised; output is the
+    md5 of the scrubbed text — both engines hash the same string iff
+    every pattern fired identically. All JVM regexp_replace —
+    whole-stage codegen, a narrow map at 100 TB."""
+    from inputlayer_spark.functions.text import pii_count, scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 at 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+        ).alias("__txt"),
+    )
+    return salted.select(
+        "doc_id",
+        pii_count(F.col("__txt")).cast("long").alias("n_pii"),
+        F.md5(scrub_pii(F.col("__txt"))).alias("scrubbed_md5"),
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary columns + mapInPandas feature kernel
     (decode stubbed deterministically — container has no codec libs)."""
@@ -973,6 +1022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "contamination": q_contamination,
+        "pii_scrub": q_pii_scrub,
         "media_features": q_media_features,
     }
 
@@ -1298,6 +1349,41 @@ def oracle_sql() -> dict[str, str]:
             "WHERE p.shared::DOUBLE / (s1.n + s2.n - p.shared) >= 0.05"
         ),
         "simhash": _simhash_sql(),
+        # contamination: same 5-gram overlap in DuckDB; shingle formula
+        # mirrors _SHINGLES2's slice form for n=5
+        "contamination": (
+            "WITH csh AS (SELECT doc_id, unnest(list_distinct("
+            f"list_transform(range(1, greatest(len({_TOKS}) - 4, 1) + 1), "
+            f"i -> array_to_string(({_TOKS})[i:i+4], ' ')))) AS s "
+            "FROM documents), "
+            "bsh AS (SELECT doc_id AS bench_id, unnest(list_distinct("
+            f"list_transform(range(1, greatest(len({_TOKS}) - 4, 1) + 1), "
+            f"i -> array_to_string(({_TOKS})[i:i+4], ' ')))) AS s "
+            "FROM documents WHERE doc_id < 20) "
+            "SELECT c.doc_id, b.bench_id, count(*) AS overlap "
+            "FROM csh c JOIN bsh b ON c.s = b.s AND c.doc_id <> b.bench_id "
+            "GROUP BY c.doc_id, b.bench_id HAVING count(*) >= 3"
+        ),
+        # pii_scrub: identical salting + RE2-safe patterns; DuckDB's
+        # regexp_replace needs the 'g' flag to match Spark's replace-all
+        "pii_scrub": (
+            "WITH salted AS (SELECT doc_id, "
+            "text || ' contact user' || doc_id::VARCHAR || "
+            "'@example.com or 555-123-4567 at 10.0.0.' || "
+            "(doc_id % 255)::VARCHAR AS t FROM documents) "
+            "SELECT doc_id, ("
+            "  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "+ len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) "
+            "+ len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) "
+            "+ len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))"
+            ")::BIGINT AS n_pii, "
+            "md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), "
+            "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')"
+            ") AS scrubbed_md5 FROM salted"
+        ),
         "media_features": (
             "SELECT doc_id AS media_id, "
             "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, "

@@ -169,3 +169,37 @@ def simhash64(text: Column, n: int = 3) -> Column:
     `simhash_from_hashes`.
     """
     return simhash_from_hashes(F.transform(word_shingles(text, n), md5_long32))
+
+
+# ---------------------------------------------------------------- PII scrub
+
+# Patterns chosen to be valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backreferences — so the oracle can run the
+# identical expressions. Order matters: emails are scrubbed before
+# phone-shaped digit runs so the local part's digits don't half-match.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact common PII shapes (emails, SSNs, phone numbers, IPv4s)
+    with typed placeholders — the masking step of a training-data
+    pipeline. Pure JVM `regexp_replace` chain: whole-stage codegen, no
+    Python. At 100 TB this is a narrow map over the text column."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_count(text: Column) -> Column:
+    """How many PII matches the scrubber would redact (sum over
+    pattern types) — the audit metric next to the scrub."""
+    total = F.lit(0)
+    for _, pat, _ in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+    return total

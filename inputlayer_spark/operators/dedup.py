@@ -362,3 +362,63 @@ def embedding_cosine_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id1", "id2", "cos_sim")
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str,
+    bench_id: str,
+    text_col: str,
+    shingle_n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥
+    `min_overlap` distinct word n-grams with any benchmark document —
+    the standard n-gram-overlap contamination check run before training
+    (GPT-3 appendix C / PaLM-style 8-gram collision test).
+
+    Plan shape (the 100 TB path): both sides explode to distinct
+    (id, shingle) rows; the join is a shingle equi-join — the benchmark
+    side is small by construction (eval sets are tiny next to a training
+    corpus) so it BROADCASTS, making the whole check one narrow pass
+    over the corpus with no corpus shuffle. Aggregation to overlap
+    counts shuffles only the matched pairs.
+
+    Output: (corpus_id, bench_id, overlap) — distinct shingles shared,
+    ≥ min_overlap, one row per contaminated (corpus doc, bench doc) pair.
+    """
+    # tokens materialized into a column FIRST — shingling off the
+    # tokens(text) expression tree re-tokenizes per shingle (the O(len²)
+    # lambda-inlining trap, shingles_from_tokens docstring)
+    c_sh = (
+        corpus.select(
+            F.col(corpus_id).alias("__cid"), TX.tokens(F.col(text_col)).alias("__t")
+        ).select(
+            "__cid",
+            F.explode(
+                F.array_distinct(TX.shingles_from_tokens(F.col("__t"), shingle_n))
+            ).alias("__sh"),
+        )
+    )
+    b_sh = (
+        benchmark.select(
+            F.col(bench_id).alias("__bid"), TX.tokens(F.col(text_col)).alias("__t")
+        ).select(
+            "__bid",
+            F.explode(
+                F.array_distinct(TX.shingles_from_tokens(F.col("__t"), shingle_n))
+            ).alias("__sh"),
+        )
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), on="__sh", how="inner")
+        .groupBy("__cid", "__bid")
+        .agg(F.count("*").alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+        .select(
+            F.col("__cid").alias(corpus_id),
+            F.col("__bid").alias(bench_id),
+            "overlap",
+        )
+    )

@@ -71,9 +71,12 @@ QUERIES = [
     "exact_dedup",
     "minhash_lsh",
     # vector: brute force grows linearly with the corpus, the pruned
-    # LSH probe should stay flat — the contrast is the point
+    # paths should stay flat — the contrast is the point
     "knn_cosine",
     "knn_lsh",
+    "knn_lsh_selective",
+    "hnsw_knn",
+    "ivf_knn",
 ]
 
 

@@ -344,3 +344,48 @@ def test_hnsw_knn_partitioned_matches_bruteforce(spark):
         for r in knn_bruteforce(emb, "vec_id", "embedding", q, k=5).collect()
     ]
     assert [i for i, _ in got] == [i for i, _ in exact]
+
+
+# -------------------------------------------------- contamination / pii
+
+
+def test_ngram_contamination_broadcasts_and_flags(spark):
+    """The benchmark side broadcasts (eval sets are tiny → no corpus
+    shuffle for the join), self-overlap is complete, and disjoint docs
+    don't flag."""
+    from inputlayer_spark.operators.dedup import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words about spark execution plans"),
+            (3, "the quick brown fox jumps over the lazy dog yesterday"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 1").selectExpr("doc_id as bench_id", "text")
+    out = ngram_contamination(docs, bench, "doc_id", "bench_id", "text",
+                              shingle_n=5, min_overlap=3)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    got = {(r.doc_id, r.bench_id): r.overlap for r in out.collect()}
+    assert (1, 1) in got            # self-pair: full overlap
+    assert (3, 1) in got            # near-dup shares >=3 5-grams
+    assert (2, 1) not in got        # disjoint text
+
+
+def test_scrub_pii_patterns(spark):
+    from inputlayer_spark.functions.text import pii_count, scrub_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io, ssn 123-45-6789, call 555.123.4567 "
+             "from 192.168.0.1 end")],
+        "id long, t string",
+    )
+    row = df.select(
+        scrub_pii(F.col("t")).alias("s"), pii_count(F.col("t")).alias("n")
+    ).collect()[0]
+    assert row.s == ("mail <EMAIL>, ssn <SSN>, call <PHONE> from <IP> end")
+    assert row.n == 4
