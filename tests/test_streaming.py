@@ -304,3 +304,151 @@ def test_dred_bails_on_negation_and_session_overlays(spark):
     eng.add_session_fact("edge", 3, 4)
     eng.execute("-edge(2, 3)")
     assert _paths(eng) == [(1, 2), (3, 4)]
+
+
+# ------------------------------------------------------ stateful stream ops
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """First arrival of each key survives; repeats within the watermark
+    horizon drop. State bounded by event time, not stream length."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from inputlayer_spark.streaming.stateful import streaming_dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    sch = T.StructType(
+        [
+            T.StructField("doc_hash", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("a", base),
+        ("b", base + dt.timedelta(minutes=1)),
+        ("a", base + dt.timedelta(minutes=2)),  # dup within watermark
+        ("c", base + dt.timedelta(minutes=3)),
+        ("b", base + dt.timedelta(minutes=4)),  # dup
+    ]
+    spark.createDataFrame(rows, sch).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(sch).parquet(str(src))
+    out = streaming_dedup(stream, ["doc_hash"], "ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_hash for r in spark.sql("select * from dedup_sink").collect())
+    assert got == ["a", "b", "c"]
+    q.stop()
+
+
+def test_sessionize_gap_windows(spark, tmp_path):
+    """Events within the gap share a session; a larger gap opens a new
+    one. session_window aggregation emits CLOSED sessions in append mode
+    once the watermark passes their end — verified with a two-phase run
+    over one checkpoint (the flush batch advances the watermark)."""
+    from pyspark.sql import types as T
+
+    from inputlayer_spark.streaming.stateful import sessionize
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    sch = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 9, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=10)),   # same session (gap 30m)
+        (1, base + dt.timedelta(hours=2)),      # new session
+        (2, base),
+    ]
+    spark.createDataFrame(rows, sch).coalesce(1).write.mode("append").parquet(
+        str(src_dir)
+    )
+    collected = []
+
+    def run_phase():
+        stream = spark.readStream.schema(sch).parquet(str(src_dir))
+        out = sessionize(stream, "user_id", "ts", gap="30 minutes",
+                         watermark="10 minutes")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_phase()
+    # flush batch: far-future event advances the watermark past every
+    # open session so they close and emit
+    spark.createDataFrame(
+        [(999, base + dt.timedelta(days=1))], sch
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    run_phase()
+    got = {(r.user_id, r.n_events) for r in collected}
+    assert (1, 2) in got and (1, 1) in got and (2, 1) in got
+
+
+def test_stateful_topk_survives_batches(spark, tmp_path):
+    """applyInPandasWithState custom operator: the per-key top-k heap
+    persists across micro-batches (one checkpoint, two phases) — a
+    weaker later row cannot evict a stronger earlier one, and a
+    stronger one reorders the heap."""
+    from pyspark.sql import types as T
+
+    from inputlayer_spark.streaming.stateful import stateful_topk
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    sch = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    batches = []
+
+    def run_phase():
+        stream = spark.readStream.schema(sch).parquet(str(src_dir))
+        out = stateful_topk(stream, k=2)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: batches.append(df.collect())
+            )
+            .outputMode("update").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    spark.createDataFrame(
+        [("k", 1, 0.9), ("k", 2, 0.8), ("k", 3, 0.7)], sch
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    run_phase()
+    got1 = {(r.id, r.rank) for b in batches for r in b}
+    assert got1 == {(1, 1), (2, 2)}
+    # phase 2: weaker row ignored, stronger row takes rank 1 — proves
+    # the heap state survived the restart from the checkpoint
+    batches.clear()
+    spark.createDataFrame(
+        [("k", 9, 0.1), ("k", 10, 0.95)], sch
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    run_phase()
+    got2 = {(r.id, r.rank) for b in batches for r in b}
+    assert got2 == {(10, 1), (1, 2)}
