@@ -147,6 +147,10 @@ class IQLEngine:
         # server-attached AuthStore for `.kg acl` commands (per-KG ACLs,
         # reference auth.rs layer 2); None outside a server context
         self.auth_store = None
+        # kind="ivf" artifacts: celled corpus frame + driver-side
+        # centroid list (n_cells × dim — tiny), keyed like _index_frames
+        self._ivf_frames: Dict[Tuple[str, str], DataFrame] = {}
+        self._ivf_cents: Dict[Tuple[str, str], list] = {}
         # (kg, index name) -> driver-side HnswGraph for kind="hnsw"
         # indexes (the reference's in-process hnsw_rs graph,
         # src/hnsw_index.rs:27-64). Deletes tombstone into a live graph
@@ -221,6 +225,16 @@ class IQLEngine:
                 target = self.current.indexes.get(iname, (None,))[0]
                 if target in dirty:
                     self._hnsw_graphs.pop((kg, iname), None)
+        for (kg, iname), frame in list(self._ivf_frames.items()):
+            if kg == self.current.name:
+                target = self.current.indexes.get(iname, (None,))[0]
+                if target in dirty:
+                    try:
+                        frame.unpersist()
+                    except Exception:
+                        pass
+                    self._ivf_frames.pop((kg, iname), None)
+                    self._ivf_cents.pop((kg, iname), None)
         for rel in dirty:
             # "*" subscribers receive every change (the wire protocol's
             # per-connection persistent_update notifications)
@@ -1963,11 +1977,13 @@ class IQLEngine:
         (_invalidate; HNSW deletes tombstone in place instead) and rebuilt
         lazily; the brute-force scan remains the fallback when an artifact
         cannot be built (e.g. empty/typeless relations)."""
-        if kind not in ("lsh", "hnsw"):
+        if kind not in ("lsh", "hnsw", "ivf"):
             raise CompileError(f"Index error: unsupported index type '{kind}'")
         self.current.indexes[name] = (relation, column, metric, kind)
         self._index_frames.pop((self.current.name, name), None)
         self._hnsw_graphs.pop((self.current.name, name), None)
+        self._ivf_frames.pop((self.current.name, name), None)
+        self._ivf_cents.pop((self.current.name, name), None)
 
     def _index_kind(self, name: str) -> str:
         meta = self.current.indexes.get(name) or ()
@@ -2031,6 +2047,46 @@ class IQLEngine:
             return idx
         except Exception:
             return None
+
+    _IVF_CELL_BITS = 4  # 16 coarse cells from the sign-hash quantizer
+
+    def _ivf_artifacts(self, name: str):
+        """Lazily-built IVF artifact pair for a kind="ivf" index:
+        (celled corpus frame, driver-side centroid list). The coarse
+        quantizer is the relation's own cell/label column when one
+        exists (any non-vector column named 'label' or 'cell'),
+        otherwise a derived 4-bit sign-hash bucket — deterministic, one
+        pass, and at scale the celled frame is written partitioned by
+        __cell so probe IN-lists prune files."""
+        key = (self.current.name, name)
+        cached = self._ivf_frames.get(key)
+        cents = self._ivf_cents.get(key)
+        if cached is not None and cents is not None:
+            return cached, cents
+        relation, column = self.current.indexes[name][:2]
+        from inputlayer_spark.operators.similarity import ivf_index
+        from inputlayer_spark.functions import vector as V
+
+        try:
+            df = self._resolver(self._derived_for_index())(relation)
+            if column not in df.columns:
+                return None, None
+            cell = next(
+                (c for c in df.columns if c.lower() in ("label", "cell")), None
+            )
+            if cell is None:
+                df = df.withColumn(
+                    "__cell", V.lsh_bucket(F.col(column), 0, self._IVF_CELL_BITS)
+                )
+                cell = "__cell"
+            celled = df.persist()
+            celled.count()
+            _, cent_list = ivf_index(celled, cell, column)
+            self._ivf_frames[key] = celled
+            self._ivf_cents[key] = cent_list
+            return celled, cent_list
+        except Exception:
+            return None, None
 
     def _hnsw_resolver(self, h: HnswNearest, acc: Optional[DataFrame] = None) -> DataFrame:
         from inputlayer_spark.functions import vector as V
@@ -2126,6 +2182,28 @@ class IQLEngine:
                 "hnsw_nearest query must be a vector literal or bound variable"
             )
         qvals = [float(getattr(v, "value", v)) for v in h.query.values]
+        if self._index_kind(h.index) == "ivf":
+            # IVF probe: driver-side cell selection against the cached
+            # centroid artifact, exact rerank inside the probed cells;
+            # ef_search maps to the probe count (cells visited)
+            celled, cents = self._ivf_artifacts(h.index)
+            if celled is not None:
+                from inputlayer_spark.operators.similarity import ivf_knn
+
+                cell = next(
+                    c for c in celled.columns
+                    if c == "__cell" or c.lower() in ("label", "cell")
+                )
+                n_probe = max(1, min(int(h.ef_search or 3), len(cents)))
+                out = ivf_knn(
+                    celled, celled.columns[0], column, qvals, k=h.k,
+                    metric=metric, cell_col=cell, n_probe=n_probe, cents=cents,
+                )
+                return out.select(
+                    F.col("id").alias(h.id_var.name),
+                    F.col("dist").alias(h.dist_var.name),
+                )
+            # unbuildable artifact → LSH/exact fallback below
         if self._index_kind(h.index) == "hnsw":
             # exact in-process graph walk (reference hnsw_index.rs:214-223:
             # search_k with ef override); hnsw_nearest's ef_search argument
@@ -2429,6 +2507,8 @@ class IQLEngine:
                 self.current.indexes.pop(args[1], None)
                 self._index_frames.pop((self.current.name, args[1]), None)
                 self._hnsw_graphs.pop((self.current.name, args[1]), None)
+                self._ivf_frames.pop((self.current.name, args[1]), None)
+                self._ivf_cents.pop((self.current.name, args[1]), None)
             elif args and args[0] == "list":
                 rows = [
                     (name, meta[0], meta[1], meta[2])
@@ -2457,6 +2537,13 @@ class IQLEngine:
                         if g is not None
                         else ", lazy",
                     )
+                elif kind == "ivf":
+                    cents = self._ivf_cents.get((self.current.name, args[1]))
+                    kind_desc = "ivf cells ({})".format(
+                        f"{len(cents)} centroids, materialized"
+                        if cents is not None
+                        else "lazy"
+                    )
                 else:
                     kind_desc = "lsh-bucket artifact ({}x{} tables/bits{})".format(
                         self._INDEX_TABLES,
@@ -2484,8 +2571,18 @@ class IQLEngine:
                         except Exception:
                             pass
                     self._hnsw_graphs.pop((self.current.name, args[1]), None)
-                    if self._index_kind(args[1]) == "hnsw":
+                    old_ivf = self._ivf_frames.pop((self.current.name, args[1]), None)
+                    if old_ivf is not None:
+                        try:
+                            old_ivf.unpersist()
+                        except Exception:
+                            pass
+                    self._ivf_cents.pop((self.current.name, args[1]), None)
+                    kind = self._index_kind(args[1])
+                    if kind == "hnsw":
                         self._hnsw_graph(args[1])
+                    elif kind == "ivf":
+                        self._ivf_artifacts(args[1])
                     else:
                         self._index_frame(args[1])
         elif cmd == "session":

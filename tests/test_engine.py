@@ -497,3 +497,37 @@ def test_hnsw_typed_index_insert_invalidates_graph(engine):
     # the rebuilt graph contains the new row: top-2 = exact match (1) +
     # the near-duplicate inserted after index creation (3)
     assert {g[0] for g in got} == {1, 3}
+
+
+def test_ivf_typed_index_probe_and_fallback(engine):
+    """`.index create ... type ivf`: coarse cells derived from the
+    4-bit sign-hash quantizer when the relation has no label column;
+    literal hnsw_nearest queries probe the nearest cells driver-side
+    and exact-rerank inside them; ef_search = probe count. Writes
+    invalidate the artifact for lazy rebuild."""
+    engine.execute("+emb(id: int, v: vector)")
+    engine.execute(
+        "+emb[(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), "
+        "(3, [0.9, 0.1, 0.0]), (4, [0.0, 0.0, 1.0])]"
+    )
+    engine.execute(".index create vidx on emb(v) type ivf metric cosine")
+    assert engine._index_kind("vidx") == "ivf"
+    # probe budget = all cells → exact results guaranteed
+    got = rows(
+        engine.query(
+            '?n(Id, D), hnsw_nearest("vidx", [1.0, 0.0, 0.0], 2, Id, D, 16)'
+        )
+    )
+    assert [g[0] for g in got] == [1, 3]
+    assert ("default", "vidx") in engine._ivf_cents
+    stats = {r[0]: r[1] for r in engine.execute(".index stats vidx")[0].collect()}
+    assert stats["kind"].startswith("ivf cells")
+    # write → artifact dropped, rebuilt lazily with the new row included
+    engine.execute("+emb[(5, [0.95, 0.05, 0.0])]")
+    assert ("default", "vidx") not in engine._ivf_cents
+    got2 = rows(
+        engine.query(
+            '?n2(Id, D), hnsw_nearest("vidx", [1.0, 0.0, 0.0], 2, Id, D, 16)'
+        )
+    )
+    assert {g[0] for g in got2} == {1, 5}
