@@ -2271,6 +2271,20 @@ class IQLEngine:
                 self._derived_cache.clear()
             elif sub == "drop" and len(args) > 1:
                 self.kgs.pop(args[1], None)
+                # reclaim the dropped KG's cached index artifacts — in a
+                # long-lived server session these otherwise pin executor
+                # storage (persisted frames) and driver memory (graphs,
+                # centroids) for a namespace that no longer exists
+                for cache in (self._index_frames, self._ivf_frames):
+                    for key in [k for k in cache if k[0] == args[1]]:
+                        try:
+                            cache[key].unpersist()
+                        except Exception:
+                            pass
+                        cache.pop(key, None)
+                for cache in (self._hnsw_graphs, self._ivf_cents):
+                    for key in [k for k in cache if k[0] == args[1]]:
+                        cache.pop(key, None)
                 if self.current.name == args[1]:
                     self.current = self.kgs.setdefault("default", KnowledgeGraph("default"))
                     # dropping the current KG is a namespace switch like
