@@ -389,3 +389,50 @@ def test_scrub_pii_patterns(spark):
     ).collect()[0]
     assert row.s == ("mail <EMAIL>, ssn <SSN>, call <PHONE> from <IP> end")
     assert row.n == 4
+
+
+def test_hnsw_property_invariants():
+    """Property check (pure NumPy, no Spark): for random corpora and
+    random delete sets, the graph (a) never returns a tombstoned or
+    unknown id, (b) returns results sorted by distance, (c) with
+    ef = corpus size achieves exact top-k agreement with brute force —
+    the regime the reference's golden corpora operate in."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from inputlayer_spark.operators.hnsw import HnswGraph
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        n=st.integers(min_value=5, max_value=120),
+        dim=st.integers(min_value=2, max_value=16),
+        seed=st.integers(min_value=0, max_value=2**16),
+        n_del=st.integers(min_value=0, max_value=10),
+    )
+    def check(n, dim, seed, n_del):
+        rng = np.random.default_rng(seed)
+        vecs = rng.normal(size=(n, dim)).astype(np.float32)
+        g = HnswGraph(dim, "l2", m=8, ef_construction=60)
+        g.add_batch(range(n), vecs)
+        dels = set(int(x) for x in rng.choice(n, size=min(n_del, n - 1), replace=False))
+        for d in dels:
+            g.delete(d)
+        q = rng.normal(size=dim).astype(np.float32)
+        k = min(5, n - len(g.tombstones))
+        hits = g.search(q, k, ef=n + len(dels))
+        ids = [h[0] for h in hits]
+        dists = [h[1] for h in hits]
+        assert len(set(ids)) == len(ids)
+        assert not (set(ids) & g.tombstones)
+        assert all(0 <= i < n for i in ids)
+        assert dists == sorted(dists)
+        # exact agreement at full beam width (compact may have rebuilt
+        # the graph — live set = everything not deleted)
+        live = [i for i in range(n) if i not in dels]
+        d_all = np.linalg.norm(vecs[live] - q, axis=1)
+        order = sorted(range(len(live)), key=lambda j: (float(d_all[j]), live[j]))
+        expect = [live[j] for j in order[: len(ids)]]
+        assert ids == expect
+
+    check()
