@@ -767,7 +767,7 @@ def dred_retract(
     resolve_old: Resolver,
     resolve_new: Resolver,
     hnsw_resolver,
-    max_iterations: int = 10_000,
+    max_iterations: int = 24,
 ) -> Optional[Dict[str, DataFrame]]:
     """DRed (delete–rederive) maintenance of a positive recursive SCC's
     materialized fixpoint after base-fact deletions — the Spark analog of
@@ -788,7 +788,20 @@ def dred_retract(
     Caller guarantees: all rules positive (no negation), no aggregates,
     no hnsw predicates, `cached` holds every member's old extent, and
     non-member body relations are unaffected by the deletion.
-    Returns {member: maintained DataFrame}.
+    Returns {member: maintained DataFrame}, or None to signal the caller
+    to fall back to full recomputation.
+
+    Cost guard — WHEN DRed loses to recompute: the overdelete loop
+    propagates the deletion cone ONE derivation step per iteration
+    (linear rules), each iteration costing a handful of Spark jobs. On a
+    deep chain a single deleted edge near the end overdeletes
+    depth-many tuples across depth-many iterations — measured runaway
+    (hundreds of iterations × ~4 jobs) where the from-scratch
+    path-doubling recompute is LOG-depth. So DRed bails to recompute
+    when (a) the cone hasn't converged within `max_iterations` hops, or
+    (b) the overdeleted set exceeds half of the cached view (rederiving
+    most of the view = recomputing it, with extra bookkeeping). Bailing
+    is always safe: the caller invalidates and re-derives.
     """
     rules = list(scc_rules)
     members_set = set(members)
@@ -823,6 +836,7 @@ def dred_retract(
                         r, idx, deleted_df, cached_src, resolve_old, hnsw_resolver
                     ),
                 )
+    over_rows = 0
     for h in members_set:
         if seed[h] is None:
             continue
@@ -832,12 +846,17 @@ def dred_retract(
         cand, n = pin(cand)
         if n:
             over[h] = delta[h] = cand
+            over_rows += n
+
+    # cone-size budget: half the cached view (see docstring guard (b));
+    # counting cached extents costs one job per member, paid once
+    cone_budget = max(1, sum(cached[h].count() for h in members_set) // 2)
 
     iteration = 0
     while any(delta[h] is not None for h in members_set):
         iteration += 1
-        if iteration > max_iterations:
-            return None  # caller falls back to full recompute
+        if iteration > max_iterations or over_rows > cone_budget:
+            return None  # deep/wide cone: recompute (log-depth) wins
         new_tuples: Dict[str, Optional[DataFrame]] = {h: None for h in members_set}
         for r in rules:
             for idx, lit in enumerate(r.body):
@@ -870,6 +889,7 @@ def dred_retract(
             if n:
                 next_delta[h] = cand
                 over[h] = cand if over[h] is None else over[h].unionByName(cand)
+                over_rows += n
         delta = next_delta
 
     if all(over[h] is None for h in members_set):
