@@ -911,10 +911,15 @@ class IQLEngine:
         # a delete touching k groups no longer recomputes the whole view.
         # Column order restored first: the semi-join above puts join keys
         # leftmost, and rule atoms bind POSITIONALLY.
+        # pin the deleted rows ONCE (they're a tiny delta): every
+        # maintained view and the HNSW tombstone path read them from a
+        # checkpointed leaf instead of re-deriving the doomed-row plan —
+        # which embeds a full base scan — per consumer
+        doomed_pinned = doomed.select(*df.columns).localCheckpoint(eager=True)
         maintained = self._retract_maintain(
-            st.relation, doomed.select(*df.columns), new_base, old_base=df
+            st.relation, doomed_pinned, new_base, old_base=df
         )
-        kept_idx = self._hnsw_tombstone(st.relation, doomed.select(df.columns[0]))
+        kept_idx = self._hnsw_tombstone(st.relation, doomed_pinned.select(df.columns[0]))
         self._invalidate(st.relation, keep_indexes=kept_idx)
         for h, v in maintained.items():
             self._derived_cache[h] = v
@@ -1201,6 +1206,33 @@ class IQLEngine:
 
     _MERGEABLE_AGGS = ("sum", "count", "min", "max")
 
+
+    @staticmethod
+    def _is_materialized(df: DataFrame) -> bool:
+        """True when the frame is an RDD-backed leaf (localCheckpoint
+        output) rather than a lazy plan over base tables."""
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan()
+            return plan.getClass().getSimpleName() == "LogicalRDD"
+        except Exception:
+            return False
+
+    def _pinned_view(self, head: str) -> Optional[DataFrame]:
+        """The cached extent of `head`, guaranteed materialized: O(delta)
+        maintenance merges INTO the old view, so a lazy cached plan would
+        silently re-evaluate the whole view inside every merge (measured
+        at 2M rows: "incremental" slower than recompute). First
+        maintenance pins the view once; re-seeded maintenance results are
+        already checkpoint leaves, so steady-state deletes/inserts never
+        copy the view again."""
+        old = self._derived_cache.get(head)
+        if old is None:
+            return None
+        if not self._is_materialized(old):
+            old = old.localCheckpoint(eager=True)
+            self._derived_cache[head] = old
+        return old
+
     def try_delta_merge(
         self, head: str, delta_rel: str, delta_df: DataFrame, old_base: DataFrame
     ) -> Optional[DataFrame]:
@@ -1236,7 +1268,7 @@ class IQLEngine:
         aggs = [(i, t) for i, t in enumerate(r.head.terms) if isinstance(t, Agg)]
         if not aggs or any(t.func not in self._MERGEABLE_AGGS for _, t in aggs):
             return None
-        old = self._derived_cache.get(head)
+        old = self._pinned_view(head)
         if old is None:
             return None
 
@@ -1336,7 +1368,7 @@ class IQLEngine:
         ]
         if any(not isinstance(t, Var) for _, t in group_terms):
             return None
-        old = self._derived_cache.get(head)
+        old = self._pinned_view(head)
         if old is None:
             return None
 
@@ -1363,9 +1395,40 @@ class IQLEngine:
             c.startswith("_w") for c in deleted_body.columns
         ):
             return None
-        retracted = deleted_body.distinct().join(
-            new_body.distinct(), on=list(deleted_body.columns), how="left_anti"
+        # set-semantics check: a binding is retracted only if absent
+        # from the new base. Cost ladder:
+        #
+        # 1. When the body atom binds EVERY base column with distinct
+        #    plain variables (binding == full row — the common aggregate
+        #    shape `agg(...) <- base(A, B, C)`), no check is needed at
+        #    all: `_delete` removes every copy of a doomed row, so no
+        #    identical binding can survive. retracted = deleted
+        #    bindings, ZERO base scans — true O(delta).
+        # 2. Projecting bodies (wildcards/constants/fewer vars): a
+        #    projected binding may survive via other rows. Semi-join the
+        #    base DOWN to rows matching some deleted binding (broadcast
+        #    of the tiny delta — one streaming pass, no base shuffle;
+        #    a naive left-anti against the base would shuffle it fully,
+        #    measured slower than recompute at 2M rows), then anti-join
+        #    tiny-vs-tiny.
+        ded = deleted_body.distinct()
+        atom_terms = pos_atoms[0].terms
+        full_width_binding = (
+            len(atom_terms) == len(new_base.columns)
+            and all(
+                isinstance(t, Var) and not t.is_wildcard for t in atom_terms
+            )
+            and len({t.name for t in atom_terms}) == len(atom_terms)
         )
+        if full_width_binding:
+            retracted = ded
+        else:
+            survivors = new_body.join(
+                F.broadcast(ded), on=list(ded.columns), how="left_semi"
+            )
+            retracted = ded.join(
+                survivors, on=list(ded.columns), how="left_anti"
+            )
         gcols = [f"c{i}" for i, _ in group_terms]
 
         funcs = {t.func for _, t in aggs}
