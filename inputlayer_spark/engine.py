@@ -1295,8 +1295,18 @@ class IQLEngine:
                 c.startswith("_w") for c in delta_body.columns
             ):
                 return None
-            delta_body = delta_body.distinct().join(
-                old_body.distinct(), on=list(delta_body.columns), how="left_anti"
+            # bindings already present in the pre-append base must not
+            # re-contribute. A naive left-anti against the base would
+            # shuffle the whole base (left-anti can only broadcast its
+            # right side); instead semi-join the base DOWN to rows
+            # matching some delta binding — broadcast of the tiny delta,
+            # one streaming pass — then anti-join tiny-vs-tiny.
+            dd = delta_body.distinct()
+            existing = old_body.join(
+                F.broadcast(dd), on=list(dd.columns), how="left_semi"
+            )
+            delta_body = dd.join(
+                existing, on=list(dd.columns), how="left_anti"
             )
         delta_view = compile_head(delta_body, r.head)
 
