@@ -2032,6 +2032,7 @@ class IQLEngine:
         column: str,
         metric: str = "cosine",
         kind: str = "lsh",
+        params: Optional[dict] = None,
     ) -> None:
         """`.index create` — two index kinds:
 
@@ -2052,7 +2053,7 @@ class IQLEngine:
         cannot be built (e.g. empty/typeless relations)."""
         if kind not in ("lsh", "hnsw", "ivf"):
             raise CompileError(f"Index error: unsupported index type '{kind}'")
-        self.current.indexes[name] = (relation, column, metric, kind)
+        self.current.indexes[name] = (relation, column, metric, kind, params or {})
         self._index_frames.pop((self.current.name, name), None)
         self._hnsw_graphs.pop((self.current.name, name), None)
         self._ivf_frames.pop((self.current.name, name), None)
@@ -2088,8 +2089,16 @@ class IQLEngine:
             )
             if not rows:
                 return None
+            meta = self.current.indexes[name]
+            params = dict(meta[4]) if len(meta) > 4 and meta[4] else {}
             dim = len(rows[0][1])
-            g = HnswGraph(dim, metric=metric)
+            g = HnswGraph(
+                dim,
+                metric=metric,
+                m=int(params.get("m", 16)),
+                ef_construction=int(params.get("ef_construction", 100)),
+                ef_search=int(params.get("ef_search", 50)),
+            )
             g.add_batch(
                 [r[0] for r in rows],
                 [[float(x) for x in r[1]] for r in rows],
@@ -2569,6 +2578,10 @@ class IQLEngine:
                 # candidates via equi-join, no driver state); `type hnsw`
                 # opts into the reference's exact in-process graph
                 kind = "lsh"
+                # HNSW graph parameters (reference index syntax,
+                # packages/inputlayer-py index.py: `... type hnsw metric m
+                # <m> ef_construction <c> ef_search <s>`)
+                params = {}
                 for j, a in enumerate(args):
                     if a == "(" and j + 1 < len(args):
                         col = args[j + 1]
@@ -2576,6 +2589,11 @@ class IQLEngine:
                         metric = args[j + 1]
                     if a == "type" and j + 1 < len(args):
                         kind = args[j + 1]
+                    if a in ("m", "ef_construction", "ef_search") and j + 1 < len(args):
+                        try:
+                            params[a] = int(args[j + 1])
+                        except ValueError:
+                            pass
                 if rel not in self.current.schemas:
                     # the reference requires a registered schema before an
                     # index can be created (handler "Index error: No schema
@@ -2584,7 +2602,9 @@ class IQLEngine:
                         f"Index error: No schema found for relation "
                         f"'{rel}'. Register a schema first."
                     )
-                self.create_index(name, rel, col or "", metric, kind=kind)
+                self.create_index(
+                    name, rel, col or "", metric, kind=kind, params=params
+                )
             elif args and args[0] == "drop" and len(args) > 1:
                 if args[1] not in self.current.indexes:
                     raise CompileError(

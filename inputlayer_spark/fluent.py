@@ -275,3 +275,27 @@ class Query:
 
 def query(goal: Atom, *body: _Expr, limit=None, offset=None) -> Query:
     return Query(goal, *body, limit=limit, offset=offset)
+
+
+@dataclass(frozen=True)
+class HnswIndex:
+    """Fluent HNSW index declaration (reference SDK index.py):
+    compiles to the `.index create ... type hnsw metric <m> m <M>
+    ef_construction <C> ef_search <S>` meta command the engine parses
+    into a parameterized graph build."""
+
+    name: str
+    relation: str
+    column: str
+    metric: str = "cosine"
+    m: int = 16
+    ef_construction: int = 100
+    ef_search: int = 50
+
+    def iql(self) -> str:
+        return (
+            f".index create {self.name} on {self.relation}({self.column}) "
+            f"type hnsw metric {self.metric} "
+            f"m {self.m} ef_construction {self.ef_construction} "
+            f"ef_search {self.ef_search}"
+        )

@@ -41,3 +41,29 @@ def test_end_to_end_through_engine(engine):
     engine.execute((rule(path(X, Z)) << [edge(X, Y), path(Y, Z)]).iql())
     got = rows(engine.query(query(path(V.X, V.Y), V.X == 1).iql()))
     assert got == [(1, 2), (1, 3), (1, 4)]
+
+
+def test_hnsw_index_declaration(engine):
+    """Fluent HnswIndex compiles to the reference's parameterized
+    index command, and the engine honors m/ef parameters in the graph
+    it builds (reference SDK index.py)."""
+    from inputlayer_spark.fluent import HnswIndex
+
+    decl = HnswIndex("vidx", "emb", "v", metric="cosine", m=8,
+                     ef_construction=40, ef_search=24)
+    assert decl.iql() == (
+        ".index create vidx on emb(v) type hnsw metric cosine "
+        "m 8 ef_construction 40 ef_search 24"
+    )
+    engine.execute("+emb(id: int, v: vector)")
+    engine.execute("+emb[(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])]")
+    engine.execute(decl.iql())
+    got = sorted(
+        tuple(r)[0]
+        for r in engine.query(
+            '?n(Id, D), hnsw_nearest("vidx", [1.0, 0.0], 2, Id, D)'
+        ).collect()
+    )
+    assert got == [1, 3]
+    g = engine._hnsw_graphs[("default", "vidx")]
+    assert (g.m, g.ef_construction, g.ef_search) == (8, 40, 24)
