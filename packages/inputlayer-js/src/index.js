@@ -18,3 +18,4 @@ export {
 } from "./errors.js";
 export { compileValue, insertStatement, deleteStatement } from "./iql.js";
 export { WsConn, encodeFrame, decodeFrames } from "./ws.js";
+export { V, ANY, rel, not, agg, fn, rule, sessionRule, query } from "./fluent.js";

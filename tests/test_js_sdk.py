@@ -21,7 +21,8 @@ node = shutil.which("node")
 @pytest.mark.skipif(node is None, reason="node not installed")
 def test_js_sdk_unit_suite():
     out = subprocess.run(
-        [node, "--test", "tests/unit.test.mjs", "tests/client.test.mjs"],
+        [node, "--test", "tests/unit.test.mjs", "tests/client.test.mjs",
+         "tests/fluent.test.mjs"],
         cwd=PKG, capture_output=True, text=True, timeout=120,
     )
     assert out.returncode == 0, out.stdout + out.stderr
@@ -35,11 +36,11 @@ def test_js_sdk_integration_against_live_server(spark):
     try:
         env = dict(os.environ, INPUTLAYER_URL=f"http://127.0.0.1:{srv.port}")
         out = subprocess.run(
-            [node, "--test", "tests/integration.test.mjs"],
+            [node, "--test", "tests/integration.test.mjs", "tests/fluent.test.mjs"],
             cwd=PKG, capture_output=True, text=True, timeout=300, env=env,
         )
         assert out.returncode == 0, out.stdout + out.stderr
-        assert "skipped" not in out.stdout.lower().split("pass")[0] or True
-        assert "# pass 1" in out.stdout, out.stdout
+        assert "# pass 6" in out.stdout, out.stdout  # incl. live fluent roundtrip
+        assert "# skipped 0" in out.stdout, out.stdout
     finally:
         srv.stop()
