@@ -895,6 +895,27 @@ def q_embedding_dedup_bucketed(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A.1.1):
+    duplicate-line fraction (computed over the word-per-line view so the
+    synthetic corpus exercises it) and top-bigram occurrence fraction —
+    both single-pass array expressions in whole-stage codegen, no UDFs,
+    no shuffle beyond the scan."""
+    from inputlayer_spark.functions.text import (
+        dup_line_fraction,
+        top_bigram_fraction,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.round(dup_line_fraction(F.translate(F.col("text"), " ", "\n")), 6).alias(
+            "dup_line_frac"
+        ),
+        F.round(top_bigram_fraction(F.col("text")), 6).alias("top_bigram_frac"),
+    )
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of the corpus against a
     20-doc "eval set" (docs 0-19 stand in for a benchmark), ≥3 shared
@@ -1022,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "repetition": q_repetition,
         "contamination": q_contamination,
         "pii_scrub": q_pii_scrub,
         "media_features": q_media_features,
@@ -1349,6 +1371,26 @@ def oracle_sql() -> dict[str, str]:
             "WHERE p.shared::DOUBLE / (s1.n + s2.n - p.shared) >= 0.05"
         ),
         "simhash": _simhash_sql(),
+        # repetition: duplicate-line fraction over the word-per-line
+        # view + top-bigram fraction via per-doc group-count max
+        "repetition": (
+            "WITH lines AS (SELECT doc_id, list_filter("
+            "  string_split(translate(text, ' ', chr(10)), chr(10)),"
+            "  l -> trim(l) <> '') AS ls FROM documents), "
+            "dl AS (SELECT doc_id, CASE WHEN len(ls) <= 0 THEN 0.0 ELSE "
+            "  (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls) END AS f "
+            "FROM lines), "
+            "grams AS (SELECT doc_id, unnest(" + _SHINGLES2 + ") AS g, "
+            f"  len({_SHINGLES2}) AS n FROM documents), "
+            "tb AS (SELECT doc_id, CASE WHEN any_value(n) <= 1 THEN 0.0 ELSE "
+            "  max(cnt)::DOUBLE / any_value(n) END AS f FROM ("
+            "    SELECT doc_id, n, count(*) AS cnt FROM grams "
+            "    GROUP BY doc_id, n, g) GROUP BY doc_id) "
+            "SELECT d.doc_id, round(dl.f, 6) AS dup_line_frac, "
+            "round(tb.f, 6) AS top_bigram_frac "
+            "FROM documents d JOIN dl ON dl.doc_id = d.doc_id "
+            "JOIN tb ON tb.doc_id = d.doc_id"
+        ),
         # contamination: same 5-gram overlap in DuckDB; shingle formula
         # mirrors _SHINGLES2's slice form for n=5
         "contamination": (

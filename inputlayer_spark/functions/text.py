@@ -203,3 +203,49 @@ def pii_count(text: Column) -> Column:
     for _, pat, _ in PII_PATTERNS:
         total = total + F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
     return total
+
+
+# ----------------------------------------------------------- repetition
+
+def dup_line_fraction(text: Column) -> Column:
+    """Fraction of lines that are duplicates of an earlier line —
+    the Gopher repetition filter's first signal (Rae et al. 2021,
+    §A.1.1: documents with a high duplicate-line fraction are
+    boilerplate/spam). Pure array expressions: split → count distinct
+    non-empty lines vs total."""
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(lines))).cast("double") / n
+    )
+
+
+def top_bigram_fraction(text: Column) -> Column:
+    """Fraction of the document's word-bigram occurrences taken by the
+    single most frequent bigram (Gopher's top-n-gram signal: chants and
+    keyword stuffing repeat one n-gram).
+
+    Single-pass formulation: sort the bigram array, then one
+    `F.aggregate` run-length scan (state = last gram, current run,
+    best run). A per-distinct-gram `filter` count would inline the
+    gram expression per element — the O(len²) re-evaluation trap
+    (see shingles_from_tokens)."""
+    grams = F.array_sort(shingles_from_tokens(tokens(text), 2))
+    n = F.size(grams)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    scan = F.aggregate(
+        grams,
+        init,
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.when(n <= 1, F.lit(0.0)).otherwise(scan.cast("double") / n)

@@ -436,3 +436,33 @@ def test_hnsw_property_invariants():
         assert ids == expect
 
     check()
+
+
+def test_repetition_signals(spark):
+    from pyspark.sql import functions as F
+
+    from inputlayer_spark.functions.text import (
+        dup_line_fraction,
+        top_bigram_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\na\n\nc"),      # 5 non-empty lines, 2 dup 'a's
+            (2, "x\ny"),                 # no dups
+            (3, "buy now buy now buy now entirely"),  # dominant bigram
+        ],
+        "id long, t string",
+    )
+    got = {
+        r.id: (round(r.d, 4), round(r.b, 4))
+        for r in df.select(
+            "id",
+            dup_line_fraction(F.col("t")).alias("d"),
+            top_bigram_fraction(F.col("t")).alias("b"),
+        ).collect()
+    }
+    assert got[1][0] == round(2 / 5, 4)
+    assert got[2][0] == 0.0
+    # "buy now" occurs 3 times of 6 bigrams
+    assert got[3][1] == 0.5
