@@ -379,3 +379,37 @@ def test_readonly_meta_commands_not_wal_logged(spark, tmp_path):
     assert os.path.getsize(log) == size_before
     eng.execute(".kg create aux")
     assert os.path.getsize(log) > size_before
+
+
+def test_wal_and_snapshot_roundtrip_parameterized_index(spark, tmp_path):
+    """Index metadata — including kind and HNSW graph parameters —
+    survives both recovery paths: WAL replay of the `.index create`
+    statement, and `.compact` snapshot catalogs (5-tuple round-trip)."""
+    wal = str(tmp_path / "wal")
+    eng = IQLEngine(spark, wal_dir=wal)
+    eng.execute("+emb(id: int, v: vector)")
+    eng.execute("+emb[(1, [1.0, 0.0]), (2, [0.0, 1.0])]")
+    eng.execute(
+        ".index create vidx on emb(v) type hnsw metric cosine "
+        "m 8 ef_construction 40 ef_search 24"
+    )
+    # WAL replay path
+    eng2 = IQLEngine(spark, wal_dir=wal)
+    meta = eng2.current.indexes["vidx"]
+    assert meta[:4] == ("emb", "v", "cosine", "hnsw")
+    assert meta[4] == {"m": 8, "ef_construction": 40, "ef_search": 24}
+    g = eng2._hnsw_graph("vidx")
+    assert (g.m, g.ef_construction, g.ef_search) == (8, 40, 24)
+    # snapshot catalog path
+    eng2.execute(".compact")
+    eng3 = IQLEngine(spark, wal_dir=wal)
+    meta3 = eng3.current.indexes["vidx"]
+    assert tuple(meta3[:4]) == ("emb", "v", "cosine", "hnsw")
+    assert dict(meta3[4]) == {"m": 8, "ef_construction": 40, "ef_search": 24}
+    got = sorted(
+        r[0]
+        for r in eng3.query(
+            '?n(Id, D), hnsw_nearest("vidx", [1.0, 0.0], 1, Id, D)'
+        ).collect()
+    )
+    assert got == [1]
