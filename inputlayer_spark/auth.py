@@ -88,13 +88,20 @@ class AuthStore:
     def __init__(self, path: Optional[str] = None):
         self.path = path
         self.users: Dict[str, dict] = {}  # username -> {password, role}
-        self.api_keys: Dict[str, str] = {}  # sha256(key) -> username
+        # sha256(key) -> {"username": owner, "label": label} (reference
+        # api_keys tuples are (label, key_hash, username),
+        # handler.rs:1549-1575). Stores written before labels existed
+        # hold bare username strings and are upgraded on load.
+        self.api_keys: Dict[str, dict] = {}
         self.kg_acls: Dict[str, Dict[str, str]] = {}  # kg -> {user: kg_role}
         if path and os.path.exists(path):
             with open(path) as fh:
                 data = json.load(fh)
             self.users = data.get("users", {})
-            self.api_keys = data.get("api_keys", {})
+            self.api_keys = {
+                h: (v if isinstance(v, dict) else {"username": v, "label": ""})
+                for h, v in data.get("api_keys", {}).items()
+            }
             self.kg_acls = data.get("kg_acls", {})
 
     def save(self) -> None:
@@ -159,26 +166,89 @@ class AuthStore:
             return AuthIdentity(username, u["role"])
         return None
 
+    def drop_user(self, username: str) -> None:
+        """`.user drop` — the reference refuses to drop 'admin' and
+        cascades: the user's API keys and KG ACL entries are revoked too
+        (handler.rs:1373-1441)."""
+        if username == "admin":
+            raise ValueError("Cannot drop the 'admin' user")
+        if username not in self.users:
+            raise ValueError(f"User '{username}' not found")
+        del self.users[username]
+        for h in [h for h, e in self.api_keys.items() if e["username"] == username]:
+            del self.api_keys[h]
+        for kg in list(self.kg_acls):
+            self.kg_acls[kg].pop(username, None)
+        self.save()
+
+    def set_password(self, username: str, password: str) -> None:
+        if username not in self.users:
+            raise ValueError(f"User '{username}' not found")
+        self.users[username]["password"] = hash_password(password)
+        self.save()
+
+    def set_role(self, username: str, role: str) -> None:
+        """`.user role` — role validated, and the 'admin' user cannot be
+        demoted (handler.rs:1494-1505)."""
+        if role not in VALID_ROLES:
+            raise ValueError(
+                f"Unknown role '{role}'. Valid roles: admin, editor, viewer"
+            )
+        if username == "admin" and role != "admin":
+            raise ValueError("Cannot change the 'admin' user's role")
+        if username not in self.users:
+            raise ValueError(f"User '{username}' not found")
+        self.users[username]["role"] = role
+        self.save()
+
+    def list_users(self):
+        """Sorted (username, role) — never the password hash
+        (handler.rs:1275-1300)."""
+        return sorted((u, e["role"]) for u, e in self.users.items())
+
     # ---------------------------------------------------------- api keys
 
-    def issue_api_key(self, username: str) -> str:
+    def issue_api_key(self, username: str, label: str = "") -> str:
         """Generate + register a key for an existing user; only the hash
         is stored (the plaintext key is returned once, never persisted)."""
         if username not in self.users:
             raise ValueError(f"unknown user {username!r}")
         key = generate_api_key()
-        self.api_keys[hash_api_key(key)] = username
+        self.api_keys[hash_api_key(key)] = {"username": username, "label": label}
         self.save()
         return key
 
+    def create_labeled_key(self, label: str, owner: str) -> str:
+        """`.apikey create <label>` — labels are unique; the plaintext
+        key is returned once and never persisted (handler.rs:1549-1612)."""
+        if any(e["label"] == label for e in self.api_keys.values()):
+            raise ValueError(f"API key with label '{label}' already exists")
+        key = generate_api_key()
+        self.api_keys[hash_api_key(key)] = {"username": owner, "label": label}
+        self.save()
+        return key
+
+    def revoke_key_by_label(self, label: str) -> None:
+        h = next(
+            (h for h, e in self.api_keys.items() if e["label"] == label), None
+        )
+        if h is None:
+            raise ValueError(f"API key '{label}' not found")
+        del self.api_keys[h]
+        self.save()
+
+    def list_api_keys(self):
+        """Sorted (label, owner) — never the hash (handler.rs:1614-1662)."""
+        return sorted((e["label"], e["username"]) for e in self.api_keys.values())
+
     def authenticate_api_key(self, key: str) -> Optional[AuthIdentity]:
-        username = self.api_keys.get(hash_api_key(key))
-        if username is None:
+        entry = self.api_keys.get(hash_api_key(key))
+        if entry is None:
             return None
-        u = self.users.get(username)
+        u = self.users.get(entry["username"])
         if u is None:
             return None
-        return AuthIdentity(username, u["role"])
+        return AuthIdentity(entry["username"], u["role"])
 
 
 # ------------------------------------------------------------ authorization
@@ -203,6 +273,12 @@ def authorize(identity: AuthIdentity, statement) -> None:
         # compaction is a system-level operation (auth.rs Layer 1)
         raise PermissionError(
             "Permission denied: compaction requires the admin role"
+        )
+    if cmd in ("user", "apikey"):
+        # user + API-key management is admin-only (reference
+        # handler.rs:3601-3612 routes these through admin privileges)
+        raise PermissionError(
+            "Permission denied: user/API key commands require admin privileges"
         )
     if cmd == "kg" and sub == "create" and identity.role == "viewer":
         raise PermissionError(
@@ -246,7 +322,7 @@ def target_kg(statement, current_kg: str):
                 return args[2] if len(args) > 2 else current_kg
             if sub in ("create", "list", "show", ""):
                 return None
-        if statement.command in ("status", "help", "compact"):
+        if statement.command in ("status", "help", "compact", "user", "apikey"):
             return None  # system-level (layer 1 territory)
     return current_kg
 

@@ -156,6 +156,12 @@ class IQLEngine:
         # src/hnsw_index.rs:27-64). Deletes tombstone into a live graph
         # (_hnsw_tombstone); other writes drop it for lazy rebuild.
         self._hnsw_graphs: Dict[Tuple[str, str], "object"] = {}
+        # (kg, index name) -> ShardedHnswIndex for kind="hnsw" indexes
+        # whose relation exceeds the driver-collect cap: per-shard graphs
+        # are built executor-side at index-create time and persisted;
+        # queries load-and-probe (operators/hnsw.py ShardedHnswIndex)
+        self._sharded_hnsw: Dict[Tuple[str, str], "object"] = {}
+        self._hnsw_shard_gen = 0  # unique build dirs across rebuilds
         # write-ahead statement log + snapshot dir: when set, persistent
         # mutations are appended durably and replayed on startup over the
         # last snapshot (reference src/storage/persist/wal.rs:76-122,
@@ -225,6 +231,11 @@ class IQLEngine:
                 target = self.current.indexes.get(iname, (None,))[0]
                 if target in dirty:
                     self._hnsw_graphs.pop((kg, iname), None)
+        for (kg, iname) in list(self._sharded_hnsw):
+            if kg == self.current.name:
+                target = self.current.indexes.get(iname, (None,))[0]
+                if target in dirty:
+                    self._drop_sharded_hnsw((kg, iname))
         for (kg, iname), frame in list(self._ivf_frames.items()):
             if kg == self.current.name:
                 target = self.current.indexes.get(iname, (None,))[0]
@@ -2056,6 +2067,7 @@ class IQLEngine:
         self.current.indexes[name] = (relation, column, metric, kind, params or {})
         self._index_frames.pop((self.current.name, name), None)
         self._hnsw_graphs.pop((self.current.name, name), None)
+        self._drop_sharded_hnsw((self.current.name, name))
         self._ivf_frames.pop((self.current.name, name), None)
         self._ivf_cents.pop((self.current.name, name), None)
 
@@ -2063,25 +2075,89 @@ class IQLEngine:
         meta = self.current.indexes.get(name) or ()
         return meta[3] if len(meta) > 3 else "lsh"
 
+    @staticmethod
+    def _hnsw_driver_cap() -> int:
+        """Max corpus rows a `type hnsw` index may collect to the driver
+        (read per call so tests/deployments can tune it). Above the cap
+        the index builds the SHARDED executor-side graphs instead — an
+        unbounded collect on a 100 TB relation would OOM the driver."""
+        import os as _os
+
+        return int(_os.environ.get("SPARK_GRAFT_HNSW_DRIVER_CAP", "100000"))
+
+    def _hnsw_shard_dir(self, name: str) -> str:
+        """Unique build directory for one sharded-HNSW build. Rooted in
+        wal_dir when durable, else a per-engine temp dir; a fresh
+        generation per rebuild so stale worker-side caches keyed by dir
+        can never serve a dropped graph."""
+        import os as _os
+        import tempfile as _tempfile
+
+        root = getattr(self, "_hnsw_shard_root", None)
+        if root is None:
+            if self.wal_dir:
+                root = _os.path.join(self.wal_dir, "hnsw_shards")
+            else:
+                root = _tempfile.mkdtemp(prefix="sparkgraft-hnsw-")
+            self._hnsw_shard_root = root
+        self._hnsw_shard_gen += 1
+        return _os.path.join(
+            root, f"{self.current.name}-{name}-g{self._hnsw_shard_gen:04d}"
+        )
+
+    def _drop_sharded_hnsw(self, key) -> None:
+        import shutil as _shutil
+
+        idx = self._sharded_hnsw.pop(key, None)
+        if idx is not None:
+            try:
+                idx.invalidate_cache()
+                _shutil.rmtree(idx.dir, ignore_errors=True)
+            except Exception:
+                pass
+
     def _hnsw_graph(self, name: str):
         """Lazily-built driver-side HnswGraph for a kind="hnsw" index:
         corpus collected ONCE ordered by id (deterministic insertion
         order → deterministic graph), cached until a dependent write.
-        Returns None when the corpus can't index (missing/ragged vector
-        column, duplicate ids) — callers fall back to LSH/exact."""
+
+        The collect is CAPPED (_hnsw_driver_cap): a corpus above the cap
+        builds a ShardedHnswIndex instead — per-partition graphs built
+        and persisted executor-side, registered in self._sharded_hnsw —
+        and this returns None so callers take the sharded path.
+        Returns None too when the corpus can't index (missing/ragged
+        vector column, duplicate ids) — callers fall back to LSH/exact."""
         key = (self.current.name, name)
         cached = self._hnsw_graphs.get(key)
         if cached is not None:
             return cached
         relation, column = self.current.indexes[name][:2]
         metric = self.current.indexes[name][2]
-        from inputlayer_spark.operators.hnsw import HnswGraph
+        from inputlayer_spark.operators.hnsw import HnswGraph, ShardedHnswIndex
 
         try:
             df = self._resolver(self._derived_for_index())(relation)
             if column not in df.columns:
                 return None
             id_col = df.columns[0]
+            meta = self.current.indexes[name]
+            params = dict(meta[4]) if len(meta) > 4 and meta[4] else {}
+            cap = self._hnsw_driver_cap()
+            # bounded existence probe: scans at most cap+1 rows, never
+            # the whole relation
+            if df.limit(cap + 1).count() > cap:
+                if key not in self._sharded_hnsw:
+                    self._sharded_hnsw[key] = ShardedHnswIndex.build(
+                        df,
+                        id_col,
+                        column,
+                        self._hnsw_shard_dir(name),
+                        metric=metric,
+                        m=int(params.get("m", 16)),
+                        ef_construction=int(params.get("ef_construction", 100)),
+                        ef_search=int(params.get("ef_search", 64)),
+                    )
+                return None
             rows = (
                 df.select(F.col(id_col), F.col(column))
                 .orderBy(F.col(id_col).asc())
@@ -2089,8 +2165,6 @@ class IQLEngine:
             )
             if not rows:
                 return None
-            meta = self.current.indexes[name]
-            params = dict(meta[4]) if len(meta) > 4 and meta[4] else {}
             dim = len(rows[0][1])
             g = HnswGraph(
                 dim,
@@ -2297,6 +2371,17 @@ class IQLEngine:
                     return self.spark.createDataFrame(
                         [(hid, float(d)) for hid, d in hits]
                     ).toDF(h.id_var.name, h.dist_var.name)
+            sharded = self._sharded_hnsw.get((self.current.name, h.index))
+            if sharded is not None:
+                # over-cap corpus: probe the persisted per-shard graphs
+                # (build happened at index-create / first touch, NOT here)
+                out = sharded.search(
+                    self.spark, qvals, k=h.k, ef=(h.ef_search or None)
+                )
+                return out.select(
+                    F.col("id").alias(h.id_var.name),
+                    F.col("dist").alias(h.dist_var.name),
+                )
             # unbuildable graph (ragged/duplicate-id corpus) → LSH/exact
         idx = self._index_frame(h.index)
         if idx is not None:
@@ -2352,7 +2437,14 @@ class IQLEngine:
                 self.session_facts.clear()
                 self._derived_cache.clear()
             elif sub == "drop" and len(args) > 1:
-                self.kgs.pop(args[1], None)
+                dropped = self.kgs.pop(args[1], None)
+                # drop-time ACL cleanup (reference handler.rs drops the
+                # KG's ACL entries after a successful drop): a stale
+                # owner/editor entry would silently grant the old user
+                # full access to a future re-created KG of the same name
+                if dropped is not None and self.auth_store is not None:
+                    self.auth_store.kg_acls.pop(args[1], None)
+                    self.auth_store.save()
                 # reclaim the dropped KG's cached index artifacts — in a
                 # long-lived server session these otherwise pin executor
                 # storage (persisted frames) and driver memory (graphs,
@@ -2367,6 +2459,8 @@ class IQLEngine:
                 for cache in (self._hnsw_graphs, self._ivf_cents):
                     for key in [k for k in cache if k[0] == args[1]]:
                         cache.pop(key, None)
+                for key in [k for k in self._sharded_hnsw if k[0] == args[1]]:
+                    self._drop_sharded_hnsw(key)
                 if self.current.name == args[1]:
                     self.current = self.kgs.setdefault("default", KnowledgeGraph("default"))
                     # dropping the current KG is a namespace switch like
@@ -2410,6 +2504,82 @@ class IQLEngine:
                         "ACL error: usage .kg acl grant <kg> <user> <role> "
                         "| revoke <kg> <user> | list <kg>"
                     )
+        elif cmd == "user":
+            # .user list | create <u> <p> <role> | drop <u> |
+            # password <u> <p> | role <u> <role> — reference
+            # src/statement/meta.rs:747-796 parsed surface routed to the
+            # AuthStore (reference handler.rs:1275-1546 semantics: list
+            # never shows hashes, 'admin' cannot be dropped or demoted,
+            # drop cascades API keys + KG ACLs). Admin-gated by layer-1
+            # authorize() on the server path.
+            if self.auth_store is None:
+                raise CompileError(
+                    "User error: no auth store configured on this engine"
+                )
+            usage = (
+                "Usage: .user list | .user create <username> <password> "
+                "<role> | .user drop <username> | .user password "
+                "<username> <password> | .user role <username> <role>"
+            )
+            sub = args[0] if args else ""
+            try:
+                if sub == "list":
+                    rows = self.auth_store.list_users()
+                    return self.spark.createDataFrame(
+                        rows or [("", "")],
+                        schema="username string, role string",
+                    ).filter(F.col("username") != "")
+                elif sub == "create" and len(args) > 3:
+                    if args[1] in self.auth_store.users:
+                        raise ValueError(f"User '{args[1]}' already exists")
+                    self.auth_store.add_user(args[1], args[2], role=args[3])
+                elif sub == "drop" and len(args) > 1:
+                    self.auth_store.drop_user(args[1])
+                elif sub == "password" and len(args) > 2:
+                    self.auth_store.set_password(args[1], args[2])
+                elif sub == "role" and len(args) > 2:
+                    self.auth_store.set_role(args[1], args[2])
+                else:
+                    raise CompileError(f"User error: {usage}")
+            except ValueError as exc:
+                raise CompileError(f"User error: {exc}") from None
+        elif cmd == "apikey":
+            # .apikey list | create <label> | revoke <label> — reference
+            # meta.rs:799-816 + handler.rs:1549-1704: labels are unique,
+            # create returns (label, api_key) with the plaintext shown
+            # exactly once, list shows (label, owner) and never the hash.
+            if self.auth_store is None:
+                raise CompileError(
+                    "ApiKey error: no auth store configured on this engine"
+                )
+            sub = args[0] if args else ""
+            try:
+                if sub == "list":
+                    rows = self.auth_store.list_api_keys()
+                    return self.spark.createDataFrame(
+                        rows or [("", "")],
+                        schema="label string, owner string",
+                    ).filter(F.col("label") != "")
+                elif sub == "create" and len(args) > 1:
+                    # key owner = the authenticated caller (the server
+                    # sets auth_identity before execute); "admin" when
+                    # unauthenticated (handler.rs:4433-4436)
+                    owner = getattr(
+                        getattr(self, "auth_identity", None), "username", "admin"
+                    )
+                    key = self.auth_store.create_labeled_key(args[1], owner)
+                    return self.spark.createDataFrame(
+                        [(args[1], key)], schema="label string, api_key string"
+                    )
+                elif sub == "revoke" and len(args) > 1:
+                    self.auth_store.revoke_key_by_label(args[1])
+                else:
+                    raise CompileError(
+                        "ApiKey error: Usage: .apikey list | .apikey create "
+                        "<label> | .apikey revoke <label>"
+                    )
+            except ValueError as exc:
+                raise CompileError(f"ApiKey error: {exc}") from None
         elif cmd == "rel":
             if args and args[0] == "list":
                 rows = []
@@ -2614,6 +2784,7 @@ class IQLEngine:
                 self.current.indexes.pop(args[1], None)
                 self._index_frames.pop((self.current.name, args[1]), None)
                 self._hnsw_graphs.pop((self.current.name, args[1]), None)
+                self._drop_sharded_hnsw((self.current.name, args[1]))
                 self._ivf_frames.pop((self.current.name, args[1]), None)
                 self._ivf_cents.pop((self.current.name, args[1]), None)
             elif args and args[0] == "list":

@@ -121,18 +121,37 @@ class ReplaceRule:
         return f"Replace rule {self.name}"
 
 
+def _render_index_create(name, relation, column, kind, metric, params) -> str:
+    """The `.index create` IQL an index op renders — params (m /
+    ef_construction / ef_search) appended in the engine's accepted
+    key-value syntax so parameterized indexes survive a
+    migrate/rollback round-trip."""
+    cmd = (
+        f".index create {name} on {relation} ( {column} ) "
+        f"type {kind} metric {metric}"
+    )
+    for k, v in dict(params or ()).items():
+        cmd += f" {k} {v}"
+    return cmd
+
+
 @dataclass(frozen=True)
 class CreateIndex:
     name: str
     relation: str
     column: str
     metric: str = "cosine"
-    kind: str = "hnsw"
+    # engine default (engine.py `.index create` parse): the distributed
+    # LSH artifact, NOT hnsw
+    kind: str = "lsh"
+    params: Tuple[Tuple[str, int], ...] = ()
 
     def forward_commands(self) -> List[str]:
         return [
-            f".index create {self.name} on {self.relation} ( {self.column} ) "
-            f"type {self.kind} metric {self.metric}"
+            _render_index_create(
+                self.name, self.relation, self.column, self.kind,
+                self.metric, self.params,
+            )
         ]
 
     def backward_commands(self) -> List[str]:
@@ -148,15 +167,18 @@ class DropIndex:
     relation: str
     column: str
     metric: str = "cosine"
-    kind: str = "hnsw"
+    kind: str = "lsh"
+    params: Tuple[Tuple[str, int], ...] = ()
 
     def forward_commands(self) -> List[str]:
         return [f".index drop {self.name}"]
 
     def backward_commands(self) -> List[str]:
         return [
-            f".index create {self.name} on {self.relation} ( {self.column} ) "
-            f"type {self.kind} metric {self.metric}"
+            _render_index_create(
+                self.name, self.relation, self.column, self.kind,
+                self.metric, self.params,
+            )
         ]
 
     def describe(self) -> str:
@@ -207,7 +229,12 @@ def operation_from_dict(d: Dict[str, Any]):
         raise MigrationError(f"unknown operation type {d.get('type')!r}")
     kwargs = {}
     for f_ in cls.__dataclass_fields__.values():
-        v = d.get(f_.name)
+        if f_.name not in d:
+            # absent keys fall through to the dataclass default (a
+            # migration file omitting optional metric/kind/params must
+            # not deserialize to None and render `type None`)
+            continue
+        v = d[f_.name]
         if isinstance(v, list):
             v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
         kwargs[f_.name] = v
@@ -246,8 +273,10 @@ class ModelState:
         for name, meta in engine.current.indexes.items():
             rel, col, metric = meta[:3]
             kind = meta[3] if len(meta) > 3 else "lsh"
+            params = meta[4] if len(meta) > 4 and meta[4] else {}
             st.indexes[name] = {
                 "relation": rel, "column": col, "metric": metric, "kind": kind,
+                "params": tuple(sorted(params.items())),
             }
         return st
 
@@ -265,7 +294,17 @@ class ModelState:
                 k: [tuple(c) for c in v] for k, v in d.get("relations", {}).items()
             },
             rules={k: list(v) for k, v in d.get("rules", {}).items()},
-            indexes={k: dict(v) for k, v in d.get("indexes", {}).items()},
+            indexes={
+                k: {
+                    **dict(v),
+                    # JSON round-trips params as list-of-lists; normalize
+                    # back to the tuple-pair shape the index ops take
+                    "params": tuple(
+                        tuple(p) for p in v.get("params", ())
+                    ),
+                }
+                for k, v in d.get("indexes", {}).items()
+            },
         )
 
 

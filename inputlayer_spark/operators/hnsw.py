@@ -42,7 +42,7 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["HnswGraph", "hnsw_knn_partitioned"]
+__all__ = ["HnswGraph", "ShardedHnswIndex", "hnsw_knn_partitioned"]
 
 
 def _prep(metric: str, arr: np.ndarray) -> np.ndarray:
@@ -331,6 +331,160 @@ class HnswGraph:
 # --------------------------------------------------------------- scale path
 
 
+# (dir, shard) -> loaded HnswGraph; lives in each Python worker process
+# (and the driver, in tests) — see ShardedHnswIndex.search._probe
+_WORKER_GRAPH_CACHE: Dict[Tuple[str, int], "HnswGraph"] = {}
+
+
+def _spark_id_type(df, id_col: str) -> str:
+    """DDL type string for the id column of a k-NN result — derived from
+    the corpus schema so string/long/int doc ids all survive the Arrow
+    boundary instead of being coerced to long."""
+    return df.schema[id_col].dataType.simpleString()
+
+
+class ShardedHnswIndex:
+    """Build-once / search-many sharded HNSW (reference
+    src/hnsw_index.rs lifecycle: insert once at index-create, search
+    many), distributed:
+
+    * **build** (index-create time): rows are assigned a deterministic
+      shard by ``pmod(xxhash64(id), num_shards)``, hash-repartitioned so
+      every shard lands wholly inside one Spark partition, and each
+      shard's graph is built executor-side in one `mapInPandas` pass
+      (rows sorted by id inside the shard → deterministic graph) and
+      persisted to ``dir/shard=N/index.json``. The driver never holds
+      vectors — only the tiny meta record.
+    * **search**: a `spark.range(num_shards)` job loads each shard's
+      graph, probes it, and emits the shard-local top-k; the global
+      answer is a (num_shards × k)-row TakeOrderedAndProject merge.
+      Graph construction is NOT in the query path — repeated queries
+      pay only load-and-walk (and the per-executor LRU below makes the
+      load a one-time cost per shard per executor).
+
+    On a real cluster ``dir`` must be shared storage (DBFS/S3/NFS);
+    on local[n] any local path works.
+    """
+
+    _META = "sharded_meta.json"
+
+    def __init__(self, dir_path: str):
+        self.dir = dir_path
+        with open(os.path.join(dir_path, self._META)) as fh:
+            self.meta = json.load(fh)
+
+    # ------------------------------------------------------------ build
+
+    @classmethod
+    def build(
+        cls,
+        df,
+        id_col: str,
+        vec_col: str,
+        dir_path: str,
+        num_shards: Optional[int] = None,
+        metric: str = "cosine",
+        m: int = 16,
+        ef_construction: int = 100,
+        ef_search: int = 64,
+    ) -> "ShardedHnswIndex":
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        if num_shards is None:
+            num_shards = max(spark.sparkContext.defaultParallelism, 1)
+        os.makedirs(dir_path, exist_ok=True)
+        id_type = _spark_id_type(df, id_col)
+
+        sharded = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(num_shards))
+            .cast("int")
+            .alias("__shard"),
+        ).repartition(num_shards, "__shard")
+
+        base = dir_path
+
+        def _build(batches):
+            frames = [pdf for pdf in batches if len(pdf)]
+            if not frames:
+                return
+            pdf = pd.concat(frames, ignore_index=True)
+            for shard, grp in pdf.groupby("__shard"):
+                grp = grp.sort_values("id")  # deterministic insertion order
+                vecs = np.array(grp["vec"].tolist(), dtype=np.float32)
+                g = HnswGraph(vecs.shape[1], metric, m, ef_construction, ef_search)
+                g.add_batch(grp["id"].tolist(), vecs)
+                g.save(os.path.join(base, f"shard={int(shard)}"))
+                yield pd.DataFrame({"shard": [int(shard)], "n": [len(grp)]})
+
+        counts = sharded.mapInPandas(_build, schema="shard int, n long").collect()
+        meta = {
+            "num_shards": int(num_shards),
+            "metric": metric,
+            "m": int(m),
+            "ef_construction": int(ef_construction),
+            "ef_search": int(ef_search),
+            "id_type": id_type,
+            "shards": {str(r["shard"]): int(r["n"]) for r in counts},
+        }
+        tmp = os.path.join(dir_path, cls._META + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, os.path.join(dir_path, cls._META))
+        return cls(dir_path)
+
+    # ------------------------------------------------------------ search
+
+    def search(self, spark, query_vec: Sequence[float], k: int = 10,
+               ef: Optional[int] = None):
+        """k-NN DataFrame (id, dist) via per-shard probe + global merge.
+        Only shards that were non-empty at build time are probed."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        q = [float(x) for x in query_vec]
+        shards = sorted(int(s) for s in self.meta["shards"])
+        base, id_type = self.dir, self.meta["id_type"]
+        ef_eff = int(ef) if ef else int(self.meta["ef_search"])
+
+        def _probe(batches):
+            # per-WORKER graph cache, resolved by import so it survives
+            # task boundaries in a reused Python worker — re-loading a
+            # shard graph per query would put deserialization back in
+            # the query path (a captured dict would be re-pickled fresh
+            # for every job and never persist)
+            from inputlayer_spark.operators.hnsw import (
+                _WORKER_GRAPH_CACHE as cache,
+            )
+
+            for pdf in batches:
+                out_ids: list = []
+                out_d: list = []
+                for shard in pdf["shard"].tolist():
+                    key = (base, int(shard))
+                    g = cache.get(key)
+                    if g is None:
+                        g = HnswGraph.load(os.path.join(base, f"shard={shard}"))
+                        cache[key] = g
+                    for hid, d in g.search(q, k, ef=ef_eff):
+                        out_ids.append(hid)
+                        out_d.append(d)
+                yield pd.DataFrame({"id": out_ids, "dist": out_d})
+
+        shard_df = spark.createDataFrame(
+            [(s,) for s in shards], schema="shard int"
+        ).repartition(max(len(shards), 1))
+        local = shard_df.mapInPandas(_probe, schema=f"id {id_type}, dist double")
+        return local.orderBy(F.col("dist").asc(), F.col("id").asc()).limit(k)
+
+    def invalidate_cache(self) -> None:
+        for key in [kk for kk in _WORKER_GRAPH_CACHE if kk[0] == self.dir]:
+            _WORKER_GRAPH_CACHE.pop(key, None)
+
+
 def hnsw_knn_partitioned(
     df,
     id_col: str,
@@ -362,6 +516,9 @@ def hnsw_knn_partitioned(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
     q = [float(x) for x in query_vec]
+    # id type follows the corpus (string doc ids must not coerce to long
+    # at the Arrow boundary)
+    id_type = _spark_id_type(df, id_col)
 
     def _shard(batches):
         ids: list = []
@@ -379,5 +536,5 @@ def hnsw_knn_partitioned(
             {"id": [h[0] for h in hits], "dist": [h[1] for h in hits]}
         )
 
-    local = spark_df.mapInPandas(_shard, schema="id long, dist double")
+    local = spark_df.mapInPandas(_shard, schema=f"id {id_type}, dist double")
     return local.orderBy(F.col("dist").asc(), F.col("id").asc()).limit(k)

@@ -311,6 +311,17 @@ class Parser:
             while self.peek() is not None and self.peek().kind != "nl":
                 self.next()
             return MetaCommand(cmd, ("edit", raw))
+        if cmd in ("user", "apikey"):
+            # whitespace-split args, not expression tokens: passwords,
+            # labels, and usernames may contain characters the lexer
+            # would split (`ci-bot`, `p@ss!`) — the reference parses
+            # these commands by whitespace (src/statement/meta.rs:747+)
+            start = meta_tok.pos + len(meta_tok.text)
+            end = self.src.find("\n", start)
+            raw = (self.src[start:] if end == -1 else self.src[start:end]).strip()
+            while self.peek() is not None and self.peek().kind != "nl":
+                self.next()
+            return MetaCommand(cmd, tuple(raw.split()))
         if cmd in self._RAW_META:
             # capture the rest of the line verbatim (these commands embed
             # full statements / file paths that tokenized args would mangle)

@@ -163,7 +163,7 @@ class QueryServer:
                     return None
                 return outer.auth.authenticate_api_key(key)
 
-            def _authorize_program(self, identity, engine, text: str) -> None:
+            def _authorize_program(self, identity, engine, text: str):
                 """Two-layer authorization (reference auth.rs:326-345 +
                 handler.rs:4330-4369): layer 1 gates system-level ops by
                 global role; layer 2 resolves each statement's target KG
@@ -171,8 +171,15 @@ class QueryServer:
                 with no ACL entry on the target KG is denied outright.
                 `.kg use` that passes moves the current-KG cursor so
                 later statements in the same program check against the
-                right KG; `.kg create` auto-grants the creator owner
-                (handler.rs:4584)."""
+                right KG.
+
+                Returns the list of KG names the program will NEWLY
+                create — the caller grants the creator owner on them
+                only AFTER the program executes successfully, mirroring
+                handler.rs:4584's switched_kg check. Granting here (or
+                for a KG that already exists — engine create is a
+                setdefault no-op) would let any global editor hijack
+                ownership of an existing KG via `.kg create <name>`."""
                 from inputlayer_spark.auth import (
                     authorize,
                     authorize_kg,
@@ -181,6 +188,8 @@ class QueryServer:
                 from inputlayer_spark.parser import parse_program
 
                 current = engine.current.name
+                existing = set(engine.kgs)
+                pending_grants: list[str] = []
                 for st in parse_program(text).statements:
                     authorize(identity, st)
                     args = list(getattr(st, "args", ()))
@@ -195,12 +204,33 @@ class QueryServer:
                     if is_kg_meta and len(args) > 1:
                         if args[0] == "use":
                             current = args[1]
-                        elif args[0] == "create" and outer.auth is not None:
-                            # creator becomes owner of the new KG
-                            if identity.role != "admin":
-                                outer.auth.grant_kg(
-                                    args[1], identity.username, "owner"
-                                )
+                            # `.kg use <new>` also creates (setdefault)
+                            if args[1] not in existing:
+                                existing.add(args[1])
+                                if (
+                                    outer.auth is not None
+                                    and identity.role != "admin"
+                                ):
+                                    pending_grants.append(args[1])
+                        elif args[0] == "create":
+                            if args[1] not in existing:
+                                existing.add(args[1])
+                                if (
+                                    outer.auth is not None
+                                    and identity.role != "admin"
+                                ):
+                                    pending_grants.append(args[1])
+                        elif args[0] == "drop":
+                            existing.discard(args[1])
+                return pending_grants
+
+            def _apply_creator_grants(self, identity, grants) -> None:
+                """Post-execution owner grants for newly created KGs
+                (handler.rs:4584 grants only on successful create)."""
+                if outer.auth is None or not grants:
+                    return
+                for kg in grants:
+                    outer.auth.grant_kg(kg, identity.username, "owner")
 
             def do_GET(self):
                 if self.path == "/health":
@@ -332,13 +362,18 @@ class QueryServer:
                         send_json({"type": "pong"})
                     elif mtype == "query":
                         with outer._lock:
-                            self._authorize_program(
+                            ws_ident = (
                                 getattr(self, "_auth_identity", None)
-                                or self._identity(),
-                                engine,
-                                msg.get("query", ""),
+                                or self._identity()
                             )
+                            grants = self._authorize_program(
+                                ws_ident, engine, msg.get("query", "")
+                            )
+                            # caller identity for identity-aware metas
+                            # (`.apikey create` owner, handler.rs:4433)
+                            engine.auth_identity = ws_ident
                             dfs = engine.execute(msg.get("query", ""))
+                            self._apply_creator_grants(ws_ident, grants)
                             payloads = [_df_payload(df) for df in dfs]
                         if payloads:
                             for p in payloads:
@@ -391,8 +426,10 @@ class QueryServer:
                     q = req.get("query", "")
                     engine = outer._engine_for(req.get("session"))
                     with outer._lock:
-                        self._authorize_program(ident, engine, q)
+                        grants = self._authorize_program(ident, engine, q)
+                        engine.auth_identity = ident
                         results = engine.execute(q)
+                        self._apply_creator_grants(ident, grants)
                         payload = {"results": [_df_payload(df) for df in results]}
                     self._send(200, payload)
                 except PermissionError as exc:

@@ -84,6 +84,7 @@ export class WsConn {
     this._open = null;
     this._closed = false;
     this._sock = null;
+    this._reqChain = Promise.resolve();
   }
 
   connect() {
@@ -167,21 +168,34 @@ export class WsConn {
     this._sock.write(encodeFrame(0x1, Buffer.from(JSON.stringify(obj), "utf8")));
   }
 
-  /** One request/response round-trip (server replies in order). */
+  /**
+   * One request/response round-trip. Requests are serialized through an
+   * internal promise chain: a request's frame is not sent until the
+   * previous request has settled, so concurrent callers can never both
+   * resolve with the same (earliest) reply frame.
+   */
   request(obj, { timeoutMs = 30000 } = {}) {
-    return new Promise((resolve, reject) => {
-      const timer = setTimeout(() => {
-        off();
-        reject(new Error("WebSocket request timeout"));
-      }, timeoutMs);
-      const off = this.onMessage((msg) => {
-        if (msg.type === "notification") return; // pushed, not a reply
-        clearTimeout(timer);
-        off();
-        resolve(msg);
+    const run = () =>
+      new Promise((resolve, reject) => {
+        const timer = setTimeout(() => {
+          off();
+          reject(new Error("WebSocket request timeout"));
+        }, timeoutMs);
+        const off = this.onMessage((msg) => {
+          if (msg.type === "notification") return; // pushed, not a reply
+          clearTimeout(timer);
+          off();
+          resolve(msg);
+        });
+        this.send(obj);
       });
-      this.send(obj);
-    });
+    const next = this._reqChain.then(run, run);
+    // keep the chain alive whether this request resolves or rejects
+    this._reqChain = next.then(
+      () => undefined,
+      () => undefined,
+    );
+    return next;
   }
 
   close() {

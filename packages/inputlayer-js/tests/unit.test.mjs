@@ -93,3 +93,37 @@ test("ws decoder handles split and concatenated frames", () => {
   const rb = decodeFrames(big);
   assert.equal(rb.frames[0].payload.length, 300);
 });
+
+test("concurrent requests resolve with their own replies (FIFO)", async () => {
+  // a stubbed WsConn: capture sends, inject replies manually
+  const { WsConn } = await import("../src/ws.js");
+  const conn = new WsConn("localhost", 0, "/ws");
+  const sent = [];
+  conn.send = (obj) => {
+    sent.push(obj);
+    // the server answers each request as it arrives, echoing its tag
+    setImmediate(() => {
+      for (const cb of [...conn._listeners]) cb({ type: "result", tag: obj.tag });
+    });
+  };
+  // two requests issued concurrently: each must resolve with ITS reply,
+  // not both with the earliest one
+  const [a, b] = await Promise.all([
+    conn.request({ type: "query", tag: "A" }),
+    conn.request({ type: "query", tag: "B" }),
+  ]);
+  assert.equal(a.tag, "A");
+  assert.equal(b.tag, "B");
+  assert.deepEqual(sent.map((s) => s.tag), ["A", "B"]);
+  // a rejected request doesn't wedge the chain
+  const failing = conn.request({ type: "query", tag: "C" }, { timeoutMs: 10 });
+  conn.send = () => {}; // drop C on the floor → timeout
+  await assert.rejects(failing, /timeout/);
+  conn.send = (obj) => {
+    setImmediate(() => {
+      for (const cb of [...conn._listeners]) cb({ type: "result", tag: obj.tag });
+    });
+  };
+  const d = await conn.request({ type: "query", tag: "D" });
+  assert.equal(d.tag, "D");
+});

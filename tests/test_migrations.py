@@ -45,6 +45,51 @@ def test_operations_render_reference_iql_and_roundtrip():
         assert operation_from_dict(json.loads(json.dumps(_op_to_dict(o)))) == o
 
 
+def test_operation_from_dict_missing_keys_use_defaults():
+    """A migration file omitting optional keys deserializes to the
+    dataclass DEFAULTS, never None (ADVICE r4: kind=None rendered
+    `.index create ... type None metric None`); the default kind matches
+    the engine's ('lsh')."""
+    op = operation_from_dict(
+        {"type": "CreateIndex", "name": "vi", "relation": "emb", "column": "v"}
+    )
+    assert op.kind == "lsh" and op.metric == "cosine" and op.params == ()
+    assert op.forward_commands() == [
+        ".index create vi on emb ( v ) type lsh metric cosine"
+    ]
+    assert "None" not in op.forward_commands()[0]
+
+
+def test_index_params_survive_migrate_rollback_roundtrip(spark, tmp_path):
+    """HNSW m/ef parameters ride through ModelState → migration file →
+    fresh-engine migrate → rollback (ADVICE r4: ModelState dropped
+    them)."""
+    eng = IQLEngine(spark)
+    eng.execute("+emb(id: int, v: vector)")
+    eng.execute(
+        ".index create vidx on emb(v) type hnsw metric cosine "
+        "m 32 ef_construction 200 ef_search 96"
+    )
+    mdir = str(tmp_path / "migs")
+    path = makemigrations(eng, mdir, name="init")
+    assert path is not None
+    # the rendered forward IQL carries the params
+    (mig,) = load_migrations(mdir)
+    create_idx = [o for o in mig.operations if type(o).__name__ == "CreateIndex"]
+    assert create_idx and dict(create_idx[0].params) == {
+        "m": 32, "ef_construction": 200, "ef_search": 96,
+    }
+    # apply to a fresh engine: the index exists with the same params
+    fresh = IQLEngine(spark)
+    migrate(fresh, mdir)
+    meta = fresh.current.indexes["vidx"]
+    assert meta[3] == "hnsw"
+    assert dict(meta[4]) == {"m": 32, "ef_construction": 200, "ef_search": 96}
+    # rollback drops it cleanly
+    rollback(fresh, mdir, mig.name)
+    assert "vidx" not in fresh.current.indexes
+
+
 def test_autodetector_ordering():
     old = ModelState(
         relations={"a": [("x", "int")], "gone": [("y", "int")]},

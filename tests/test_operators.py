@@ -346,6 +346,90 @@ def test_hnsw_knn_partitioned_matches_bruteforce(spark):
     assert [i for i, _ in got] == [i for i, _ in exact]
 
 
+def test_sharded_hnsw_builds_once_and_probes_persisted_graphs(spark, tmp_path):
+    """ShardedHnswIndex separates build from query (reference
+    src/hnsw_index.rs insert-once/search-many lifecycle): graphs are
+    persisted per shard at build time, and queries LOAD them rather than
+    rebuilding from the corpus. Proven by tampering: after replacing the
+    persisted shard files with graphs over a sentinel corpus, a search
+    returns the sentinel — so the query path did zero corpus work."""
+    import numpy as np
+
+    from inputlayer_spark.operators.hnsw import HnswGraph, ShardedHnswIndex
+    from inputlayer_spark.operators.similarity import knn_bruteforce
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    dim = len(emb.first()["embedding"])
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()[1]]
+    idx = ShardedHnswIndex.build(
+        emb, "vec_id", "embedding", str(tmp_path / "idx"),
+        num_shards=4, ef_search=128,
+    )
+    got = [(r.id, round(r.dist, 6)) for r in idx.search(spark, q, k=5).collect()]
+    exact = [
+        (r.id, round(r.dist, 6))
+        for r in knn_bruteforce(emb, "vec_id", "embedding", q, k=5).collect()
+    ]
+    assert [i for i, _ in got] == [i for i, _ in exact]
+    # repeated query: identical answer (deterministic per-shard graphs)
+    again = [(r.id, round(r.dist, 6)) for r in idx.search(spark, q, k=5).collect()]
+    assert again == got
+
+    # hand-author an index dir holding only sentinel graphs (no corpus,
+    # no build pass): search returning the sentinel proves the query
+    # path is pure load-and-probe — zero corpus/add_batch work
+    import json as _json
+
+    sentinel = 999_999
+    sdir = tmp_path / "sentinel_idx"
+    sdir.mkdir()
+    for shard in (0, 1):
+        g = HnswGraph(dim, "cosine")
+        g.add_batch([sentinel + shard], np.array([q], dtype=np.float32))
+        g.save(str(sdir / f"shard={shard}"))
+    (sdir / ShardedHnswIndex._META).write_text(
+        _json.dumps(
+            {
+                "num_shards": 2, "metric": "cosine", "m": 16,
+                "ef_construction": 100, "ef_search": 64,
+                "id_type": "bigint", "shards": {"0": 1, "1": 1},
+            }
+        )
+    )
+    probe_only = ShardedHnswIndex(str(sdir))
+    tampered = [r.id for r in probe_only.search(spark, q, k=2).collect()]
+    assert sorted(tampered) == [sentinel, sentinel + 1]
+
+
+def test_sharded_hnsw_string_ids(spark, tmp_path):
+    """Non-integer id columns survive the Arrow boundary — the result
+    schema derives from the corpus (ADVICE r4: hardcoded `id long`)."""
+    import numpy as np
+
+    from inputlayer_spark.operators.hnsw import (
+        ShardedHnswIndex,
+        hnsw_knn_partitioned,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (f"doc-{i}", [float(x) for x in rng.normal(size=8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id string, v array<double>")
+    q = rows[3][1]
+    idx = ShardedHnswIndex.build(
+        df, "doc_id", "v", str(tmp_path / "sidx"), num_shards=2, ef_search=64
+    )
+    top = idx.search(spark, q, k=1).collect()
+    assert top[0]["id"] == "doc-3" and top[0].__fields__ == ["id", "dist"]
+    # one-shot sharded path takes the same derived schema
+    one = hnsw_knn_partitioned(df, "doc_id", "v", q, k=1, ef_search=64).collect()
+    assert one[0]["id"] == "doc-3"
+
+
 # -------------------------------------------------- contamination / pii
 
 

@@ -342,6 +342,171 @@ def test_server_auth_api_keys_and_roles(spark, tmp_path):
         srv.stop()
 
 
+def test_user_and_apikey_meta_commands(spark, tmp_path):
+    """`.user` / `.apikey` dot-command surface (reference
+    src/statement/meta.rs:747-816 routed to handler.rs:1275-1704):
+    admin-only, list never exposes hashes, create returns the plaintext
+    key exactly once, drop cascades keys+ACLs and protects 'admin'."""
+    from inputlayer_spark.auth import AuthStore, hash_api_key
+
+    store_path = str(tmp_path / "creds.json")
+    store = AuthStore(store_path)
+    store.add_user("admin", "pw", role="admin")
+    store.add_user("ed", "pw", role="editor")
+    admin_key = store.issue_api_key("admin")
+    editor_key = store.issue_api_key("ed")
+    store.grant_kg("default", "ed", "editor")
+
+    srv = QueryServer(spark, auth=AuthStore(store_path)).start()
+    try:
+        # non-admins are denied the whole surface (layer 1)
+        for q in (".user list", ".apikey list", ".user create x pw viewer"):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post_auth(srv.port, {"query": q}, key=editor_key)
+            assert e.value.code == 403
+
+        # .user create / list (username+role only, no hash column)
+        _post_auth(
+            srv.port, {"query": ".user create carol pw123 viewer"}, key=admin_key
+        )
+        out = _post_auth(srv.port, {"query": ".user list"}, key=admin_key)
+        res = out["results"][0]
+        assert [c["name"] for c in res["columns"]] == ["username", "role"]
+        assert ["carol", "viewer"] in res["rows"]
+        # duplicate create is an error
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_auth(
+                srv.port, {"query": ".user create carol pw viewer"}, key=admin_key
+            )
+        assert "already exists" in json.loads(e.value.read())["error"]
+        # bad role rejected
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_auth(
+                srv.port, {"query": ".user create dave pw superuser"}, key=admin_key
+            )
+        assert e.value.code == 400
+
+        # .user password: carol can log in with the new password only
+        _post_auth(
+            srv.port, {"query": ".user password carol newpw"}, key=admin_key
+        )
+        assert srv.auth.authenticate_password("carol", "newpw") is not None
+        assert srv.auth.authenticate_password("carol", "pw123") is None
+
+        # .user role promotes; admin cannot be demoted
+        _post_auth(srv.port, {"query": ".user role carol editor"}, key=admin_key)
+        assert srv.auth.users["carol"]["role"] == "editor"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_auth(
+                srv.port, {"query": ".user role admin viewer"}, key=admin_key
+            )
+        assert "Cannot change" in json.loads(e.value.read())["error"]
+
+        # .apikey create returns (label, plaintext) once; only the hash
+        # is stored; owner is the calling identity
+        out = _post_auth(
+            srv.port, {"query": ".apikey create ci-bot"}, key=admin_key
+        )
+        res = out["results"][0]
+        assert [c["name"] for c in res["columns"]] == ["label", "api_key"]
+        (label, plaintext) = res["rows"][0]
+        assert label == "ci-bot" and len(plaintext) == 64
+        assert hash_api_key(plaintext) in srv.auth.api_keys
+        assert plaintext not in open(store_path).read()
+        # the fresh key authenticates as its owner
+        out = _post_auth(srv.port, {"query": ".user list"}, key=plaintext)
+        # duplicate label rejected
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_auth(
+                srv.port, {"query": ".apikey create ci-bot"}, key=admin_key
+            )
+        assert "already exists" in json.loads(e.value.read())["error"]
+        # list shows (label, owner), never hashes
+        out = _post_auth(srv.port, {"query": ".apikey list"}, key=admin_key)
+        res = out["results"][0]
+        assert [c["name"] for c in res["columns"]] == ["label", "owner"]
+        assert ["ci-bot", "admin"] in res["rows"]
+        # revoke kills the key
+        _post_auth(srv.port, {"query": ".apikey revoke ci-bot"}, key=admin_key)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_auth(srv.port, {"query": ".user list"}, key=plaintext)
+        assert e.value.code == 401
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_auth(
+                srv.port, {"query": ".apikey revoke ci-bot"}, key=admin_key
+            )
+        assert "not found" in json.loads(e.value.read())["error"]
+
+        # .user drop cascades: carol's keys + ACLs vanish; admin protected
+        _post_auth(
+            srv.port, {"query": ".kg acl grant default carol viewer"},
+            key=admin_key,
+        )
+        out = _post_auth(
+            srv.port, {"query": ".apikey create carols-key"}, key=admin_key
+        )
+        _post_auth(srv.port, {"query": ".user drop carol"}, key=admin_key)
+        assert "carol" not in srv.auth.users
+        assert "carol" not in srv.auth.kg_acls.get("default", {})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_auth(srv.port, {"query": ".user drop admin"}, key=admin_key)
+        assert "Cannot drop" in json.loads(e.value.read())["error"]
+    finally:
+        srv.stop()
+
+
+def test_kg_create_cannot_hijack_existing_kg(spark, tmp_path):
+    """Privilege-escalation fix (ADVICE r4 high): `.kg create <existing>`
+    is a no-op that must NOT grant the caller ownership — the reference
+    grants only on a SUCCESSFUL create of a NEW KG (handler.rs:4584) —
+    and the grant lands only after the program executes, so a failing
+    program leaves no ACL behind. `.kg drop` also removes the dropped
+    KG's ACL entries so a re-created KG of the same name cannot inherit
+    a stale owner."""
+    from inputlayer_spark.auth import AuthStore
+
+    store_path = str(tmp_path / "creds.json")
+    store = AuthStore(store_path)
+    store.add_user("root", "pw", role="admin")
+    store.add_user("mal", "pw", role="editor")
+    admin_key = store.issue_api_key("root")
+    mal_key = store.issue_api_key("mal")
+    store.grant_kg("default", "mal", "viewer")
+
+    srv = QueryServer(spark, auth=AuthStore(store_path)).start()
+    try:
+        # the attack: a global editor "creates" the existing default KG —
+        # previously this overwrote their viewer entry with owner
+        _post_auth(srv.port, {"query": ".kg create default"}, key=mal_key)
+        assert srv.auth.kg_acls["default"]["mal"] == "viewer"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_auth(srv.port, {"query": "+t[(9)]"}, key=mal_key)
+        assert e.value.code == 403  # still a viewer
+
+        # grant only lands after SUCCESSFUL execution: a program that
+        # creates a KG then fails leaves no ownership behind
+        with pytest.raises(urllib.error.HTTPError):
+            _post_auth(
+                srv.port,
+                {"query": ".kg create flaky\n?no_such_rel(X)"},
+                key=mal_key,
+            )
+        assert "mal" not in srv.auth.kg_acls.get("flaky", {})
+
+        # the legitimate path still works: new KG → creator becomes owner
+        _post_auth(srv.port, {"query": ".kg create mine"}, key=mal_key)
+        assert srv.auth.kg_acls["mine"]["mal"] == "owner"
+
+        # drop-time ACL cleanup: dropping removes the KG's entries
+        _post_auth(srv.port, {"query": ".kg drop mine"}, key=admin_key)
+        assert "mine" not in srv.auth.kg_acls
+        # re-created by the admin: mal has NO stale ownership
+        _post_auth(srv.port, {"query": ".kg create mine"}, key=admin_key)
+        assert "mal" not in srv.auth.kg_acls.get("mine", {})
+    finally:
+        srv.stop()
+
+
 def test_auth_password_hashing_roundtrip(tmp_path):
     """Password KDF + API-key generation semantics from src/auth.rs:
     verify matches only the right password, malformed hashes never
