@@ -40,6 +40,12 @@ def main() -> None:
         "topk_per_group",
         "antijoin",
         "transitive_closure",
+        # the reference's full-TC anchor workload (BENCHMARKS.md:108,
+        # 10.49s for 2k nodes/4k edges/~1M pairs), FORCED onto the
+        # distributed fixpoint — the first bench row timing the
+        # blocked-doubling + delta-sweep loop at anchor-comparable
+        # output (979,300 pairs)
+        "transitive_closure_anchor",
         "reach_bound",
         "reach_bound_large",
         "knn_cosine",
@@ -73,8 +79,15 @@ def main() -> None:
     # bench query once at the smallest SF — different data, identical
     # expression trees — so the timed sf passes measure execution, not
     # one-time per-process codegen compilation.
-    for name in bench_names:
-        qs[name](spark, "/root/testdata/sf0.001").count()
+    # the anchor TC graph is SF-independent; warm it at quarter size so
+    # the warm pass compiles the same plan shapes without paying the
+    # full 930k-pair closure twice
+    os.environ["SPARK_GRAFT_TC_ANCHOR_WARM"] = "1"
+    try:
+        for name in bench_names:
+            qs[name](spark, "/root/testdata/sf0.001").count()
+    finally:
+        os.environ.pop("SPARK_GRAFT_TC_ANCHOR_WARM", None)
 
     # two passes per query, report the min: this VM's wall-clock noise is
     # ±2-3× on unchanged code (judge r3: "run variance, not progress"),
