@@ -57,6 +57,9 @@ def main() -> None:
         "knn_lsh",
         "knn_lsh_selective",
         "hnsw_knn",
+        # distributed ANN path: persisted per-shard graph probe + merge
+        # (built once in warmup, like every other index artifact)
+        "hnsw_knn_sharded",
         "ivf_knn",
         "quality_lang",
     ]
