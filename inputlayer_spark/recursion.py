@@ -504,7 +504,10 @@ def _try_path_doubling(
     delta = seed
     for _ in range(256):  # depth/2^k sweeps; exits on empty delta
         # subtract = EXCEPT DISTINCT: dedups the composition AND removes
-        # already-derived tuples in one shuffle
+        # already-derived tuples in one shuffle. localCheckpoint (not
+        # persist) is load-bearing: it SEVERS lineage, so the next
+        # sweep's delta⋈step join doesn't alias two frames sharing the
+        # step's lineage (AnalysisException: ambiguous self-join).
         new = (
             compose_r(delta, sweep_step)
             .subtract(result)
