@@ -630,7 +630,10 @@ def q_hnsw_knn_sharded(spark, sf_dir):
     idx = _sharded_hnsw_art(spark, sf_dir)
     q = _query_vec(spark, sf_dir)
     cand_ids = [int(r["id"]) for r in idx.search(spark, q, k=20, ef=256).collect()]
-    emb = _augmented_emb(spark, sf_dir).filter(F.col("vec_id").isin(cand_ids))
+    # rerank against the PERSISTED near-dup artifact (same rows as
+    # _augmented_emb plus bucket columns) — an in-memory scan instead of
+    # re-reading parquet and recomputing the planted copies per query
+    emb = _lsh_sel_indexed(spark, sf_dir).filter(F.col("vec_id").isin(cand_ids))
     qcol = F.array(*[F.lit(float(x)) for x in q])
     return (
         emb.select(

@@ -298,10 +298,16 @@ class HnswGraph:
     # ------------------------------------------------------------ persist
 
     def save(self, dir_path: str) -> None:
-        """`{dir}/index.json` with config + vectors + tombstones — the
-        graph itself is rebuilt on load, exactly like the reference's
-        PersistedHnsw (hnsw_index.rs:480-508: vectors are authoritative,
-        the hnsw_rs graph is reconstructed)."""
+        """`{dir}/index.json` with config + vectors + tombstones AND the
+        built graph structure (levels / neighbor lists / entry point).
+        The reference's PersistedHnsw stores vectors only and rebuilds
+        on load (hnsw_index.rs:480-508) — acceptable for a long-lived
+        in-process server, but the sharded scale path loads graphs
+        inside Spark python workers, where a rebuild (O(n·log n)
+        beam-search inserts) would put index CONSTRUCTION back in the
+        query path on every worker-cache miss. Persisting the structure
+        makes load parse-only; vectors stay authoritative, so a payload
+        without the structure (older files) still rebuilds."""
         os.makedirs(dir_path, exist_ok=True)
         payload = {
             "dim": self.dim, "metric": self.metric, "m": self.m,
@@ -310,6 +316,10 @@ class HnswGraph:
             "ids": list(self.ids),
             "vectors": self._vecs.tolist(),
             "tombstones": sorted(self.tombstones),
+            "levels": list(self._levels),
+            "nbrs": self._nbrs,
+            "entry": self._entry,
+            "max_level": self._max_level,
         }
         tmp = os.path.join(dir_path, "index.json.tmp")
         with open(tmp, "w") as fh:
@@ -323,7 +333,24 @@ class HnswGraph:
         g = cls(p["dim"], p["metric"], p["m"], p["ef_construction"],
                 p["ef_search"], p["seed"])
         if p["ids"]:
-            g.add_batch(p["ids"], np.array(p["vectors"], dtype=np.float32))
+            if "nbrs" in p:
+                # structure persisted: restore without rebuilding
+                vecs = np.array(p["vectors"], dtype=np.float32).reshape(
+                    -1, g.dim
+                )
+                g.ids = list(p["ids"])
+                g._slot = {ext: i for i, ext in enumerate(g.ids)}
+                g._vecs = vecs
+                g._prep_vecs = _prep(g.metric, vecs)
+                g._levels = [int(x) for x in p["levels"]]
+                g._nbrs = [
+                    [[int(n) for n in layer] for layer in node]
+                    for node in p["nbrs"]
+                ]
+                g._entry = p["entry"]
+                g._max_level = int(p["max_level"])
+            else:
+                g.add_batch(p["ids"], np.array(p["vectors"], dtype=np.float32))
         g.tombstones = set(p["tombstones"])
         return g
 
