@@ -2808,13 +2808,24 @@ class IQLEngine:
                 n = self._named_df(rel).count()
                 if kind == "hnsw":
                     g = self._hnsw_graphs.get((self.current.name, args[1]))
-                    kind_desc = "hnsw graph (m={}, ef_search={}{})".format(
-                        g.m if g is not None else 16,
-                        g.ef_search if g is not None else 50,
-                        f", materialized, {len(g.tombstones)} tombstones"
-                        if g is not None
-                        else ", lazy",
-                    )
+                    sh = self._sharded_hnsw.get((self.current.name, args[1]))
+                    if sh is not None:
+                        # over-cap corpus: executor-side per-shard graphs
+                        kind_desc = (
+                            "hnsw sharded ({} shards, m={}, ef_search={}, "
+                            "materialized)".format(
+                                sh.meta["num_shards"], sh.meta["m"],
+                                sh.meta["ef_search"],
+                            )
+                        )
+                    else:
+                        kind_desc = "hnsw graph (m={}, ef_search={}{})".format(
+                            g.m if g is not None else 16,
+                            g.ef_search if g is not None else 50,
+                            f", materialized, {len(g.tombstones)} tombstones"
+                            if g is not None
+                            else ", lazy",
+                        )
                 elif kind == "ivf":
                     cents = self._ivf_cents.get((self.current.name, args[1]))
                     kind_desc = "ivf cells ({})".format(

@@ -532,6 +532,9 @@ def test_hnsw_typed_index_over_cap_builds_sharded_not_driver(
     norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
     true3 = np.argsort(1 - norm @ norm[5])[:3].tolist()
     assert [g[0] for g in got] == true3
+    # .index stats reports the sharded path, not the driver graph
+    stats = {r[0]: r[1] for r in engine.execute(".index stats vidx")[0].collect()}
+    assert stats["kind"].startswith("hnsw sharded")
     # a dependent write invalidates the sharded artifact like any other
     engine.execute("+emb[(99, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0])]")
     assert ("default", "vidx") not in engine._sharded_hnsw
