@@ -160,6 +160,40 @@ def test_distributed_seminaive_shortest_path(dist_engine):
     assert got == want
 
 
+def test_distributed_cyclic_graph_terminates_exact(dist_engine):
+    """Cycles: the delta sweep must stabilize (no infinite frontier) and
+    return the exact closure — every node on a cycle reaches every
+    other, including itself."""
+    # two 3-cycles bridged by one edge + a dangling tail
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (5, 6)]
+    facts = ", ".join(f"({s}, {t})" for s, t in edges)
+    dist_engine.execute(f"+edge[{facts}]")
+    df = dist_engine.query(
+        """
+        +reach(X, Y) <- edge(X, Y)
+        +reach(X, Z) <- edge(X, Y), reach(Y, Z)
+        ?reach(X, Y)
+        """
+    )
+    # Python oracle via iterated adjacency
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, set()).add(t)
+    want = set()
+    for s in list(adj):
+        frontier = set(adj[s])
+        seen = set()
+        while frontier:
+            seen |= frontier
+            frontier = {
+                t for v in frontier for t in adj.get(v, ()) if t not in seen
+            }
+        want |= {(s, t) for t in seen}
+    got = set(rows(df))
+    assert got == want
+    assert (0, 0) in got and (3, 3) in got  # self-reach on cycles
+
+
 def test_distributed_mode_matches_local_mode(spark, monkeypatch):
     """Differential: the same program evaluated with the local fast path
     allowed vs forced-distributed yields the identical relation."""
