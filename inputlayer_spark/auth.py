@@ -98,8 +98,15 @@ class AuthStore:
             with open(path) as fh:
                 data = json.load(fh)
             self.users = data.get("users", {})
+            # pre-label stores held bare username strings; synthesize a
+            # stable label from the key hash so legacy keys remain
+            # visible in `.apikey list` and revocable by label
             self.api_keys = {
-                h: (v if isinstance(v, dict) else {"username": v, "label": ""})
+                h: (
+                    v
+                    if isinstance(v, dict)
+                    else {"username": v, "label": f"legacy-{h[:8]}"}
+                )
                 for h, v in data.get("api_keys", {}).items()
             }
             self.kg_acls = data.get("kg_acls", {})

@@ -2088,9 +2088,14 @@ class IQLEngine:
     def _hnsw_shard_dir(self, name: str) -> str:
         """Unique build directory for one sharded-HNSW build. Rooted in
         wal_dir when durable, else a per-engine temp dir; a fresh
-        generation per rebuild so stale worker-side caches keyed by dir
-        can never serve a dropped graph."""
+        generation per rebuild AND a per-engine random token so stale
+        worker-side caches keyed by dir can never serve a dropped graph
+        — including across engine restarts that share a wal_dir on one
+        SparkSession (Python workers outlive the engine, so a
+        per-instance counter alone would reuse '...-g0001' and hit the
+        previous engine's cached graphs)."""
         import os as _os
+        import secrets as _secrets
         import tempfile as _tempfile
 
         root = getattr(self, "_hnsw_shard_root", None)
@@ -2100,9 +2105,12 @@ class IQLEngine:
             else:
                 root = _tempfile.mkdtemp(prefix="sparkgraft-hnsw-")
             self._hnsw_shard_root = root
+            self._hnsw_shard_token = _secrets.token_hex(4)
         self._hnsw_shard_gen += 1
         return _os.path.join(
-            root, f"{self.current.name}-{name}-g{self._hnsw_shard_gen:04d}"
+            root,
+            f"{self.current.name}-{name}-{self._hnsw_shard_token}"
+            f"-g{self._hnsw_shard_gen:04d}",
         )
 
     def _drop_sharded_hnsw(self, key) -> None:
@@ -2131,6 +2139,11 @@ class IQLEngine:
         cached = self._hnsw_graphs.get(key)
         if cached is not None:
             return cached
+        if key in self._sharded_hnsw:
+            # over-cap index already built executor-side: short-circuit
+            # before re-materializing derived relations and re-running
+            # the cap-probe count on every query
+            return None
         relation, column = self.current.indexes[name][:2]
         metric = self.current.indexes[name][2]
         from inputlayer_spark.operators.hnsw import HnswGraph, ShardedHnswIndex

@@ -141,14 +141,16 @@ def kg_router(
     failures from missing handles still raise."""
 
     def route(state: Dict[str, Any]) -> str:
+        # _executor raises OUTSIDE the try: a missing handle is an
+        # infrastructure error, never a skippable branch. Inside the
+        # loop every exception is query-level (incl. CompileError,
+        # which subclasses ValueError) and skips the branch.
         ex = _executor(state, kg_key, kg)
         for target, q in branches.items():
             iql = q(state) if callable(q) else q
             try:
                 if _rows(ex.execute(iql)):
                     return target
-            except ValueError:
-                raise
             except Exception:
                 continue  # query-level failure: skip the branch
         return default
@@ -218,9 +220,12 @@ class AgentMemory:
               ts: Optional[int] = None) -> int:
         self._counter += 1
         turn = self._counter
+        # ts=0 (epoch zero) is a valid caller timestamp — only None
+        # falls back to the turn counter
+        stamp = turn if ts is None else int(ts)
         t, r, c = escape_iql(thread_id), escape_iql(role), escape_iql(content)
         self.ex.execute(
-            f'+memory_turn[("{t}", {turn}, "{r}", "{c}", {int(ts or turn)})]'
+            f'+memory_turn[("{t}", {turn}, "{r}", "{c}", {stamp})]'
         )
         topics = self.extract_topics(content)
         if topics:

@@ -359,8 +359,18 @@ class HnswGraph:
 
 
 # (dir, shard) -> loaded HnswGraph; lives in each Python worker process
-# (and the driver, in tests) — see ShardedHnswIndex.search._probe
+# (and the driver, in tests) — see ShardedHnswIndex.search._probe.
+# Bounded FIFO: rebuilds write to fresh generation dirs, so without a
+# cap a long-lived worker would accumulate every retired generation's
+# graphs until it OOMs. Eviction only costs a re-parse on re-probe.
 _WORKER_GRAPH_CACHE: Dict[Tuple[str, int], "HnswGraph"] = {}
+_WORKER_GRAPH_CACHE_MAX = 64
+
+
+def _cache_put(key: Tuple[str, int], graph: "HnswGraph") -> None:
+    _WORKER_GRAPH_CACHE[key] = graph
+    while len(_WORKER_GRAPH_CACHE) > _WORKER_GRAPH_CACHE_MAX:
+        _WORKER_GRAPH_CACHE.pop(next(iter(_WORKER_GRAPH_CACHE)))
 
 
 def _spark_id_type(df, id_col: str) -> str:
@@ -485,6 +495,7 @@ class ShardedHnswIndex:
             # for every job and never persist)
             from inputlayer_spark.operators.hnsw import (
                 _WORKER_GRAPH_CACHE as cache,
+                _cache_put,
             )
 
             for pdf in batches:
@@ -495,7 +506,7 @@ class ShardedHnswIndex:
                     g = cache.get(key)
                     if g is None:
                         g = HnswGraph.load(os.path.join(base, f"shard={shard}"))
-                        cache[key] = g
+                        _cache_put(key, g)
                     for hid, d in g.search(q, k, ef=ef_eff):
                         out_ids.append(hid)
                         out_d.append(d)

@@ -500,9 +500,16 @@ def _try_path_doubling(
     # deltas are pairwise disjoint by construction, every part is
     # already materialized, and re-checkpointing the growing union each
     # sweep would rewrite O(sweeps × |closure|) rows for nothing
+    # Termination is guaranteed without an artificial depth bound: each
+    # sweep's `new` is disjoint from `result` (subtract), so a nonempty
+    # delta strictly grows the result toward the finite closure — at
+    # most |closure| sweeps. A fixed small bound would wrongly reject
+    # chains deeper than bound × 2^k hops (the pre-round-5 loop's 64
+    # squarings covered any depth; sweeps don't). The huge cap below is
+    # a runaway backstop, not a semantic limit.
     result = seed
     delta = seed
-    for _ in range(256):  # depth/2^k sweeps; exits on empty delta
+    for _ in range(1_000_000):  # depth/2^k sweeps; exits on empty delta
         # subtract = EXCEPT DISTINCT: dedups the composition AND removes
         # already-derived tuples in one shuffle. localCheckpoint (not
         # persist) is load-bearing: it SEVERS lineage, so the next
@@ -517,7 +524,9 @@ def _try_path_doubling(
             return {head_rel: result}
         result = result.unionByName(new)
         delta = new
-    raise CompileError("path-doubling fixpoint did not stabilize in 256 sweeps")
+    raise CompileError(
+        "path-doubling fixpoint did not stabilize within the sweep backstop"
+    )
 
 
 def _local_fixpoint_max() -> int:

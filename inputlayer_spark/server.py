@@ -197,21 +197,21 @@ class QueryServer:
                     if outer.auth is not None and identity.role != "admin":
                         kg = target_kg(st, current)
                         if kg is not None:
-                            role = outer.auth.kg_role_for(kg, identity)
+                            # a KG this same program creates counts as
+                            # owned for the remainder of the program —
+                            # the grant is deferred to post-execution,
+                            # but 'create foo; use foo; +r(..)' must
+                            # authorize like it will after the grant
+                            if kg in pending_grants:
+                                role = "owner"
+                            else:
+                                role = outer.auth.kg_role_for(kg, identity)
                             if role is None:
                                 raise PermissionError("Access denied")
                             authorize_kg(role, st)
                     if is_kg_meta and len(args) > 1:
                         if args[0] == "use":
                             current = args[1]
-                            # `.kg use <new>` also creates (setdefault)
-                            if args[1] not in existing:
-                                existing.add(args[1])
-                                if (
-                                    outer.auth is not None
-                                    and identity.role != "admin"
-                                ):
-                                    pending_grants.append(args[1])
                         elif args[0] == "create":
                             if args[1] not in existing:
                                 existing.add(args[1])
@@ -222,6 +222,8 @@ class QueryServer:
                                     pending_grants.append(args[1])
                         elif args[0] == "drop":
                             existing.discard(args[1])
+                            if args[1] in pending_grants:
+                                pending_grants.remove(args[1])
                 return pending_grants
 
             def _apply_creator_grants(self, identity, grants) -> None:

@@ -84,7 +84,8 @@ export class WsConn {
     this._open = null;
     this._closed = false;
     this._sock = null;
-    this._reqChain = Promise.resolve();
+    this._pending = [];
+    this._dispatcher = false;
   }
 
   connect() {
@@ -169,33 +170,44 @@ export class WsConn {
   }
 
   /**
-   * One request/response round-trip. Requests are serialized through an
-   * internal promise chain: a request's frame is not sent until the
-   * previous request has settled, so concurrent callers can never both
-   * resolve with the same (earliest) reply frame.
+   * One request/response round-trip with FIFO reply matching: the
+   * server executes requests in order under a lock and sends exactly
+   * one reply per single-statement request, so each incoming
+   * non-notification frame belongs to the OLDEST pending request.
+   * Concurrent requests therefore each resolve with their own reply,
+   * and a timed-out request keeps its queue slot so its late reply is
+   * consumed and discarded instead of misattributed to the next
+   * request. (Multi-statement programs emit one reply frame per
+   * statement with no end marker; send one statement per request over
+   * WS.)
    */
   request(obj, { timeoutMs = 30000 } = {}) {
-    const run = () =>
-      new Promise((resolve, reject) => {
-        const timer = setTimeout(() => {
-          off();
-          reject(new Error("WebSocket request timeout"));
-        }, timeoutMs);
-        const off = this.onMessage((msg) => {
-          if (msg.type === "notification") return; // pushed, not a reply
-          clearTimeout(timer);
-          off();
-          resolve(msg);
-        });
-        this.send(obj);
+    if (!this._dispatcher) {
+      this._dispatcher = true;
+      this.onMessage((msg) => {
+        if (msg.type === "notification") return; // pushed, not a reply
+        const entry = this._pending.shift();
+        if (!entry) return; // unsolicited frame
+        clearTimeout(entry.timer);
+        if (!entry.timedOut) entry.resolve(msg); // late reply: discarded
       });
-    const next = this._reqChain.then(run, run);
-    // keep the chain alive whether this request resolves or rejects
-    this._reqChain = next.then(
-      () => undefined,
-      () => undefined,
-    );
-    return next;
+    }
+    return new Promise((resolve, reject) => {
+      const entry = { resolve, timedOut: false, timer: null };
+      entry.timer = setTimeout(() => {
+        entry.timedOut = true; // keep the slot — consume the late reply
+        reject(new Error("WebSocket request timeout"));
+      }, timeoutMs);
+      this._pending.push(entry);
+      try {
+        this.send(obj);
+      } catch (e) {
+        // never sent → no reply will come; release the slot
+        clearTimeout(entry.timer);
+        this._pending.splice(this._pending.indexOf(entry), 1);
+        reject(e);
+      }
+    });
   }
 
   close() {

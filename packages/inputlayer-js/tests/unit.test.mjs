@@ -115,15 +115,37 @@ test("concurrent requests resolve with their own replies (FIFO)", async () => {
   assert.equal(a.tag, "A");
   assert.equal(b.tag, "B");
   assert.deepEqual(sent.map((s) => s.tag), ["A", "B"]);
-  // a rejected request doesn't wedge the chain
+  // timed-out request: its LATE reply must be consumed and discarded,
+  // not handed to the next request (the server always replies in order)
+  let lateReply = null;
+  conn.send = (obj) => {
+    lateReply = () => {
+      for (const cb of [...conn._listeners]) cb({ type: "result", tag: obj.tag });
+    };
+  };
   const failing = conn.request({ type: "query", tag: "C" }, { timeoutMs: 10 });
-  conn.send = () => {}; // drop C on the floor → timeout
   await assert.rejects(failing, /timeout/);
+  const fireC = lateReply;
+  conn.send = (obj) => {
+    lateReply = () => {
+      for (const cb of [...conn._listeners]) cb({ type: "result", tag: obj.tag });
+    };
+  };
+  const dPromise = conn.request({ type: "query", tag: "D" });
+  fireC(); // C's reply arrives after D was queued — must NOT resolve D
+  lateReply(); // then D's own reply
+  const d = await dPromise;
+  assert.equal(d.tag, "D");
+  // send failure releases the queue slot instead of desyncing it
+  conn.send = () => {
+    throw new Error("boom");
+  };
+  await assert.rejects(conn.request({ type: "query", tag: "E" }), /boom/);
   conn.send = (obj) => {
     setImmediate(() => {
       for (const cb of [...conn._listeners]) cb({ type: "result", tag: obj.tag });
     });
   };
-  const d = await conn.request({ type: "query", tag: "D" });
-  assert.equal(d.tag, "D");
+  const f = await conn.request({ type: "query", tag: "F" });
+  assert.equal(f.tag, "F");
 });

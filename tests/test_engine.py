@@ -535,6 +535,20 @@ def test_hnsw_typed_index_over_cap_builds_sharded_not_driver(
     # .index stats reports the sharded path, not the driver graph
     stats = {r[0]: r[1] for r in engine.execute(".index stats vidx")[0].collect()}
     assert stats["kind"].startswith("hnsw sharded")
+    # repeated queries short-circuit on the existing sharded artifact:
+    # no re-materialization, no cap-probe count (code-review r5 finding)
+    def _poisoned_derived():
+        raise AssertionError("re-probed the corpus despite a built sharded index")
+
+    monkeypatch.setattr(engine, "_derived_for_index", _poisoned_derived)
+    again = [
+        tuple(r)
+        for r in engine.query(
+            f'?n2(Id, D), hnsw_nearest("vidx", [{qv}], 3, Id, D)'
+        ).collect()
+    ]
+    assert [g[0] for g in again] == true3
+    monkeypatch.undo()
     # a dependent write invalidates the sharded artifact like any other
     engine.execute("+emb[(99, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0])]")
     assert ("default", "vidx") not in engine._sharded_hnsw

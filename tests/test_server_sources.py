@@ -455,6 +455,67 @@ def test_user_and_apikey_meta_commands(spark, tmp_path):
         srv.stop()
 
 
+def test_kg_create_then_use_in_one_program(spark, tmp_path):
+    """Deferring the creator's owner grant must not break the canonical
+    one-program flow: create a KG, switch into it, and write — the
+    layer-2 check treats a KG the program itself creates as owned
+    (code-review r5 finding: role lookup ran before any grant landed and
+    denied the creator's own statements)."""
+    from inputlayer_spark.auth import AuthStore
+
+    store_path = str(tmp_path / "creds.json")
+    store = AuthStore(store_path)
+    store.add_user("ed", "pw", role="editor")
+    ed_key = store.issue_api_key("ed")
+    store.grant_kg("default", "ed", "editor")
+
+    srv = QueryServer(spark, auth=AuthStore(store_path)).start()
+    try:
+        out = _post_auth(
+            srv.port,
+            {"query": ".kg create mine\n.kg use mine\n+r(x: int)\n+r[(7)]\n?r(X)"},
+            key=ed_key,
+        )
+        assert out["results"][-1]["rows"] == [[7]]
+        assert srv.auth.kg_acls["mine"]["ed"] == "owner"
+        # create-then-drop in one program leaves no grant behind
+        _post_auth(
+            srv.port,
+            {"query": ".kg create fleeting\n.kg drop fleeting"},
+            key=ed_key,
+        )
+        assert "ed" not in srv.auth.kg_acls.get("fleeting", {})
+    finally:
+        srv.stop()
+
+
+def test_legacy_api_keys_get_synthetic_labels(tmp_path):
+    """Stores written before labeled keys existed load with
+    `legacy-<hash8>` labels, so the keys stay visible in `.apikey list`
+    and revocable by label (code-review r5 finding: empty labels were
+    filtered out of list and unreachable by revoke)."""
+    import json as _json
+
+    from inputlayer_spark.auth import AuthStore, hash_api_key
+
+    store_path = str(tmp_path / "old.json")
+    store = AuthStore(store_path)
+    store.add_user("u", "pw", role="editor")
+    key = store.issue_api_key("u")
+    h = hash_api_key(key)
+    # rewrite in the pre-label on-disk format: hash -> username string
+    data = _json.load(open(store_path))
+    data["api_keys"] = {h: "u"}
+    _json.dump(data, open(store_path, "w"))
+
+    reloaded = AuthStore(store_path)
+    label = f"legacy-{h[:8]}"
+    assert (label, "u") in reloaded.list_api_keys()
+    assert reloaded.authenticate_api_key(key) is not None
+    reloaded.revoke_key_by_label(label)
+    assert reloaded.authenticate_api_key(key) is None
+
+
 def test_kg_create_cannot_hijack_existing_kg(spark, tmp_path):
     """Privilege-escalation fix (ADVICE r4 high): `.kg create <existing>`
     is a no-op that must NOT grant the caller ownership — the reference
