@@ -508,21 +508,38 @@ def _try_path_doubling(
     # squarings covered any depth; sweeps don't). The huge cap below is
     # a runaway backstop, not a semantic limit.
     result = seed
+    n_result = n_seed
     delta = seed
     for _ in range(1_000_000):  # depth/2^k sweeps; exits on empty delta
-        # subtract = EXCEPT DISTINCT: dedups the composition AND removes
-        # already-derived tuples in one shuffle. localCheckpoint (not
-        # persist) is load-bearing: it SEVERS lineage, so the next
-        # sweep's delta⋈step join doesn't alias two frames sharing the
-        # step's lineage (AnalysisException: ambiguous self-join).
-        new = (
-            compose_r(delta, sweep_step)
-            .subtract(result)
-            .localCheckpoint(eager=True)
-        )
-        if new.count() == 0:
+        composed = compose_r(delta, sweep_step)
+        if n_result <= 3_000_000:
+            # broadcast null-safe anti-join + distinct ≡ EXCEPT DISTINCT,
+            # but already-derived tuples are dropped MAP-SIDE before any
+            # shuffle — on dense graphs a late sweep's composition is
+            # dominated by rederivations of known pairs (measured ~38M
+            # rows vs a ~1M-pair closure), so this cuts the per-sweep
+            # shuffle volume to the surviving new derivations only
+            left, right = composed.alias("__sw_l"), result.alias("__sw_r")
+            cond = None
+            for c in rcols:
+                e = F.col(f"__sw_l.{c}").eqNullSafe(F.col(f"__sw_r.{c}"))
+                cond = e if cond is None else (cond & e)
+            new = left.join(
+                F.broadcast(right), cond, "left_anti"
+            ).distinct()
+        else:
+            # result too big to broadcast: EXCEPT DISTINCT (dedups the
+            # composition AND removes derived tuples in one shuffle)
+            new = composed.subtract(result)
+        # localCheckpoint (not persist) is load-bearing: it SEVERS
+        # lineage, so the next sweep's delta⋈step join doesn't alias two
+        # frames sharing the step's lineage (ambiguous self-join)
+        new = new.localCheckpoint(eager=True)
+        n_new = new.count()
+        if n_new == 0:
             return {head_rel: result}
         result = result.unionByName(new)
+        n_result += n_new
         delta = new
     raise CompileError(
         "path-doubling fixpoint did not stabilize within the sweep backstop"
