@@ -12,6 +12,10 @@ Public surface:
     get_spark      — tuned local SparkSession builder
     functions.*    — vector / temporal / text Column-expression builtins
     operators.*    — dedup / similarity / top-k DataFrame operators
+    fluent.*       — proxy-style IQL builder (rule / query / agg / fn)
+    olm.*          — typed model classes (Model, Derived, Vector[N])
+    migrations.*   — Django-style schema migrations
+    integrations.* — agent-graph layer (kg_node / kg_router / memory)
 """
 
 from inputlayer_spark.engine import IQLEngine
