@@ -181,17 +181,39 @@ def tokenize(src: str, legacy: bool = False) -> list:
 
 
 def _unescape(s: str) -> str:
+    """Single left-to-right pass so `"path\\\\to"` yields a literal
+    backslash rather than double-unescaping into a tab (golden
+    35_strings/32_escape_sequences.iql query 4). A scan — not chained
+    replace() with a placeholder — because a placeholder byte appearing
+    LITERALLY in the data (e.g. NUL) must survive unchanged."""
     body = s[1:-1]
-    # \\ first (via placeholder) so `"path\\to"` yields a literal
-    # backslash rather than double-unescaping into a tab
-    # (golden 35_strings/32_escape_sequences.iql query 4)
-    return (
-        body.replace("\\\\", "\x00")
-        .replace(r"\"", '"')
-        .replace(r"\n", "\n")
-        .replace(r"\t", "\t")
-        .replace("\x00", "\\")
-    )
+    out = []
+    i = 0
+    n = len(body)
+    while i < n:
+        c = body[i]
+        if c == "\\" and i + 1 < n:
+            nxt = body[i + 1]
+            if nxt == "\\":
+                out.append("\\")
+                i += 2
+                continue
+            if nxt == '"':
+                out.append('"')
+                i += 2
+                continue
+            if nxt == "n":
+                out.append("\n")
+                i += 2
+                continue
+            if nxt == "t":
+                out.append("\t")
+                i += 2
+                continue
+            # unknown escape: keep verbatim (reference-lenient)
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 class Parser:

@@ -2,6 +2,8 @@
 — class-based schemas, Vector[N], derived relations with rules)."""
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from inputlayer_spark.engine import IQLEngine
 from inputlayer_spark.fluent import V, query, rule
@@ -56,6 +58,54 @@ def test_column_vars_and_atoms():
         Employee.atom(V.A)  # arity mismatch
     with pytest.raises(TypeError):
         Employee.atom(bogus=V.X)
+
+
+_col_names = st.lists(
+    st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True),
+    min_size=1, max_size=6, unique=True,
+)
+_scalars = {
+    int: st.integers(min_value=-(2**31), max_value=2**31),
+    float: st.floats(allow_nan=False, allow_infinity=False, width=32),
+    str: st.text(max_size=20),
+    bool: st.booleans(),
+}
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    cols=_col_names,
+    types=st.lists(st.sampled_from([int, float, str, bool]), min_size=6, max_size=6),
+    data=st.data(),
+)
+def test_property_rendered_iql_parses_and_roundtrips(cols, types, data):
+    """Any schema the OLM layer renders must be accepted by the real IQL
+    parser, and a rendered insert must parse back to the same values —
+    the rendering IS the wire contract."""
+    from inputlayer_spark.olm import Model
+    from inputlayer_spark.parser import parse_program
+
+    ns = {"__annotations__": {c: t for c, t in zip(cols, types)}}
+    cls = type("PropRel", (Model,), ns)
+    create = cls.create_iql()
+    parse_program(create)  # schema declaration must parse
+    # instance with drawn values renders an insert the parser accepts
+    values = {
+        c: data.draw(_scalars[t]) for c, t in zip(cols, types)
+    }
+    inst = cls(**values)
+    (ins,) = parse_program(cls.insert_iql([inst])).statements
+    # single-tuple batches normalize to a plain Fact
+    (tup,) = getattr(ins, "tuples", None) or [ins.values]
+    for got, (c, t) in zip(tup, zip(cols, types)):
+        want = inst.values()[cols.index(c)]
+        g = getattr(got, "value", got)
+        if t is float:
+            assert g == pytest.approx(want, rel=1e-6, abs=1e-6)
+        else:
+            assert g == want
+    # delete renders and parses too
+    parse_program(inst.delete_iql())
 
 
 def test_declare_insert_query_live_engine(spark):
