@@ -272,8 +272,14 @@ def seeded_tc_closure(
             return widened.filter(widened["s"] == seed_lit).select(
                 widened["s"].alias("c0"), widened["t"].alias("c1")
             )
-        if n_w > growth_cap * n_e:
-            break  # squaring stopped paying; BFS with what we have
+        if n_w > 3 * n_step or n_w > growth_cap * n_e:
+            # Densifying, not chain-like (a chain doubles per squaring;
+            # dense graphs jump 5x+). Escalation is the real hazard:
+            # squaring an already-densified step costs Σ in·out ≈ |V|³/6
+            # — the blow-up measured and fixed in recursion.py's full-TC
+            # loop. Dense graphs have small diameters, so the BFS below
+            # loses nothing by keeping the narrower step.
+            break
         step, n_step = widened, n_w
 
     visited = None
