@@ -391,6 +391,7 @@ class IQLEngine:
         import json as _json
         import os as _os
 
+        self._sweep_stale_hnsw_shards()
         self._wal_replaying = True
         try:
             snap = _os.path.join(self.wal_dir, "snapshot")
@@ -2112,6 +2113,29 @@ class IQLEngine:
             f"{self.current.name}-{name}-{self._hnsw_shard_token}"
             f"-g{self._hnsw_shard_gen:04d}",
         )
+
+    def _sweep_stale_hnsw_shards(self) -> None:
+        """Startup GC for durable sharded-HNSW build directories.
+
+        Shard dirs under ``wal_dir/hnsw_shards`` are named with a
+        per-engine random token, so directories left behind by a
+        previous engine instance (restart or crash — _drop_sharded_hnsw
+        only runs in the owning process) can never belong to this
+        engine and would otherwise leak disk indefinitely. Called BEFORE
+        WAL replay, which is what rebuilds any live sharded index into
+        a fresh token-stamped directory (ADVICE r5)."""
+        import os as _os
+        import shutil as _shutil
+
+        if not self.wal_dir:
+            return
+        root = _os.path.join(self.wal_dir, "hnsw_shards")
+        try:
+            stale = _os.listdir(root)
+        except OSError:
+            return
+        for d in stale:
+            _shutil.rmtree(_os.path.join(root, d), ignore_errors=True)
 
     def _drop_sharded_hnsw(self, key) -> None:
         import shutil as _shutil

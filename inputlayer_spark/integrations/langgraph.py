@@ -186,7 +186,22 @@ class AgentMemory:
     def __init__(self, executor, window: int = 6) -> None:
         self.ex = executor
         self.window = int(window)
-        self._counter = 0
+        # Seeded lazily from the KG's max stored turn so a new
+        # AgentMemory over an existing KG (process restart, or two
+        # instances on one thread) continues the sequence instead of
+        # reusing (thread, turn) keys and corrupting recall ordering.
+        self._counter: Optional[int] = None
+
+    def _seed_counter(self) -> int:
+        try:
+            rows = _rows(
+                self.ex.execute("?memory_turn(_, Turn:desc, _, _, _), limit(1)")
+            )
+        except Exception:  # relation not created yet → fresh sequence
+            rows = []
+        # rows carry the full tuple shape (thread, turn, ...); turn is
+        # the second column
+        return int(rows[0][1]) if rows else 0
 
     def setup(self) -> None:
         self.ex.execute(
@@ -218,6 +233,8 @@ class AgentMemory:
 
     def store(self, thread_id: str, role: str, content: str,
               ts: Optional[int] = None) -> int:
+        if self._counter is None:
+            self._counter = self._seed_counter()
         self._counter += 1
         turn = self._counter
         # ts=0 (epoch zero) is a valid caller timestamp — only None

@@ -22,6 +22,10 @@ protocol mirrors src/protocol/rest/handlers/ws.rs:9-23:
     server → {"type": "result", "columns": [...], "rows": [...]}
              {"type": "ack", "message": "..."} | {"type": "pong"}
              {"type": "error", "message": "..."}
+             Requests may carry an "id"; every reply frame echoes it and
+             query replies end with {"type": "done", "id": ..., "frames": N}
+             so clients can match multi-frame (multi-statement) replies
+             to requests by id instead of FIFO order.
              {"type": "notification", "event": "persistent_update",
               "relation": "..."}  (pushed on engine changes)
 
@@ -226,13 +230,22 @@ class QueryServer:
                                 pending_grants.remove(args[1])
                 return pending_grants
 
-            def _apply_creator_grants(self, identity, grants) -> None:
+            def _apply_creator_grants(self, identity, grants, engine) -> None:
                 """Post-execution owner grants for newly created KGs
-                (handler.rs:4584 grants only on successful create)."""
+                (handler.rs:4584 grants only on successful create).
+
+                Called from a ``finally`` so that a multi-statement
+                program that creates a KG and then fails on a later
+                statement still grants the creator owner on any KG the
+                engine actually created — otherwise the creator is
+                permanently locked out (re-running `.kg create` is a
+                setdefault no-op and queues no grant). Membership in
+                ``engine.kgs`` is the ground truth for "was created"."""
                 if outer.auth is None or not grants:
                     return
                 for kg in grants:
-                    outer.auth.grant_kg(kg, identity.username, "owner")
+                    if kg in engine.kgs:
+                        outer.auth.grant_kg(kg, identity.username, "owner")
 
             def do_GET(self):
                 if self.path == "/health":
@@ -359,9 +372,11 @@ class QueryServer:
 
             def _ws_dispatch(self, engine, msg, send_json):
                 mtype = msg.get("type")
+                rid = msg.get("id")
+                tag = {} if rid is None else {"id": rid}
                 try:
                     if mtype == "ping":
-                        send_json({"type": "pong"})
+                        send_json({"type": "pong", **tag})
                     elif mtype == "query":
                         with outer._lock:
                             ws_ident = (
@@ -374,14 +389,29 @@ class QueryServer:
                             # caller identity for identity-aware metas
                             # (`.apikey create` owner, handler.rs:4433)
                             engine.auth_identity = ws_ident
-                            dfs = engine.execute(msg.get("query", ""))
-                            self._apply_creator_grants(ws_ident, grants)
+                            try:
+                                dfs = engine.execute(msg.get("query", ""))
+                            finally:
+                                engine.auth_identity = None
+                                self._apply_creator_grants(
+                                    ws_ident, grants, engine
+                                )
                             payloads = [_df_payload(df) for df in dfs]
                         if payloads:
                             for p in payloads:
-                                send_json({"type": "result", **p})
+                                send_json({"type": "result", **tag, **p})
                         else:
-                            send_json({"type": "ack", "message": "ok"})
+                            send_json({"type": "ack", **tag, "message": "ok"})
+                        if rid is not None:
+                            # end marker so clients can match multi-frame
+                            # replies to requests by id instead of FIFO
+                            send_json(
+                                {
+                                    "type": "done",
+                                    "id": rid,
+                                    "frames": max(len(payloads), 1),
+                                }
+                            )
                     elif mtype == "insert_facts":
                         rel = msg["relation"]
                         stmts = []
@@ -393,6 +423,7 @@ class QueryServer:
                         send_json(
                             {
                                 "type": "ack",
+                                **tag,
                                 "message": f"Inserted {len(msg.get('tuples', []))} fact(s) into '{rel}'.",
                             }
                         )
@@ -402,17 +433,21 @@ class QueryServer:
                             for tup in msg.get("tuples", []):
                                 vals = ", ".join(json.dumps(v) for v in tup)
                                 engine.execute(f"-{rel}({vals})")
-                        send_json({"type": "ack", "message": "retracted"})
+                        send_json({"type": "ack", **tag, "message": "retracted"})
                     elif mtype == "add_rule":
                         with outer._lock:
                             engine.execute(msg.get("rule", ""))
-                        send_json({"type": "ack", "message": "rule added"})
+                        send_json({"type": "ack", **tag, "message": "rule added"})
                     else:
                         send_json(
-                            {"type": "error", "message": f"unknown type {mtype!r}"}
+                            {
+                                "type": "error",
+                                **tag,
+                                "message": f"unknown type {mtype!r}",
+                            }
                         )
                 except Exception as exc:  # noqa: BLE001 — wire errors back
-                    send_json({"type": "error", "message": str(exc)})
+                    send_json({"type": "error", **tag, "message": str(exc)})
 
             def do_POST(self):
                 if self.path != "/query":
@@ -430,8 +465,11 @@ class QueryServer:
                     with outer._lock:
                         grants = self._authorize_program(ident, engine, q)
                         engine.auth_identity = ident
-                        results = engine.execute(q)
-                        self._apply_creator_grants(ident, grants)
+                        try:
+                            results = engine.execute(q)
+                        finally:
+                            engine.auth_identity = None
+                            self._apply_creator_grants(ident, grants, engine)
                         payload = {"results": [_df_payload(df) for df in results]}
                     self._send(200, payload)
                 except PermissionError as exc:

@@ -86,6 +86,7 @@ export class WsConn {
     this._sock = null;
     this._pending = [];
     this._dispatcher = false;
+    this._nextId = 0;
   }
 
   connect() {
@@ -169,38 +170,58 @@ export class WsConn {
     this._sock.write(encodeFrame(0x1, Buffer.from(JSON.stringify(obj), "utf8")));
   }
 
+  _routeReply(msg) {
+    if (msg.type === "notification") return; // pushed, not a reply
+    let entry;
+    let legacy = false;
+    if (msg.id !== undefined) {
+      entry = this._pending.find((e) => e.id === msg.id);
+      if (!entry) return; // reply to a request we no longer track
+    } else {
+      // Legacy server without id echo: one frame per request, FIFO.
+      entry = this._pending[0];
+      if (!entry) return; // unsolicited frame
+      legacy = true;
+    }
+    if (msg.type !== "done") entry.frames.push(msg);
+    // Terminal frames: the explicit end marker, an error (the server
+    // aborts the request after one error frame), or — on a legacy
+    // server — any frame at all.
+    const terminal = legacy || msg.type === "done" || msg.type === "error";
+    if (!terminal) return;
+    this._pending.splice(this._pending.indexOf(entry), 1);
+    clearTimeout(entry.timer);
+    if (!entry.timedOut) entry.resolve(entry.frames); // late reply: discarded
+  }
+
   /**
-   * One request/response round-trip with FIFO reply matching: the
-   * server executes requests in order under a lock and sends exactly
-   * one reply per single-statement request, so each incoming
-   * non-notification frame belongs to the OLDEST pending request.
-   * Concurrent requests therefore each resolve with their own reply,
-   * and a timed-out request keeps its queue slot so its late reply is
-   * consumed and discarded instead of misattributed to the next
-   * request. (Multi-statement programs emit one reply frame per
-   * statement with no end marker; send one statement per request over
-   * WS.)
+   * One request/response round-trip returning ALL reply frames.
+   *
+   * Each request carries a client-assigned `id`; the server echoes it
+   * on every reply frame and terminates multi-frame (multi-statement)
+   * replies with a `{"type": "done", "id"}` end marker, so replies are
+   * matched to requests by id — concurrent and multi-statement
+   * requests cannot desynchronize the pending queue. A timed-out
+   * request keeps its queue slot until its terminal frame arrives so
+   * late frames are consumed and discarded instead of misattributed.
+   * Servers that do not echo ids fall back to FIFO single-frame
+   * matching.
    */
-  request(obj, { timeoutMs = 30000 } = {}) {
+  requestAll(obj, { timeoutMs = 30000 } = {}) {
     if (!this._dispatcher) {
       this._dispatcher = true;
-      this.onMessage((msg) => {
-        if (msg.type === "notification") return; // pushed, not a reply
-        const entry = this._pending.shift();
-        if (!entry) return; // unsolicited frame
-        clearTimeout(entry.timer);
-        if (!entry.timedOut) entry.resolve(msg); // late reply: discarded
-      });
+      this.onMessage((msg) => this._routeReply(msg));
     }
+    const id = ++this._nextId;
     return new Promise((resolve, reject) => {
-      const entry = { resolve, timedOut: false, timer: null };
+      const entry = { id, frames: [], resolve, timedOut: false, timer: null };
       entry.timer = setTimeout(() => {
         entry.timedOut = true; // keep the slot — consume the late reply
         reject(new Error("WebSocket request timeout"));
       }, timeoutMs);
       this._pending.push(entry);
       try {
-        this.send(obj);
+        this.send({ ...obj, id });
       } catch (e) {
         // never sent → no reply will come; release the slot
         clearTimeout(entry.timer);
@@ -208,6 +229,14 @@ export class WsConn {
         reject(e);
       }
     });
+  }
+
+  /** One round-trip resolving with the LAST reply frame (the result of
+   * the final statement, or the ack/error). */
+  request(obj, opts = {}) {
+    return this.requestAll(obj, opts).then(
+      (frames) => frames[frames.length - 1],
+    );
   }
 
   close() {

@@ -149,3 +149,54 @@ test("concurrent requests resolve with their own replies (FIFO)", async () => {
   const f = await conn.request({ type: "query", tag: "F" });
   assert.equal(f.tag, "F");
 });
+
+test("id-echoing server: multi-frame replies match by id, not FIFO", async () => {
+  // Simulates the real server (server.py _ws_dispatch): echoes the
+  // request id on every frame and terminates query replies with a
+  // {"type":"done","id"} end marker — multi-statement programs emit
+  // one result frame per statement.
+  const { WsConn } = await import("../src/ws.js");
+  const conn = new WsConn("localhost", 0, "/ws");
+  const inject = (msg) => {
+    for (const cb of [...conn._listeners]) cb(msg);
+  };
+  const queued = [];
+  conn.send = (obj) => queued.push(obj);
+
+  // request A is a 2-statement program (2 result frames + done);
+  // request B is single-statement. The server replies to B FIRST —
+  // FIFO matching would misattribute every frame.
+  const pA = conn.requestAll({ type: "query", tag: "A" });
+  const pB = conn.request({ type: "query", tag: "B" });
+  const [idA, idB] = [queued[0].id, queued[1].id];
+  inject({ type: "result", id: idB, rows: [[1]] });
+  inject({ type: "done", id: idB, frames: 1 });
+  inject({ type: "result", id: idA, rows: [[2]] });
+  inject({ type: "notification", event: "persistent_update", relation: "r" });
+  inject({ type: "result", id: idA, rows: [[3]] });
+  inject({ type: "done", id: idA, frames: 2 });
+  const [a, b] = await Promise.all([pA, pB]);
+  assert.equal(a.length, 2);
+  assert.deepEqual(a.map((f) => f.rows[0][0]), [2, 3]);
+  assert.deepEqual(b.rows, [[1]]);
+
+  // an error frame is terminal — no done marker needed
+  const pC = conn.requestAll({ type: "query", tag: "C" });
+  inject({ type: "error", id: queued[2].id, message: "nope" });
+  const c = await pC;
+  assert.equal(c[0].type, "error");
+  assert.equal(conn._pending.length, 0);
+
+  // a timed-out multi-frame request keeps its slot until its done
+  // marker, so late frames are consumed — the next request is safe
+  const pD = conn.requestAll({ type: "query", tag: "D" }, { timeoutMs: 10 });
+  await assert.rejects(pD, /timeout/);
+  const pE = conn.request({ type: "query", tag: "E" });
+  inject({ type: "result", id: queued[3].id, rows: [["late-D"]] });
+  inject({ type: "done", id: queued[3].id, frames: 1 });
+  inject({ type: "result", id: queued[4].id, rows: [["E"]] });
+  inject({ type: "done", id: queued[4].id, frames: 1 });
+  const e = await pE;
+  assert.deepEqual(e.rows, [["E"]]);
+  assert.equal(conn._pending.length, 0);
+});

@@ -101,6 +101,28 @@ def test_agent_memory_store_recall_topics(spark):
     assert len(mem.recall("t2")) == 2
 
 
+def test_agent_memory_counter_survives_restart(spark):
+    """A fresh AgentMemory over an existing KG must continue the turn
+    sequence, not reuse (thread, turn) keys (ADVICE r5)."""
+    eng = IQLEngine(spark)
+    mem = AgentMemory(eng, window=10)
+    mem.setup()
+    t1 = mem.store("t1", "user", "first message about databases")
+    t2 = mem.store("t1", "assistant", "reply about databases")
+    assert (t1, t2) == (1, 2)
+
+    # simulate a process restart: new instance, same engine/KG
+    mem2 = AgentMemory(eng, window=10)
+    t3 = mem2.store("t1", "user", "third message after restart")
+    assert t3 == 3  # seeded from max stored turn, no duplicate keys
+
+    got = mem2.recall("t1")
+    assert [r[1] for r in got] == [1, 2, 3]
+    # a third instance on an untouched-by-it thread also continues
+    mem3 = AgentMemory(eng, window=10)
+    assert mem3.store("t2", "user", "new thread") == 4
+
+
 def test_checkpoint_store_roundtrip_and_prune(spark):
     eng = IQLEngine(spark)
     cp = CheckpointStore(eng)

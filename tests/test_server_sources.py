@@ -544,15 +544,29 @@ def test_kg_create_cannot_hijack_existing_kg(spark, tmp_path):
             _post_auth(srv.port, {"query": "+t[(9)]"}, key=mal_key)
         assert e.value.code == 403  # still a viewer
 
-        # grant only lands after SUCCESSFUL execution: a program that
-        # creates a KG then fails leaves no ownership behind
+        # partial failure (ADVICE r5): a program that creates a KG and
+        # then fails DID create the KG (statements apply in order), so
+        # the creator must still be granted owner — otherwise they are
+        # permanently locked out of a KG that exists and re-running
+        # `.kg create` is a setdefault no-op that queues no grant.
         with pytest.raises(urllib.error.HTTPError):
             _post_auth(
                 srv.port,
                 {"query": ".kg create flaky\n?no_such_rel(X)"},
                 key=mal_key,
             )
-        assert "mal" not in srv.auth.kg_acls.get("flaky", {})
+        assert "flaky" in srv.engine.kgs  # the create DID happen...
+        assert srv.auth.kg_acls["flaky"]["mal"] == "owner"  # ...so grant
+        # but a create that never executed (failure BEFORE it) grants
+        # nothing — membership in engine.kgs is the ground truth
+        with pytest.raises(urllib.error.HTTPError):
+            _post_auth(
+                srv.port,
+                {"query": "?no_such_rel(X)\n.kg create ghost"},
+                key=mal_key,
+            )
+        assert "ghost" not in srv.engine.kgs
+        assert "mal" not in srv.auth.kg_acls.get("ghost", {})
 
         # the legitimate path still works: new KG → creator becomes owner
         _post_auth(srv.port, {"query": ".kg create mine"}, key=mal_key)

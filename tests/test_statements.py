@@ -178,6 +178,29 @@ def test_wal_crash_recovery(spark, tmp_path):
     assert _rows(eng3.query("?total(S)")) == [(35.0,)]
 
 
+def test_stale_hnsw_shard_dirs_swept_on_startup(spark, tmp_path):
+    """Sharded-HNSW build dirs from a previous engine instance (crash or
+    restart) are garbage-collected at startup — they are token-stamped
+    per instance, so a restarted durable deployment would otherwise leak
+    disk forever (ADVICE r5)."""
+    import os
+
+    wal = str(tmp_path / "wal")
+    shards = os.path.join(wal, "hnsw_shards")
+    os.makedirs(os.path.join(shards, "default-idx-deadbeef-g0001"))
+    os.makedirs(os.path.join(shards, "default-idx-deadbeef-g0002"))
+    with open(
+        os.path.join(shards, "default-idx-deadbeef-g0001", "shard-0.json"), "w"
+    ) as fh:
+        fh.write("{}")
+
+    eng = IQLEngine(spark, wal_dir=wal)
+    assert os.listdir(shards) == []  # previous generations reclaimed
+    # and the engine still works (relations, WAL) after the sweep
+    eng.execute('+r[(1, "a")]')
+    assert _rows(eng.query("?r(X, Y)")) == [(1, "a")]
+
+
 def test_wal_per_statement_covers_partial_programs(spark, tmp_path):
     """A multi-statement program that fails midway must leave the WAL
     covering exactly the mutations that were applied (ADVICE r2: the old
