@@ -524,6 +524,60 @@ def q_shortest_path(spark, sf_dir):
 
 
 # =====================================================================
+# incremental view maintenance (mutate-then-query; the reference's
+# second headline, src/incremental.rs + BENCHMARKS.md:50-93)
+# =====================================================================
+
+
+def q_incr_agg_delta(spark, sf_dir):
+    """Materialized sum/count view maintained through an insert delta
+    AND a conditional-delete delta (engine._insert_maintain /
+    _retract_maintain → try_delta_merge O(delta) paths; reference
+    differential update src/incremental.rs:26-41). The oracle computes
+    the same FINAL state from scratch; the paired test
+    test_insert_then_delete_maintenance_sequence proves the engine side
+    never re-aggregates the base. `sum<P>` is the reference's truncating
+    Int64 sum, so the merged total hashes exactly — no float tolerance
+    needed."""
+    eng = IQLEngine(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tune_session(spark)
+    eng.register(
+        "ord", orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    eng.execute("+cstat(C, count<P>, sum<P>) <- ord(O, C, P)")
+    eng.query("?cstat(C, N, S)").count()  # materialize + pin the view
+    # +Δ: two new orders; −Δ: custkey 3's orders under 100k
+    eng.execute("+ord[(90000001, 1, 111.5), (90000002, 2, 222.25)]")
+    eng.execute("-ord(O, 3, P) <- ord(O, 3, P), P < 100000.0")
+    df = eng.query("?cstat(C, N, S)")
+    return df.select(
+        F.col("C").alias("c_custkey"),
+        F.col("N").alias("n_orders"),
+        F.col("S").alias("total_trunc"),
+    )
+
+
+def q_incr_recursive_delta(spark, sf_dir):
+    """Materialized transitive closure maintained through an edge insert
+    (semi-naive delta extension, recursion.seminaive_insert) AND an edge
+    delete (DRed overdelete+rederive, recursion.dred_retract) — the
+    reference's differential recursion maintenance
+    (src/incremental.rs:36-41, BENCHMARKS.md:67-93). The oracle
+    recomputes the closure of the FINAL edge set from scratch."""
+    eng = IQLEngine(spark)
+    eng.register("edge", _edge_df(spark, sf_dir, 60))
+    eng.execute(
+        "+reach(X, Y) <- edge(X, Y)\n+reach(X, Z) <- edge(X, Y), reach(Y, Z)"
+    )
+    eng.query("?reach(X, Y)").count()  # materialize + pin the fixpoint
+    eng.execute("+edge[(0, 59)]")  # bridge: 0 reaches everything 59 does
+    eng.execute("-edge(1, 2)")  # DRed: some 1→* paths lose derivations
+    df = eng.query("?reach(X, Y)")
+    return df.select(F.col("X").alias("src"), F.col("Y").alias("dst"))
+
+
+# =====================================================================
 # vector search (src/vector_ops.rs; embeddings table, 64-dim)
 # =====================================================================
 
@@ -1189,6 +1243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitive_closure_distributed": q_transitive_closure_distributed,
         "transitive_closure_large": q_transitive_closure_large,
         "transitive_closure_anchor": q_transitive_closure_anchor,
+        "incr_agg_delta": q_incr_agg_delta,
+        "incr_recursive_delta": q_incr_recursive_delta,
         "reach_bound": q_reach_bound,
         "reach_bound_large": q_reach_bound_large,
         "shortest_path": q_shortest_path,
@@ -1412,6 +1468,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a, embeddings b "
             "WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id "
             f"AND (1.0 - ({_cos_dist('a.embedding', 'b.embedding')})) >= 0.35"
+        ),
+        # incremental maintenance oracles: DuckDB computes the FINAL
+        # state from scratch; the Spark side reached it by O(delta)
+        # merge / semi-naive insert / DRed delete on a pinned view
+        "incr_agg_delta": (
+            "WITH base AS ("
+            "  SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+            "  UNION ALL"
+            "  SELECT * FROM (VALUES (90000001, 1, 111.5),"
+            "                        (90000002, 2, 222.25))"
+            "         v(o_orderkey, o_custkey, o_totalprice)"
+            "), final AS ("
+            "  SELECT * FROM base"
+            "  WHERE NOT (o_custkey = 3 AND o_totalprice < 100000.0)"
+            ") "
+            "SELECT o_custkey AS c_custkey, count(*) AS n_orders, "
+            "CAST(sum(CAST(TRUNC(o_totalprice) AS BIGINT)) AS BIGINT)"
+            " AS total_trunc "
+            "FROM final GROUP BY o_custkey"
+        ),
+        "incr_recursive_delta": (
+            f"WITH RECURSIVE edge0 AS ({_EDGE_SQL.format(m=60)}), "
+            "edge AS ("
+            "  SELECT src, dst FROM ("
+            "    SELECT src, dst FROM edge0 UNION SELECT 0, 59) "
+            "  WHERE NOT (src = 1 AND dst = 2)), "
+            "reach(src, dst) AS ("
+            "  SELECT src, dst FROM edge "
+            "  UNION "
+            "  SELECT e.src, r.dst FROM edge e JOIN reach r ON r.src = e.dst) "
+            "SELECT src, dst FROM reach"
         ),
         "transitive_closure": (
             f"WITH RECURSIVE edge AS ({_EDGE_SQL.format(m=60)}), "

@@ -110,6 +110,45 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    # ---- incremental maintenance latency at a non-toy base ----
+    # Times ONLY (delta insert + maintained re-query) against a 1.2M-row
+    # base with a pinned sum/count view — the reference's differential
+    # update headline (BENCHMARKS.md:50-93; BASELINE.md: 0.5-1.1 s per
+    # view at 20M rows). Initial materialization is index-build-style
+    # setup, excluded like every other artifact build above.
+    from pyspark.sql import functions as F
+
+    from inputlayer_spark.engine import IQLEngine
+
+    eng = IQLEngine(spark)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    half = li.select(
+        (F.col("l_partkey") % 10000).alias("k"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    base = half.unionByName(
+        half.select((F.col("k") + 10000).alias("k"), "v")
+    ).localCheckpoint(eager=True)
+    n_base = base.count()
+    eng.register("li2", base)
+    eng.execute("+kstat(K, count<V>, sum<V>) <- li2(K, V)")
+    eng.query("?kstat(K, N, S)").count()  # materialize + pin the view
+    best = None
+    for cycle in range(2):
+        vals = ", ".join(
+            f"({90000 + cycle * 100 + i}, {1000.0 + i})" for i in range(100)
+        )
+        t0 = time.perf_counter()
+        eng.execute(f"+li2[{vals}]")
+        eng.query("?kstat(K, N, S)").count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    timings["incr_maint_requery"] = round(best, 4)
+    print(
+        f"# incr_maint_requery: {best:.3f}s (+100 rows on {n_base}-row base)",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

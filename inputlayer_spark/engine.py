@@ -619,6 +619,7 @@ class IQLEngine:
         # many times per script — one eager job at insert time buys back
         # an order of magnitude on every query.
         df = small_local_df(self.spark, rows, schema)
+        delta_df, old_base = df, None
         if rel in self.current.relations:
             old = self.current.relations[rel]
             if [f.dataType for f in old.schema.fields] != [
@@ -631,10 +632,24 @@ class IQLEngine:
                     ]
                 )
             # both sides are pinned leaves; the union scans them directly
-            df = old.unionByName(df.toDF(*old.columns))
+            delta_df, old_base = df.toDF(*old.columns), old
+            df = old.unionByName(delta_df)
         self.current.relations[rel] = df
         self.current.empty_relations.discard(rel)
+        # incremental insertion first (mirror of the delete path's
+        # _retract_maintain): qualifying aggregate views merge the delta
+        # rows (try_delta_merge), positive recursive SCC fixpoints extend
+        # semi-naively from the delta (seminaive_insert) — then the
+        # cascade wipes the cache and the maintained views re-seed it, so
+        # the next query over a view with a million-tuple extent pays
+        # O(delta), not a recompute (reference differential update,
+        # src/incremental.rs:26-34; BENCHMARKS.md:50-66).
+        maintained: Dict[str, DataFrame] = {}
+        if old_base is not None:
+            maintained = self._insert_maintain(rel, delta_df, old_base)
         self._invalidate(rel)
+        for h, v in maintained.items():
+            self._derived_cache[h] = v
 
     def _resolve_type_name(self, name: str) -> str:
         """Follow `type X: Y` alias chains to a base type name."""
@@ -1534,6 +1549,128 @@ class IQLEngine:
                 pass  # fall back to invalidate + full recompute
         return maintained
 
+    def _insert_maintain(
+        self, rel: str, delta_df: DataFrame, old_base: DataFrame
+    ) -> Dict[str, DataFrame]:
+        """Run the incremental insertion paths for every cached view over
+        `rel` — try_delta_merge for aggregate views, semi-naive delta
+        extension for positive recursive SCCs — returning {head:
+        maintained view} for the caller to re-seed after the
+        invalidation cascade (the exact protocol of _retract_maintain)."""
+        maintained: Dict[str, DataFrame] = {}
+        for rule in self.current.rules:
+            deps = {
+                l.relation
+                for l in rule.body
+                if isinstance(l, Atom) and not l.negated
+            }
+            if rel not in deps:
+                continue
+            try:
+                v = self.try_delta_merge(
+                    rule.head.relation, rel, delta_df, old_base
+                )
+            except Exception:
+                # the fast path is an optimization — any analysis/compile
+                # hiccup falls back to invalidate + full recompute, never
+                # fails the insert itself
+                v = None
+            if v is not None:
+                maintained[rule.head.relation] = v
+        try:
+            maintained.update(self._try_seminaive_insert(rel, delta_df))
+        except Exception:
+            pass  # fall back to invalidate + full recompute
+        return maintained
+
+    def _try_seminaive_insert(
+        self, rel: str, delta_df: DataFrame
+    ) -> Dict[str, DataFrame]:
+        """Semi-naive insertion maintenance of cached POSITIVE RECURSIVE
+        SCC fixpoints that depend on the inserted base relation `rel`
+        (recursion.seminaive_insert; reference differential update,
+        src/incremental.rs:26-34). Bails — returning {} so the normal
+        invalidate + recompute path runs — on the same out-of-scope
+        shapes as _try_dred_retract: session overlays, negation /
+        aggregates / hnsw inside the SCC, uncached members, or a lower
+        stratum the insert also dirties. Called AFTER
+        self.current.relations[rel] is the post-insert extent, so the
+        plain resolver already sees the new base."""
+        from inputlayer_spark.recursion import (
+            condensation,
+            is_recursive_scc,
+            seminaive_insert,
+        )
+
+        if self.session_rules or self.session_facts:
+            return {}
+        rules = self.current.rules
+        if not rules:
+            return {}
+        rev: Dict[str, set] = {}
+        for r in rules:
+            for lit in r.body:
+                if isinstance(lit, Atom):
+                    rev.setdefault(lit.relation, set()).add(r.head.relation)
+        dirty: set = set()
+        frontier = [rel]
+        while frontier:
+            x = frontier.pop()
+            for head in rev.get(x, ()):
+                if head not in dirty:
+                    dirty.add(head)
+                    frontier.append(head)
+
+        maintained: Dict[str, DataFrame] = {}
+        for scc in condensation(rules):
+            if not is_recursive_scc(scc, rules):
+                continue
+            scc_set = set(scc)
+            scc_rules = [r for r in rules if r.head.relation in scc_set]
+            body_atoms = [
+                lit
+                for r in scc_rules
+                for lit in r.body
+                if isinstance(lit, Atom)
+            ]
+            if rel not in {a.relation for a in body_atoms}:
+                continue
+            if any(a.negated for a in body_atoms):
+                continue
+            if any(
+                isinstance(t, Agg) for r in scc_rules for t in r.head.terms
+            ):
+                continue
+            if any(
+                isinstance(l, HnswNearest) for r in scc_rules for l in r.body
+            ):
+                continue
+            if not all(h in self._derived_cache for h in scc_set):
+                continue
+            outside = {a.relation for a in body_atoms} - scc_set - {rel}
+            # a non-member dependency the insert also dirties would feed
+            # stale extents into the delta evaluation
+            if outside & dirty:
+                continue
+            clean_cache = {
+                h: df
+                for h, df in self._derived_cache.items()
+                if h not in scc_set
+            }
+            resolve_new = self._resolver(clean_cache)
+            out = seminaive_insert(
+                scc_rules,
+                scc,
+                rel,
+                delta_df,
+                {h: self._derived_cache[h] for h in scc_set},
+                resolve_new,
+                self._hnsw_resolver,
+            )
+            if out is not None:
+                maintained.update(out)
+        return maintained
+
     def _try_dred_retract(
         self, rel: str, deleted_df: DataFrame, old_base: DataFrame
     ) -> Dict[str, DataFrame]:
@@ -2138,13 +2275,10 @@ class IQLEngine:
             _shutil.rmtree(_os.path.join(root, d), ignore_errors=True)
 
     def _drop_sharded_hnsw(self, key) -> None:
-        import shutil as _shutil
-
         idx = self._sharded_hnsw.pop(key, None)
         if idx is not None:
             try:
-                idx.invalidate_cache()
-                _shutil.rmtree(idx.dir, ignore_errors=True)
+                idx.delete()  # backend-aware: rmtree / key-prefix delete
             except Exception:
                 pass
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from inputlayer_spark.ast_nodes import Atom, Rule
 from inputlayer_spark.compiler import CompileError, compile_body, compile_head
@@ -1052,4 +1053,135 @@ def dred_retract(
     for h in members_set:
         final = remaining[h] if red[h] is None else remaining[h].unionByName(red[h])
         out[h] = final.localCheckpoint(eager=True)
+    return out
+
+
+def seminaive_insert(
+    scc_rules: Sequence[Rule],
+    members: Sequence[str],
+    inserted_rel: str,
+    inserted_df: DataFrame,
+    cached: Dict[str, DataFrame],
+    resolve_new: Resolver,
+    hnsw_resolver,
+    max_iterations: int = 24,
+) -> Optional[Dict[str, DataFrame]]:
+    """Semi-naive INSERTION maintenance of a positive recursive SCC's
+    materialized fixpoint after base-fact inserts — the counterpart of
+    `dred_retract` for the +Δ direction (reference differential update,
+    src/incremental.rs:26-34; BENCHMARKS.md:50-66: ms-scale re-query
+    after inserting into a view with a ~1M-tuple closure).
+
+    Monotone Datalog needs no overdelete/rederive: the new fixpoint is
+    the old one plus every tuple derivable using ≥1 inserted fact.
+
+    1. SEED — each rule applied with one occurrence of the inserted base
+       relation bound to the Δ rows and everything else at its NEW
+       extent (members at their cached fixpoints). Applying Δ at each
+       occurrence separately covers multi-occurrence rules under set
+       semantics.
+    2. PROPAGATE — classic semi-naive deltas through the member atoms,
+       anti-joined against the accumulated extents, until empty.
+
+    Caller guarantees (same contract as dred_retract): all rules
+    positive, no aggregates or hnsw predicates, `cached` holds every
+    member's old extent, non-member body relations are unaffected by the
+    insert, and `resolve_new` already resolves `inserted_rel` to its
+    post-insert extent.
+
+    Cost guard: a Δ whose derivation cone is DEEP (an edge prepended to
+    a long chain reaches depth-many new tuples one hop per iteration)
+    loses to the log-depth doubling recompute, so bail to None past
+    `max_iterations`. Bailing is always safe — the caller falls back to
+    invalidate + recompute.
+    """
+    rules = list(scc_rules)
+    members_set = set(members)
+
+    def pin(df: DataFrame) -> Tuple[DataFrame, int]:
+        df = df.localCheckpoint(eager=True)
+        return df, df.count()
+
+    def union_into(acc: Dict[str, Optional[DataFrame]], head: str, df):
+        if df is None:
+            return
+        prev = acc.get(head)
+        acc[head] = df if prev is None else prev.unionByName(df)
+
+    acc: Dict[str, DataFrame] = {h: cached[h] for h in members_set}
+
+    def minus_acc(h: str, cand: DataFrame) -> DataFrame:
+        """cand \\ acc[h] without shuffling the (large) accumulated
+        extent: semi-join acc DOWN to rows matching the tiny candidate
+        set (broadcast, one streaming pass over acc), then anti-join
+        tiny-vs-tiny — the try_delta_merge trick."""
+        cand = cand.distinct()
+        existing = acc[h].join(
+            F.broadcast(cand), on=list(cand.columns), how="left_semi"
+        )
+        return cand.join(existing, on=list(cand.columns), how="left_anti")
+
+    # ------------------------------------------------------- 1. seed
+    seed: Dict[str, Optional[DataFrame]] = {h: None for h in members_set}
+    for r in rules:
+        for idx, lit in enumerate(r.body):
+            if (
+                isinstance(lit, Atom)
+                and not lit.negated
+                and lit.relation == inserted_rel
+            ):
+                union_into(
+                    seed,
+                    r.head.relation,
+                    _apply_with_sources(
+                        r, idx, inserted_df, acc, resolve_new, hnsw_resolver
+                    ),
+                )
+    delta: Dict[str, Optional[DataFrame]] = {h: None for h in members_set}
+    for h in members_set:
+        if seed[h] is None:
+            continue
+        cand, n = pin(minus_acc(h, seed[h]))
+        if n:
+            delta[h] = cand
+            acc[h] = acc[h].unionByName(cand)
+
+    # -------------------------------------------------- 2. propagate
+    iteration = 0
+    while any(delta[h] is not None for h in members_set):
+        iteration += 1
+        if iteration > max_iterations:
+            return None  # deep cone: log-depth recompute wins
+        new_tuples: Dict[str, Optional[DataFrame]] = {h: None for h in members_set}
+        for r in rules:
+            for idx, lit in enumerate(r.body):
+                if not (
+                    isinstance(lit, Atom)
+                    and not lit.negated
+                    and lit.relation in members_set
+                ):
+                    continue
+                if delta[lit.relation] is None:
+                    continue
+                union_into(
+                    new_tuples,
+                    r.head.relation,
+                    _apply_with_sources(
+                        r, idx, delta[lit.relation], acc, resolve_new,
+                        hnsw_resolver,
+                    ),
+                )
+        next_delta: Dict[str, Optional[DataFrame]] = {h: None for h in members_set}
+        for h in members_set:
+            if new_tuples[h] is None:
+                continue
+            cand, n = pin(minus_acc(h, new_tuples[h]))
+            if n:
+                next_delta[h] = cand
+                acc[h] = acc[h].unionByName(cand)
+        delta = next_delta
+
+    out: Dict[str, DataFrame] = {}
+    for h in members_set:
+        out[h] = acc[h].localCheckpoint(eager=True)
     return out

@@ -478,3 +478,135 @@ def test_dred_deep_cone_bails_to_recompute(spark):
     # budget: bail (≤24 cheap rounds) + one log-depth recompute; the
     # runaway regression took >400s — 90s bounds it loosely on a noisy VM
     assert elapsed < 90, f"deep-cone retraction took {elapsed:.0f}s"
+
+
+# ---------------------------------------------- insert-side maintenance
+
+
+def test_incremental_insert_sum_count(spark, monkeypatch):
+    """A literal fact insert into the base of a materialized sum/count
+    view is maintained by O(delta) merge (engine._insert_maintain →
+    try_delta_merge) — no re-aggregation of the 10k-row base (reference
+    differential update: +10..1000 rows re-query in 3.9-8.3 ms,
+    BENCHMARKS.md:50-66)."""
+    from pyspark.sql import functions as F
+
+    eng = IQLEngine(spark)
+    base = spark.range(10_000).select(
+        (F.col("id") % 100).alias("d"), F.col("id").cast("double").alias("s")
+    )
+    eng.register("emp", base)
+    eng.execute("+dstat(D, count<S>, sum<S>) <- emp(D, S)")
+    before = {r[0]: (r[1], r[2]) for r in eng.query("?dstat(D, N, S)").collect()}
+    assert "dstat" in eng._derived_cache
+    eng.execute("+emp[(7, 100000.0), (7, 200000.0), (200, 5.0)]")
+    assert "dstat" in eng._derived_cache  # cache maintained, not wiped
+    _no_full_recompute(monkeypatch)
+    after = {r[0]: (r[1], r[2]) for r in eng.query("?dstat(D, N, S)").collect()}
+    expected = dict(before)
+    expected[7] = (before[7][0] + 2, before[7][1] + 300000.0)
+    expected[200] = (1, 5.0)  # brand-new group appears
+    assert after.keys() == expected.keys()
+    for k in expected:
+        assert after[k][0] == expected[k][0]
+        assert abs(after[k][1] - expected[k][1]) < 1e-6
+
+
+def test_incremental_insert_duplicate_binding_not_double_counted(spark, monkeypatch):
+    """Set-semantics fidelity on the insert path: re-inserting a tuple
+    whose binding is already in the base must not re-contribute to
+    sum/count (distinct-binding anti-join in try_delta_merge)."""
+    eng = IQLEngine(spark)
+    eng.execute('+t[("a", 1.0), ("b", 3.0)]')
+    eng.execute("+agg(K, count<V>, sum<V>) <- t(K, V)")
+    assert _rows(eng.query("?agg(K, N, S)")) == [("a", 1, 1.0), ("b", 1, 3.0)]
+    eng.execute('+t[("a", 1.0), ("a", 2.0)]')  # one dup, one new
+    assert "agg" in eng._derived_cache
+    _no_full_recompute(monkeypatch)
+    assert _rows(eng.query("?agg(K, N, S)")) == [("a", 2, 3.0), ("b", 1, 3.0)]
+
+
+def test_seminaive_insert_transitive_closure(spark, monkeypatch):
+    """Inserting edges into a materialized transitive closure extends
+    the fixpoint semi-naively from the delta (engine._insert_maintain →
+    recursion.seminaive_insert) — no full fixpoint re-run — and equals a
+    from-scratch recompute. The inserted edge (3, 5) bridges two
+    components, so the delta cone spans both directions."""
+    edges = [(1, 2), (2, 3), (5, 6), (6, 7)]
+    eng = _tc_engine(spark, edges)
+    _paths(eng)  # materialize
+    assert "path" in eng._derived_cache
+    eng.execute("+edge[(3, 5)]")
+    assert "path" in eng._derived_cache  # maintained, not wiped
+    fresh = _tc_engine(spark, edges + [(3, 5)])
+    want = _paths(fresh)
+    _no_full_recompute(monkeypatch)
+    got = _paths(eng)
+    assert got == want
+    assert (1, 7) in set(got)  # full bridge: 1→2→3→5→6→7
+
+
+def test_seminaive_insert_randomized_differential(spark, monkeypatch):
+    """Randomized differential check: on random graphs, insert random
+    edge batches and compare the maintained closure against a
+    from-scratch recompute. Catches under-derivation (missed delta
+    seeds) and over-derivation."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 12
+        edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(16)})
+        edges = [(a, b) for a, b in edges if a != b]
+        extra = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(3)
+        ]
+        extra = [(a, b) for a, b in extra if a != b]
+        eng = _tc_engine(spark, edges)
+        _paths(eng)
+        if extra:
+            vals = ", ".join(f"({a}, {b})" for a, b in extra)
+            eng.execute(f"+edge[{vals}]")
+        maintained = "path" in eng._derived_cache
+        fresh = _tc_engine(spark, edges + extra)
+        want = _paths(fresh)
+        if maintained:
+            _no_full_recompute(monkeypatch)
+        assert _paths(eng) == want
+        monkeypatch.undo()
+
+
+def test_seminaive_insert_bails_on_session_overlay(spark):
+    """Out-of-scope shapes fall back to invalidation — never a wrong
+    maintained view."""
+    eng = _tc_engine(spark, [(1, 2)])
+    _paths(eng)
+    eng.add_session_fact("edge", 9, 10)
+    eng.execute("+edge[(2, 3)]")
+    assert _paths(eng) == [(1, 2), (1, 3), (2, 3), (9, 10)]
+
+
+def test_insert_then_delete_maintenance_sequence(spark, monkeypatch):
+    """The oracle-row scenario end-to-end: materialize, insert delta,
+    conditional-delete delta, re-query — every step served from the
+    maintained cache, values equal a from-scratch evaluation."""
+    from pyspark.sql import functions as F
+
+    eng = IQLEngine(spark)
+    base = spark.range(1_000).select(
+        (F.col("id") % 10).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    eng.register("b", base)
+    eng.execute("+gstat(G, count<V>, sum<V>) <- b(G, V)")
+    eng.query("?gstat(G, N, S)").count()
+    eng.execute("+b[(3, 10000.0), (4, 20000.0)]")
+    assert "gstat" in eng._derived_cache
+    eng.execute("-b(3, V) <- b(3, V), V < 500.0")
+    assert "gstat" in eng._derived_cache
+    _no_full_recompute(monkeypatch)
+    after = {r[0]: (r[1], r[2]) for r in eng.query("?gstat(G, N, S)").collect()}
+    # group 3: started with 100 rows (3,13,...,993), +1 insert, −50
+    # (values 3..493 are the 50 under 500)
+    kept = [float(v) for v in range(3, 1000, 10) if v >= 500] + [10000.0]
+    assert after[3] == (len(kept), pytest.approx(sum(kept)))
+    assert after[4][0] == 101
