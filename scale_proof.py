@@ -73,6 +73,11 @@ QUERIES = [
     "transitive_closure_large",
     "reach_bound_large",
     "shortest_path",
+    # general (non-doubling) recursion: same-generation on the
+    # SF-stepped tree (511/1023/2047 nodes -> 87k/349k/1.4M sg
+    # pairs), forced onto the distributed general semi-naive
+    # loop (VERDICT r5 Missing #3)
+    "same_generation",
     # temporal / text — events & documents scale too
     "time_decay_sum",
     "doc_fingerprint",
@@ -186,7 +191,7 @@ def main() -> None:
     print(json.dumps(payload))
     # machine-diffable artifact (VERDICT r4 #7): growth factors persist
     # per round so the next round diffs JSON, not prose
-    out_path = os.environ.get("SPARK_GRAFT_SCALE_OUT", "SCALE_r05.json")
+    out_path = os.environ.get("SPARK_GRAFT_SCALE_OUT", "SCALE_r06.json")
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1)
 
