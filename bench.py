@@ -149,6 +149,43 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Recursive-view maintenance at the reference's headline shape
+    # (~1M-pair materialized closure, BENCHMARKS.md:50-66): time ONLY
+    # (+10 edges + maintained re-query) — the semi-naive delta extension
+    # (recursion.seminaive_insert), not the 30s from-scratch fixpoint.
+    eng2 = IQLEngine(spark)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    edges = (
+        orders.select(
+            (F.col("o_orderkey") % 1500).cast("long").alias("src"),
+            (F.col("o_custkey") % 1500).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    eng2.register("edge", edges)
+    eng2.execute(
+        "+reach(X, Y) <- edge(X, Y)\n+reach(X, Z) <- edge(X, Y), reach(Y, Z)"
+    )
+    n_pairs = eng2.query("?reach(X, Y)").count()  # materialize + pin
+    best = None
+    for cycle in range(2):
+        vals = ", ".join(
+            f"({1500 + cycle * 10 + i}, {(i * 7 + cycle) % 1400})"
+            for i in range(10)
+        )
+        t0 = time.perf_counter()
+        eng2.execute(f"+edge[{vals}]")
+        eng2.query("?reach(X, Y)").count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    timings["incr_recursive_requery"] = round(best, 4)
+    print(
+        f"# incr_recursive_requery: {best:.3f}s"
+        f" (+10 edges on {n_pairs}-pair closure)",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

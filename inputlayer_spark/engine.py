@@ -2667,9 +2667,8 @@ class IQLEngine:
                 elif op == "list" and len(args) > 2:
                     rows = self.auth_store.kg_acl_list(args[2])
                     return self.spark.createDataFrame(
-                        rows or [("", "")],
-                        schema="username string, kg_role string",
-                    ).filter(F.col("username") != "")
+                        rows, schema="username string, kg_role string"
+                    )
                 else:
                     raise CompileError(
                         "ACL error: usage .kg acl grant <kg> <user> <role> "
@@ -2697,9 +2696,8 @@ class IQLEngine:
                 if sub == "list":
                     rows = self.auth_store.list_users()
                     return self.spark.createDataFrame(
-                        rows or [("", "")],
-                        schema="username string, role string",
-                    ).filter(F.col("username") != "")
+                        rows, schema="username string, role string"
+                    )
                 elif sub == "create" and len(args) > 3:
                     if args[1] in self.auth_store.users:
                         raise ValueError(f"User '{args[1]}' already exists")
@@ -2728,9 +2726,8 @@ class IQLEngine:
                 if sub == "list":
                     rows = self.auth_store.list_api_keys()
                     return self.spark.createDataFrame(
-                        rows or [("", "")],
-                        schema="label string, owner string",
-                    ).filter(F.col("label") != "")
+                        rows, schema="label string, owner string"
+                    )
                 elif sub == "create" and len(args) > 1:
                     # key owner = the authenticated caller (the server
                     # sets auth_identity before execute); "admin" when

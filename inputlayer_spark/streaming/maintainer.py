@@ -75,25 +75,18 @@ class IncrementalMaintainer:
             # tiny relative to the base (micro-batch), and checkpointing
             # keeps the union lineage flat.
             current = eng.current.relations.get(rel)
-            # O(delta) path first: aggregate views over this relation whose
-            # shape qualifies are merged from the micro-batch alone
-            # (engine.try_delta_merge; reference differential update,
-            # BENCHMARKS.md:89-93) BEFORE invalidation wipes their cache.
-            merged_views = {}
-            if current is not None:
-                for rule in eng.current.rules:
-                    deps = {
-                        l.relation
-                        for l in rule.body
-                        if hasattr(l, "relation") and not getattr(l, "negated", False)
-                    }
-                    if rel not in deps:
-                        continue
-                    v = eng.try_delta_merge(rule.head.relation, rel, batch_df, current)
-                    if v is not None:
-                        merged_views[rule.head.relation] = v
             merged = batch_df if current is None else current.unionByName(batch_df)
             eng.current.relations[rel] = merged.localCheckpoint(eager=True)
+            # O(delta) paths first (engine._insert_maintain — the same
+            # protocol literal fact inserts use): qualifying aggregate
+            # views merge the micro-batch (try_delta_merge, reference
+            # differential update BENCHMARKS.md:89-93), positive
+            # recursive SCC fixpoints extend semi-naively from it
+            # (recursion.seminaive_insert) — computed BEFORE invalidation
+            # wipes their cache, re-seeded after.
+            merged_views = {}
+            if current is not None:
+                merged_views = eng._insert_maintain(rel, batch_df, current)
             eng._invalidate(rel)
             # re-seed the cache with delta-merged views so the follow-up
             # materialization (and later queries) reuse them
