@@ -25,7 +25,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-_BATCH_FORMATS = ("parquet", "csv", "json")
+_BATCH_FORMATS = ("parquet", "csv", "json", "orc")
 
 
 def read_relation(
@@ -44,6 +44,8 @@ def read_relation(
         return reader.csv(path, header=header, inferSchema=schema is None)
     if fmt == "json":
         return reader.json(path)
+    if fmt == "orc":
+        return reader.orc(path)
     return reader.parquet(path)
 
 
@@ -63,6 +65,8 @@ def write_relation(
         writer.json(path)
     elif fmt == "parquet":
         writer.parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 

@@ -184,10 +184,17 @@ export class WsConn {
       legacy = true;
     }
     if (msg.type !== "done") entry.frames.push(msg);
-    // Terminal frames: the explicit end marker, an error (the server
-    // aborts the request after one error frame), or — on a legacy
-    // server — any frame at all.
-    const terminal = legacy || msg.type === "done" || msg.type === "error";
+    // Terminal frames: the explicit end marker; an error (the server
+    // aborts the request after one error frame); ack/pong (always the
+    // single reply to their request — a query that acks also sends a
+    // done marker afterwards, which finds no pending entry and is
+    // dropped); or — on a legacy server — any frame at all.
+    const terminal =
+      legacy ||
+      msg.type === "done" ||
+      msg.type === "error" ||
+      msg.type === "ack" ||
+      msg.type === "pong";
     if (!terminal) return;
     this._pending.splice(this._pending.indexOf(entry), 1);
     clearTimeout(entry.timer);

@@ -200,3 +200,25 @@ test("id-echoing server: multi-frame replies match by id, not FIFO", async () =>
   assert.deepEqual(e.rows, [["E"]]);
   assert.equal(conn._pending.length, 0);
 });
+
+test("ack and pong replies are terminal without a done marker", async () => {
+  const { WsConn } = await import("../src/ws.js");
+  const conn = new WsConn("localhost", 0, "/ws");
+  const inject = (msg) => {
+    for (const cb of [...conn._listeners]) cb(msg);
+  };
+  const queued = [];
+  conn.send = (obj) => queued.push(obj);
+  const pPing = conn.request({ type: "ping" });
+  const pIns = conn.request({ type: "insert_facts", relation: "r", tuples: [[1]] });
+  inject({ type: "pong", id: queued[0].id });
+  inject({ type: "ack", id: queued[1].id, message: "Inserted 1 fact(s) into 'r'." });
+  assert.equal((await pPing).type, "pong");
+  assert.equal((await pIns).type, "ack");
+  // an ack-answered query ALSO emits done; the dangling done is dropped
+  const pQ = conn.request({ type: "query", tag: "noresult" });
+  inject({ type: "ack", id: queued[2].id, message: "ok" });
+  assert.equal((await pQ).type, "ack");
+  inject({ type: "done", id: queued[2].id, frames: 1 }); // must not throw
+  assert.equal(conn._pending.length, 0);
+});

@@ -53,7 +53,7 @@ def test_server_query_and_sessions(spark):
 
 def test_sources_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
-    for fmt in ("parquet", "csv", "json"):
+    for fmt in ("parquet", "csv", "json", "orc"):
         path = str(tmp_path / fmt)
         write_relation(df, path, fmt=fmt)
         back = read_relation(spark, path, fmt=fmt, schema=df.schema if fmt == "json" else None)
