@@ -117,6 +117,16 @@ class KnowledgeGraph:
     # alias -> base type name ('type Email: string', SchemaType::Named)
     empty_relations: set = field(default_factory=set)
     # `+rel[]`-declared, arity unknown until first real insert
+    # Cross-engine invalidation epochs: multiple session engines share
+    # ONE KnowledgeGraph (server _engine_for) but each holds its own
+    # materialization caches. Every write bumps `epoch` and stamps each
+    # (transitively) dirtied head/relation in `head_epoch`; an engine's
+    # cached frame is valid only while its recorded stamp matches — so
+    # a write through ANY session invalidates every other session's
+    # stale copies at their next read (the reference's consistent
+    # snapshot-read contract, src/storage_engine/snapshot.rs).
+    epoch: int = 0
+    head_epoch: Dict[str, int] = field(default_factory=dict)
 
 
 class IQLEngine:
@@ -137,6 +147,10 @@ class IQLEngine:
         # injectable clock for deterministic time_now (tests/oracles)
         self.now_ms = now_ms
         self._derived_cache: Dict[str, DataFrame] = {}
+        # head -> KG head_epoch at caching time; mismatch = a write from
+        # another engine sharing this KG dirtied the head (see
+        # KnowledgeGraph.head_epoch)
+        self._cache_epoch: Dict[str, int] = {}
         # relation -> callbacks fired when that relation (or a derivation
         # of it) changes — the reference's change-notification channel
         # (src/protocol/handler.rs:837-914) as an in-process API
@@ -150,6 +164,10 @@ class IQLEngine:
         # kind="ivf" artifacts: celled corpus frame + driver-side
         # centroid list (n_cells × dim — tiny), keyed like _index_frames
         self._ivf_frames: Dict[Tuple[str, str], DataFrame] = {}
+        # (kg, index) -> target-relation head_epoch at artifact build;
+        # a mismatch means another engine sharing the KG wrote the
+        # target since — the artifact is stale and must rebuild
+        self._artifact_epoch: Dict[Tuple[str, str], int] = {}
         self._ivf_cents: Dict[Tuple[str, str], list] = {}
         # (kg, index name) -> driver-side HnswGraph for kind="hnsw"
         # indexes (the reference's in-process hnsw_rs graph,
@@ -213,8 +231,11 @@ class IQLEngine:
                     dirty.add(head)
                     frontier.append(head)
         dirty.add(relation)
+        self.current.epoch += 1
         for head in dirty:
+            self.current.head_epoch[head] = self.current.epoch
             self._derived_cache.pop(head, None)
+            self._cache_epoch.pop(head, None)
         # cascade into materialized index artifacts (reference
         # index_manager invalidation on base writes)
         for (kg, iname), frame in list(self._index_frames.items()):
@@ -231,6 +252,12 @@ class IQLEngine:
                 target = self.current.indexes.get(iname, (None,))[0]
                 if target in dirty:
                     self._hnsw_graphs.pop((kg, iname), None)
+        for key in keep_indexes or ():
+            # tombstone-maintained graphs survive THIS write: re-stamp
+            # them at the new epoch so they stay valid for this engine
+            # (other engines' copies were never maintained and stay stale)
+            target = self.current.indexes.get(key[1], (None,))[0]
+            self._artifact_epoch[key] = self.current.head_epoch.get(target, 0)
         for (kg, iname) in list(self._sharded_hnsw):
             if kg == self.current.name:
                 target = self.current.indexes.get(iname, (None,))[0]
@@ -649,7 +676,7 @@ class IQLEngine:
             maintained = self._insert_maintain(rel, delta_df, old_base)
         self._invalidate(rel)
         for h, v in maintained.items():
-            self._derived_cache[h] = v
+            self._cache_view(h, v)
 
     def _resolve_type_name(self, name: str) -> str:
         """Follow `type X: Y` alias chains to a base type name."""
@@ -949,7 +976,7 @@ class IQLEngine:
         kept_idx = self._hnsw_tombstone(st.relation, doomed_pinned.select(df.columns[0]))
         self._invalidate(st.relation, keep_indexes=kept_idx)
         for h, v in maintained.items():
-            self._derived_cache[h] = v
+            self._cache_view(h, v)
 
     _HNSW_TOMBSTONE_CAP = 100_000
 
@@ -977,6 +1004,11 @@ class IQLEngine:
             return kept
         ids = [r[0] for r in rows]
         for key in targeting:
+            if self._artifact_stale(key):
+                # built before a foreign engine's write — do not
+                # maintain-and-keep a graph that is already stale
+                self._hnsw_graphs.pop(key, None)
+                continue
             g = self._hnsw_graphs[key]
             for i in ids:
                 g.delete(i)
@@ -1217,17 +1249,52 @@ class IQLEngine:
             if needed is not None and not (needed & set(scc)):
                 continue
             resolver = self._resolver(derived)
-            if all(h in self._derived_cache for h in scc):
-                for h in scc:
-                    derived[h] = self._derived_cache[h]
+            cached = {h: self._cached_view_get(h) for h in scc}
+            if all(v is not None for v in cached.values()):
+                derived.update(cached)
                 continue
             out = evaluate_scc(
                 scc, rules, resolver, self._hnsw_resolver, base_of=self._base_of
             )
             for h, df in out.items():
                 derived[h] = df
-                self._derived_cache[h] = df
+                self._cache_view(h, df)
         return derived
+
+    # -------------------------------------------- cross-engine cache epoch
+
+    def _stamp_artifact(self, key: Tuple[str, str]) -> None:
+        """Record the target relation's current invalidation epoch for a
+        freshly built index artifact (LSH frame / HNSW graph / sharded
+        index / IVF cells)."""
+        target = self.current.indexes.get(key[1], (None,))[0]
+        self._artifact_epoch[key] = self.current.head_epoch.get(target, 0)
+
+    def _artifact_stale(self, key: Tuple[str, str]) -> bool:
+        """True when a write from another engine sharing this KG dirtied
+        the artifact's target relation since it was built."""
+        target = self.current.indexes.get(key[1], (None,))[0]
+        return self._artifact_epoch.get(key, 0) != self.current.head_epoch.get(
+            target, 0
+        )
+
+    def _cache_view(self, head: str, df: DataFrame) -> None:
+        """Cache a materialized head, stamped with the KG's current
+        invalidation epoch for it (valid until any engine dirties it)."""
+        self._derived_cache[head] = df
+        self._cache_epoch[head] = self.current.head_epoch.get(head, 0)
+
+    def _cached_view_get(self, head: str) -> Optional[DataFrame]:
+        """Cached frame for `head`, or None — dropping it if a write from
+        another engine sharing this KG has since dirtied the head."""
+        df = self._derived_cache.get(head)
+        if df is None:
+            return None
+        if self._cache_epoch.get(head) != self.current.head_epoch.get(head, 0):
+            self._derived_cache.pop(head, None)
+            self._cache_epoch.pop(head, None)
+            return None
+        return df
 
     # ---------------------------------------------- incremental aggregates
 
@@ -1252,12 +1319,12 @@ class IQLEngine:
         maintenance pins the view once; re-seeded maintenance results are
         already checkpoint leaves, so steady-state deletes/inserts never
         copy the view again."""
-        old = self._derived_cache.get(head)
+        old = self._cached_view_get(head)
         if old is None:
             return None
         if not self._is_materialized(old):
             old = old.localCheckpoint(eager=True)
-            self._derived_cache[head] = old
+            self._cache_view(head, old)
         return old
 
     def try_delta_merge(
@@ -1645,7 +1712,8 @@ class IQLEngine:
                 isinstance(l, HnswNearest) for r in scc_rules for l in r.body
             ):
                 continue
-            if not all(h in self._derived_cache for h in scc_set):
+            scc_cached = {h: self._cached_view_get(h) for h in scc_set}
+            if not all(v is not None for v in scc_cached.values()):
                 continue
             outside = {a.relation for a in body_atoms} - scc_set - {rel}
             # a non-member dependency the insert also dirties would feed
@@ -1654,8 +1722,9 @@ class IQLEngine:
                 continue
             clean_cache = {
                 h: df
-                for h, df in self._derived_cache.items()
+                for h in list(self._derived_cache)
                 if h not in scc_set
+                and (df := self._cached_view_get(h)) is not None
             }
             resolve_new = self._resolver(clean_cache)
             out = seminaive_insert(
@@ -1663,7 +1732,7 @@ class IQLEngine:
                 scc,
                 rel,
                 delta_df,
-                {h: self._derived_cache[h] for h in scc_set},
+                scc_cached,
                 resolve_new,
                 self._hnsw_resolver,
             )
@@ -1732,7 +1801,8 @@ class IQLEngine:
                 isinstance(l, HnswNearest) for r in scc_rules for l in r.body
             ):
                 continue
-            if not all(h in self._derived_cache for h in scc_set):
+            scc_cached = {h: self._cached_view_get(h) for h in scc_set}
+            if not all(v is not None for v in scc_cached.values()):
                 continue
             outside = {a.relation for a in body_atoms} - scc_set - {rel}
             # a non-member dependency that the delete also dirties would
@@ -1741,8 +1811,9 @@ class IQLEngine:
                 continue
             clean_cache = {
                 h: df
-                for h, df in self._derived_cache.items()
+                for h in list(self._derived_cache)
                 if h not in scc_set
+                and (df := self._cached_view_get(h)) is not None
             }
             resolve_old = self._resolver({**clean_cache, rel: old_base})
             resolve_new = self._resolver(clean_cache)
@@ -1751,7 +1822,7 @@ class IQLEngine:
                 scc,
                 rel,
                 deleted_df,
-                {h: self._derived_cache[h] for h in scc_set},
+                scc_cached,
                 resolve_old,
                 resolve_new,
                 self._hnsw_resolver,
@@ -2294,6 +2365,11 @@ class IQLEngine:
         Returns None too when the corpus can't index (missing/ragged
         vector column, duplicate ids) — callers fall back to LSH/exact."""
         key = (self.current.name, name)
+        if self._artifact_stale(key):
+            # a write from another engine sharing this KG dirtied the
+            # corpus — drop this engine's copies and rebuild below
+            self._hnsw_graphs.pop(key, None)
+            self._drop_sharded_hnsw(key)
         cached = self._hnsw_graphs.get(key)
         if cached is not None:
             return cached
@@ -2328,6 +2404,7 @@ class IQLEngine:
                         ef_construction=int(params.get("ef_construction", 100)),
                         ef_search=int(params.get("ef_search", 64)),
                     )
+                    self._stamp_artifact(key)
                 return None
             rows = (
                 df.select(F.col(id_col), F.col(column))
@@ -2349,6 +2426,7 @@ class IQLEngine:
                 [[float(x) for x in r[1]] for r in rows],
             )
             self._hnsw_graphs[key] = g
+            self._stamp_artifact(key)
             return g
         except Exception:
             return None
@@ -2357,6 +2435,13 @@ class IQLEngine:
         """Materialized LSH artifact for an index, built lazily and cached
         (persisted) until a write to a relation it depends on."""
         key = (self.current.name, name)
+        if self._artifact_stale(key):
+            old = self._index_frames.pop(key, None)
+            if old is not None:
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
         cached = self._index_frames.get(key)
         if cached is not None:
             return cached
@@ -2371,6 +2456,7 @@ class IQLEngine:
                 df, column, num_tables=self._INDEX_TABLES, num_bits=self._INDEX_BITS
             ).persist()
             self._index_frames[key] = idx
+            self._stamp_artifact(key)
             return idx
         except Exception:
             return None
@@ -2386,6 +2472,14 @@ class IQLEngine:
         pass, and at scale the celled frame is written partitioned by
         __cell so probe IN-lists prune files."""
         key = (self.current.name, name)
+        if self._artifact_stale(key):
+            old = self._ivf_frames.pop(key, None)
+            self._ivf_cents.pop(key, None)
+            if old is not None:
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
         cached = self._ivf_frames.get(key)
         cents = self._ivf_cents.get(key)
         if cached is not None and cents is not None:
@@ -2411,6 +2505,7 @@ class IQLEngine:
             _, cent_list = ivf_index(celled, cell, column)
             self._ivf_frames[key] = celled
             self._ivf_cents[key] = cent_list
+            self._stamp_artifact(key)
             return celled, cent_list
         except Exception:
             return None, None

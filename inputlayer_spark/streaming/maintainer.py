@@ -91,7 +91,7 @@ class IncrementalMaintainer:
             # re-seed the cache with delta-merged views so the follow-up
             # materialization (and later queries) reuse them
             for h, v in merged_views.items():
-                eng._derived_cache[h] = v
+                eng._cache_view(h, v)
             self.delta_merges += len(merged_views)
             if self.refresh:
                 # auto-rematerialization of remaining invalidated rules

@@ -260,3 +260,79 @@ def test_server_concurrent_same_relation_writes_all_land(spark):
             _post(port, {"query": "-acc(S, N) <- acc(S, N)"})
     finally:
         srv.stop()
+
+
+# --------------------------------------- cross-session cache coherence
+
+
+def test_cross_session_write_invalidates_other_sessions_caches(spark):
+    """Session engines share one KnowledgeGraph but hold PRIVATE
+    materialization caches; before the KG-level invalidation epochs a
+    write through session A left session B serving a STALE materialized
+    view forever. Now B's next read observes the epoch bump and
+    recomputes (the reference's consistent-snapshot-read contract)."""
+    a = IQLEngine(spark)
+    a.execute("+s[(1, 10.0), (2, 20.0)]")
+    a.execute("+tot(K, sum<V>) <- s(K, V)")
+    a.execute(
+        "+edge[(1, 2), (2, 3)]\n"
+        "+path(X, Y) <- edge(X, Y)\n+path(X, Z) <- edge(X, Y), path(Y, Z)"
+    )
+    b = IQLEngine(spark)
+    b.kgs = a.kgs
+    b.current = a.current
+
+    # B materializes and caches both views
+    assert sorted(tuple(r) for r in b.query("?tot(K, V)").collect()) == [
+        (1, 10),
+        (2, 20),
+    ]
+    assert (1, 3) in {tuple(r) for r in b.query("?path(X, Y)").collect()}
+    assert "tot" in b._derived_cache and "path" in b._derived_cache
+
+    # A writes (insert + delete) through ITS engine
+    a.execute("+s[(1, 5.0)]")
+    a.execute("-edge(2, 3)")
+
+    # B must see the new state, not its cached frames
+    assert sorted(tuple(r) for r in b.query("?tot(K, V)").collect()) == [
+        (1, 15),
+        (2, 20),
+    ]
+    assert {tuple(r) for r in b.query("?path(X, Y)").collect()} == {(1, 2)}
+
+    # and B's fresh recomputation is itself cached + valid until the
+    # next foreign write
+    assert b._cached_view_get("tot") is not None
+    a.execute('+s[(3, 7.0)]')
+    assert b._cached_view_get("tot") is None  # stale again
+
+
+def test_cross_session_write_invalidates_index_artifacts(spark):
+    """Index artifacts (LSH frames / HNSW graphs) are engine-local too:
+    after a foreign write to the corpus, another session's next
+    hnsw_nearest must rebuild instead of probing the stale artifact."""
+    a = IQLEngine(spark)
+    a.execute("+emb(id: int, v: vector)")
+    a.execute('+emb[(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])]')
+    a.execute(".index create vidx on emb(v) metric cosine")
+    b = IQLEngine(spark)
+    b.kgs = a.kgs
+    b.current = a.current
+
+    got = [
+        tuple(r)[0]
+        for r in b.query(
+            '?nn(Id, D), hnsw_nearest("vidx", [0.9, 0.1, 0.0], 1, Id, D)'
+        ).collect()
+    ]
+    assert got == [1]
+    # foreign write: a NEW vector that is the true nearest neighbor
+    a.execute("+emb[(3, [0.9, 0.1, 0.0])]")
+    got2 = [
+        tuple(r)[0]
+        for r in b.query(
+            '?nn(Id, D), hnsw_nearest("vidx", [0.9, 0.1, 0.0], 1, Id, D)'
+        ).collect()
+    ]
+    assert got2 == [3], f"stale index artifact served: {got2}"
