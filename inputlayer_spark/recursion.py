@@ -1119,7 +1119,11 @@ def seminaive_insert(
         existing = acc[h].join(
             F.broadcast(cand), on=list(cand.columns), how="left_semi"
         )
-        return cand.join(existing, on=list(cand.columns), how="left_anti")
+        # existing ⊆ cand is tiny too — broadcast it so the final
+        # anti-join is a broadcast hash join, not a shuffled SMJ
+        return cand.join(
+            F.broadcast(existing), on=list(cand.columns), how="left_anti"
+        )
 
     # ------------------------------------------------------- 1. seed
     seed: Dict[str, Optional[DataFrame]] = {h: None for h in members_set}
