@@ -99,6 +99,12 @@ def _parse_dtype(s: str) -> T.DataType:
         return T.StringType()
 
 
+def _new_rlock():
+    import threading
+
+    return threading.RLock()
+
+
 @dataclass
 class KnowledgeGraph:
     """One namespace of relations + rules + schemas + indexes
@@ -127,6 +133,13 @@ class KnowledgeGraph:
     # snapshot-read contract, src/storage_engine/snapshot.rs).
     epoch: int = 0
     head_epoch: Dict[str, int] = field(default_factory=dict)
+    # Per-KG writer lock: mutating statements (fact inserts, deletes,
+    # atomic updates, persistent rule registration) serialize on the
+    # SHARED KnowledgeGraph so concurrent library writers cannot lose
+    # updates in the read-union-write append (the reference's
+    # single-writer storage engine, src/storage_engine/mod.rs; the
+    # server adds its own coarser lock on top). Reads stay lock-free.
+    write_lock: object = field(default_factory=_new_rlock, repr=False)
 
 
 class IQLEngine:
@@ -587,6 +600,10 @@ class IQLEngine:
         pending.clear()
 
     def _insert_rows(self, rel: str, rows: List[tuple]) -> None:
+        with self.current.write_lock:
+            return self._insert_rows_locked(rel, rows)
+
+    def _insert_rows_locked(self, rel: str, rows: List[tuple]) -> None:
         # Inserting into a relation that has rules is rejected — it is a
         # view (golden 12_errors/21_insert_into_view_error.iql). Facts
         # inserted BEFORE rules are registered stay valid base extents.
@@ -705,6 +722,10 @@ class IQLEngine:
     # ------------------------------------------------------------ rules
 
     def _add_rule(self, rule: Rule) -> None:
+        with self.current.write_lock:
+            return self._add_rule_locked(rule)
+
+    def _add_rule_locked(self, rule: Rule) -> None:
         self._validate_rule(rule)
         self._check_clause_compat(rule)
         if rule.persistent:
@@ -884,6 +905,10 @@ class IQLEngine:
     # ------------------------------------------------------------ delete
 
     def _delete(self, st: Delete) -> None:
+        with self.current.write_lock:
+            return self._delete_locked(st)
+
+    def _delete_locked(self, st: Delete) -> None:
         if st.drop:
             self.current.relations.pop(st.relation, None)
             self.current.rules = [r for r in self.current.rules if r.head.relation != st.relation]
@@ -1016,6 +1041,10 @@ class IQLEngine:
         return kept
 
     def _update(self, st: Update) -> None:
+        with self.current.write_lock:
+            return self._update_locked(st)
+
+    def _update_locked(self, st: Update) -> None:
         """Atomic update: retract old, assert new per cond binding in one
         step from one snapshot (reference UpdateOp, src/statement/data.rs:49
         → our Delta-MERGE analog is subtract-then-union on the same plan)."""

@@ -336,3 +336,32 @@ def test_cross_session_write_invalidates_index_artifacts(spark):
         ).collect()
     ]
     assert got2 == [3], f"stale index artifact served: {got2}"
+
+
+def test_engine_level_concurrent_writes_no_lost_updates(spark):
+    """Direct-library concurrency (no server): 3 engines sharing one KG
+    insert into the SAME relation concurrently. The per-KG write lock
+    (KnowledgeGraph.write_lock) serializes the read-union-write append,
+    so every batch lands — before it, interleaved writers could clobber
+    each other's unions."""
+    a = IQLEngine(spark)
+    a.execute("+acc(src: int, n: int)")
+
+    def writer(base):
+        def work():
+            eng = IQLEngine(spark)
+            eng.kgs = a.kgs
+            eng.current = a.current
+            for i in range(8):
+                eng.execute(f"+acc[({base}, {i})]")
+
+        work.__name__ = f"writer_{base}"
+        return work
+
+    for round_no in range(2):
+        _run_threads([writer(1), writer(2), writer(3)])
+        rows = sorted(tuple(r) for r in a.query("?acc(S, N)").collect())
+        assert rows == sorted(
+            (s, i) for s in (1, 2, 3) for i in range(8)
+        ), f"lost update in round {round_no}"
+        a.execute("-acc(S, N) <- acc(S, N)")
