@@ -557,6 +557,23 @@ def q_same_generation(spark, sf_dir):
     return df.select(F.col("X").alias("x"), F.col("Y").alias("y"))
 
 
+def q_same_generation_bound(spark, sf_dir):
+    """Bound NON-LINEAR recursion `?sg(5, Y)` — the classic case where
+    textbook magic-sets gets subtle (demand flows through two recursive
+    body positions); the engine must produce the exact bound answer
+    whether it specializes or evaluates-then-filters."""
+    eng = IQLEngine(spark)
+    eng.register("edge", _tree_edge_df(spark, sf_dir))
+    df = eng.query(
+        """
+        +sg(X, Y) <- edge(P, X), edge(P, Y)
+        +sg(X, Y) <- edge(A, X), edge(B, Y), sg(A, B)
+        ?sg(5, Y)
+        """
+    )
+    return df.select(F.col("Y").alias("y"))
+
+
 def q_shortest_path(spark, sf_dir):
     """Recursive min-aggregate (MinDiff semiring shape,
     src/semiring_types.rs:175)."""
@@ -1299,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reach_bound_large": q_reach_bound_large,
         "shortest_path": q_shortest_path,
         "same_generation": q_same_generation,
+        "same_generation_bound": q_same_generation_bound,
         "knn_cosine": q_knn_cosine,
         "within_radius": q_within_radius,
         "pairwise_cosine": q_pairwise_cosine,
@@ -1534,6 +1552,19 @@ def oracle_sql() -> dict[str, str]:
             "    JOIN edge e1 ON e1.src = sg.x"
             "    JOIN edge e2 ON e2.src = sg.y) "
             "SELECT x, y FROM sg"
+        ),
+        "same_generation_bound": (
+            "WITH RECURSIVE edge AS ("
+            "  SELECT DISTINCT ((i - 1) // 2) AS src, i AS dst FROM ("
+            "    SELECT o_orderkey % 511 AS i FROM orders) WHERE i >= 1), "
+            "sg(x, y) AS ("
+            "  SELECT e1.dst, e2.dst FROM edge e1 JOIN edge e2"
+            "    ON e1.src = e2.src "
+            "  UNION "
+            "  SELECT e1.dst, e2.dst FROM sg"
+            "    JOIN edge e1 ON e1.src = sg.x"
+            "    JOIN edge e2 ON e2.src = sg.y) "
+            "SELECT y FROM sg WHERE x = 5"
         ),
         # incremental maintenance oracles: DuckDB computes the FINAL
         # state from scratch; the Spark side reached it by O(delta)
