@@ -185,6 +185,24 @@ def main() -> None:
         f" (+10 edges on {n_pairs}-pair closure)",
         file=sys.stderr,
     )
+    # ... and the retract direction: DRed overdelete+rederive
+    # (recursion.dred_retract) through the same materialized closure —
+    # reference retraction re-query 602 ms-1.13 s (BENCHMARKS.md:67-71).
+    best = None
+    for cycle in range(2):
+        # ~49 avg out-degree: each pass deletes a handful of node-3
+        # edges (real overdelete cones), widening per cycle
+        t0 = time.perf_counter()
+        eng2.execute(f"-edge(3, S) <- edge(3, S), S < {300 * (cycle + 1)}")
+        eng2.query("?reach(X, Y)").count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    timings["incr_recursive_retract"] = round(best, 4)
+    print(
+        f"# incr_recursive_retract: {best:.3f}s"
+        f" (-edges on {n_pairs}-pair closure, DRed)",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
