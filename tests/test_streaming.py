@@ -689,3 +689,45 @@ def test_streaming_recursive_maintenance_checkpointed_restart(spark, tmp_path):
     assert m2.batches_seen == 1
     assert m2.delta_merges >= 1  # recursive view maintained, not recomputed
     assert _rows(eng.query("?reach(1, Y)")) == [(1, 2), (1, 3), (1, 4)]
+
+
+def test_mixed_insert_delete_maintenance_differential(spark, monkeypatch):
+    """Randomized MIXED mutation sequences (insert, delete, insert, ...)
+    against a materialized closure: after every step the maintained view
+    must equal a from-scratch recompute — interleavings exercise the
+    seminaive_insert -> dred_retract handoff on the same cached frame,
+    which the single-direction randomized tests never do."""
+    import random
+
+    rng = random.Random(23)
+    for trial in range(2):
+        n = 10
+        edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(14)})
+        edges = [(a, b) for a, b in edges if a != b]
+        eng = _tc_engine(spark, edges)
+        _paths(eng)
+        live = list(edges)
+        for step in range(4):
+            if step % 2 == 0:
+                new = [
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(2)
+                ]
+                new = [(a, b) for a, b in new if a != b]
+                if not new:
+                    continue
+                vals = ", ".join(f"({a}, {b})" for a, b in new)
+                eng.execute(f"+edge[{vals}]")
+                live.extend(p for p in new if p not in live)
+            else:
+                if not live:
+                    continue
+                a, b = live[rng.randrange(len(live))]
+                eng.execute(f"-edge({a}, {b})")
+                live = [p for p in live if p != (a, b)]
+            fresh = _tc_engine(spark, live) if live else None
+            want = _paths(fresh) if fresh else []
+            maintained = "path" in eng._derived_cache
+            if maintained:
+                _no_full_recompute(monkeypatch)
+            assert _paths(eng) == want, f"trial {trial} step {step}"
+            monkeypatch.undo()
