@@ -40,6 +40,26 @@ test("live server round-trip: insert, rule, query, notifications", {
   assert.equal(reply.type, "result");
   assert.equal(reply.rows.length, 2);
 
+  // multi-statement WS query: the server echoes the request id on every
+  // result frame and terminates with a done marker, so BOTH frames land
+  // on this request even with other traffic on the connection
+  const frames = await ws.requestAll({
+    type: "query",
+    query: "?js_edge(X, Y)\n?js_path(1, Y)",
+  });
+  assert.equal(frames.length, 2);
+  assert.ok(frames.every((f) => f.type === "result"));
+  assert.equal(frames[0].rows.length, 2);
+  assert.equal(frames[1].rows.length, 2);
+
+  // concurrent WS requests resolve independently (id-matched)
+  const [r1, r2] = await Promise.all([
+    ws.request({ type: "query", query: "?js_edge(1, Y)" }),
+    ws.request({ type: "ping" }),
+  ]);
+  assert.equal(r1.type, "result");
+  assert.equal(r2.type, "pong");
+
   // pushed change notification for the insert above
   await il.insert("js_edge", [[3, 4]]);
   await new Promise((r) => setTimeout(r, 1500));
