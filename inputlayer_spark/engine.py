@@ -2177,24 +2177,15 @@ class IQLEngine:
                     [T.StructField(f"c{i}", T.StringType()) for i in range(arity)]
                 ),
             )
-        # Magic sets here only handle LINEAR recursion (one recursive atom
-        # per body — the reference's bound-TC fast path is linear too,
-        # code_generator/mod.rs:834). Non-linear rules (e.g. symmetric
-        # closure sc(X,Z) <- sc(X,Y), sc(Y,Z)) would need supplementary
-        # predicates; without them the rewritten fixpoint's plans explode.
-        # Full evaluation + goal filter is correct and converges fast.
+        # NON-LINEAR recursion (same-generation, symmetric closure) is
+        # handled too: the generalized rewrite emits multi-adorned
+        # variants (e.g. __sg__bb) whose demand may be MUTUALLY recursive
+        # with its magic predicate (SIP passes answer atoms into magic
+        # bodies). Those internal mutual SCCs are OUR machinery, not user
+        # programs — they are evaluated with a quirk-free joint fixpoint
+        # below, while the reference's mutual-SCC quirks still apply to
+        # the ORIGINAL program (the len(scc) > 1 bail above).
         scc_members = set(scc)
-        for r in rules:
-            if r.head.relation in scc_members:
-                n_rec = sum(
-                    1
-                    for lit in r.body
-                    if isinstance(lit, Atom)
-                    and not lit.negated
-                    and lit.relation in scc_members
-                )
-                if n_rec > 1:
-                    return None
         # A recursive predicate can ALSO have explicit base facts
         # (+reach(7,99) alongside TC rules) or session-fact overlays. The
         # rewritten program's base_of only feeds the seed relation, so the
@@ -2240,10 +2231,27 @@ class IQLEngine:
         )
         overlay: Dict[str, DataFrame] = {rw.seed_relation: seed_df}
         base_resolve = self._resolver(derived)
+        # arities of the rewrite's internal relations: a magic/adorned
+        # predicate that derived NOTHING resolves as an empty frame of
+        # the right arity instead of an unknown-relation error
+        rw_arity = {r.head.relation: len(r.head.terms) for r in rw.rules}
+
+        def _empty_rw(name: str) -> DataFrame:
+            return self.spark.createDataFrame(
+                [],
+                schema=T.StructType(
+                    [
+                        T.StructField(f"c{i}", T.StringType(), True)
+                        for i in range(rw_arity[name])
+                    ]
+                ),
+            )
 
         def resolve(name: str) -> DataFrame:
             if name in overlay:
                 return overlay[name]
+            if name in rw_arity:
+                return _empty_rw(name)
             return base_resolve(name)
 
         def base_of(name: str) -> Optional[DataFrame]:
@@ -2251,10 +2259,42 @@ class IQLEngine:
                 return seed_df
             return self._base_of(name)
 
+        from inputlayer_spark.recursion import _seminaive_fixpoint
+
         for sub in condensation(rw.rules):
-            overlay.update(
-                evaluate_scc(sub, rw.rules, resolve, self._hnsw_resolver, base_of=base_of)
-            )
+            if len(sub) > 1 and is_recursive_scc(sub, rw.rules):
+                # internal mutual SCC (non-linear demand): joint
+                # semi-naive fixpoint — the reference's mutual-SCC
+                # quirks apply to USER programs, not to the rewrite's
+                # own magic/adorned machinery
+                sub_set = set(sub)
+                sub_rules = [
+                    r for r in rw.rules if r.head.relation in sub_set
+                ]
+
+                def base_extent(h):
+                    df = base_of(h)
+                    if df is None:
+                        return None
+                    return df.toDF(*[f"c{i}" for i in range(len(df.columns))])
+
+                overlay.update(
+                    _seminaive_fixpoint(
+                        sub_rules,
+                        list(sub_set),
+                        resolve,
+                        self._hnsw_resolver,
+                        base_extent,
+                        10_000,
+                    )
+                )
+            else:
+                overlay.update(
+                    evaluate_scc(
+                        sub, rw.rules, resolve, self._hnsw_resolver,
+                        base_of=base_of,
+                    )
+                )
         out = overlay.get(rw.goal_relation)
         if out is None:
             # fixpoint derived nothing: empty relation with goal arity

@@ -153,9 +153,24 @@ def test_nonlinear_same_generation_rewrite_and_demand_pruning(spark):
         "+sg(X, Y) <- edge(P, X), edge(P, Y)\n"
         "+sg(X, Y) <- edge(A, X), edge(B, Y), sg(A, B)"
     )
-    got = sorted(r[-1] for r in eng.query("?sg(5, Y)").collect())
+    # the ENGINE must take the rewrite path (not full-eval + filter):
+    # spy on the demand evaluation entry point
+    taken = []
+    orig = IQLEngine._try_magic
+
+    def spy(self, goal):
+        out = orig(self, goal)
+        taken.append((goal.relation, out is not None))
+        return out
+
+    IQLEngine._try_magic = spy
+    try:
+        got = sorted(r[-1] for r in eng.query("?sg(5, Y)").collect())
+    finally:
+        IQLEngine._try_magic = orig
     # node 5 sits at depth 2 (4 nodes): its generation is {3, 4, 5, 6}
     assert got == [3, 4, 5, 6]
+    assert ("sg", True) in taken  # demand rewrite engaged
     # full extent for contrast: every same-depth pair
     full = eng.query("?sg(X, Y)").count()
     assert full == sum(4**k for k in range(1, 6))  # 1364 pairs
