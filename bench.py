@@ -48,6 +48,12 @@ def main() -> None:
         "transitive_closure_anchor",
         "reach_bound",
         "reach_bound_large",
+        # non-linear recursion (the doubling-rejected shape): full
+        # fixpoint on the SF-stepped tree vs the bound query that the
+        # generalized magic rewrite demand-prunes (engine _try_magic →
+        # quirk-free internal fixpoint over the bb-adorned program)
+        "same_generation",
+        "same_generation_bound",
         "knn_cosine",
         "pairwise_cosine",
         "time_decay_sum",

@@ -700,3 +700,40 @@ def test_sharded_hnsw_recall_on_natural_corpus(spark):
     truth = AR.exact_topk(emb, queries)
     curve = AR.sharded_hnsw_curve(spark, emb, queries, truth, efs=(64,))
     assert curve["64"] >= 0.95, curve
+
+
+def test_object_store_property_roundtrip(tmp_path):
+    """Property: arbitrary bytes round-trip through both backends under
+    arbitrary (printable, slash-bearing) key suffixes; list_prefix
+    returns exactly the live keys; overwrite always serves the newest
+    bytes (atomic PUT)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from inputlayer_spark.sources.artifact_store import store_for
+
+    key_part = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters="-_./ %"
+        ),
+        min_size=1,
+        max_size=24,
+    ).filter(lambda s: s.strip() and ".." not in s and not s.startswith("/"))
+
+    @settings(max_examples=40, deadline=None)
+    @given(suffix=key_part, data=st.binary(max_size=512), data2=st.binary(max_size=64))
+    def check(suffix, data, data2):
+        ms = store_for("mem://propbkt/x")
+        key = f"mem://propbkt/{suffix}"
+        try:
+            ms.put(key, data)
+            assert ms.get(key) == data
+            assert ms.exists(key)
+            assert key in set(ms.list_prefix("mem://propbkt/"))
+            ms.put(key, data2)  # overwrite: newest bytes win
+            assert ms.get(key) == data2
+        finally:
+            ms.delete_prefix("mem://propbkt/")
+        assert not ms.exists(key)
+
+    check()
