@@ -174,3 +174,53 @@ def test_nonlinear_same_generation_rewrite_and_demand_pruning(spark):
     # full extent for contrast: every same-depth pair
     full = eng.query("?sg(X, Y)").count()
     assert full == sum(4**k for k in range(1, 6))  # 1364 pairs
+
+
+def test_nonlinear_magic_randomized_differential(spark):
+    """Random graphs × random bound goals for the two canonical
+    non-linear shapes (same-generation, symmetric closure): the engine's
+    bound answer (demand-rewritten path) must equal the full fixpoint
+    filtered to the binding. Catches under-seeding of magic predicates
+    and wrong SIP propagation through the second recursive position."""
+    import random
+
+    from inputlayer_spark.engine import IQLEngine
+
+    rng = random.Random(41)
+    for trial in range(3):
+        n = 9
+        edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(12)})
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        vals = ", ".join(f"({a}, {b})" for a, b in edges)
+
+        # same-generation
+        eng = IQLEngine(spark)
+        eng.execute(f"+edge[{vals}]")
+        eng.execute(
+            "+sg(X, Y) <- edge(P, X), edge(P, Y)\n"
+            "+sg(X, Y) <- edge(A, X), edge(B, Y), sg(A, B)"
+        )
+        full = {tuple(r) for r in eng.query("?sg(X, Y)").collect()}
+        for _ in range(2):
+            c = rng.randrange(n)
+            bound = sorted(r[-1] for r in eng.query(f"?sg({c}, Y)").collect())
+            want = sorted(y for (x, y) in full if x == c)
+            assert bound == want, f"sg trial {trial} c={c}"
+
+        # symmetric closure (magic mutually recursive with the answer)
+        eng2 = IQLEngine(spark)
+        eng2.execute(f"+e[{vals}]")
+        eng2.execute("+sc(X, Z) <- e(X, Z)\n+sc(X, Z) <- sc(X, Y), sc(Y, Z)")
+        full2 = {tuple(r) for r in eng2.query("?sc(X, Y)").collect()}
+        for _ in range(2):
+            c = rng.randrange(n)
+            bound = sorted(r[-1] for r in eng2.query(f"?sc({c}, Y)").collect())
+            want = sorted(y for (x, y) in full2 if x == c)
+            assert bound == want, f"sc trial {trial} c={c}"
+        # second-argument binding exercises the fb adornment
+        c = rng.randrange(n)
+        bound = sorted(r[0] for r in eng2.query(f"?sc(X, {c})").collect())
+        want = sorted(x for (x, y) in full2 if y == c)
+        assert bound == want, f"sc fb trial {trial} c={c}"
