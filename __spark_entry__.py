@@ -1077,6 +1077,37 @@ def q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.doc_fingerprint(F.col("text")).alias("fp"))
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic content-hash Bernoulli sample (10% of documents by
+    seeded md5 bucket) — rand() is nondeterministic under task retries;
+    this is a pure function of the data (operators/sampling.py)."""
+    from inputlayer_spark.operators.sampling import hash_sample
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    out = hash_sample(docs, "doc_id", 0.10, seed=0)
+    return out.select("doc_id", "lang")
+
+
+def q_cap_per_group(spark, sf_dir):
+    """Per-group rebalancing cap: at most 25 documents per language,
+    chosen by smallest seeded hash (deterministic reservoir)."""
+    from inputlayer_spark.operators.sampling import cap_per_group
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    out = cap_per_group(docs, "doc_id", "lang", 25, seed=1)
+    return out.select("doc_id", "lang")
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Token-window chunking (16-token windows, 4-token overlap) —
+    JVM-side sequence/slice/posexplode, no UDFs."""
+    from inputlayer_spark.operators.sampling import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=16, overlap=4)
+    return out.select("doc_id", "chunk_id", "chunk", "n_tokens")
+
+
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup: min doc_id representative per content hash."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1334,6 +1365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_lang": q_quality_lang,
         "doc_fingerprint": q_doc_fingerprint,
+        "hash_sample": q_hash_sample,
+        "cap_per_group": q_cap_per_group,
+        "chunk_documents": q_chunk_documents,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1741,6 +1775,27 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             f"SELECT doc_id, list_min(list_transform({_SHINGLES3}, "
             f"s -> {_MD5_32.format(x='s')})) AS fp FROM documents"
+        ),
+        "hash_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE (('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),"
+            " 1, 8))::BIGINT % 10000) < 1000"
+        ),
+        "cap_per_group": (
+            "SELECT doc_id, lang FROM ("
+            "  SELECT doc_id, lang, row_number() OVER ("
+            "    PARTITION BY lang ORDER BY"
+            "    ('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)),"
+            " 1, 8))::BIGINT, doc_id) AS rn"
+            "  FROM documents) WHERE rn <= 25"
+        ),
+        "chunk_documents": (
+            f"WITH toked AS (SELECT doc_id, {_TOKS} AS toks FROM documents),"
+            " ne AS (SELECT * FROM toked WHERE len(toks) > 0) "
+            "SELECT doc_id, CAST(t.s // 12 AS BIGINT) AS chunk_id, "
+            "array_to_string(toks[t.s+1:t.s+16], ' ') AS chunk, "
+            "CAST(len(toks[t.s+1:t.s+16]) AS BIGINT) AS n_tokens "
+            "FROM ne, unnest(range(0, len(toks), 12)) AS t(s)"
         ),
         "exact_dedup": (
             "SELECT min(doc_id) AS rep_id, count(*) AS n_copies "

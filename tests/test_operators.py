@@ -737,3 +737,68 @@ def test_object_store_property_roundtrip(tmp_path):
         assert not ms.exists(key)
 
     check()
+
+
+def test_hash_sample_deterministic_and_seed_sensitive(spark):
+    from inputlayer_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2, seed=0).collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2, seed=0).collect()}
+    assert a == b  # pure function of the data
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.3 * n  # ~20% within hash tolerance
+    c = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2, seed=7).collect()}
+    assert c != a  # different seed → different sample
+    # nesting: a 50% sample of a 20% sample ⊆ the 20% sample
+    half = {
+        r["doc_id"]
+        for r in hash_sample(
+            hash_sample(docs, "doc_id", 0.2, seed=0), "doc_id", 0.5, seed=9
+        ).collect()
+    }
+    assert half <= a
+
+
+def test_cap_per_group_caps_and_is_stable(spark):
+    from inputlayer_spark.operators.sampling import cap_per_group
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    capped = cap_per_group(docs, "doc_id", "lang", 5, seed=1)
+    counts = {r["lang"]: r["n"] for r in capped.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(full[lang], 5)
+    again = cap_per_group(docs, "doc_id", "lang", 5, seed=1)
+    assert sorted(r["doc_id"] for r in capped.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from inputlayer_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),
+            (2, "only three words"),
+            (3, ""),  # zero tokens → zero chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk_id"]): (r["chunk"], r["n_tokens"])
+            for r in out.collect()}
+    # doc 1: starts 0,2,4,6,8 → 5 chunks; consecutive chunks share 2 tokens
+    assert [k for k in sorted(rows) if k[0] == 1] == [(1, i) for i in range(5)]
+    assert rows[(1, 0)][0] == "w0 w1 w2 w3"
+    assert rows[(1, 1)][0] == "w2 w3 w4 w5"
+    assert rows[(1, 4)] == ("w8 w9", 2)  # short tail window
+    assert rows[(2, 0)] == ("only three words", 3)
+    assert not any(k[0] == 3 for k in rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)

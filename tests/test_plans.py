@@ -126,3 +126,15 @@ def test_seminaive_insert_never_shuffles_accumulated_closure(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan  # acc never shuffles
+
+
+def test_sampling_ops_are_narrow_jvm_plans(spark):
+    """hash_sample must be a pure narrow filter (no shuffle — it runs
+    inside the scan stage at 100 TB); chunking stays JVM-side
+    (generator/explode, no Python eval)."""
+    plan = _plan(spark, "hash_sample")
+    assert "Exchange" not in plan  # no shuffle anywhere
+    assert "BatchEvalPython" not in plan
+    plan2 = _plan(spark, "chunk_documents")
+    assert "BatchEvalPython" not in plan2
+    assert "Generate" in plan2  # posexplode runs as a JVM generator
