@@ -60,6 +60,8 @@ def main() -> None:
         "doc_fingerprint",
         "minhash_lsh",
         "exact_dedup",
+        "hash_sample",
+        "chunk_documents",
         "knn_lsh",
         "knn_lsh_selective",
         "hnsw_knn",
