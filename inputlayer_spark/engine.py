@@ -1097,6 +1097,12 @@ class IQLEngine:
     def save_parquet(self, relation: str, path: str) -> None:
         self._named_df(relation).write.mode("overwrite").parquet(path)
 
+    def load_orc(self, relation: str, path: str) -> None:
+        self.register(relation, self.spark.read.orc(path))
+
+    def save_orc(self, relation: str, path: str) -> None:
+        self._named_df(relation).write.mode("overwrite").orc(path)
+
     def _named_df(self, relation: str) -> DataFrame:
         derived = self._materialize_for({relation})
         df = derived.get(relation) or self.current.relations.get(relation)

@@ -685,3 +685,15 @@ def test_server_per_kg_acls(spark, tmp_path):
         assert ["bob", "viewer"] not in out["results"][0]["rows"]
     finally:
         srv.stop()
+
+
+def test_engine_orc_roundtrip(spark, tmp_path):
+    eng = IQLEngine(spark)
+    eng.execute('+r[(1, "a"), (2, "b")]')
+    eng.save_orc("r", str(tmp_path / "r_orc"))
+    eng2 = IQLEngine(spark)
+    eng2.load_orc("r2", str(tmp_path / "r_orc"))
+    assert sorted(tuple(x) for x in eng2.query("?r2(A, B)").collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
