@@ -1126,6 +1126,24 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.05)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components (min-label propagation
+    with pointer doubling, operators/dedup.py:dedup_clusters) over the
+    exact n-gram-Jaccard pair graph — every doc labeled with its
+    cluster's canonical (minimum) id; singletons label themselves."""
+    from inputlayer_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.05)
+    out = dedup_clusters(pairs, docs.select("doc_id"), id_col="doc_id")
+    return out.select("doc_id", "cluster_id")
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH banding candidates VERIFIED by exact Jaccard ≥ 0.5.
 
@@ -1370,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "repetition": q_repetition,
@@ -1814,6 +1833,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM pairs p JOIN sz s1 ON s1.doc_id = p.id1 "
             "JOIN sz s2 ON s2.doc_id = p.id2 "
             "WHERE p.shared::DOUBLE / (s1.n + s2.n - p.shared) >= 0.05"
+        ),
+        # connected components over the same pair graph: cluster_id =
+        # min id reachable through near-dup links (recursive CTE on the
+        # symmetric edges; singletons label themselves)
+        "dedup_clusters": (
+            "WITH sh AS (SELECT doc_id, unnest(list_distinct("
+            + _SHINGLES2
+            + ")) AS s FROM documents WHERE doc_id < 100), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared "
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+            "  GROUP BY a.doc_id, b.doc_id), "
+            "pairs AS (SELECT p.id1, p.id2 FROM p "
+            "  JOIN sz s1 ON s1.doc_id = p.id1 JOIN sz s2 ON s2.doc_id = p.id2 "
+            "  WHERE p.shared::DOUBLE / (s1.n + s2.n - p.shared) >= 0.05), "
+            "sym AS (SELECT id1 AS a, id2 AS b FROM pairs "
+            "  UNION SELECT id2, id1 FROM pairs), "
+            "nodes AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 100), "
+            "reach AS (WITH RECURSIVE r(src, dst) AS ("
+            "  SELECT doc_id, doc_id FROM nodes "
+            "  UNION "
+            "  SELECT r.src, sym.b FROM r JOIN sym ON sym.a = r.dst) "
+            "  SELECT src, dst FROM r) "
+            "SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id "
+            "FROM reach GROUP BY src"
         ),
         "simhash": _simhash_sql(),
         # repetition: duplicate-line fraction over the word-per-line

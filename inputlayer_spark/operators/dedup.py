@@ -422,3 +422,79 @@ def ngram_contamination(
             "overlap",
         )
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame, nodes: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every document
+    gets `cluster_id` = the MINIMUM doc id reachable through near-dup
+    links (the canonical representative). The curation step after any
+    pairwise dedup signal (minhash/ngram/simhash/embedding): keep one
+    doc per cluster, drop the rest.
+
+    Algorithm: iterative min-label propagation with label SHORTCUTTING
+    (each round also joins labels through the current label graph —
+    pointer doubling), so convergence is O(log diameter) rounds, not
+    O(diameter); each round is one shuffle join on ids. Labels and the
+    symmetric edge list are pinned per round. This is the standard
+    large-graph CC formulation (Hash-to-Min); near-dup clusters are
+    tiny, so rounds ≈ 2-3 in practice.
+
+    `pairs`: columns (id1, id2) — undirected. `nodes`: one column of all
+    doc ids (singletons become their own cluster). Output: (doc_id,
+    cluster_id).
+    """
+    sym = (
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(32):  # backstop; converges in O(log diameter)
+        # neighbor minimum: the smallest label among me and my neighbors
+        nbr = (
+            sym.join(labels.toDF("b", "nbr_label"), on="b")
+            .groupBy("a")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+            .toDF("node", "nbr_min")
+        )
+        stepped = (
+            labels.join(nbr, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # shortcut: follow my label's own label (pointer doubling)
+        shortcut = (
+            stepped.join(
+                labels.toDF("label", "parent_label"), on="label", how="left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("parent_label"), F.col("label")),
+                ).alias("label"),
+            )
+        )
+        new_labels = shortcut.localCheckpoint(eager=True)
+        changed = (
+            new_labels.toDF("node", "new")
+            .join(labels, on="node")
+            .filter(F.col("new") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -802,3 +802,19 @@ def test_chunk_documents_windows_and_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Min-label propagation with pointer doubling: multi-hop chains
+    collapse to one cluster labeled by the minimum id; disconnected
+    docs are their own singletons."""
+    from inputlayer_spark.operators.dedup import dedup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    # chain 5-3-1-7 (min 1), pair (2,6), singletons 0 and 4
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 1), (1, 7), (2, 6)], "id1 long, id2 long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in
+           dedup_clusters(pairs, nodes, id_col="id").collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 2, 7: 1}
