@@ -1288,22 +1288,35 @@ class IQLEngine:
             if all(v is not None for v in cached.values()):
                 derived.update(cached)
                 continue
+            # snapshot invalidation epochs BEFORE resolving base frames:
+            # reads are lock-free, so a concurrent writer can bump the
+            # epoch mid-evaluation — stamping the cache with the
+            # pre-read value makes such an entry immediately stale
+            # instead of permanently 'valid' over pre-write frames
+            pre_epochs = {h: self.current.head_epoch.get(h, 0) for h in scc}
             out = evaluate_scc(
                 scc, rules, resolver, self._hnsw_resolver, base_of=self._base_of
             )
             for h, df in out.items():
                 derived[h] = df
-                self._cache_view(h, df)
+                self._cache_view(h, df, epoch=pre_epochs.get(h))
         return derived
 
     # -------------------------------------------- cross-engine cache epoch
 
-    def _stamp_artifact(self, key: Tuple[str, str]) -> None:
-        """Record the target relation's current invalidation epoch for a
-        freshly built index artifact (LSH frame / HNSW graph / sharded
-        index / IVF cells)."""
+    def _stamp_artifact(
+        self, key: Tuple[str, str], epoch: Optional[int] = None
+    ) -> None:
+        """Record the target relation's invalidation epoch for a freshly
+        built index artifact (LSH frame / HNSW graph / sharded index /
+        IVF cells). Callers that resolve the corpus frame lock-free pass
+        the epoch they snapshotted BEFORE resolution, so a write racing
+        the build leaves the artifact stale rather than silently
+        current."""
         target = self.current.indexes.get(key[1], (None,))[0]
-        self._artifact_epoch[key] = self.current.head_epoch.get(target, 0)
+        self._artifact_epoch[key] = (
+            self.current.head_epoch.get(target, 0) if epoch is None else epoch
+        )
 
     def _artifact_stale(self, key: Tuple[str, str]) -> bool:
         """True when a write from another engine sharing this KG dirtied
@@ -1313,11 +1326,18 @@ class IQLEngine:
             target, 0
         )
 
-    def _cache_view(self, head: str, df: DataFrame) -> None:
-        """Cache a materialized head, stamped with the KG's current
-        invalidation epoch for it (valid until any engine dirties it)."""
+    def _cache_view(
+        self, head: str, df: DataFrame, epoch: Optional[int] = None
+    ) -> None:
+        """Cache a materialized head, stamped with the KG's invalidation
+        epoch for it (valid until any engine dirties it). Lock-free read
+        paths pass the epoch snapshotted before base-frame resolution;
+        writer paths (which hold the KG write_lock, so no bump can
+        interleave) stamp the current value."""
         self._derived_cache[head] = df
-        self._cache_epoch[head] = self.current.head_epoch.get(head, 0)
+        self._cache_epoch[head] = (
+            self.current.head_epoch.get(head, 0) if epoch is None else epoch
+        )
 
     def _cached_view_get(self, head: str) -> Optional[DataFrame]:
         """Cached frame for `head`, or None — dropping it if a write from
@@ -1358,8 +1378,12 @@ class IQLEngine:
         if old is None:
             return None
         if not self._is_materialized(old):
+            # re-stamp with the entry's ORIGINAL epoch: re-reading the
+            # current epoch here could mark a frame built before a
+            # racing write as valid after it
+            stamp = self._cache_epoch.get(head, 0)
             old = old.localCheckpoint(eager=True)
-            self._cache_view(head, old)
+            self._cache_view(head, old, epoch=stamp)
         return old
 
     def try_delta_merge(
@@ -1623,6 +1647,12 @@ class IQLEngine:
         maintained: Dict[str, DataFrame] = {}
         if deleted_df is None:
             return maintained
+        # symmetric to _insert_maintain: with session overlays the cached
+        # view includes overlay bindings, but the touched-group recompute
+        # reads only the persistent base — deleting a row that duplicates
+        # a session fact would under-count. Fall back to recompute.
+        if self.session_rules or self.session_facts:
+            return maintained
         for rule in self.current.rules:
             deps = {
                 l.relation
@@ -1660,6 +1690,13 @@ class IQLEngine:
         maintained view} for the caller to re-seed after the
         invalidation cascade (the exact protocol of _retract_maintain)."""
         maintained: Dict[str, DataFrame] = {}
+        # Session overlays put bindings in the cached view that the
+        # delta's distinct-binding anti-join (which only checks old_base)
+        # can't see — a persistent insert duplicating a session fact
+        # would double-count. Bail to invalidate+recompute, matching
+        # _try_seminaive_insert.
+        if self.session_rules or self.session_facts:
+            return maintained
         for rule in self.current.rules:
             deps = {
                 l.relation
@@ -2406,7 +2443,15 @@ class IQLEngine:
         only runs in the owning process) can never belong to this
         engine and would otherwise leak disk indefinitely. Called BEFORE
         WAL replay, which is what rebuilds any live sharded index into
-        a fresh token-stamped directory (ADVICE r5)."""
+        a fresh token-stamped directory (ADVICE r5).
+
+        Single-writer ownership (ADVICE r6): the sweep only runs after
+        acquiring an exclusive advisory lock on ``hnsw_shards/.owner``,
+        held for this engine's lifetime. A second engine pointed at the
+        same wal_dir (shared storage, blue/green restart overlap) fails
+        the non-blocking acquire and skips the sweep, so it can never
+        delete a LIVE engine's shard graphs. The lock is released by
+        close() / process exit, letting the next clean startup GC."""
         import os as _os
         import shutil as _shutil
 
@@ -2414,11 +2459,57 @@ class IQLEngine:
             return
         root = _os.path.join(self.wal_dir, "hnsw_shards")
         try:
+            # create eagerly so ownership is claimed even on a fresh
+            # wal_dir — otherwise the first engine would never hold the
+            # lock and a later second engine could sweep its live graphs
+            _os.makedirs(root, exist_ok=True)
             stale = _os.listdir(root)
         except OSError:
             return
+        if not self._acquire_shard_owner_lock(root):
+            return
         for d in stale:
+            if d == ".owner":
+                continue
             _shutil.rmtree(_os.path.join(root, d), ignore_errors=True)
+
+    def _acquire_shard_owner_lock(self, root: str) -> bool:
+        """Try to become the single owner of wal_dir's shard store via a
+        non-blocking flock on ``<root>/.owner``; the fd is kept open on
+        the engine so the lock lives exactly as long as it does. Returns
+        False (another live engine owns the store) without raising; on
+        platforms without fcntl the sweep proceeds as before."""
+        import os as _os
+
+        try:
+            import fcntl as _fcntl
+        except ImportError:  # non-POSIX: keep prior behavior
+            return True
+        fd = None
+        try:
+            fd = _os.open(_os.path.join(root, ".owner"), _os.O_CREAT | _os.O_RDWR)
+            _fcntl.flock(fd, _fcntl.LOCK_EX | _fcntl.LOCK_NB)
+        except OSError:
+            if fd is not None:
+                _os.close(fd)
+            return False
+        self._hnsw_owner_fd = fd
+        return True
+
+    def close(self) -> None:
+        """Release engine-held OS resources (the shard-store ownership
+        lock); safe to call more than once. Cached frames and indexes
+        stay usable — close() only relinquishes wal_dir ownership so a
+        successor engine's startup sweep can run."""
+        import os as _os
+
+        fd = getattr(self, "_hnsw_owner_fd", None)
+        if fd is not None:
+            try:
+                _os.close(fd)  # closing drops the flock
+            except OSError:
+                pass
+            self._hnsw_owner_fd = None
 
     def _drop_sharded_hnsw(self, key) -> None:
         idx = self._sharded_hnsw.pop(key, None)
@@ -2455,6 +2546,9 @@ class IQLEngine:
             return None
         relation, column = self.current.indexes[name][:2]
         metric = self.current.indexes[name][2]
+        # epoch snapshot BEFORE the lock-free corpus resolution (see
+        # _stamp_artifact): a write racing the build leaves it stale
+        pre_epoch = self.current.head_epoch.get(relation, 0)
         from inputlayer_spark.operators.hnsw import HnswGraph, ShardedHnswIndex
 
         try:
@@ -2479,7 +2573,7 @@ class IQLEngine:
                         ef_construction=int(params.get("ef_construction", 100)),
                         ef_search=int(params.get("ef_search", 64)),
                     )
-                    self._stamp_artifact(key)
+                    self._stamp_artifact(key, epoch=pre_epoch)
                 return None
             rows = (
                 df.select(F.col(id_col), F.col(column))
@@ -2501,7 +2595,7 @@ class IQLEngine:
                 [[float(x) for x in r[1]] for r in rows],
             )
             self._hnsw_graphs[key] = g
-            self._stamp_artifact(key)
+            self._stamp_artifact(key, epoch=pre_epoch)
             return g
         except Exception:
             return None
@@ -2521,6 +2615,7 @@ class IQLEngine:
         if cached is not None:
             return cached
         relation, column = self.current.indexes[name][:2]
+        pre_epoch = self.current.head_epoch.get(relation, 0)
         from inputlayer_spark.operators.similarity import lsh_index
 
         try:
@@ -2531,7 +2626,7 @@ class IQLEngine:
                 df, column, num_tables=self._INDEX_TABLES, num_bits=self._INDEX_BITS
             ).persist()
             self._index_frames[key] = idx
-            self._stamp_artifact(key)
+            self._stamp_artifact(key, epoch=pre_epoch)
             return idx
         except Exception:
             return None
@@ -2560,6 +2655,7 @@ class IQLEngine:
         if cached is not None and cents is not None:
             return cached, cents
         relation, column = self.current.indexes[name][:2]
+        pre_epoch = self.current.head_epoch.get(relation, 0)
         from inputlayer_spark.operators.similarity import ivf_index
         from inputlayer_spark.functions import vector as V
 
@@ -2580,7 +2676,7 @@ class IQLEngine:
             _, cent_list = ivf_index(celled, cell, column)
             self._ivf_frames[key] = celled
             self._ivf_cents[key] = cent_list
-            self._stamp_artifact(key)
+            self._stamp_artifact(key, epoch=pre_epoch)
             return celled, cent_list
         except Exception:
             return None, None

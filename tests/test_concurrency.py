@@ -365,3 +365,47 @@ def test_engine_level_concurrent_writes_no_lost_updates(spark):
             (s, i) for s in (1, 2, 3) for i in range(8)
         ), f"lost update in round {round_no}"
         a.execute("-acc(S, N) <- acc(S, N)")
+
+
+def test_cache_stamp_snapshots_epoch_before_materialization(spark, monkeypatch):
+    """ADVICE r6: reads are lock-free, so a write can land between a
+    reader resolving base frames and stamping its cache. The stamp must
+    be the PRE-read epoch — a racing write then leaves the fresh entry
+    immediately stale instead of permanently 'valid' over pre-write
+    frames."""
+    import inputlayer_spark.engine as eng_mod
+
+    a = IQLEngine(spark)
+    a.execute("+s[(1, 10.0)]")
+    a.execute("+tot(K, sum<V>) <- s(K, V)")
+    b = IQLEngine(spark)
+    b.kgs = a.kgs
+    b.current = a.current
+
+    real = eng_mod.evaluate_scc
+    fired = []
+
+    def racy(scc, rules, resolver, hnsw_resolver, base_of=None):
+        out = real(scc, rules, resolver, hnsw_resolver, base_of=base_of)
+        if "tot" in scc and not fired:
+            fired.append(True)
+            # foreign write lands AFTER B resolved frames, BEFORE B
+            # stamps its cache — the exact interleaving of the race
+            a.execute("+s[(2, 20.0)]")
+        return out
+
+    monkeypatch.setattr(eng_mod, "evaluate_scc", racy)
+    first = sorted(tuple(r) for r in b.query("?tot(K, V)").collect())
+    monkeypatch.undo()
+    assert fired, "race hook never fired"
+    # the evaluation itself is a consistent pre-write snapshot
+    assert first == [(1, 10.0)]
+    # but the cache entry must be stale, not permanently valid
+    assert b._cached_view_get("tot") is None, (
+        "cache stamped with post-write epoch: stale view would be "
+        "served forever"
+    )
+    assert sorted(tuple(r) for r in b.query("?tot(K, V)").collect()) == [
+        (1, 10.0),
+        (2, 20.0),
+    ]

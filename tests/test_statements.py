@@ -195,10 +195,35 @@ def test_stale_hnsw_shard_dirs_swept_on_startup(spark, tmp_path):
         fh.write("{}")
 
     eng = IQLEngine(spark, wal_dir=wal)
-    assert os.listdir(shards) == []  # previous generations reclaimed
+    # previous generations reclaimed (only the ownership lock remains)
+    assert [d for d in os.listdir(shards) if d != ".owner"] == []
     # and the engine still works (relations, WAL) after the sweep
     eng.execute('+r[(1, "a")]')
     assert _rows(eng.query("?r(X, Y)")) == [(1, "a")]
+
+
+def test_shard_sweep_respects_live_owner(spark, tmp_path):
+    """ADVICE r6: a second durable engine pointed at the SAME wal_dir
+    (shared storage, blue/green restart overlap) must not rmtree the
+    live engine's shard graphs at startup. Ownership is an advisory
+    flock on hnsw_shards/.owner held for the engine's lifetime; only an
+    engine that acquires it sweeps."""
+    import os
+
+    wal = str(tmp_path / "shared_wal")
+    a = IQLEngine(spark, wal_dir=wal)
+    root = os.path.join(wal, "hnsw_shards")
+    live = os.path.join(root, "default-vidx-deadbeef-g0001")
+    os.makedirs(live, exist_ok=True)  # simulates A's live sharded graph
+
+    b = IQLEngine(spark, wal_dir=wal)  # overlapping restart: A still live
+    assert os.path.isdir(live), "second engine swept a LIVE shard store"
+
+    b.close()
+    a.close()  # A relinquishes ownership (restart/crash analog)
+    c = IQLEngine(spark, wal_dir=wal)
+    assert not os.path.isdir(live)  # now-stale dir GC'd after release
+    c.close()
 
 
 def test_wal_per_statement_covers_partial_programs(spark, tmp_path):

@@ -731,3 +731,27 @@ def test_mixed_insert_delete_maintenance_differential(spark, monkeypatch):
                 _no_full_recompute(monkeypatch)
             assert _paths(eng) == want, f"trial {trial} step {step}"
             monkeypatch.undo()
+
+
+def test_delta_merge_bails_on_session_overlay(spark):
+    """ADVICE r6: with a session fact overlaying the base, the cached
+    aggregate view includes the overlay binding but try_delta_merge's
+    distinct-binding anti-join only checks old_base — a persistent
+    insert duplicating the session fact would double-count. Both
+    maintenance directions must bail to invalidate+recompute when
+    overlays are present."""
+    eng = IQLEngine(spark)
+    eng.execute("+s[(1, 10.0), (2, 20.0)]")
+    eng.execute("+tot(K, sum<V>) <- s(K, V)")
+    assert _rows(eng.query("?tot(K, V)")) == [(1, 10.0), (2, 20.0)]
+    eng.add_session_fact("s", 1, 5.0)
+    # view rebuilt WITH the overlay binding
+    assert _rows(eng.query("?tot(K, V)")) == [(1, 15.0), (2, 20.0)]
+    # persistent insert duplicating the session fact: the distinct
+    # binding set is unchanged, the total must stay 15 (bug: 20)
+    eng.execute("+s[(1, 5.0)]")
+    assert _rows(eng.query("?tot(K, V)")) == [(1, 15.0), (2, 20.0)]
+    # retract direction: deleting the persistent duplicate leaves the
+    # binding alive via the overlay — total must still be 15 (bug: 10)
+    eng.execute("-s(1, 5.0)")
+    assert _rows(eng.query("?tot(K, V)")) == [(1, 15.0), (2, 20.0)]
