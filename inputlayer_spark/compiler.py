@@ -236,6 +236,38 @@ def compile_body(
             for a in atoms
         ]
 
+    # Greedy left-deep join ordering from the shared-variable graph
+    # (the reference's join planning, src/join_planning/mod.rs:1-60,970:
+    # chain order from variable connectivity). Body order is preserved
+    # whenever it is already connected — the next atom is the FIRST
+    # remaining one sharing a variable with the bound prefix — so the
+    # only bodies that change are ones whose literal order would build
+    # an accidental cross product before a connecting atom arrives
+    # (e.g. same-generation's `edge(A,X), edge(B,Y), sg(A,B)`: edge ×
+    # edge is |E|² rows; reordered it is two equi-joins). Inner joins
+    # commute, so results are identical.
+    if len(atoms) > 2:
+
+        def _avars(a: Atom) -> set:
+            return {
+                t.name
+                for t in a.terms
+                if isinstance(t, Var) and not t.is_wildcard
+            }
+
+        remaining = list(atoms)
+        ordered = [remaining.pop(0)]
+        bound_vars = _avars(ordered[0])
+        while remaining:
+            nxt_i = next(
+                (i for i, a in enumerate(remaining) if _avars(a) & bound_vars),
+                0,  # nothing connects: a genuine cross product, body order
+            )
+            a = remaining.pop(nxt_i)
+            ordered.append(a)
+            bound_vars |= _avars(a)
+        atoms = ordered
+
     acc: Optional[DataFrame] = None
     for atom in atoms:
         scanned = scan_atom(atom, resolve, bool_consts_nop)

@@ -680,9 +680,10 @@ def _seminaive_fixpoint(
         if base is not None:
             prev = acc[h]
             acc[h] = base if prev is None else prev.unionByName(base).distinct()
+    acc_rows: Dict[str, int] = {h: 0 for h in members}
     for h in members:
         if acc[h] is not None:
-            acc[h], _ = pin(acc[h])
+            acc[h], acc_rows[h] = pin(acc[h])
         delta[h] = acc[h]
 
     def apply_rules(
@@ -751,7 +752,19 @@ def _seminaive_fixpoint(
                 continue
             candidate = collected[h].distinct()
             if acc[h] is not None:
-                candidate = candidate.join(acc[h], on=list(candidate.columns), how="left_anti")
+                # dedup against acc map-side while acc is broadcastable
+                # (the distributed-TC branch's 3M-row policy): a plain
+                # left-anti would shuffle BOTH the candidate and the
+                # ever-growing acc every iteration — the dominant cost
+                # of deep fixpoints once acc outgrows a few 100k rows
+                anti = (
+                    F.broadcast(acc[h])
+                    if acc_rows[h] <= 3_000_000
+                    else acc[h]
+                )
+                candidate = candidate.join(
+                    anti, on=list(candidate.columns), how="left_anti"
+                )
             candidate, n = pin(candidate)
             if n == 0:
                 delta[h] = None
@@ -761,6 +774,7 @@ def _seminaive_fixpoint(
             # acc grows as a lazy union of pinned deltas; compact it back
             # to one pinned frame every few iterations (see above)
             acc[h] = candidate if acc[h] is None else acc[h].unionByName(candidate)
+            acc_rows[h] += n
             acc_parts[h] += 1
             if acc_parts[h] >= ACC_COMPACT_EVERY:
                 acc[h], _ = pin(acc[h])

@@ -138,3 +138,42 @@ def test_sampling_ops_are_narrow_jvm_plans(spark):
     plan2 = _plan(spark, "chunk_documents")
     assert "BatchEvalPython" not in plan2
     assert "Generate" in plan2  # posexplode runs as a JVM generator
+
+
+def test_disconnected_body_order_joins_before_crossing(spark):
+    """Greedy left-deep join ordering (compiler.compile_body; reference
+    join planning src/join_planning/mod.rs): a body whose literal order
+    would cross-join two atoms before the connecting atom arrives —
+    same-generation's `edge(A,X), edge(B,Y), sg(A,B)` — must compile to
+    two equi-joins, never a |E|² cartesian/nested-loop product."""
+    from pyspark.sql import functions as F
+
+    from inputlayer_spark.compiler import compile_body
+    from inputlayer_spark.ast_nodes import Atom, Var
+
+    edge = spark.range(200).select(
+        (F.col("id") / 2).cast("long").alias("p"), F.col("id").alias("c")
+    )
+    sg = edge.select(F.col("c").alias("a"), F.col("c").alias("b"))
+
+    def resolve(name):
+        return {"edge": edge, "sg": sg}[name]
+
+    body = (
+        Atom("edge", (Var("A"), Var("X"))),
+        Atom("edge", (Var("B"), Var("Y"))),
+        Atom("sg", (Var("A"), Var("B"))),
+    )
+    df = compile_body(body, resolve)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and the result is the honest conjunction
+    n = df.count()
+    want = (
+        edge.alias("e1")
+        .join(sg, F.col("e1.p") == sg.a)
+        .join(edge.alias("e2"), F.col("e2.p") == sg.b)
+        .count()
+    )
+    assert n == want
