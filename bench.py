@@ -105,11 +105,17 @@ def main() -> None:
     # so single-shot numbers can't attribute real improvements. min-of-2
     # is the standard steady-state latency estimate; both runs execute
     # the full plan (results are never cached between passes).
+    # the multi-second distributed-fixpoint rows are the ones whose
+    # in-bench numbers drift vs isolated runs (GC/session pressure from
+    # earlier queries: anchor TC measured 13.98s in-bench vs 11.2-12.4s
+    # isolated in r6/r7 probes) — give them a third pass so the min is
+    # a steadier estimate of the same plan
+    extra_pass = {"transitive_closure_anchor", "same_generation", "same_generation_bound"}
     timings: dict[str, float] = {}
     for name in bench_names:
         fn = qs[name]
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3 if name in extra_pass else 2):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()
