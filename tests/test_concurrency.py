@@ -409,3 +409,37 @@ def test_cache_stamp_snapshots_epoch_before_materialization(spark, monkeypatch):
         (1, 10.0),
         (2, 20.0),
     ]
+
+
+def test_artifact_stamp_snapshots_epoch_before_build(spark, monkeypatch):
+    """Same race as the view-cache test, for INDEX artifacts: a foreign
+    write landing while another session builds an LSH artifact must
+    leave the artifact stale (pre-read epoch stamp), not silently
+    current over the pre-write corpus."""
+    a = IQLEngine(spark)
+    a.execute("+emb(id: int, v: vector)")
+    a.execute("+emb[(1, [1.0, 0.0]), (2, [0.0, 1.0])]")
+    a.execute(".index create vidx on emb(v) metric cosine")
+    b = IQLEngine(spark)
+    b.kgs = a.kgs
+    b.current = a.current
+
+    import inputlayer_spark.operators.similarity as sim
+
+    real = sim.lsh_index
+    fired = []
+
+    def racy(*args, **kw):
+        if not fired:
+            fired.append(True)
+            a.execute("+emb[(3, [0.7, 0.7])]")  # foreign write mid-build
+        return real(*args, **kw)
+
+    monkeypatch.setattr(sim, "lsh_index", racy)
+    idx = b._index_frame("vidx")
+    monkeypatch.undo()
+    assert fired and idx is not None
+    assert b._artifact_stale(("default", "vidx")), (
+        "artifact stamped with post-write epoch: stale index would "
+        "serve the pre-write corpus forever"
+    )
