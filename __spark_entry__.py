@@ -1077,6 +1077,20 @@ def q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.doc_fingerprint(F.col("text")).alias("fp"))
 
 
+def q_compression_signal(spark, sf_dir):
+    """zlib compressed/raw ratio per document — the classic cheap
+    low-entropy/boilerplate filter (functions/text.compression_ratio,
+    Arrow-batched pandas_udf; zlib is not expressible in SQL, so this
+    row gets the driver's rows-only check; determinism and bounds are
+    pinned by tests/test_operators.py instead). Returns the docs a
+    pipeline would KEEP (ratio ≥ 0.25) plus the flagged count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id", TX.compression_ratio(F.col("text")).alias("zratio")
+    )
+    return scored.filter(F.col("zratio") >= 0.25).select("doc_id", "zratio")
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic content-hash Bernoulli sample (10% of documents by
     seeded md5 bucket) — rand() is nondeterministic under task retries;
@@ -1383,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_lang": q_quality_lang,
         "doc_fingerprint": q_doc_fingerprint,
+        "compression_signal": q_compression_signal,
         "hash_sample": q_hash_sample,
         "cap_per_group": q_cap_per_group,
         "chunk_documents": q_chunk_documents,

@@ -1103,6 +1103,29 @@ class IQLEngine:
     def save_orc(self, relation: str, path: str) -> None:
         self._named_df(relation).write.mode("overwrite").orc(path)
 
+    def load_json(self, relation: str, path: str) -> None:
+        """JSON-Lines load (one object per line — the dominant
+        training-data interchange format; gzip transparent). Column
+        order is normalized to the first record's key order when every
+        record agrees, because rule atoms bind POSITIONALLY and Spark's
+        JSON reader sorts field names alphabetically."""
+        df = self.spark.read.json(path)
+        try:
+            import json as _json
+
+            first = (
+                self.spark.read.text(path).limit(1).collect()[0][0]
+            )
+            keys = list(_json.loads(first).keys())
+            if sorted(keys) == sorted(df.columns):
+                df = df.select(*keys)
+        except Exception:
+            pass  # ragged/absent first record: keep reader order
+        self.register(relation, df)
+
+    def save_json(self, relation: str, path: str) -> None:
+        self._named_df(relation).write.mode("overwrite").json(path)
+
     def _named_df(self, relation: str) -> DataFrame:
         derived = self._materialize_for({relation})
         df = derived.get(relation) or self.current.relations.get(relation)

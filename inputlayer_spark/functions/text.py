@@ -4,7 +4,9 @@ These go beyond the reference surface (BASELINE.json asks for LLM-data-
 pipeline operators): tokenization, shingling, language-ID heuristics,
 quality scoring, and cross-engine-deterministic hashing. Everything is a
 built-in-function expression — no Python in the hot path — so a 100 TB
-documents scan stays in whole-stage codegen.
+documents scan stays in whole-stage codegen. The one exception is
+`compression_ratio` (zlib has no SQL expression), which runs as an
+Arrow-batched pandas_udf, never a row-at-a-time UDF.
 
 Cross-engine hashing trick: `md5` produces identical hex in Spark and
 DuckDB, so `md5_long32` (first 8 hex chars as a long) is a deterministic
@@ -14,6 +16,7 @@ on it are therefore oracle-checkable.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -249,3 +252,29 @@ def top_bigram_fraction(text: Column) -> Column:
         lambda acc: acc["best"],
     )
     return F.when(n <= 1, F.lit(0.0)).otherwise(scan.cast("double") / n)
+
+
+def compression_ratio(text: Column) -> Column:
+    """zlib compressed/raw byte ratio — the classic cheap repetition /
+    low-entropy detector production pipelines filter on (boilerplate
+    and template spam compress far below ~0.4; natural prose sits
+    ~0.5-0.9). zlib is not expressible in SQL, so this is the one text
+    signal that runs as a Python kernel — an Arrow-batched pandas_udf
+    (one zlib.compress per document per batch, no per-row Python
+    round-trips), NOT a row-at-a-time UDF. Empty/null text → 1.0
+    (nothing to compress ⇒ nothing repetitive)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(col: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(s):
+            if s is None or len(s) == 0:
+                return 1.0
+            raw = s.encode("utf-8", "ignore")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return col.map(one)
+
+    return _ratio(text)

@@ -818,3 +818,48 @@ def test_dedup_clusters_connected_components(spark):
     out = {r["doc_id"]: r["cluster_id"] for r in
            dedup_clusters(pairs, nodes, id_col="id").collect()}
     assert out == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 2, 7: 1}
+
+
+def test_compression_ratio_signal(spark):
+    """zlib compression-ratio quality signal (functions/text.py): pure
+    repetition compresses to near-zero, natural prose lands mid-range,
+    empty text is defined as 1.0, and the kernel is deterministic
+    (pure function of bytes — safe under task retries)."""
+    from pyspark.sql import functions as F
+
+    from inputlayer_spark.functions.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [
+            ("spam", "ab" * 2000),
+            ("prose", "The quick brown fox jumps over the lazy dog; " * 4),
+            ("empty", ""),
+            ("null", None),
+        ],
+        "id string, text string",
+    )
+    out = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id", compression_ratio(F.col("text")).alias("z")
+        ).collect()
+    }
+    assert out["spam"] < 0.05
+    assert 0.2 < out["prose"] < 1.0
+    assert out["empty"] == 1.0 and out["null"] == 1.0
+    # deterministic across evaluations
+    out2 = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id", compression_ratio(F.col("text")).alias("z")
+        ).collect()
+    }
+    assert out == out2
+    # plan stays Arrow-batched: ArrowEvalPython, not row-at-a-time
+    plan = (
+        df.select(compression_ratio(F.col("text")).alias("z"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan

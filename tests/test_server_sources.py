@@ -697,3 +697,22 @@ def test_engine_orc_roundtrip(spark, tmp_path):
         (1, "a"),
         (2, "b"),
     ]
+
+
+def test_engine_json_roundtrip_preserves_positional_order(spark, tmp_path):
+    """JSONL load/save: Spark's JSON reader sorts field names
+    alphabetically, but rule atoms bind POSITIONALLY — load_json must
+    restore the written column order (text before id here) from the
+    first record's key order."""
+    eng = IQLEngine(spark)
+    eng.register(
+        "r",
+        spark.createDataFrame([("a", 1), ("b", 2)], "text string, id long"),
+    )
+    eng.save_json("r", str(tmp_path / "r_json"))
+    eng2 = IQLEngine(spark)
+    eng2.load_json("r2", str(tmp_path / "r_json"))
+    assert sorted(tuple(x) for x in eng2.query("?r2(T, I)").collect()) == [
+        ("a", 1),
+        ("b", 2),
+    ]
