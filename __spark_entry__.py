@@ -1102,6 +1102,24 @@ def q_hash_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted Bernoulli subsampling (operators/sampling.py
+    weighted_sample): keep each document with probability equal to a
+    per-row weight (here length/2000 clamped to 1 — longer docs more
+    likely kept), decided by the deterministic seeded content hash so
+    the kept set is a pure function of the data — the quality-weighted
+    sampling step of modern curation recipes, exactly replicated by
+    the DuckDB oracle."""
+    from inputlayer_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weighted = docs.withColumn(
+        "weight", F.least(F.lit(1.0), F.length("text") / F.lit(2000.0))
+    )
+    out = weighted_sample(weighted, "doc_id", "weight", seed=7)
+    return out.select("doc_id", "weight")
+
+
 def q_cap_per_group(spark, sf_dir):
     """Per-group rebalancing cap: at most 25 documents per language,
     chosen by smallest seeded hash (deterministic reservoir)."""
@@ -1399,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "compression_signal": q_compression_signal,
         "hash_sample": q_hash_sample,
+        "weighted_sample": q_weighted_sample,
         "cap_per_group": q_cap_per_group,
         "chunk_documents": q_chunk_documents,
         "exact_dedup": q_exact_dedup,
@@ -1814,6 +1833,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             "WHERE (('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),"
             " 1, 8))::BIGINT % 10000) < 1000"
+        ),
+        "weighted_sample": (
+            "SELECT doc_id, least(1.0::DOUBLE, length(text)::DOUBLE / 2000.0)"
+            " AS weight FROM documents "
+            "WHERE (('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),"
+            " 1, 8))::BIGINT)::DOUBLE / 4294967296.0 "
+            "< greatest(0.0::DOUBLE, least(1.0::DOUBLE, "
+            "least(1.0::DOUBLE, length(text)::DOUBLE / 2000.0)))"
         ),
         "cap_per_group": (
             "SELECT doc_id, lang FROM ("

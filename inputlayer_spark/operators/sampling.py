@@ -100,3 +100,23 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk"),
         F.size(piece).cast("long").alias("n_tokens"),
     )
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, seed: int = 0
+) -> DataFrame:
+    """Per-row Bernoulli sampling with a ROW-SPECIFIC keep probability
+    (the quality-weighted subsampling step of modern curation recipes:
+    keep each document with probability = its quality weight). The
+    coin is the seeded content hash mapped to a uniform in [0, 1), so
+    the decision is a pure function of (key, seed) — stable under task
+    retries and reruns — and the kept set is exactly
+    `hash_uniform(key) < clamp(weight, 0, 1)`. Partition-local, no
+    shuffle, plain expression → full pushdown.
+    """
+    u = (
+        TX.seeded_md5_long32(F.col(key_col).cast("string"), seed).cast("double")
+        / float(2**32)
+    )
+    w = F.greatest(F.lit(0.0), F.least(F.lit(1.0), F.col(weight_col).cast("double")))
+    return df.filter(u < w)

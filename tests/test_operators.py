@@ -863,3 +863,39 @@ def test_compression_ratio_signal(spark):
         .toString()
     )
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_deterministic_and_calibrated(spark):
+    """weighted_sample: decision is a pure function of (key, seed) —
+    two evaluations agree row-for-row; the kept fraction tracks the
+    weight (a 0.8-weight population keeps ~4x more than a 0.2-weight
+    one); weight 0 keeps nothing, weight 1 keeps everything; and the
+    filter is a plain pushdown-friendly expression (no shuffle, no
+    Python)."""
+    from pyspark.sql import functions as F
+
+    from inputlayer_spark.operators.sampling import weighted_sample
+
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 0, 0.0)
+        .when(F.col("id") % 4 == 1, 0.2)
+        .when(F.col("id") % 4 == 2, 0.8)
+        .otherwise(1.0)
+        .alias("w"),
+    )
+    kept = weighted_sample(df, "id", "w", seed=3)
+    rows = {r["id"] for r in kept.collect()}
+    rows2 = {r["id"] for r in weighted_sample(df, "id", "w", seed=3).collect()}
+    assert rows == rows2  # deterministic
+    by_w = {
+        w: sum(1 for i in rows if i % 4 == m)
+        for m, w in ((0, 0.0), (1, 0.2), (2, 0.8), (3, 1.0))
+    }
+    assert by_w[0.0] == 0
+    assert by_w[1.0] == 1000
+    assert 100 <= by_w[0.2] <= 300   # ~200 expected
+    assert 700 <= by_w[0.8] <= 900   # ~800 expected
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # partition-local, no shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
