@@ -218,6 +218,43 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # ---- streaming end-to-end (VERDICT r5 stretch #8): the SAME
+    # materialized recursive view, now maintained from a file-backed
+    # Structured-Streaming source (streaming/maintainer.py foreachBatch
+    # into the identical seminaive_insert seam). Times one micro-batch:
+    # stream ingest + maintenance + maintained re-query. Producing the
+    # batch file is the upstream writer's cost and stays untimed.
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from inputlayer_spark.streaming import IncrementalMaintainer
+
+    src_dir = tempfile.mkdtemp(prefix="bench-stream-src-")
+    ckpt = tempfile.mkdtemp(prefix="bench-stream-ckpt-")
+    schema = T.StructType(
+        [T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]
+    )
+    m = IncrementalMaintainer(eng2, "edge", src_dir, schema, ckpt, refresh=False)
+    best = None
+    for cycle in range(2):
+        batch = spark.createDataFrame(
+            [(2000 + cycle * 10 + i, (i * 11 + cycle) % 1400) for i in range(10)],
+            schema,
+        )
+        batch.coalesce(1).write.mode("append").parquet(src_dir)
+        t0 = time.perf_counter()
+        m.process_available()
+        eng2.query("?reach(X, Y)").count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    timings["stream_recursive_batch"] = round(best, 4)
+    print(
+        f"# stream_recursive_batch: {best:.3f}s (10-edge micro-batch via"
+        f" foreachBatch on the {n_pairs}-pair closure)",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
