@@ -230,24 +230,30 @@ def main() -> None:
 
     from inputlayer_spark.streaming import IncrementalMaintainer
 
+    import shutil
+
     src_dir = tempfile.mkdtemp(prefix="bench-stream-src-")
     ckpt = tempfile.mkdtemp(prefix="bench-stream-ckpt-")
     schema = T.StructType(
         [T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]
     )
-    m = IncrementalMaintainer(eng2, "edge", src_dir, schema, ckpt, refresh=False)
-    best = None
-    for cycle in range(2):
-        batch = spark.createDataFrame(
-            [(2000 + cycle * 10 + i, (i * 11 + cycle) % 1400) for i in range(10)],
-            schema,
-        )
-        batch.coalesce(1).write.mode("append").parquet(src_dir)
-        t0 = time.perf_counter()
-        m.process_available()
-        eng2.query("?reach(X, Y)").count()
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
+    try:
+        m = IncrementalMaintainer(eng2, "edge", src_dir, schema, ckpt, refresh=False)
+        best = None
+        for cycle in range(2):
+            batch = spark.createDataFrame(
+                [(2000 + cycle * 10 + i, (i * 11 + cycle) % 1400) for i in range(10)],
+                schema,
+            )
+            batch.coalesce(1).write.mode("append").parquet(src_dir)
+            t0 = time.perf_counter()
+            m.process_available()
+            eng2.query("?reach(X, Y)").count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     timings["stream_recursive_batch"] = round(best, 4)
     print(
         f"# stream_recursive_batch: {best:.3f}s (10-edge micro-batch via"

@@ -1118,9 +1118,20 @@ class IQLEngine:
             )
             keys = list(_json.loads(first).keys())
             if sorted(keys) == sorted(df.columns):
-                df = df.select(*keys)
+                # backtick-quote so keys containing dots select as plain
+                # columns, not struct-field paths
+                df = df.select(
+                    *[F.col("`" + k.replace("`", "``") + "`") for k in keys]
+                )
         except Exception:
             pass  # ragged/absent first record: keep reader order
+        # IQL column names are identifiers (rule atoms bind positionally
+        # and the compiler references columns by bare name), so JSON keys
+        # with dots/spaces are sanitized — order, not names, carries the
+        # binding semantics
+        import re as _re
+
+        df = df.toDF(*[_re.sub(r"\W", "_", c) for c in df.columns])
         self.register(relation, df)
 
     def save_json(self, relation: str, path: str) -> None:
@@ -2444,7 +2455,11 @@ class IQLEngine:
 
         root = getattr(self, "_hnsw_shard_root", None)
         if root is None:
-            if self.wal_dir:
+            # only the wal_dir's OWNER (the engine holding the .owner
+            # flock) may build under the shared root: a non-owning
+            # engine's dirs would be swept by the next owner's startup
+            # GC the moment the current owner releases the lock
+            if self.wal_dir and getattr(self, "_hnsw_owner_fd", None) is not None:
                 root = _os.path.join(self.wal_dir, "hnsw_shards")
             else:
                 root = _tempfile.mkdtemp(prefix="sparkgraft-hnsw-")

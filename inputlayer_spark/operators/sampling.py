@@ -118,5 +118,11 @@ def weighted_sample(
         TX.seeded_md5_long32(F.col(key_col).cast("string"), seed).cast("double")
         / float(2**32)
     )
-    w = F.greatest(F.lit(0.0), F.least(F.lit(1.0), F.col(weight_col).cast("double")))
+    wc = F.col(weight_col).cast("double")
+    # NULL / NaN weights mean "no keep probability" → drop (Spark's
+    # least/greatest SKIP nulls and order NaN above every number, so a
+    # bare clamp would silently keep such rows at probability 1)
+    w = F.when(
+        wc.isNull() | F.isnan(wc), F.lit(0.0)
+    ).otherwise(F.greatest(F.lit(0.0), F.least(F.lit(1.0), wc)))
     return df.filter(u < w)

@@ -756,10 +756,16 @@ def _seminaive_fixpoint(
                 # (the distributed-TC branch's 3M-row policy): a plain
                 # left-anti would shuffle BOTH the candidate and the
                 # ever-growing acc every iteration — the dominant cost
-                # of deep fixpoints once acc outgrows a few 100k rows
+                # of deep fixpoints once acc outgrows a few 100k rows.
+                # Row cap scaled by width so WIDE relations don't ship
+                # multi-GB broadcasts (strings estimated at ~24B/cell;
+                # ≤3M rows for the 2-col closure shape, shrinking as
+                # columns grow, bounded by ~256MB estimated).
+                est_row_bytes = 12 + 24 * len(acc[h].columns)
+                bcast_rows = min(3_000_000, (256 << 20) // est_row_bytes)
                 anti = (
                     F.broadcast(acc[h])
-                    if acc_rows[h] <= 3_000_000
+                    if acc_rows[h] <= bcast_rows
                     else acc[h]
                 )
                 candidate = candidate.join(

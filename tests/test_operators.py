@@ -899,3 +899,19 @@ def test_weighted_sample_deterministic_and_calibrated(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # partition-local, no shuffle
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_null_and_nan_weights_drop(spark):
+    """NULL/NaN weights mean no keep probability — such rows must be
+    DROPPED, not kept at 100% (Spark's least/greatest skip nulls and
+    rank NaN above every number, so a bare clamp silently keeps them)."""
+    from pyspark.sql import functions as F
+
+    from inputlayer_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, float("nan")), (4, 1.0)],
+        "id long, w double",
+    )
+    kept = {r["id"] for r in weighted_sample(df, "id", "w", seed=0).collect()}
+    assert kept == {1, 4}

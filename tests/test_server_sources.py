@@ -716,3 +716,24 @@ def test_engine_json_roundtrip_preserves_positional_order(spark, tmp_path):
         ("a", 1),
         ("b", 2),
     ]
+
+
+def test_load_json_normalizes_order_for_dotted_keys(spark, tmp_path):
+    """Keys containing dots must still get first-record column order —
+    an unquoted select would raise (struct-field path) and silently fall
+    back to the reader's alphabetical order, breaking positional rule
+    binding."""
+    import json
+
+    p = tmp_path / "dotted"
+    p.mkdir()
+    with open(p / "part-0.json", "w") as fh:
+        for rec in ({"user.name": "a", "id": 1}, {"user.name": "b", "id": 2}):
+            fh.write(json.dumps(rec) + "\n")
+    eng = IQLEngine(spark)
+    eng.load_json("r", str(p))
+    # positional order = first-record key order: user.name first
+    assert sorted(tuple(x) for x in eng.query("?r(N, I)").collect()) == [
+        ("a", 1),
+        ("b", 2),
+    ]

@@ -461,3 +461,20 @@ def test_wal_and_snapshot_roundtrip_parameterized_index(spark, tmp_path):
         ).collect()
     )
     assert got == [1]
+
+
+def test_non_owner_engine_builds_shards_outside_shared_root(spark, tmp_path):
+    """Follow-up to the ownership lock: an engine that FAILED to acquire
+    wal_dir ownership must build its sharded-HNSW dirs in a private temp
+    root — dirs under the shared root would be swept by the next owner's
+    startup GC the moment the current owner releases the lock."""
+    import os
+
+    wal = str(tmp_path / "w")
+    shared = os.path.join(wal, "hnsw_shards")
+    a = IQLEngine(spark, wal_dir=wal)  # acquires ownership
+    b = IQLEngine(spark, wal_dir=wal)  # fails the non-blocking acquire
+    assert a._hnsw_shard_dir("idx").startswith(shared)
+    assert not b._hnsw_shard_dir("idx").startswith(shared)
+    a.close()
+    b.close()
