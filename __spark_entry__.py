@@ -868,6 +868,28 @@ def q_quantize_roundtrip(spark, sf_dir):
     return emb.select("vec_id", err.alias("max_err"))
 
 
+def q_int8_distances(spark, sf_dir):
+    """Int8 quantized distances (§2.5 int8 family, vector_ops.rs:562-690):
+    every corpus vector symmetric-quantized to int8, then dot / cosine /
+    manhattan against the quantized query vector (vec_id 0). Integer
+    products stay exact in doubles, so dot and manhattan hash exactly;
+    cosine follows the clamped-similarity contract the float oracle
+    uses."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = V.quantize_symmetric(F.col("embedding"))
+    q0 = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(V.quantize_symmetric(F.col("embedding")).alias("q0"))
+    )
+    j = emb.crossJoin(F.broadcast(q0))
+    return j.select(
+        "vec_id",
+        V.dot(qv, F.col("q0")).alias("dot_i8"),
+        V.cosine(qv, F.col("q0")).alias("cos_i8"),
+        V.manhattan(qv, F.col("q0")).alias("man_i8"),
+    )
+
+
 def q_knn_join(spark, sf_dir):
     from inputlayer_spark.operators.similarity import knn_join_bruteforce
 
@@ -1013,6 +1035,30 @@ def q_recent_events(spark, sf_dir):
     week = 7 * 86400 * 1000
     return ev.filter(TP.within_last(F.col("__ts_ms"), F.lit(now), F.lit(week))).select(
         "event_id", F.col("__ts_ms").alias("ts_ms")
+    )
+
+
+def q_temporal_arith(spark, sf_dir):
+    """time_add / time_sub / time_diff / interval_duration /
+    time_between / interval_contains (reference temporal_ops.rs family,
+    §2.5) — pure ms-long arithmetic over events, hash-exact vs the
+    oracle (no float tolerance needed)."""
+    ev = _events_ms(spark, sf_dir)
+    t = F.col("__ts_ms")
+    hour = 3600 * 1000
+    day = 24 * hour
+    lo = ev.agg(F.min("__ts_ms")).collect()[0][0] + day
+    hi = lo + 2 * day
+    return ev.select(
+        "event_id",
+        TP.time_add(t, F.lit(hour)).alias("plus_1h"),
+        TP.time_sub(t, F.lit(hour // 2)).alias("minus_30m"),
+        TP.time_diff(t, F.lit(lo)).alias("since_lo"),
+        TP.interval_duration(F.lit(lo), t).alias("dur_lo_t"),
+        TP.time_between(t, F.lit(lo), F.lit(hi)).alias("in_window"),
+        TP.interval_contains(
+            F.lit(lo), F.lit(hi), t, TP.time_add(t, F.lit(hour))
+        ).alias("hour_fits"),
     )
 
 
@@ -1403,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_cosine": q_pairwise_cosine,
         "vector_norms": q_vector_norms,
         "quantize_roundtrip": q_quantize_roundtrip,
+        "int8_distances": q_int8_distances,
         "knn_join": q_knn_join,
         "knn_lsh": q_knn_lsh,
         "knn_lsh_selective": q_knn_lsh_selective,
@@ -1410,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_knn_sharded": q_hnsw_knn_sharded,
         "ivf_knn": q_ivf_knn,
         "recent_events": q_recent_events,
+        "temporal_arith": q_temporal_arith,
         "time_decay_sum": q_time_decay_sum,
         "interval_overlaps": q_interval_overlaps,
         "token_stats": q_token_stats,
@@ -1782,6 +1830,22 @@ def oracle_sql() -> dict[str, str]:
             "    (greatest(-127.0, least(127.0, round(embedding[i]::DOUBLE * 127.0 / ma))) "
             "     * ma / 127.0))) ) AS max_err FROM q"
         ),
+        "int8_distances": (
+            "WITH m AS (SELECT vec_id, embedding, "
+            "  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS ma "
+            "  FROM embeddings), "
+            "qz AS (SELECT vec_id, list_transform(embedding, x -> "
+            "  greatest(-127.0, least(127.0, round(x::DOUBLE * 127.0 / ma)))) "
+            "  AS qv FROM m), "
+            "q0 AS (SELECT qv AS q FROM qz WHERE vec_id = 0) "
+            "SELECT z.vec_id, "
+            "list_sum(list_transform(range(1, 65), i -> z.qv[i] * q0.q[i])) "
+            "  AS dot_i8, "
+            f"{_cos_dist('z.qv', 'q0.q')} AS cos_i8, "
+            "list_sum(list_transform(range(1, 65), i -> abs(z.qv[i] - q0.q[i]))) "
+            "  AS man_i8 "
+            "FROM qz z, q0"
+        ),
         "knn_join": (
             "SELECT qid, vec_id, cos_dist, rank FROM ("
             "  SELECT q.vec_id AS qid, c.vec_id AS vec_id, "
@@ -1795,6 +1859,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events "
             "WHERE (SELECT max(epoch_ms(ts)) FROM events) - epoch_ms(ts) "
             "BETWEEN 0 AND 604800000"
+        ),
+        "temporal_arith": (
+            "WITH ev AS (SELECT event_id, epoch_ms(ts) AS t FROM events), "
+            "b AS (SELECT min(t) + 86400000 AS lo, "
+            "min(t) + 86400000 + 172800000 AS hi FROM ev) "
+            "SELECT event_id, t + 3600000 AS plus_1h, "
+            "t - 1800000 AS minus_30m, t - b.lo AS since_lo, "
+            "t - b.lo AS dur_lo_t, "
+            "(t >= b.lo AND t <= b.hi) AS in_window, "
+            "(b.lo <= t AND t + 3600000 <= b.hi) AS hour_fits "
+            "FROM ev, b"
         ),
         "time_decay_sum": (
             "WITH n AS (SELECT max(epoch_ms(ts)) AS now FROM events) "
