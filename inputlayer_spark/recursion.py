@@ -805,6 +805,24 @@ class _EmptyRelation(Exception):
 # ---------------------------------------------------------------- DRed
 
 
+def _bcast_rows_cap(ncols: int) -> int:
+    """Row cap for broadcast hints, scaled by estimated row width
+    (~24B/cell) and bounded at ~256MB — the same policy as the general
+    fixpoint's dedup gate."""
+    return min(3_000_000, (256 << 20) // (12 + 24 * max(ncols, 1)))
+
+
+def _maybe_bcast(df: Optional[DataFrame], n: Optional[int]) -> Optional[DataFrame]:
+    """Broadcast-hint a frame whose row count is known small. The
+    maintenance loops join tiny deltas against million-row cached
+    fixpoints whose checkpointed (LogicalRDD) stats Catalyst can't
+    estimate — without the hint it plans a sort-merge join that
+    shuffles the big cached side on every maintenance step."""
+    if df is None or n is None:
+        return df
+    return F.broadcast(df) if n <= _bcast_rows_cap(len(df.columns)) else df
+
+
 def _apply_with_sources(
     r: Rule,
     focus_idx: Optional[int],
@@ -916,7 +934,9 @@ def dred_retract(
     # ---------------------------------------------------- 1. overdelete
     over: Dict[str, Optional[DataFrame]] = {h: None for h in members_set}
     delta: Dict[str, Optional[DataFrame]] = {h: None for h in members_set}
+    delta_rows: Dict[str, int] = {}
     seed: Dict[str, Optional[DataFrame]] = {h: None for h in members_set}
+    deleted_small = _maybe_bcast(deleted_df, deleted_df.count())
     for r in rules:
         for idx, lit in enumerate(r.body):
             if (
@@ -928,7 +948,7 @@ def dred_retract(
                     seed,
                     r.head.relation,
                     _apply_with_sources(
-                        r, idx, deleted_df, cached_src, resolve_old, hnsw_resolver
+                        r, idx, deleted_small, cached_src, resolve_old, hnsw_resolver
                     ),
                 )
     over_rows = 0
@@ -941,6 +961,7 @@ def dred_retract(
         cand, n = pin(cand)
         if n:
             over[h] = delta[h] = cand
+            delta_rows[h] = n
             over_rows += n
 
     # cone-size budget: half the cached view (see docstring guard (b));
@@ -967,7 +988,13 @@ def dred_retract(
                     new_tuples,
                     r.head.relation,
                     _apply_with_sources(
-                        r, idx, delta[lit.relation], cached_src, resolve_old,
+                        r,
+                        idx,
+                        _maybe_bcast(
+                            delta[lit.relation], delta_rows.get(lit.relation)
+                        ),
+                        cached_src,
+                        resolve_old,
                         hnsw_resolver,
                     ),
                 )
@@ -983,6 +1010,7 @@ def dred_retract(
             cand, n = pin(cand)
             if n:
                 next_delta[h] = cand
+                delta_rows[h] = n
                 over[h] = cand if over[h] is None else over[h].unionByName(cand)
                 over_rows += n
         delta = next_delta
@@ -1014,6 +1042,7 @@ def dred_retract(
             _apply_with_sources(r, None, None, remaining, resolve_new, hnsw_resolver),
         )
     deltaR: Dict[str, Optional[DataFrame]] = {h: None for h in members_set}
+    deltaR_rows: Dict[str, int] = {}
     for h in members_set:
         if seedR[h] is None or over[h] is None:
             continue
@@ -1023,6 +1052,7 @@ def dred_retract(
         cand, n = pin(cand)
         if n:
             red[h] = deltaR[h] = cand
+            deltaR_rows[h] = n
 
     iteration = 0
     while any(deltaR[h] is not None for h in members_set):
@@ -1051,7 +1081,14 @@ def dred_retract(
                     new_tuples,
                     r.head.relation,
                     _apply_with_sources(
-                        r, idx, deltaR[lit.relation], cur, resolve_new, hnsw_resolver
+                        r,
+                        idx,
+                        _maybe_bcast(
+                            deltaR[lit.relation], deltaR_rows.get(lit.relation)
+                        ),
+                        cur,
+                        resolve_new,
+                        hnsw_resolver,
                     ),
                 )
         next_deltaR: Dict[str, Optional[DataFrame]] = {h: None for h in members_set}
@@ -1066,6 +1103,7 @@ def dred_retract(
             cand, n = pin(cand)
             if n:
                 next_deltaR[h] = cand
+                deltaR_rows[h] = n
                 red[h] = cand if red[h] is None else red[h].unionByName(cand)
         deltaR = next_deltaR
 
@@ -1147,6 +1185,7 @@ def seminaive_insert(
 
     # ------------------------------------------------------- 1. seed
     seed: Dict[str, Optional[DataFrame]] = {h: None for h in members_set}
+    inserted_small = _maybe_bcast(inserted_df, inserted_df.count())
     for r in rules:
         for idx, lit in enumerate(r.body):
             if (
@@ -1158,16 +1197,18 @@ def seminaive_insert(
                     seed,
                     r.head.relation,
                     _apply_with_sources(
-                        r, idx, inserted_df, acc, resolve_new, hnsw_resolver
+                        r, idx, inserted_small, acc, resolve_new, hnsw_resolver
                     ),
                 )
     delta: Dict[str, Optional[DataFrame]] = {h: None for h in members_set}
+    delta_rows: Dict[str, int] = {}
     for h in members_set:
         if seed[h] is None:
             continue
         cand, n = pin(minus_acc(h, seed[h]))
         if n:
             delta[h] = cand
+            delta_rows[h] = n
             acc[h] = acc[h].unionByName(cand)
 
     # -------------------------------------------------- 2. propagate
@@ -1191,7 +1232,13 @@ def seminaive_insert(
                     new_tuples,
                     r.head.relation,
                     _apply_with_sources(
-                        r, idx, delta[lit.relation], acc, resolve_new,
+                        r,
+                        idx,
+                        _maybe_bcast(
+                            delta[lit.relation], delta_rows.get(lit.relation)
+                        ),
+                        acc,
+                        resolve_new,
                         hnsw_resolver,
                     ),
                 )
@@ -1202,6 +1249,7 @@ def seminaive_insert(
             cand, n = pin(minus_acc(h, new_tuples[h]))
             if n:
                 next_delta[h] = cand
+                delta_rows[h] = n
                 acc[h] = acc[h].unionByName(cand)
         delta = next_delta
 
