@@ -2,10 +2,14 @@
 
 Media are opaque `binary` columns with typed metadata structs. The
 decode/extract kernels are Pandas-UDF `mapInPandas` stages so the heavy
-work is Arrow-batched and partition-parallel; the actual codec calls are
-STUBBED (image/audio libraries are not in this container) behind
-deterministic fakes, clearly marked — the Spark-side plumbing (schemas,
-batch iteration, partitioning) is real and tested.
+work is Arrow-batched and partition-parallel. Two kernels are REAL,
+stdlib-only implementations: `decode_wav_features` (wave + numpy:
+sample rate / duration / RMS / zero-crossing rate) and
+`probe_image_meta` (PNG/GIF/BMP/JPEG header parsing for dimensions
+without pixel decode). Pixel/frame codecs that need PIL/ffmpeg (not in
+this container) remain STUBBED behind deterministic fakes, clearly
+marked — their Spark-side plumbing (schemas, batch iteration,
+partitioning) is real and tested.
 """
 
 from __future__ import annotations
@@ -129,3 +133,150 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_ts_ms", "content_sha"])
 
     return media.filter(F.col("kind") == "video").mapInPandas(kernel, schema=out_schema)
+
+
+# ---------------------------------------------------------------------
+# REAL decoders — stdlib-only, no codec libraries required. These are
+# not stubs: WAV decode uses `wave` + numpy, and image dimension
+# probing parses PNG/GIF/BMP/JPEG headers directly (the "fastimage"
+# pattern production pipelines use to filter by dimensions WITHOUT
+# decoding pixels).
+# ---------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ]
+)
+
+
+def _wav_features(content):
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(content or b""), "rb") as w:
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            n = w.getnframes()
+            raw = w.readframes(n)
+    except Exception:
+        return None
+    if sw != 2 or sr <= 0 or n == 0:
+        # only 16-bit PCM decoded; others report container metadata only
+        return (sr, ch, int(n * 1000 / sr) if sr else 0, None, None)
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if x.size > 1 else 0.0
+    return (sr, ch, int(n * 1000 / sr), rms, zcr)
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """REAL WAV decode over binary audio columns (stdlib `wave` +
+    vectorized numpy): sample rate, channels, duration, RMS level and
+    zero-crossing rate per clip — Arrow-batched via mapInPandas, the
+    same executor-side pattern a librosa/ffmpeg kernel would use.
+    Undecodable payloads yield a null row (schema preserved)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                f = _wav_features(r["content"])
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "sample_rate": f[0] if f else None,
+                        "channels": f[1] if f else None,
+                        "duration_ms": f[2] if f else None,
+                        "rms": f[3] if f else None,
+                        "zero_crossing_rate": f[4] if f else None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "channels",
+                    "duration_ms", "rms", "zero_crossing_rate",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        kernel, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _probe_dims(b):
+    import struct
+
+    if not b or len(b) < 10:
+        return None
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h)
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return ("bmp", w, abs(h))
+    if b[:2] == b"\xff\xd8":  # JPEG: walk segments to the first SOF
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+    return None
+
+
+def probe_image_meta(media: DataFrame) -> DataFrame:
+    """REAL image-dimension probe (PNG IHDR / GIF screen descriptor /
+    BMP info header / JPEG SOF walk — pure header parsing, no pixel
+    decode): the standard way a curation pipeline filters 100 TB of
+    images by size before paying any decode cost. Unknown formats
+    yield null dimensions."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            probed = pdf["content"].map(_probe_dims)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": probed.map(lambda p: p[0] if p else None),
+                    "width": probed.map(lambda p: p[1] if p else None),
+                    "height": probed.map(lambda p: p[2] if p else None),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        kernel, schema=IMAGE_META_SCHEMA
+    )
