@@ -1137,6 +1137,34 @@ def q_compression_signal(spark, sf_dir):
     return scored.filter(F.col("zratio") >= 0.25).select("doc_id", "zratio")
 
 
+def q_image_probe(spark, sf_dir):
+    """End-to-end exactness gate for the REAL image header probe
+    (operators/multimodal.probe_image_meta): PNG bytes are synthesized
+    per document with IHDR dimensions derived from doc_id, pushed
+    through the actual byte-parsing kernel, and the oracle recomputes
+    the dimensions arithmetically — a single mis-read byte in the
+    parser diverges the hashes."""
+    from inputlayer_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        probe_image_meta,
+        synth_png,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        synth_png(F.col("doc_id")).alias("content"),
+        F.lit(None).cast(MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
+    out = probe_image_meta(media)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic content-hash Bernoulli sample (10% of documents by
     seeded md5 bucket) — rand() is nondeterministic under task retries;
@@ -1464,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lang": q_quality_lang,
         "doc_fingerprint": q_doc_fingerprint,
         "compression_signal": q_compression_signal,
+        "image_probe": q_image_probe,
         "hash_sample": q_hash_sample,
         "weighted_sample": q_weighted_sample,
         "cap_per_group": q_cap_per_group,
@@ -1903,6 +1932,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             f"SELECT doc_id, list_min(list_transform({_SHINGLES3}, "
             f"s -> {_MD5_32.format(x='s')})) AS fp FROM documents"
+        ),
+        "image_probe": (
+            "SELECT doc_id, 100 + doc_id % 900 AS width, "
+            "50 + doc_id % 500 AS height FROM documents"
         ),
         "hash_sample": (
             "SELECT doc_id, lang FROM documents "

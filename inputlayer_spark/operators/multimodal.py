@@ -280,3 +280,30 @@ def probe_image_meta(media: DataFrame) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(
         kernel, schema=IMAGE_META_SCHEMA
     )
+
+
+def synth_png(ids):
+    """Deterministic one-pixel-payload PNG bytes whose IHDR dimensions
+    derive from the id (width = 100 + id % 900, height = 50 + id % 500)
+    — the test/oracle harness for `probe_image_meta`: an arithmetic
+    oracle can recompute the dimensions without a parser, so a
+    single-byte probe regression diverges the hashes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _png(s: pd.Series) -> pd.Series:
+        import struct
+        import zlib
+
+        def one(i):
+            w, h = 100 + int(i) % 900, 50 + int(i) % 500
+            ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", 13) + b"IHDR" + ihdr
+                + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+            )
+
+        return s.map(one)
+
+    return _png(ids)
