@@ -1214,6 +1214,73 @@ def q_chunk_documents(spark, sf_dir):
     return out.select("doc_id", "chunk_id", "chunk", "n_tokens")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-split sequence packing over the 16/4 token chunks
+    (operators/sampling.py pack_sequences): chunks laid end-to-end in
+    (doc_id, chunk_id) order, cut into 512-token training sequences.
+    The global token prefix-sum is the two-phase distributed scan (range
+    repartition → per-partition totals → windowed partial sums + offset
+    broadcast) — NO single-partition global window, so the layout holds
+    at 100 TB. Oracle: DuckDB window cumsum over the identical order."""
+    from inputlayer_spark.operators.sampling import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=16, overlap=4)
+    out = pack_sequences(chunks, "n_tokens", ["doc_id", "chunk_id"], budget=512)
+    return out.select("doc_id", "chunk_id", "pack_id", "pack_offset")
+
+
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic global shuffle rank for training-order
+    randomization (operators/sampling.py global_shuffle): position in
+    seeded-hash order, computed as a distributed prefix COUNT (same
+    two-phase scan as packing) — reruns and retries give the identical
+    permutation, unlike orderBy(rand())."""
+    from inputlayer_spark.operators.sampling import global_shuffle
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return global_shuffle(docs, "doc_id", seed=3).select(
+        "doc_id", "shuffle_rank"
+    )
+
+
+def q_rebalance_mixture(spark, sf_dir):
+    """Target-mixture rebalancing (operators/sampling.py
+    rebalance_to_mixture): down-sample languages to a 50/20/20/10
+    en/de/fr/es mix (zh untargeted → dropped). T = min_g count_g/p_g;
+    each row kept iff seeded-hash-uniform < p_g·T/count_g — a pure
+    expression filter the DuckDB oracle replicates exactly."""
+    from inputlayer_spark.operators.sampling import rebalance_to_mixture
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    out = rebalance_to_mixture(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1},
+        seed=11,
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-level line dedup — the C4/MassiveText boilerplate pass
+    (operators/dedup.py dedup_lines): every 'line' occurring in >2
+    distinct documents is removed from all of them, survivors
+    reassembled in order. The synthetic corpus is single-line, so the
+    literal token ' the ' serves as the surrogate separator (semantics
+    identical to '\\n' on real text). Shuffle carries md5 line hashes,
+    blocklist is broadcast-anti-joined."""
+    from inputlayer_spark.operators.dedup import dedup_lines
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    out = dedup_lines(docs, "doc_id", "text", sep=" the ", max_doc_freq=2)
+    return out.select("doc_id", F.col("text").alias("clean_text"))
+
+
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup: min doc_id representative per content hash."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1497,6 +1564,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "cap_per_group": q_cap_per_group,
         "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "global_shuffle": q_global_shuffle,
+        "rebalance_mixture": q_rebalance_mixture,
+        "dedup_lines": q_dedup_lines,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -1965,6 +2036,50 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(toks[t.s+1:t.s+16], ' ') AS chunk, "
             "CAST(len(toks[t.s+1:t.s+16]) AS BIGINT) AS n_tokens "
             "FROM ne, unnest(range(0, len(toks), 12)) AS t(s)"
+        ),
+        "pack_sequences": (
+            f"WITH toked AS (SELECT doc_id, {_TOKS} AS toks FROM documents),"
+            " ne AS (SELECT * FROM toked WHERE len(toks) > 0), "
+            "ch AS (SELECT doc_id, CAST(t.s // 12 AS BIGINT) AS chunk_id, "
+            "CAST(len(toks[t.s+1:t.s+16]) AS BIGINT) AS n_tokens "
+            "FROM ne, unnest(range(0, len(toks), 12)) AS t(s)), "
+            "st AS (SELECT doc_id, chunk_id, n_tokens, "
+            "sum(n_tokens) OVER (ORDER BY doc_id, chunk_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens"
+            " AS s FROM ch) "
+            "SELECT doc_id, chunk_id, CAST(s // 512 AS BIGINT) AS pack_id, "
+            "CAST(s % 512 AS BIGINT) AS pack_offset FROM st"
+        ),
+        "global_shuffle": (
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+            + _MD5_32.format(x="'3:' || CAST(doc_id AS VARCHAR)")
+            + ", doc_id) - 1 AS BIGINT) AS shuffle_rank FROM documents"
+        ),
+        "rebalance_mixture": (
+            "WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents"
+            " GROUP BY lang), "
+            "tg AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.2), "
+            "('fr', 0.2), ('es', 0.1)) t(lang, p)), "
+            "tt AS (SELECT min(c.n / tg.p) AS T FROM c JOIN tg USING (lang)) "
+            "SELECT d.doc_id, d.lang FROM documents d JOIN c USING (lang) "
+            "JOIN tg USING (lang), tt WHERE ("
+            + _MD5_32.format(x="'11:' || CAST(doc_id AS VARCHAR)")
+            + ")::DOUBLE / 4294967296.0 < tg.p * tt.T / c.n"
+        ),
+        "dedup_lines": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' the ') AS ls "
+            "FROM documents), "
+            "lines AS (SELECT doc_id, CAST(t.p AS INT) AS pos, "
+            "ls[CAST(t.p AS INT)] AS line "
+            "FROM d, unnest(range(1, len(ls)+1)) AS t(p)), "
+            "blk AS (SELECT line FROM (SELECT line, "
+            "count(DISTINCT doc_id) AS df FROM lines GROUP BY line) "
+            "WHERE df > 2), "
+            "kept AS (SELECT * FROM lines WHERE line NOT IN "
+            "(SELECT line FROM blk)) "
+            "SELECT d.doc_id, coalesce(a.t, '') AS clean_text FROM d "
+            "LEFT JOIN (SELECT doc_id, string_agg(line, ' the ' "
+            "ORDER BY pos) AS t FROM kept GROUP BY doc_id) a USING (doc_id)"
         ),
         "exact_dedup": (
             "SELECT min(doc_id) AS rep_id, count(*) AS n_copies "

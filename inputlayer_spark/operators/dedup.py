@@ -498,3 +498,68 @@ def dedup_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Corpus-level LINE deduplication — the C4/MassiveText boilerplate
+    pass: any line (text split on `sep`) occurring in MORE than
+    `max_doc_freq` distinct documents is removed from every document
+    (nav menus, cookie banners, license headers); surviving lines are
+    reassembled in original order. Documents whose every line is
+    boilerplate come back with empty text (row kept).
+
+    Scale shape (the 100 TB story):
+    * explode → one row per line, grouped by the md5 of the line (a
+      fixed-width key — the shuffle carries 32-byte hashes, not line
+      text) counting DISTINCT doc ids;
+    * the over-frequent set (the blocklist) is small by nature —
+      boilerplate is the head of the line-frequency distribution — so
+      it broadcast-anti-joins against the exploded lines (hint applied
+      when its measured size is under the broadcast cap, plain
+      anti-join otherwise);
+    * reassembly is one groupBy(doc) of (pos, line) structs →
+      array_sort → array_join: a single shuffle keyed on doc id.
+
+    Output: (id_col, text_col) with cleaned text.
+    """
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("__pos", "__line"),
+    ).withColumn("__h", F.md5(F.col("__line")))
+    blk = (
+        lines.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__h")
+        .localCheckpoint(eager=True)
+    )
+    blk_small = blk.limit(2_000_001).count() <= 2_000_000
+    kept = lines.join(
+        F.broadcast(blk) if blk_small else blk, "__h", "left_anti"
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    return (
+        df.select(id_col)
+        .join(reassembled, id_col, "left")
+        .fillna({text_col: ""})
+    )

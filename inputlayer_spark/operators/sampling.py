@@ -102,6 +102,159 @@ def chunk_documents(
     )
 
 
+def _with_prefix_sum(
+    df: DataFrame,
+    val,
+    order_cols,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed exact prefix sum over a global order WITHOUT the
+    single-partition global-window bottleneck.
+
+    The naive `sum().over(Window.orderBy(k))` collapses the whole
+    dataset into ONE task — a non-starter at 100 TB. This is the
+    classic two-phase scan instead:
+
+    1. `repartitionByRange` on the order key → each partition holds a
+       contiguous key range (partition ids are range-ordered);
+       `localCheckpoint` pins the (sampled, hence otherwise
+       re-randomized) range boundaries so both passes see the SAME
+       partitioning.
+    2. Per-partition totals (one tiny P-row aggregate, collected) →
+       exclusive prefix offsets per partition, driver-side over P
+       numbers only.
+    3. Within-partition running sum (window partitioned by partition
+       id — parallel, rows-frame) + broadcast-joined partition offset.
+
+    `out_col` receives the EXCLUSIVE prefix sum (total of `val` over
+    all rows strictly before this row in `order_cols` order). The
+    order keys must be unique per row for a deterministic result.
+    """
+    spark = df.sparkSession
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("__v", val.cast("long"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid").agg(F.sum("__v").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(totals, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += totals.get(pid, 0) or 0
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out_col, (F.sum("__v").over(w) + F.col("__off") - F.col("__v"))
+        )
+        .drop("__pid", "__v", "__off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    order_cols,
+    budget: int,
+) -> DataFrame:
+    """Concat-and-split sequence packing — the pretraining step that
+    lays tokenized chunks end-to-end in a deterministic global order
+    and cuts the stream into fixed `budget`-token training sequences
+    (each chunk starts in pack `start // budget` at offset
+    `start % budget`; a chunk may straddle a boundary, exactly the
+    concat-then-chunk semantics of standard LM data loaders).
+
+    Adds `pack_id` and `pack_offset`. The global token prefix-sum is
+    the two-phase distributed scan (`_with_prefix_sum`) — no
+    single-partition window, so the layout holds at 100 TB. The
+    order keys must uniquely identify rows.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    out = _with_prefix_sum(
+        df, F.col(tokens_col), order_cols, "__start"
+    )
+    return (
+        out.withColumn(
+            "pack_id", F.floor(F.col("__start") / budget).cast("long")
+        )
+        .withColumn(
+            "pack_offset", (F.col("__start") % budget).cast("long")
+        )
+        .drop("__start")
+    )
+
+
+def global_shuffle(
+    df: DataFrame, key_col: str, seed: int = 0
+) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization:
+    every row gets `shuffle_rank` — its 0-based position in the order
+    of the seeded content hash (ties broken by key). A pure function
+    of (data, seed): rerunning, retrying or re-sharding the job yields
+    the identical permutation, unlike `orderBy(rand())`. Implemented
+    as a prefix COUNT via the same two-phase scan as packing — no
+    global single-partition sort bottleneck."""
+    h = TX.seeded_md5_long32(F.col(key_col).cast("string"), seed)
+    return _with_prefix_sum(
+        df.withColumn("__h", h), F.lit(1), ["__h", key_col], "shuffle_rank"
+    ).drop("__h")
+
+
+def rebalance_to_mixture(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    targets: dict,
+    seed: int = 0,
+) -> DataFrame:
+    """Down-sample groups to hit a TARGET MIXTURE (the domain-weighting
+    step of curation recipes: "the training set should be 60% web, 30%
+    code, 10% books"). Finds the largest total T achievable without
+    up-sampling — `T = min_g count(g) / p_g` — then keeps each row of
+    group g with probability `p_g * T / count(g)`, decided by the
+    seeded content hash (deterministic under retries; exactly
+    reproducible by the DuckDB oracle). Groups absent from `targets`
+    are dropped. Per-group counts are one tiny aggregate collected to
+    the driver (|groups| rows); the filter itself is a pure
+    partition-local expression — no shuffle of the data."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).count().collect()
+    }
+    pos = {g: p for g, p in targets.items() if p > 0}
+    if not pos:
+        raise ValueError("targets must contain a positive share")
+    t_total = min(counts.get(g, 0) / p for g, p in pos.items())
+    u = (
+        TX.seeded_md5_long32(F.col(key_col).cast("string"), seed).cast(
+            "double"
+        )
+        / float(2**32)
+    )
+    prob = F.lit(None).cast("double")
+    for g, p in pos.items():
+        if counts.get(g):
+            prob = F.when(
+                F.col(group_col) == g, F.lit(p * t_total / counts[g])
+            ).otherwise(prob)
+    return df.filter(u < prob)
+
+
 def weighted_sample(
     df: DataFrame, key_col: str, weight_col: str, seed: int = 0
 ) -> DataFrame:

@@ -78,6 +78,11 @@ QUERIES = [
     # pairs), forced onto the distributed general semi-naive
     # loop (VERDICT r5 Missing #3)
     "same_generation",
+    # global-order ops: the two-phase distributed prefix scan must
+    # scale linearly with rows, never collapse to one partition —
+    # packing lays chunks end-to-end, shuffle ranks the whole corpus
+    "pack_sequences",
+    "global_shuffle",
     # temporal / text — events & documents scale too
     "time_decay_sum",
     "doc_fingerprint",

@@ -1011,3 +1011,88 @@ def test_probe_image_meta_parses_real_headers(spark):
     assert out[3] == ("bmp", 100, 50)  # negative height = top-down BMP
     assert out[4] == ("jpeg", 44, 33)
     assert out[5] == (None, None, None)
+
+
+def test_pack_sequences_concat_and_split(spark):
+    """Packing = concat-and-split: start offsets are the exclusive
+    prefix sum in (doc_id, chunk_id) order; pack_id/pack_offset derive
+    from the 100-token budget. Verified against a driver-side oracle."""
+    from inputlayer_spark.operators.sampling import pack_sequences
+
+    data = [(d, c, 10 + (d * 7 + c) % 40) for d in range(20) for c in range(5)]
+    df = spark.createDataFrame(data, ["doc_id", "chunk_id", "n_tokens"])
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(df, "n_tokens", ["doc_id", "chunk_id"], 100).collect()
+    }
+    acc = 0
+    for d, c, n in sorted(data):
+        assert out[(d, c)] == (acc // 100, acc % 100)
+        acc += n
+    # deterministic across a rerun (range partitioning is re-sampled)
+    out2 = {
+        (r["doc_id"], r["chunk_id"]): (r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(df, "n_tokens", ["doc_id", "chunk_id"], 100).collect()
+    }
+    assert out == out2
+
+
+def test_global_shuffle_is_deterministic_permutation(spark):
+    from inputlayer_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    a = {r["doc_id"]: r["shuffle_rank"] for r in global_shuffle(df, "doc_id", seed=5).collect()}
+    assert sorted(a.values()) == list(range(200))  # a permutation
+    b = {r["doc_id"]: r["shuffle_rank"] for r in global_shuffle(df, "doc_id", seed=5).collect()}
+    assert a == b  # pure function of (data, seed)
+    c = {r["doc_id"]: r["shuffle_rank"] for r in global_shuffle(df, "doc_id", seed=6).collect()}
+    assert a != c  # seed changes the permutation
+    # rank order == (hash, key) order
+    assert a != {r["doc_id"]: r["doc_id"] for r in df.collect()}
+
+
+def test_rebalance_to_mixture_hits_targets(spark):
+    from inputlayer_spark.operators.sampling import rebalance_to_mixture
+
+    data = [(i, "web") for i in range(600)] + \
+           [(i + 1000, "code") for i in range(300)] + \
+           [(i + 2000, "books") for i in range(40)] + \
+           [(i + 3000, "junk") for i in range(50)]
+    df = spark.createDataFrame(data, ["doc_id", "domain"])
+    out = rebalance_to_mixture(
+        df, "doc_id", "domain", {"web": 0.6, "code": 0.3, "books": 0.1}, seed=2
+    )
+    got = {r["domain"]: r["cnt"] for r in out.groupBy("domain").agg(F.count("*").alias("cnt")).collect()}
+    assert "junk" not in got            # untargeted groups dropped
+    # books is the limiting group: T = 40/0.1 = 400 → expect ~240/120/40
+    assert got["books"] == pytest.approx(40, abs=8)
+    assert got["web"] == pytest.approx(240, abs=40)
+    assert got["code"] == pytest.approx(120, abs=30)
+    # proportions approximate the target mixture
+    tot = sum(got.values())
+    assert got["web"] / tot == pytest.approx(0.6, abs=0.08)
+
+
+def test_dedup_lines_removes_boilerplate(spark):
+    from inputlayer_spark.operators.dedup import dedup_lines
+
+    boiler = "accept cookies to continue"
+    data = [
+        (1, f"{boiler}\nunique one\nshared tail"),
+        (2, f"{boiler}\nunique two\nshared tail"),
+        (3, f"{boiler}\nunique three"),
+        (4, boiler),                      # only boilerplate -> empty
+        (5, "untouched document"),
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(df, "doc_id", "text", max_doc_freq=2).collect()}
+    # boiler appears in 4 docs (>2) -> removed; 'shared tail' in 2 (<=2) -> kept
+    assert out[1] == "unique one\nshared tail"
+    assert out[2] == "unique two\nshared tail"
+    assert out[3] == "unique three"
+    assert out[4] == ""                   # fully-boilerplate doc kept, emptied
+    assert out[5] == "untouched document"
+    # order of surviving lines is preserved
+    df2 = spark.createDataFrame([(1, "a\nb\na\nc"), (2, "b")], ["doc_id", "text"])
+    out2 = {r["doc_id"]: r["text"] for r in dedup_lines(df2, "doc_id", "text", max_doc_freq=1).collect()}
+    assert out2[1] == "a\na\nc"           # within-doc repeats survive doc-freq
