@@ -1214,6 +1214,61 @@ def q_chunk_documents(spark, sf_dir):
     return out.select("doc_id", "chunk_id", "chunk", "n_tokens")
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time join (operators/events.py asof_join): every click
+    event gains the most recent purchase value of the same user at or
+    before its timestamp, null if none within 24h. Spark has no native
+    ASOF JOIN; this is the union-and-carry plan — ONE shuffle on the
+    key, last(payload, ignorenulls) over a rows window — not the
+    O(n·m) theta-join+argmax. Oracle: DuckDB's native ASOF LEFT JOIN
+    with the same tolerance."""
+    from inputlayer_spark.operators.events import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks, purch, "user_id", "ts", ["purchase_value"],
+        tolerance_s=86400,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "matched_ts", "purchase_value"
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based batch sessionization (operators/events.py sessionize):
+    per-user 0-based session numbers with a 1-hour inactivity gap —
+    lag + running sum over one key-partitioned window (the batch twin
+    of the native streaming session_window in streaming/stateful.py)."""
+    from inputlayer_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize(ev, "user_id", "ts", 3600.0, order_tiebreak="event_id")
+    return out.select("event_id", "user_id", "session_seq")
+
+
+def q_quality_percentiles(spark, sf_dir):
+    """Per-language exact quality-score percentiles (operators/
+    sampling.py group_percentile_thresholds) — the calibration step of
+    percentile-based curation gates; percentile_cont semantics matched
+    by DuckDB quantile_cont."""
+    from inputlayer_spark.operators.sampling import (
+        group_percentile_thresholds,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.withColumn("quality", TX.quality_score(F.col("text")))
+    out = group_percentile_thresholds(q, "lang", "quality")
+    return out.select("lang", "p25", "p50", "p75")
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-split sequence packing over the 16/4 token chunks
     (operators/sampling.py pack_sequences): chunks laid end-to-end in
@@ -1564,6 +1619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "cap_per_group": q_cap_per_group,
         "chunk_documents": q_chunk_documents,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "quality_percentiles": q_quality_percentiles,
         "pack_sequences": q_pack_sequences,
         "global_shuffle": q_global_shuffle,
         "rebalance_mixture": q_rebalance_mixture,
@@ -2036,6 +2094,42 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(toks[t.s+1:t.s+16], ' ') AS chunk, "
             "CAST(len(toks[t.s+1:t.s+16]) AS BIGINT) AS n_tokens "
             "FROM ne, unnest(range(0, len(toks), 12)) AS t(s)"
+        ),
+        "asof_join": (
+            "WITH p AS (SELECT user_id, ts, max(value) AS purchase_value "
+            "FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),"
+            " c AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "j AS (SELECT c.event_id, c.user_id, c.ts, p.ts AS mts, "
+            "p.purchase_value AS pv FROM c ASOF LEFT JOIN p "
+            "ON c.user_id = p.user_id AND c.ts >= p.ts) "
+            "SELECT event_id, user_id, ts, "
+            "CASE WHEN epoch(ts) - epoch(mts) <= 86400 THEN mts END "
+            "AS matched_ts, "
+            "CASE WHEN epoch(ts) - epoch(mts) <= 86400 THEN pv END "
+            "AS purchase_value FROM j"
+        ),
+        "sessionize": (
+            "SELECT event_id, user_id, "
+            "CAST(sum(CASE WHEN gap > 3600 THEN 1 ELSE 0 END) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+            " AS session_seq "
+            "FROM (SELECT event_id, user_id, ts, epoch(ts) - "
+            "lag(epoch(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS gap FROM events)"
+        ),
+        "quality_percentiles": (
+            f"WITH q AS (SELECT lang, "
+            f"(least(len({_TOKS})::DOUBLE / 50.0, 1.0) "
+            f" + (1.0 - least({_PUNCT_RATIO} * 4.0, 1.0)) "
+            f" + (CASE WHEN {_SW_RATIO} >= 0.1 AND {_SW_RATIO} <= 0.6 "
+            f"THEN 1.0 ELSE 0.5 END) "
+            f" + (CASE WHEN {_MEAN_WLEN} >= 3.0 AND {_MEAN_WLEN} <= 10.0 "
+            f"THEN 1.0 ELSE 0.5 END)) / 4.0 AS quality FROM documents) "
+            "SELECT lang, quantile_cont(quality, 0.25) AS p25, "
+            "quantile_cont(quality, 0.5) AS p50, "
+            "quantile_cont(quality, 0.75) AS p75 FROM q GROUP BY lang"
         ),
         "pack_sequences": (
             f"WITH toked AS (SELECT doc_id, {_TOKS} AS toks FROM documents),"

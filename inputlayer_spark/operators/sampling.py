@@ -279,3 +279,43 @@ def weighted_sample(
         wc.isNull() | F.isnan(wc), F.lit(0.0)
     ).otherwise(F.greatest(F.lit(0.0), F.least(F.lit(1.0), wc)))
     return df.filter(u < w)
+
+
+def group_percentile_thresholds(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    qs=(0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Per-group exact percentiles of a score column (linear
+    interpolation — percentile_cont semantics on both engines): the
+    calibration step before percentile-based curation ("keep docs
+    above the per-language p75 quality"). One partial+final hash
+    aggregate; |groups| output rows. Columns: group, p25/p50/p75..."""
+    aggs = [
+        F.percentile(F.col(score_col), float(q)).alias(
+            f"p{int(round(q * 100)):02d}"
+        )
+        for q in qs
+    ]
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def filter_above_group_percentile(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    q: float,
+) -> DataFrame:
+    """Keep rows whose score is >= their group's q-th percentile —
+    per-domain quality gating that adapts the bar to each domain's
+    distribution instead of one global constant. The |groups|-row
+    threshold table is broadcast; the filter is then map-side."""
+    th = df.groupBy(group_col).agg(
+        F.percentile(F.col(score_col), float(q)).alias("__th")
+    )
+    return (
+        df.join(F.broadcast(th), group_col)
+        .filter(F.col(score_col) >= F.col("__th"))
+        .drop("__th")
+    )

@@ -1096,3 +1096,79 @@ def test_dedup_lines_removes_boilerplate(spark):
     df2 = spark.createDataFrame([(1, "a\nb\na\nc"), (2, "b")], ["doc_id", "text"])
     out2 = {r["doc_id"]: r["text"] for r in dedup_lines(df2, "doc_id", "text", max_doc_freq=1).collect()}
     assert out2[1] == "a\na\nc"           # within-doc repeats survive doc-freq
+
+
+def test_asof_join_point_in_time(spark):
+    """For each left row, the right row with the greatest ts <= left
+    ts per key; nulls when none (or older than tolerance)."""
+    import datetime as dt
+
+    from inputlayer_spark.operators.events import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    L = spark.createDataFrame(
+        [(1, 10, t0 + dt.timedelta(hours=h)) for h in (0, 2, 5, 9)]
+        + [(2, 20, t0 + dt.timedelta(hours=1))],
+        ["event_id", "user_id", "ts"],
+    ).withColumn("event_id", (F.col("user_id") * 100 + F.hour("ts")).cast("long"))
+    R = spark.createDataFrame(
+        [
+            (10, t0 + dt.timedelta(hours=1), 5.0),
+            (10, t0 + dt.timedelta(hours=5), 7.0),   # ties with left @5h
+            (30, t0, 9.0),
+        ],
+        ["user_id", "ts", "price"],
+    )
+    out = {
+        r["event_id"]: (r["price"], r["matched_ts"])
+        for r in asof_join(L, R, "user_id", "ts", ["price"]).collect()
+    }
+    assert out[1000][0] is None                      # before any right row
+    assert out[1002][0] == 5.0                       # 2h -> right @1h
+    assert out[1005][0] == 7.0                       # equal ts matches ("at or before")
+    assert out[1009][0] == 7.0                       # carries forward
+    assert out[2001][0] is None                      # user 20 has no right rows
+    # tolerance: the 9h left row is 4h after the 5h right row
+    out2 = {
+        r["event_id"]: r["price"]
+        for r in asof_join(
+            L, R, "user_id", "ts", ["price"], tolerance_s=3 * 3600
+        ).collect()
+    }
+    assert out2[1009] is None and out2[1005] == 7.0
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    from inputlayer_spark.operators.events import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows_in = [
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(minutes=10)),      # same session
+        (3, 1, t0 + dt.timedelta(minutes=80)),      # 70min gap -> new
+        (4, 1, t0 + dt.timedelta(minutes=85)),
+        (5, 2, t0),                                  # other user independent
+    ]
+    df = spark.createDataFrame(rows_in, ["event_id", "user_id", "ts"])
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, "user_id", "ts", 3600.0, "event_id").collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_group_percentile_filter(spark):
+    from inputlayer_spark.operators.sampling import (
+        filter_above_group_percentile,
+        group_percentile_thresholds,
+    )
+
+    data = [("a", float(i)) for i in range(1, 101)] + [("b", float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(data, ["grp", "score"])
+    th = {r["grp"]: r["p50"] for r in group_percentile_thresholds(df, "grp", "score", (0.5,)).collect()}
+    assert th["a"] == pytest.approx(50.5) and th["b"] == pytest.approx(5.5)
+    kept = filter_above_group_percentile(df, "grp", "score", 0.5)
+    got = {r["grp"]: r["n"] for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert got == {"a": 50, "b": 5}                  # half of each group, per-group bar
