@@ -70,6 +70,13 @@ def main() -> None:
         "hnsw_knn_sharded",
         "ivf_knn",
         "quality_lang",
+        # curation-pipeline global-order + event ops (round 7): packing
+        # exercises the two-phase distributed prefix scan, dedup_lines
+        # the explode→blocklist→reassemble shuffle pair, asof_join the
+        # union-and-carry single-shuffle point-in-time plan
+        "pack_sequences",
+        "dedup_lines",
+        "asof_join",
     ]
 
     # warmup: JVM codegen + parquet file-listing/footer caches for every

@@ -177,3 +177,47 @@ def test_disconnected_body_order_joins_before_crossing(spark):
         .count()
     )
     assert n == want
+
+
+def test_asof_join_single_shuffle_no_cartesian(spark):
+    """The as-of join must be the union-and-carry plan: ONE exchange
+    on the key feeding a Window — never a CartesianProduct or a
+    range-condition nested loop, and no Python evaluation."""
+    plan = _plan(spark, "asof_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_no_global_single_partition_window(spark):
+    """Packing's prefix sum must stay distributed: the window is
+    partitioned by the range-partition id (SinglePartition would be
+    the 100 TB bottleneck), the per-partition offsets arrive via a
+    broadcast join, and range partitioning does the global ordering."""
+    plan = _plan(spark, "pack_sequences")
+    # the running sum windows over the range-partition id, never over
+    # an empty (global) partition spec; the range exchange itself sits
+    # behind the pinning localCheckpoint so it is not in this plan text
+    assert "windowspecdefinition(__pid" in plan
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan  # tiny offset table joins broadcast
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_lines_blocklist_is_broadcast_anti_join(spark):
+    """Line dedup anti-joins the (small) blocklist via broadcast and
+    never materializes a cartesian pair space."""
+    plan = _plan(spark, "dedup_lines")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sessionize_single_key_shuffle(spark):
+    plan = _plan(spark, "sessionize")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
