@@ -1172,3 +1172,25 @@ def test_group_percentile_filter(spark):
     kept = filter_above_group_percentile(df, "grp", "score", 0.5)
     got = {r["grp"]: r["n"] for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()}
     assert got == {"a": 50, "b": 5}                  # half of each group, per-group bar
+
+
+def test_curation_pipeline_example_end_to_end(spark, tmp_path):
+    """The composed curation pipeline (examples/curation_pipeline.py)
+    runs end-to-end and produces a packed, shuffled corpus: every
+    chunk has a pack slot and a unique shuffle rank, and only kept
+    documents survive the gates."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    try:
+        from curation_pipeline import curate
+    finally:
+        sys.path.pop(0)
+
+    out = curate(spark, "/root/testdata/sf0.001", pack_budget=256).cache()
+    rows_out = out.select("doc_id", "chunk_id", "pack_id", "pack_offset", "shuffle_rank").collect()
+    assert len(rows_out) > 0
+    ranks = sorted(r["shuffle_rank"] for r in rows_out)
+    assert ranks == list(range(len(rows_out)))          # a permutation
+    assert all(0 <= r["pack_offset"] < 256 for r in rows_out)
+    out.unpersist()
