@@ -1194,3 +1194,80 @@ def test_curation_pipeline_example_end_to_end(spark, tmp_path):
     assert ranks == list(range(len(rows_out)))          # a permutation
     assert all(0 <= r["pack_offset"] < 256 for r in rows_out)
     out.unpersist()
+
+
+def test_asof_join_matches_pandas_merge_asof_randomized(spark):
+    """Randomized differential check: asof_join == pandas.merge_asof
+    (backward direction, per-key) over 60 keys x irregular timestamps."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(17)
+    base = 1_700_000_000
+    lrows = [
+        (i, rng.randrange(60), base + rng.randrange(0, 500_000))
+        for i in range(800)
+    ]
+    rrows_raw = {
+        (rng.randrange(60), base + rng.randrange(0, 500_000)): float(i)
+        for i in range(600)
+    }
+    rrows = [(k, t, v) for (k, t), v in rrows_raw.items()]
+    L = spark.createDataFrame(
+        [(i, k, t) for i, k, t in lrows], ["event_id", "k", "ts_s"]
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    R = spark.createDataFrame(rrows, ["k", "ts_s", "val"]).withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    ).drop("ts_s")
+
+    from inputlayer_spark.operators.events import asof_join
+
+    got = {
+        r["event_id"]: r["val"]
+        for r in asof_join(L, R, "k", "ts", ["val"]).collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["event_id", "k", "t"]).sort_values("t")
+    rp = pd.DataFrame(rrows, columns=["k", "t", "val"]).sort_values("t")
+    exp = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    for _, row in exp.iterrows():
+        want = None if pd.isna(row["val"]) else row["val"]
+        assert got[row["event_id"]] == want
+
+
+def test_dedup_lines_idempotent(spark):
+    """Applying line dedup twice changes nothing: the first pass
+    removed every over-frequent line, so the second pass's blocklist
+    is empty for the same threshold."""
+    from inputlayer_spark.operators.dedup import dedup_lines
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    once = dedup_lines(docs, "doc_id", "text", sep=" the ", max_doc_freq=3)
+    twice = dedup_lines(once, "doc_id", "text", sep=" the ", max_doc_freq=3)
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
+
+
+def test_pack_sequences_offsets_consistent_property(spark):
+    """Structural invariants at any budget: offsets in [0, budget),
+    pack ids non-decreasing along the order, and the start offsets
+    (pack_id*budget + pack_offset) reconstruct the exclusive cumsum."""
+    from inputlayer_spark.operators.sampling import pack_sequences
+
+    import random
+
+    rng = random.Random(3)
+    data = [(i, rng.randrange(1, 300)) for i in range(500)]
+    df = spark.createDataFrame(data, ["item_id", "n"])
+    for budget in (64, 1024):
+        rows_out = sorted(
+            (r["item_id"], r["pack_id"], r["pack_offset"])
+            for r in pack_sequences(df, "n", ["item_id"], budget).collect()
+        )
+        acc = 0
+        for (item, pid, off), (_, n) in zip(rows_out, sorted(data)):
+            assert 0 <= off < budget
+            assert pid * budget + off == acc
+            acc += n
