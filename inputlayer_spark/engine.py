@@ -3053,6 +3053,13 @@ class IQLEngine:
             except ValueError as exc:
                 raise CompileError(f"ApiKey error: {exc}") from None
         elif cmd == "rel":
+            # reference shorthands (statement/meta.rs): bare `.rel` lists,
+            # `.rel <name>` describes — normalize both onto the explicit
+            # subcommand forms
+            if not args:
+                args = ["list"]
+            elif args[0] not in ("list", "describe", "drop") and len(args) == 1:
+                args = ["describe", args[0]]
             if args and args[0] == "list":
                 rows = []
                 derived_heads = {r.head.relation for r in self._all_rules()}
@@ -3411,9 +3418,57 @@ class IQLEngine:
             # compaction, src/storage/persist/wal.rs); no-op without a
             # wal_dir
             self.checkpoint()
-        # .agent / auth: intentionally no-ops (no LLM assistant; auth
-        # belongs to a server layer)
+        elif cmd == "agent":
+            return self._agent_command(args[0] if args else "")
         return None
+
+    # ------------------------------------------------------------ agent
+
+    def _agent_command(self, raw: str) -> DataFrame:
+        """`.agent ...` — the teaching-agent surface (reference
+        src/protocol/handler.rs:2250-2345): scripted lessons are served
+        deterministically; free-form messages go to the pluggable LLM
+        provider in `agent.AgentManager` (canned reply when none is
+        configured). Result rows mirror the reference wire shape: the
+        response text, then `suggested_query:<iql>` and `done:true`
+        marker rows, all in one string column `agent_response`
+        (`setup` for `.agent setup <id>`)."""
+        from inputlayer_spark import agent as agent_mod
+
+        if getattr(self, "_agent_manager", None) is None:
+            self._agent_manager = agent_mod.AgentManager()
+        raw = raw.strip()
+        if raw.startswith("setup "):
+            script = agent_mod.setup_iql(raw[len("setup "):].strip())
+            return self.spark.createDataFrame(
+                [(script,)], schema="setup string"
+            )
+        # KG context (graph name + relation schemas/counts + rule names,
+        # handler.rs:2285-2313) is only consumed by the LLM path — skip
+        # the per-relation counts for the deterministic subcommands.
+        kg_context = ""
+        if raw not in ("", "examples", "next") and not raw.startswith("start "):
+            lines = [f"Knowledge graph: {self.current.name}"]
+            rels = sorted(self.current.relations.items())
+            if rels:
+                lines.append("Relations:")
+                for name, df in rels[:50]:
+                    cols = ", ".join(
+                        f"{f.name}: {f.dataType.simpleString()}"
+                        for f in df.schema.fields
+                    )
+                    lines.append(f"  {name}({cols}) - {df.count()} tuples")
+            rule_names = sorted({r.head.relation for r in self._all_rules()})
+            if rule_names:
+                lines.append("Rules: " + ", ".join(rule_names))
+            kg_context = "\n".join(lines)
+        resp = self._agent_manager.agent_query("default", raw, kg_context)
+        rows = [(resp.content,)]
+        if resp.suggested_query is not None:
+            rows.append((f"suggested_query:{resp.suggested_query}",))
+        if resp.done:
+            rows.append(("done:true",))
+        return self.spark.createDataFrame(rows, schema="agent_response string")
 
     # ------------------------------------------------------------ debug
 

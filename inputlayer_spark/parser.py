@@ -318,7 +318,7 @@ class Parser:
         return TypeDecl(name, base, self.src[start:end])
 
     # ----- meta -----
-    _RAW_META = {"debug", "why", "why_not", "load"}
+    _RAW_META = {"debug", "why", "why_not", "load", "agent"}
 
     def parse_meta(self) -> MetaCommand:
         meta_tok = self.next()

@@ -1,0 +1,239 @@
+"""Teaching-agent tests (reference src/agent/mod.rs tests + the
+handler-level `.agent` dispatch, src/protocol/handler.rs:2170-2345).
+
+The strongest check here goes beyond the reference's own suite: every
+lesson's full IQL script is EXECUTED against the engine in a fresh KG,
+so the scripted content is proven runnable, not just well-formed."""
+
+import pytest
+
+from inputlayer_spark import agent as agent_mod
+from inputlayer_spark.agent import (
+    AgentConfig,
+    AgentManager,
+    extract_suggested_query,
+    setup_iql,
+)
+
+
+# ------------------------------------------------------------ registry
+
+
+def test_registry_has_reference_examples():
+    ids = {ex.id for ex in agent_mod.all_examples()}
+    assert ids >= {
+        "flights",
+        "retraction",
+        "provenance",
+        "incremental",
+        "rules_vectors",
+        "agentic_ai",
+        "schemas",
+    }
+    assert agent_mod.get_example("nonexistent") is None
+
+
+def test_all_examples_complete():
+    examples = agent_mod.all_examples()
+    assert len(examples) >= 7
+    for ex in examples:
+        assert ex.steps, f"{ex.id}: no steps"
+        assert ex.system_prompt, f"{ex.id}: empty system prompt"
+        assert ex.name and ex.description and ex.category and ex.difficulty
+        for i, step in enumerate(ex.steps):
+            assert step.message, f"{ex.id} step {i}: empty message"
+            assert step.iql, f"{ex.id} step {i}: empty iql"
+
+
+def test_flights_is_a_complete_tour():
+    ex = agent_mod.get_example("flights")
+    assert ex.step_count() >= 15
+    all_iql = "\n".join(s.iql for s in ex.steps)
+    assert "direct_flight" in all_iql
+    assert "can_reach" in all_iql
+    assert "<-" in all_iql
+    assert ".why" in all_iql
+    assert "-direct_flight" in all_iql  # teaches retraction
+    assert "count<" in all_iql  # teaches aggregation
+
+
+def test_step_message_embeds_iql_block():
+    ex = agent_mod.get_example("flights")
+    msg = ex.step_message(0)
+    assert "```iql" in msg and "direct_flight" in msg
+    assert ex.step_message(10_000) is None
+
+
+# ------------------------------------------------------ query extraction
+
+
+def test_extract_suggested_query_variants():
+    assert (
+        extract_suggested_query(
+            'Try:\n```iql\n?can_reach("jfk", X)\n```\nShows routes.'
+        )
+        == '?can_reach("jfk", X)'
+    )
+    assert (
+        extract_suggested_query('```iql\n.why ?allowed("eve", "repo")\n```')
+        == '.why ?allowed("eve", "repo")'
+    )
+    # block with no query line -> whole block; no block -> None
+    assert extract_suggested_query("```iql\n+f(1)\n```") == "+f(1)"
+    assert extract_suggested_query("Rules derive conclusions.") is None
+
+
+# ------------------------------------------------------------ sessions
+
+
+def test_lesson_flow_start_next_done():
+    mgr = AgentManager(AgentConfig(api_key=None, provider=None))
+    r = mgr.agent_query("s1", "start retraction", "")
+    assert "```iql" in r.content and not r.done
+    assert r.suggested_query == agent_mod.get_example("retraction").steps[0].iql
+
+    n = agent_mod.get_example("retraction").step_count()
+    for i in range(1, n):
+        r = mgr.agent_query("s1", "next", "")
+        assert r.suggested_query == agent_mod.get_example("retraction").steps[i].iql
+    assert r.done  # last scripted step flags done
+    r = mgr.agent_query("s1", "next", "")
+    assert "complete" in r.content.lower() and r.suggested_query is None
+
+
+def test_examples_listing_and_no_session_paths():
+    mgr = AgentManager(AgentConfig(api_key=None, provider=None))
+    listing = mgr.agent_query("s1", "examples", "")
+    for ex in agent_mod.all_examples():
+        assert ex.name in listing.content
+    assert mgr.agent_query("s1", "next", "").content == "No active lesson."
+    assert "No active example" in mgr.agent_query("s1", "what is IQL?", "").content
+
+
+def test_free_form_without_backend_is_canned():
+    mgr = AgentManager(AgentConfig(api_key=None, provider=None))
+    mgr.agent_query("s1", "start flights", "")
+    r = mgr.agent_query("s1", "why did that work?", "kg ctx")
+    assert "LLM backend" in r.content and r.done
+
+
+def test_free_form_with_fake_provider():
+    calls = {}
+
+    def fake(system, messages, model, max_tokens):
+        calls["system"] = system
+        calls["messages"] = list(messages)
+        return 'Use provenance:\n```iql\n.why ?can_reach("jfk", "sin")\n```'
+
+    mgr = AgentManager(AgentConfig(api_key=None, provider=fake))
+    mgr.agent_query("s1", "start flights", "")
+    r = mgr.agent_query("s1", "how do I explain a result?", "Knowledge graph: kg1")
+    assert r.suggested_query == '.why ?can_reach("jfk", "sin")'
+    # system prompt carries lesson persona + live KG context + reference
+    assert "flight-network" in calls["system"]
+    assert "Knowledge graph: kg1" in calls["system"]
+    assert "IQL Quick Reference" in calls["system"]
+    # conversation history is recorded both ways
+    assert calls["messages"][-1]["role"] == "user"
+    r2 = mgr.agent_query("s1", "and negation?", "")
+    assert len(calls["messages"]) == 3  # user, assistant, user
+    assert calls["messages"][1]["role"] == "assistant"
+    assert r2.content.startswith("Use provenance")
+
+
+def test_unknown_example_start_raises():
+    mgr = AgentManager(AgentConfig(api_key=None, provider=None))
+    with pytest.raises(ValueError):
+        mgr.agent_query("s1", "start nope", "")
+
+
+# --------------------------------------------------- engine integration
+
+
+def test_agent_meta_command_wire_shape(engine):
+    out = engine.execute(".agent examples")[0]
+    assert out.columns == ["agent_response"]
+    texts = [r[0] for r in out.collect()]
+    assert any("Flight Network" in t for t in texts)
+    assert texts[-1] == "done:true"
+
+    out = engine.execute(".agent start flights")[0]
+    texts = [r[0] for r in out.collect()]
+    assert texts[0].startswith("Welcome!")
+    assert any(t.startswith("suggested_query:+direct_flight") for t in texts)
+    assert "done:true" not in texts
+
+    out = engine.execute(".agent next")[0]
+    texts = [r[0] for r in out.collect()]
+    assert any(t.startswith("suggested_query:") for t in texts)
+
+
+def test_agent_setup_returns_runnable_script(engine):
+    out = engine.execute(".agent setup schemas")[0]
+    assert out.columns == ["setup"]
+    script = out.collect()[0][0]
+    assert script == setup_iql("schemas")
+    assert engine.execute(".agent setup nonexistent")[0].collect()[0][0] == ""
+
+
+def test_agent_free_form_through_engine_includes_kg_context(engine):
+    captured = {}
+
+    def fake(system, messages, model, max_tokens):
+        captured["system"] = system
+        return "ok"
+
+    engine.execute('+direct_flight("jfk", "lax", 2475)')
+    engine.execute(".agent start flights")
+    engine._agent_manager.config = AgentConfig(api_key=None, provider=fake)
+    out = engine.execute(".agent what relations exist?")[0]
+    texts = [r[0] for r in out.collect()]
+    assert texts[0] == "ok"
+    # handler built the live KG context: name, schema, tuple count
+    assert "Knowledge graph: default" in captured["system"]
+    assert "direct_flight" in captured["system"] and "1 tuples" in captured["system"]
+
+
+@pytest.mark.parametrize(
+    "example_id", [ex.id for ex in agent_mod.all_examples()]
+)
+def test_every_lesson_executes_end_to_end(engine, example_id):
+    """Each lesson's script must RUN: `.agent setup <id>` seeds a fresh
+    KG without errors, and every `?query` step returns a DataFrame."""
+    engine.execute(f".kg create lesson_{example_id}")
+    engine.execute(f".kg use lesson_{example_id}")
+    results = engine.execute(setup_iql(example_id))
+    assert results, f"{example_id}: lesson produced no query results"
+    for df in results:
+        df.collect()  # must evaluate cleanly
+
+
+def test_flights_lesson_teaches_true_facts(engine):
+    """Spot-check lesson semantics: recursion reaches Singapore two ways,
+    and retracting the LAX leg removes Tokyo but keeps Singapore (via
+    Paris) — the narrative in the step text is actually what happens."""
+    steps = agent_mod.get_example("flights").steps
+    # run up to (not including) the retraction step
+    retract_idx = next(
+        i for i, s in enumerate(steps) if s.iql.startswith("-direct_flight")
+    )
+    engine.execute("\n".join(s.iql for s in steps[:retract_idx]))
+    reach = {
+        r["X"] for r in engine.execute('?can_reach("jfk", X)')[0].collect()
+    }
+    assert {"lax", "nrt", "cdg", "sin"} <= reach
+    engine.execute(steps[retract_idx].iql)
+    reach_after = {
+        r["X"] for r in engine.execute('?can_reach("jfk", X)')[0].collect()
+    }
+    assert "nrt" not in reach_after and "sin" in reach_after
+
+
+def test_rel_bare_shorthands(engine):
+    """`.rel` == `.rel list`; `.rel <name>` == `.rel describe <name>`
+    (reference statement/meta.rs shorthand forms)."""
+    engine.execute('+city("osaka", "jp", 2691000)')
+    listing = {r["name"] for r in engine.execute(".rel")[0].collect()}
+    assert "city" in listing
+    desc = engine.execute(".rel city")[0].collect()
+    assert [r["column"] for r in desc] == ["c0", "c1", "c2"] or len(desc) == 3
