@@ -119,6 +119,30 @@ def format_table(
     return "\n".join(lines)
 
 
+class RemoteBackend:
+    """Engine-shaped adapter over `client.Client` so the same Repl loop
+    drives a remote server — the reference client's actual topology
+    (bin/client.rs: rustyline REPL over a WS/HTTP connection). Tracks
+    the current KG client-side for the prompt, like the reference's
+    ReplState.prompt()."""
+
+    class _Current:
+        def __init__(self, name: str):
+            self.name = name
+
+    def __init__(self, client):
+        self.client = client
+        self.current = RemoteBackend._Current("default")
+
+    def execute(self, text: str):
+        results = self.client.execute(text)
+        for line in text.splitlines():
+            parts = line.strip().split()
+            if parts[:2] == [".kg", "use"] and len(parts) > 2:
+                self.current.name = parts[2]
+        return results
+
+
 def _balanced(text: str) -> bool:
     """True when every ( [ { is closed and no string is open — the
     accumulate-until-complete check for multi-line statements."""
@@ -171,7 +195,12 @@ class Repl:
         return highlight_prompt(p) if self.color else p
 
     def print_result(self, df, elapsed_ms: Optional[int]) -> None:
-        rows = [list(r) for r in df.collect()]
+        # DataFrame (local engine) or client.ResultSet (remote backend)
+        rows = (
+            [list(r) for r in df.collect()]
+            if hasattr(df, "collect")
+            else [list(r) for r in df.rows]
+        )
         if not rows:
             self._print("No results")
             return
@@ -264,6 +293,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     ap.add_argument("script", nargs="?", help="IQL file to run (else REPL)")
     ap.add_argument("-c", "--command", help="run one statement batch and exit")
+    ap.add_argument(
+        "--connect",
+        metavar="URL",
+        help="drive a remote server (http://host:port) instead of an "
+        "in-process engine — the reference client topology; no local "
+        "SparkSession is started",
+    )
     ap.add_argument("--kg", default=None, help="knowledge graph to use at start")
     ap.add_argument("--wal-dir", default=None, help="durable storage directory")
     ap.add_argument("--limit", type=int, default=50, help="max rows shown (0 = all)")
@@ -276,12 +312,27 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--no-timing", action="store_true")
     args = ap.parse_args(argv)
 
-    from inputlayer_spark.engine import IQLEngine
-    from inputlayer_spark.session import get_spark
+    if args.connect:
+        from inputlayer_spark.client import Client
 
-    spark = get_spark("inputlayer-repl")
-    spark.sparkContext.setLogLevel("ERROR")
-    engine = IQLEngine(spark, wal_dir=args.wal_dir)
+        client = Client(args.connect)
+        engine = RemoteBackend(client)
+        if sys.stdin.isatty():
+            # surface server-side change notifications while idle, like
+            # the reference REPL (client.rs:978-992)
+            try:
+                client.on_change(
+                    lambda rel: print(f"[notification] change in {rel}", file=sys.stderr)
+                )
+            except Exception:
+                pass  # WS unavailable -> plain request/response mode
+    else:
+        from inputlayer_spark.engine import IQLEngine
+        from inputlayer_spark.session import get_spark
+
+        spark = get_spark("inputlayer-repl")
+        spark.sparkContext.setLogLevel("ERROR")
+        engine = IQLEngine(spark, wal_dir=args.wal_dir)
     if args.kg:
         engine.execute(f".kg create {args.kg}\n.kg use {args.kg}")
 

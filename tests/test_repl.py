@@ -121,3 +121,30 @@ def test_repl_meta_table(engine):
     repl.handle_line("+city(1)")
     repl.handle_line(".rel list")
     assert "city" in buf.getvalue()
+
+
+def test_repl_remote_backend_against_live_server(spark):
+    """The same Repl loop drives a remote server through client.Client —
+    the reference client topology (bin/client.rs)."""
+    from inputlayer_spark.client import Client
+    from inputlayer_spark.repl import RemoteBackend
+    from inputlayer_spark.server import QueryServer
+
+    srv = QueryServer(spark).start()
+    try:
+        backend = RemoteBackend(Client(f"http://127.0.0.1:{srv.port}"))
+        buf = io.StringIO()
+        repl = Repl(backend, out=buf, color=False, show_timing=False)
+        repl.handle_line("+edge[(1, 2), (2, 3)]")
+        repl.handle_line("?edge(X, Y)")
+        out = buf.getvalue()
+        assert "┌" in out and "2 rows" in out
+        # remote errors print and the loop survives
+        repl.handle_line("?broken(X,,)")
+        assert "Error:" in buf.getvalue()
+        # prompt tracks .kg use client-side
+        repl.handle_line(".kg create remote_kg")
+        repl.handle_line(".kg use remote_kg")
+        assert repl.prompt() == "remote_kg> "
+    finally:
+        srv.stop()
