@@ -1367,9 +1367,32 @@ def q_dedup_clusters(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") < 100
     )
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.05)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08)
     out = dedup_clusters(pairs, docs.select("doc_id"), id_col="doc_id")
     return out.select("doc_id", "cluster_id")
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """The COMPLETE near-dup curation pipeline: pairwise signal →
+    connected components → canonical survivor per cluster
+    (operators/dedup.py:keep_canonical — highest quality, ties to the
+    smallest id; quality = text length here). One map-side-combinable
+    min_by aggregate + a semi-join, no per-cluster sort."""
+    from inputlayer_spark.operators.dedup import (
+        dedup_clusters,
+        keep_canonical,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08)
+    cl = dedup_clusters(pairs, docs.select("doc_id"), id_col="doc_id")
+    out = keep_canonical(docs, cl, id_col="doc_id")
+    return out.select(
+        "doc_id", "cluster_id", F.length("text").cast("long").alias("n_chars")
+    )
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -1629,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_survivors": q_dedup_survivors,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "repetition": q_repetition,
@@ -1652,6 +1676,34 @@ _SHINGLES2 = (
 _SHINGLES3 = (
     f"list_transform(range(1, greatest(len({_TOKS}) - 2, 1) + 1), "
     f"i -> array_to_string(({_TOKS})[i:i+2], ' '))"
+)
+
+# Shared CTE chain: exact 2-gram-Jaccard pair graph (threshold 0.08 —
+# below ~0.06 this corpus collapses into one giant component and the
+# clustering check degenerates; 0.08 yields 63 clusters of size 1-11,
+# doc_id < 100) -> recursive reachability -> per-doc min-label cluster.
+# Used by both the `dedup_clusters` and `dedup_survivors` oracles.
+_CLUSTERS_CTES = (
+    "sh AS (SELECT doc_id, unnest(list_distinct("
+    + _SHINGLES2
+    + ")) AS s FROM documents WHERE doc_id < 100), "
+    "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared "
+    "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+    "  GROUP BY a.doc_id, b.doc_id), "
+    "pairs AS (SELECT p.id1, p.id2 FROM p "
+    "  JOIN sz s1 ON s1.doc_id = p.id1 JOIN sz s2 ON s2.doc_id = p.id2 "
+    "  WHERE p.shared::DOUBLE / (s1.n + s2.n - p.shared) >= 0.08), "
+    "sym AS (SELECT id1 AS a, id2 AS b FROM pairs "
+    "  UNION SELECT id2, id1 FROM pairs), "
+    "nodes AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 100), "
+    "reach AS (WITH RECURSIVE r(src, dst) AS ("
+    "  SELECT doc_id, doc_id FROM nodes "
+    "  UNION "
+    "  SELECT r.src, sym.b FROM r JOIN sym ON sym.a = r.dst) "
+    "  SELECT src, dst FROM r), "
+    "cl AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id "
+    "  FROM reach GROUP BY src)"
 )
 
 _MD5_32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
@@ -2197,26 +2249,21 @@ def oracle_sql() -> dict[str, str]:
         # min id reachable through near-dup links (recursive CTE on the
         # symmetric edges; singletons label themselves)
         "dedup_clusters": (
-            "WITH sh AS (SELECT doc_id, unnest(list_distinct("
-            + _SHINGLES2
-            + ")) AS s FROM documents WHERE doc_id < 100), "
-            "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
-            "p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared "
-            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
-            "  GROUP BY a.doc_id, b.doc_id), "
-            "pairs AS (SELECT p.id1, p.id2 FROM p "
-            "  JOIN sz s1 ON s1.doc_id = p.id1 JOIN sz s2 ON s2.doc_id = p.id2 "
-            "  WHERE p.shared::DOUBLE / (s1.n + s2.n - p.shared) >= 0.05), "
-            "sym AS (SELECT id1 AS a, id2 AS b FROM pairs "
-            "  UNION SELECT id2, id1 FROM pairs), "
-            "nodes AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 100), "
-            "reach AS (WITH RECURSIVE r(src, dst) AS ("
-            "  SELECT doc_id, doc_id FROM nodes "
-            "  UNION "
-            "  SELECT r.src, sym.b FROM r JOIN sym ON sym.a = r.dst) "
-            "  SELECT src, dst FROM r) "
-            "SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id "
-            "FROM reach GROUP BY src"
+            f"WITH {_CLUSTERS_CTES} "
+            "SELECT doc_id, cluster_id FROM cl"
+        ),
+        "dedup_survivors": (
+            f"WITH {_CLUSTERS_CTES}, "
+            "j AS (SELECT d.doc_id, cl.cluster_id, "
+            "  CAST(length(d.text) AS BIGINT) AS n_chars "
+            "  FROM documents d JOIN cl ON cl.doc_id = d.doc_id "
+            "  WHERE d.doc_id < 100), "
+            "w AS (SELECT doc_id FROM ("
+            "  SELECT doc_id, row_number() OVER ("
+            "    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC"
+            "  ) AS rn FROM j) WHERE rn = 1) "
+            "SELECT j.doc_id, j.cluster_id, j.n_chars "
+            "FROM j JOIN w ON w.doc_id = j.doc_id"
         ),
         "simhash": _simhash_sql(),
         # repetition: duplicate-line fraction over the word-per-line

@@ -563,3 +563,46 @@ def dedup_lines(
         .join(reassembled, id_col, "left")
         .fillna({text_col: ""})
     )
+
+
+def keep_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    quality: Optional[Column] = None,
+) -> DataFrame:
+    """Final step of the near-dup pipeline: keep ONE document per
+    cluster — the highest-quality member (ties: smallest id) — and drop
+    the rest. Composes after `dedup_clusters` the way production
+    curation does: pairwise signal → connected components → canonical
+    survivor set.
+
+    `clusters` is (id_col, cluster_id) from `dedup_clusters`; `quality`
+    is any numeric Column over `docs` (default: character length of
+    `text`, the common "longest variant wins" heuristic).
+
+    Scale shape: one equi-join to label docs, one groupBy(cluster_id)
+    with `min_by` over a (-quality, id) struct — a map-side-combinable
+    aggregate, no window/sort — then a semi-join of docs against the
+    winner ids (AQE broadcasts it when the cluster count is small).
+    Nothing here materializes per-cluster row lists, so skewed giant
+    clusters cost one combine, not a sort.
+
+    Output: the surviving doc rows plus their cluster_id.
+    """
+    q = quality if quality is not None else F.length(F.col("text"))
+    labeled = docs.join(clusters, on=id_col)
+    winners = (
+        labeled.select(
+            "cluster_id",
+            F.col(id_col),
+            q.cast("double").alias("_q"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.min_by(
+                F.col(id_col), F.struct((-F.col("_q")).alias("nq"), F.col(id_col))
+            ).alias(id_col)
+        )
+    )
+    return labeled.join(winners.select(id_col), on=id_col, how="semi")

@@ -1271,3 +1271,26 @@ def test_pack_sequences_offsets_consistent_property(spark):
             assert 0 <= off < budget
             assert pid * budget + off == acc
             acc += n
+
+
+def test_keep_canonical_survivor_selection(spark):
+    """Per-cluster argmax: highest quality survives, ties break to the
+    smallest id; singletons always survive."""
+    from inputlayer_spark.operators.dedup import keep_canonical
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaaaaaa"), (3, "bb"), (4, "cc"), (5, "dd")],
+        ["doc_id", "text"],
+    )
+    clusters = spark.createDataFrame(
+        # {1,2} one cluster (2 longer -> wins); {3,4} tie on length
+        # (3 wins by id); {5} singleton
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)],
+        ["doc_id", "cluster_id"],
+    )
+    out = keep_canonical(docs, clusters)
+    got = sorted((r["doc_id"], r["cluster_id"]) for r in out.collect())
+    assert got == [(2, 1), (3, 3), (5, 5)]
+    # custom quality column: invert the preference
+    out2 = keep_canonical(docs, clusters, quality=-F.length("text"))
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 3, 5]
