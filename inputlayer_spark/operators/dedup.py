@@ -582,11 +582,13 @@ def keep_canonical(
     `text`, the common "longest variant wins" heuristic).
 
     Scale shape: one equi-join to label docs, one groupBy(cluster_id)
-    with `min_by` over a (-quality, id) struct — a map-side-combinable
-    aggregate, no window/sort — then a semi-join of docs against the
-    winner ids (AQE broadcasts it when the cluster count is small).
-    Nothing here materializes per-cluster row lists, so skewed giant
-    clusters cost one combine, not a sort.
+    with `min_by` over a (-quality, id) struct, then a semi-join of docs
+    against the winner ids (AQE broadcasts it when the cluster count is
+    small). The struct-ordered min_by plans as partial+final
+    SortAggregate — the partial pass combines map-side, so the shuffle
+    carries at most ONE candidate per cluster per input partition. A
+    Window(row_number) formulation would instead shuffle and sort every
+    doc row by cluster; skewed giant clusters make that a straggler.
 
     Output: the surviving doc rows plus their cluster_id.
     """

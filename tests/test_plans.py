@@ -221,3 +221,31 @@ def test_sessionize_single_key_shuffle(spark):
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_keep_canonical_plan_no_window_sort(spark):
+    """Survivor selection must stay a map-side-combinable aggregate +
+    semi-join: a Window/Sort formulation would serialize each cluster
+    through a sort at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from inputlayer_spark.operators.dedup import keep_canonical
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    clusters = docs.select(
+        "doc_id", (F.col("doc_id") % 7).alias("cluster_id")
+    )
+    out = keep_canonical(docs, clusters)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    # partial + final aggregate pair = map-side combine of min_by (the
+    # struct-ordered comparator plans as SortAggregate; what matters is
+    # the PARTIAL pass — the shuffle then carries <=1 candidate per
+    # cluster per partition, unlike a Window over all doc rows)
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    assert "partial_min_by" in plan
+    assert "LeftSemi" in plan
