@@ -3078,7 +3078,13 @@ class IQLEngine:
             if args and args[0] == "describe" and len(args) > 1:
                 df = self.current.relations.get(args[1])
                 if df is None:
-                    raise CompileError(f"unknown relation {args[1]}")
+                    # reference prints a message, not an error
+                    # (33_meta/14_rel_nonexistent_error golden:
+                    # "Relation 'x' not found.")
+                    return self.spark.createDataFrame(
+                        [(f"Relation '{args[1]}' not found.",)],
+                        schema="message string",
+                    )
                 rows = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
                 return self.spark.createDataFrame(rows, schema="column string, type string")
             if args and args[0] == "drop" and len(args) > 1:

@@ -302,6 +302,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     ap.add_argument("--kg", default=None, help="knowledge graph to use at start")
     ap.add_argument("--wal-dir", default=None, help="durable storage directory")
+    ap.add_argument(
+        "--config",
+        default=None,
+        help="config.toml (storage.data_dir -> --wal-dir, "
+        "storage.default_knowledge_graph -> --kg, "
+        "performance.max_result_rows -> --limit; flags win)",
+    )
     ap.add_argument("--limit", type=int, default=50, help="max rows shown (0 = all)")
     ap.add_argument(
         "--color",
@@ -311,6 +318,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     ap.add_argument("--no-timing", action="store_true")
     args = ap.parse_args(argv)
+
+    if args.config:
+        from inputlayer_spark.config import Config
+
+        cfg = Config.from_file(args.config)
+        args.wal_dir = args.wal_dir or (cfg.storage.data_dir or None)
+        if args.kg is None and cfg.storage.default_knowledge_graph != "default":
+            args.kg = cfg.storage.default_knowledge_graph
+        if cfg.performance.max_result_rows:
+            args.limit = cfg.performance.max_result_rows
 
     if args.connect:
         from inputlayer_spark.client import Client

@@ -509,3 +509,65 @@ class QueryServer:
         self._httpd.shutdown()
         if self._thread:
             self._thread.join(timeout=5)
+
+
+def main(argv=None) -> int:
+    """`python -m inputlayer_spark.server [--config config.toml]` —
+    stand up the HTTP/WS server from the hierarchical config
+    (reference: server startup wiring config.rs -> handler; our
+    config.py mirrors the toml -> local-toml -> INPUTLAYER_* env
+    layering). CLI flags override the config file."""
+    import argparse
+
+    from inputlayer_spark.config import Config
+
+    ap = argparse.ArgumentParser(prog="python -m inputlayer_spark.server")
+    ap.add_argument("--config", help="config.toml path (else ./config.toml)")
+    ap.add_argument("--host", default=None)
+    ap.add_argument("--port", type=int, default=None)
+    ap.add_argument("--wal-dir", default=None, help="override storage.data_dir")
+    args = ap.parse_args(argv)
+
+    cfg = Config.from_file(args.config) if args.config else Config.load()
+
+    from inputlayer_spark.session import get_spark
+
+    spark = get_spark("inputlayer-server")
+    level = cfg.logging.level.upper()
+    spark.sparkContext.setLogLevel(level if level != "WARNING" else "WARN")
+
+    auth = None
+    if cfg.http.auth.credentials_file:
+        from inputlayer_spark.auth import AuthStore
+
+        auth = AuthStore(cfg.http.auth.credentials_file)
+        if cfg.http.auth.bootstrap_admin_password and "admin" not in {
+            u["username"] for u in auth.list_users()
+        }:
+            auth.add_user("admin", cfg.http.auth.bootstrap_admin_password, "admin")
+
+    srv = QueryServer(
+        spark,
+        host=args.host or cfg.http.host,
+        port=args.port if args.port is not None else cfg.http.port,
+        auth=auth,
+    )
+    wal_dir = args.wal_dir or cfg.storage.data_dir
+    if wal_dir:
+        # rebuild the shared engine durably rooted at data_dir
+        srv.engine = IQLEngine(spark, wal_dir=wal_dir)
+        srv.engine.auth_store = auth
+    srv.start()
+    print(
+        "inputlayer-spark server on "
+        f"http://{srv._httpd.server_address[0]}:{srv.port}"
+    )
+    try:
+        srv._thread.join()
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
