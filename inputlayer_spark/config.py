@@ -52,6 +52,9 @@ class OptimizationConfig:
     enable_magic_sets: bool = True
     # greedy left-deep body join ordering in compile_body
     enable_join_planning: bool = True
+    # hoist join pairs shared by ≥2 rules into persisted shared views
+    # (engine.enable_subplan_sharing; reference src/subplan_sharing/)
+    enable_subplan_sharing: bool = True
 
 
 @dataclass
@@ -66,6 +69,9 @@ class PerformanceConfig:
     shuffle_partitions: int = 0  # spark.sql.shuffle.partitions; 0 = default
     max_result_rows: int = 0  # REPL/server row window; 0 = unlimited
     query_timeout_ms: int = 0  # 0 = no timeout
+    # reject queries whose structural cost estimate exceeds this
+    # (engine.max_query_cost; reference lib.rs:1604 check #47). 0 = off
+    max_query_cost: int = 0
 
 
 @dataclass

@@ -171,6 +171,18 @@ class IQLEngine:
         # (kg, index name) -> persisted LSH bucket frame (the materialized
         # index artifact; dropped by _invalidate on dependent writes)
         self._index_frames: Dict[Tuple[str, str], DataFrame] = {}
+        # subplan sharing (CSE) across rules — reference
+        # src/subplan_sharing/mod.rs, executed-first shared views
+        # (src/lib.rs:1148). (kg, view name) -> (persisted frame,
+        # base-relation epoch stamp); a base write bumps head_epoch for
+        # the written relation itself (_invalidate adds `relation` to
+        # dirty), so a stamp mismatch = rebuild.
+        self.enable_subplan_sharing = True
+        self._shared_frames: Dict[Tuple[str, str], Tuple[DataFrame, tuple]] = {}
+        # reject queries whose structural cost estimate exceeds this
+        # (reference #47, src/lib.rs:1604-1625 + ir/mod.rs estimate_cost;
+        # config [performance] max_query_cost). 0 = unlimited.
+        self.max_query_cost = 0
         # server-attached AuthStore for `.kg acl` commands (per-KG ACLs,
         # reference auth.rs layer 2); None outside a server context
         self.auth_store = None
@@ -1312,10 +1324,45 @@ class IQLEngine:
             # 66_negation_cycle.iql: a<- !b, b<- !a yields a={base}, b={}).
             return self._single_pass_eval(rules)
 
+        # subplan sharing (CSE): hoist join pairs appearing in ≥2 rule
+        # bodies into synthetic view rules evaluated first (their SCCs
+        # depend only on base relations, so condensation orders them
+        # before every consumer) and persisted via _resolve_shared_view —
+        # reference src/subplan_sharing/mod.rs + "Execute shared views
+        # first" (src/lib.rs:1148). Applied only after stratification
+        # succeeds; the rewrite adds no negation, so re-condensing the
+        # rewritten rules cannot fail.
+        shared_views: Dict[str, "SharedView"] = {}
+        if self.enable_subplan_sharing:
+            from inputlayer_spark.recursion import is_recursive_scc
+            from inputlayer_spark.subplan import SharedView, share_subplans
+
+            rec_heads: set = set()
+            for scc in sccs:
+                if is_recursive_scc(scc, rules):
+                    rec_heads.update(scc)
+            views, rewritten = share_subplans(rules, rec_heads)
+            if views:
+                shared_views = {v.name: v for v in views}
+                rules = rewritten + [v.rule for v in views]
+                sccs = condensation(rules)
+                if needed is not None:
+                    for r in rewritten:
+                        if r.head.relation in needed:
+                            for lit in r.body:
+                                if (
+                                    isinstance(lit, Atom)
+                                    and lit.relation in shared_views
+                                ):
+                                    needed.add(lit.relation)
+
         for scc in sccs:
             if skip & set(scc):
                 continue
             if needed is not None and not (needed & set(scc)):
+                continue
+            if len(scc) == 1 and scc[0] in shared_views:
+                self._resolve_shared_view(shared_views[scc[0]], derived)
                 continue
             resolver = self._resolver(derived)
             cached = {h: self._cached_view_get(h) for h in scc}
@@ -1335,6 +1382,45 @@ class IQLEngine:
                 derived[h] = df
                 self._cache_view(h, df, epoch=pre_epochs.get(h))
         return derived
+
+    def _resolve_shared_view(self, view, derived: Dict[str, DataFrame]) -> None:
+        """Materialize (or reuse) one shared subplan view: compute-once
+        via ``persist()`` so every consuming rule scans the same
+        InMemoryRelation. Stamped with the base relations' head_epochs —
+        NOT cached in _derived_cache, whose cascade invalidation walks
+        the stored rule set that synthetic rules are never part of."""
+        key = (self.current.name, view.name)
+        stamp = tuple(
+            (d, self.current.head_epoch.get(d, 0)) for d in view.base_deps
+        )
+        ent = self._shared_frames.get(key)
+        if ent is not None:
+            if ent[1] == stamp:
+                derived[view.name] = ent[0]
+                return
+            try:
+                ent[0].unpersist()
+            except Exception:
+                pass
+            self._shared_frames.pop(key, None)
+        out = evaluate_scc(
+            [view.name],
+            [view.rule],
+            self._resolver(derived),
+            self._hnsw_resolver,
+            base_of=self._base_of,
+        )
+        df = out[view.name].persist()
+        if len(self._shared_frames) >= 64:
+            # bounded registry: evict the oldest entry (insertion order)
+            old = next(iter(self._shared_frames))
+            try:
+                self._shared_frames[old][0].unpersist()
+            except Exception:
+                pass
+            self._shared_frames.pop(old, None)
+        self._shared_frames[key] = (df, stamp)
+        derived[view.name] = df
 
     # -------------------------------------------- cross-engine cache epoch
 
@@ -2012,6 +2098,10 @@ class IQLEngine:
         return resolve
 
     def _query(self, q: Query) -> DataFrame:
+        if self.max_query_cost > 0:
+            from inputlayer_spark.cost import check_query_cost
+
+            check_query_cost(self._all_rules(), q, self.max_query_cost)
         targets = {q.goal.relation}
         for lit in q.body:
             if isinstance(lit, Atom):
@@ -2931,6 +3021,15 @@ class IQLEngine:
                         except Exception:
                             pass
                         cache.pop(key, None)
+                # shared-subplan frames are epoch-stamped, but a re-created
+                # KG of the same name starts its epochs back at 0 — drop
+                # them with the namespace so a stale frame can't match
+                for key in [k for k in self._shared_frames if k[0] == args[1]]:
+                    try:
+                        self._shared_frames[key][0].unpersist()
+                    except Exception:
+                        pass
+                    self._shared_frames.pop(key, None)
                 for cache in (self._hnsw_graphs, self._ivf_cents):
                     for key in [k for k in cache if k[0] == args[1]]:
                         cache.pop(key, None)

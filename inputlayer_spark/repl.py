@@ -319,6 +319,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--no-timing", action="store_true")
     args = ap.parse_args(argv)
 
+    cfg = None
     if args.config:
         from inputlayer_spark.config import Config
 
@@ -350,6 +351,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         spark = get_spark("inputlayer-repl")
         spark.sparkContext.setLogLevel("ERROR")
         engine = IQLEngine(spark, wal_dir=args.wal_dir)
+        if cfg is not None:
+            engine.max_query_cost = cfg.performance.max_query_cost
+            engine.enable_subplan_sharing = (
+                cfg.optimization.enable_subplan_sharing
+            )
     if args.kg:
         engine.execute(f".kg create {args.kg}\n.kg use {args.kg}")
 

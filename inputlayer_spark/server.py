@@ -557,6 +557,8 @@ def main(argv=None) -> int:
         # rebuild the shared engine durably rooted at data_dir
         srv.engine = IQLEngine(spark, wal_dir=wal_dir)
         srv.engine.auth_store = auth
+    srv.engine.max_query_cost = cfg.performance.max_query_cost
+    srv.engine.enable_subplan_sharing = cfg.optimization.enable_subplan_sharing
     srv.start()
     print(
         "inputlayer-spark server on "
