@@ -1,0 +1,399 @@
+"""Web console served by the query server at ``/``.
+
+The reference ships a GUI next to its WebSocket API (gui/ — connection
+screen, query page with autocomplete, relations browser; config.toml's
+"HTTP Server Configuration (WebSocket API + GUI)" section). This is the
+Spark engine's parity surface: a single self-contained HTML page —
+no build step, no external assets — that drives the same public
+endpoints a client SDK uses (POST /query, GET /status, WS /ws for change
+notifications).
+
+Syntax highlighting is generated from the engine tokenizer
+(`inputlayer_spark.syntax._RULES`), the same single-source-of-truth
+scheme the VSCode extension uses (packages/inputlayer-iql-vscode/
+gen_grammar.py): the ordered-choice regexes are translated to JavaScript
+and replayed by a ~20-line JS lexer, so the console, the REPL, and the
+editor extension can never disagree about what a token is.
+"""
+
+from __future__ import annotations
+
+import json
+
+from inputlayer_spark.syntax import _RULES, TokenKind
+
+# TokenKind -> CSS color (dark theme; mirrors the REPL's ANSI palette)
+_COLORS = {
+    TokenKind.COMMENT: "#6a737d",
+    TokenKind.STRING_LITERAL: "#7ec699",
+    TokenKind.META_COMMAND: "#d2a8ff",
+    TokenKind.QUERY_MARKER: "#56d4dd",
+    TokenKind.RULE_ARROW: "#d2a8ff",
+    TokenKind.OPERATOR_PREFIX: "#56d4dd",
+    TokenKind.NEGATION_PREFIX: "#ff7b72",
+    TokenKind.COMPARISON_OP: "#ff7b72",
+    TokenKind.NUMBER: "#79c0ff",
+    TokenKind.AGGREGATE: "#e3b341",
+    TokenKind.BUILTIN_FN: "#e3b341",
+    TokenKind.KEYWORD: "#79b8ff",
+    TokenKind.VARIABLE: "#a5d6ff",
+    TokenKind.IDENTIFIER: "#e6edf3",
+    TokenKind.BODY_IDENTIFIER: "#56d4dd",
+    TokenKind.SCHEMA_COLUMN: "#a5d6ff",
+    TokenKind.SORT_ORDER: "#79b8ff",
+    TokenKind.ARITH_OP: "#ff7b72",
+    TokenKind.PUNCTUATION: "#8b949e",
+    TokenKind.WHITESPACE: "",
+    TokenKind.UNKNOWN: "",
+}
+
+
+def _js_rules() -> list:
+    """Engine tokenizer rules as [kind, jsSource] pairs. Python's re.S
+    dot-matches-newline has no JS inline equivalent — rewrite `.` as
+    [\\s\\S] for the one rule that uses it (block comments)."""
+    out = []
+    for kind, pat in _RULES:
+        src = pat.pattern
+        if pat.flags & 16:  # re.S
+            src = src.replace(".*?", "[\\s\\S]*?").replace(".*$", ".*$")
+        out.append([kind.value, src])
+    return out
+
+
+def render_console() -> str:
+    rules = json.dumps(_js_rules())
+    colors = json.dumps({k.value: v for k, v in _COLORS.items() if v})
+    return (
+        _PAGE.replace("__TOKEN_RULES__", rules)
+        .replace("__TOKEN_COLORS__", colors)
+    )
+
+
+_PAGE = r"""<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<title>IQL Console — inputlayer-spark</title>
+<style>
+:root {
+  --bg: #0d1117; --panel: #161b22; --border: #30363d; --fg: #e6edf3;
+  --dim: #8b949e; --accent: #58a6ff; --ok: #3fb950; --err: #f85149;
+}
+* { box-sizing: border-box; }
+body {
+  margin: 0; background: var(--bg); color: var(--fg);
+  font: 14px/1.45 -apple-system, "Segoe UI", Roboto, sans-serif;
+  display: grid; grid-template-rows: auto 1fr;
+  grid-template-columns: 230px 1fr; height: 100vh;
+}
+header {
+  grid-column: 1 / 3; display: flex; align-items: center; gap: 12px;
+  padding: 8px 14px; background: var(--panel);
+  border-bottom: 1px solid var(--border);
+}
+header h1 { font-size: 15px; margin: 0; font-weight: 600; }
+header h1 span { color: var(--dim); font-weight: 400; }
+#dot { width: 9px; height: 9px; border-radius: 50%; background: var(--err); }
+#dot.ok { background: var(--ok); }
+header .spacer { flex: 1; }
+select, input[type=password] {
+  background: var(--bg); color: var(--fg); border: 1px solid var(--border);
+  border-radius: 6px; padding: 4px 8px; font-size: 13px;
+}
+aside {
+  background: var(--panel); border-right: 1px solid var(--border);
+  padding: 10px; overflow-y: auto;
+}
+aside h2 {
+  font-size: 11px; text-transform: uppercase; letter-spacing: .08em;
+  color: var(--dim); margin: 8px 0 6px;
+}
+aside ul { list-style: none; margin: 0; padding: 0; }
+aside li {
+  padding: 3px 6px; border-radius: 5px; cursor: pointer;
+  font-family: ui-monospace, monospace; font-size: 12.5px;
+  white-space: nowrap; overflow: hidden; text-overflow: ellipsis;
+}
+aside li:hover { background: #21262d; color: var(--accent); }
+main { display: flex; flex-direction: column; overflow: hidden; }
+#editor-wrap {
+  position: relative; margin: 12px 12px 0;
+  border: 1px solid var(--border); border-radius: 8px; background: var(--panel);
+}
+#hl, #q {
+  font: 13.5px/1.5 ui-monospace, SFMono-Regular, Menlo, monospace;
+  padding: 10px 12px; margin: 0; border: 0; width: 100%; height: 132px;
+  white-space: pre-wrap; word-wrap: break-word; overflow-y: auto;
+}
+#hl { position: absolute; inset: 0; pointer-events: none; color: var(--fg); }
+#q {
+  position: relative; background: transparent; color: transparent;
+  caret-color: var(--fg); resize: vertical; outline: none; display: block;
+}
+#bar { display: flex; gap: 8px; align-items: center; margin: 8px 12px; }
+button {
+  background: #238636; color: #fff; border: 0; border-radius: 6px;
+  padding: 5px 14px; font-size: 13px; cursor: pointer;
+}
+button.ghost { background: #21262d; color: var(--fg); }
+button:hover { filter: brightness(1.1); }
+#timing { color: var(--dim); font-size: 12px; }
+#out { flex: 1; overflow-y: auto; padding: 0 12px 12px; }
+.result { margin-top: 10px; }
+.result .meta { color: var(--dim); font-size: 12px; margin-bottom: 4px; }
+table {
+  border-collapse: collapse; font: 12.5px ui-monospace, monospace;
+  background: var(--panel); border-radius: 8px; overflow: hidden;
+}
+th, td {
+  border: 1px solid var(--border); padding: 4px 10px; text-align: left;
+  max-width: 420px; overflow: hidden; text-overflow: ellipsis;
+  white-space: nowrap;
+}
+th { background: #21262d; color: var(--accent); font-weight: 600; }
+.error {
+  background: #3d1d1f; border: 1px solid var(--err); color: #ffa198;
+  border-radius: 8px; padding: 8px 12px; margin-top: 10px;
+  font-family: ui-monospace, monospace; font-size: 12.5px;
+  white-space: pre-wrap;
+}
+#notif {
+  position: fixed; right: 14px; bottom: 14px; display: flex;
+  flex-direction: column; gap: 6px; max-width: 340px;
+}
+.toast {
+  background: #1f6feb; color: #fff; border-radius: 8px; padding: 8px 12px;
+  font-size: 12.5px; box-shadow: 0 4px 14px rgba(0,0,0,.4);
+  animation: fade 6s forwards;
+}
+@keyframes fade { 0%,80% { opacity: 1 } 100% { opacity: 0 } }
+.hist {
+  color: var(--dim); cursor: pointer; font-family: ui-monospace, monospace;
+  font-size: 12px; padding: 2px 6px; border-radius: 5px;
+  white-space: nowrap; overflow: hidden; text-overflow: ellipsis;
+}
+.hist:hover { background: #21262d; color: var(--fg); }
+</style>
+</head>
+<body>
+<header>
+  <div id="dot" title="server status"></div>
+  <h1>IQL Console <span>— inputlayer-spark</span></h1>
+  <div class="spacer"></div>
+  <label style="color:var(--dim);font-size:12px">KG</label>
+  <select id="kg"><option value="default">default</option></select>
+  <input id="key" type="password" placeholder="API key (if required)"
+         autocomplete="off" style="width:170px">
+</header>
+<aside>
+  <h2>Relations <a id="refresh" style="cursor:pointer;color:var(--accent)">↻</a></h2>
+  <ul id="rels"></ul>
+  <h2>History</h2>
+  <div id="history"></div>
+</aside>
+<main>
+  <div id="editor-wrap">
+    <pre id="hl" aria-hidden="true"></pre>
+    <textarea id="q" spellcheck="false"
+      placeholder="?relation(X, Y)   —   Ctrl/Cmd-Enter runs"></textarea>
+  </div>
+  <div id="bar">
+    <button id="run">Run ▷</button>
+    <button id="clear" class="ghost">Clear</button>
+    <span id="timing"></span>
+  </div>
+  <div id="out"></div>
+</main>
+<div id="notif"></div>
+<script>
+"use strict";
+const RULES = __TOKEN_RULES__.map(([k, src]) => [k, new RegExp(src, "y")]);
+const COLORS = __TOKEN_COLORS__;
+const $ = id => document.getElementById(id);
+
+/* --- lexer: mirror of inputlayer_spark.syntax.tokenize --- */
+function tokenize(text) {
+  const toks = []; let pos = 0;
+  outer: while (pos < text.length) {
+    for (const [kind, re] of RULES) {
+      re.lastIndex = pos;
+      const m = re.exec(text);
+      if (m && m.index === pos && m[0].length > 0) {
+        toks.push([kind, pos, pos + m[0].length]);
+        pos += m[0].length;
+        continue outer;
+      }
+    }
+    toks.push(["unknown", pos, pos + 1]); pos += 1;
+  }
+  return toks;
+}
+const esc = s => s.replace(/&/g, "&amp;").replace(/</g, "&lt;");
+function highlight() {
+  const text = $("q").value;
+  let html = "";
+  for (const [kind, a, b] of tokenize(text)) {
+    const chunk = esc(text.slice(a, b));
+    const c = COLORS[kind];
+    html += c ? `<span style="color:${c}">${chunk}</span>` : chunk;
+  }
+  $("hl").innerHTML = html + "\n";
+  $("hl").scrollTop = $("q").scrollTop;
+}
+
+/* --- transport --- */
+function headers() {
+  const h = {"Content-Type": "application/json"};
+  const k = $("key").value || localStorage.getItem("iql_key") || "";
+  if (k) h["X-API-Key"] = k;
+  return h;
+}
+async function query(program) {
+  const r = await fetch("/query", {
+    method: "POST", headers: headers(),
+    body: JSON.stringify({query: program}),
+  });
+  const body = await r.json();
+  if (!r.ok) throw new Error(body.error || r.statusText);
+  return body.results || [];
+}
+
+/* --- results rendering --- */
+const MAX_ROWS = 500;
+function renderResults(results, secs) {
+  const out = $("out"); out.innerHTML = "";
+  results.forEach(res => {
+    const div = document.createElement("div"); div.className = "result";
+    const n = res.rows.length;
+    const meta = document.createElement("div"); meta.className = "meta";
+    meta.textContent = `${n} row${n === 1 ? "" : "s"}` +
+      (n > MAX_ROWS ? ` (showing first ${MAX_ROWS})` : "");
+    div.appendChild(meta);
+    const t = document.createElement("table");
+    const hr = t.insertRow();
+    res.columns.forEach(c => {
+      const th = document.createElement("th");
+      th.textContent = `${c.name}: ${c.type}`; hr.appendChild(th);
+    });
+    res.rows.slice(0, MAX_ROWS).forEach(row => {
+      const tr = t.insertRow();
+      row.forEach(v => {
+        tr.insertCell().textContent =
+          v === null ? "null" : typeof v === "object" ? JSON.stringify(v) : v;
+      });
+    });
+    div.appendChild(t); out.appendChild(div);
+  });
+  $("timing").textContent = `${results.length} result` +
+    `${results.length === 1 ? "" : "s"} · ${secs.toFixed(2)}s`;
+}
+function renderError(msg) {
+  const out = $("out");
+  const div = document.createElement("div");
+  div.className = "error"; div.textContent = msg;
+  out.prepend(div);
+}
+
+/* --- actions --- */
+let history = JSON.parse(localStorage.getItem("iql_history") || "[]");
+function renderHistory() {
+  const h = $("history"); h.innerHTML = "";
+  history.slice(0, 30).forEach(q => {
+    const d = document.createElement("div");
+    d.className = "hist"; d.textContent = q.replace(/\s+/g, " ");
+    d.title = q;
+    d.onclick = () => { $("q").value = q; highlight(); };
+    h.appendChild(d);
+  });
+}
+async function run() {
+  const program = $("q").value.trim();
+  if (!program) return;
+  localStorage.setItem("iql_key", $("key").value || "");
+  $("timing").textContent = "running…";
+  const t0 = performance.now();
+  try {
+    const kg = $("kg").value;
+    const prefixed = kg && kg !== "default"
+      ? `.kg use ${kg}\n${program}` : program;
+    const results = await query(prefixed);
+    renderResults(results, (performance.now() - t0) / 1000);
+    history = [program, ...history.filter(q => q !== program)].slice(0, 50);
+    localStorage.setItem("iql_history", JSON.stringify(history));
+    renderHistory();
+    loadSidebar();
+  } catch (e) {
+    $("timing").textContent = "";
+    renderError(e.message);
+  }
+}
+async function loadSidebar() {
+  try {
+    const [rels] = await query(".rel list");
+    const ul = $("rels"); ul.innerHTML = "";
+    rels.rows.forEach(r => {
+      const li = document.createElement("li");
+      li.textContent = r.join("  ");
+      li.title = "describe " + r[0];
+      li.onclick = () => {
+        $("q").value = `.rel describe ${r[0]}`; highlight(); run();
+      };
+      ul.appendChild(li);
+    });
+    const [kgs] = await query(".kg list");
+    const sel = $("kg"), cur = sel.value;
+    sel.innerHTML = "";
+    kgs.rows.forEach(r => {
+      const o = document.createElement("option");
+      o.value = o.textContent = r[0]; sel.appendChild(o);
+    });
+    if ([...sel.options].some(o => o.value === cur)) sel.value = cur;
+  } catch (e) { /* sidebar is best-effort (e.g. before a key is set) */ }
+}
+async function pollHealth() {
+  try {
+    const r = await fetch("/health");
+    $("dot").classList.toggle("ok", r.ok);
+  } catch (e) { $("dot").classList.remove("ok"); }
+}
+
+/* --- change notifications over the wire protocol's websocket --- */
+function connectWS() {
+  try {
+    const proto = location.protocol === "https:" ? "wss" : "ws";
+    const k = $("key").value || localStorage.getItem("iql_key") || "";
+    const ws = new WebSocket(
+      `${proto}://${location.host}/ws${k ? "?api_key=" + encodeURIComponent(k) : ""}`);
+    ws.onmessage = ev => {
+      let msg; try { msg = JSON.parse(ev.data); } catch { return; }
+      if (msg.type === "persistent_update" || msg.type === "notification") {
+        const t = document.createElement("div");
+        t.className = "toast";
+        t.textContent = `change: ${msg.relation || JSON.stringify(msg)}`;
+        $("notif").appendChild(t);
+        setTimeout(() => t.remove(), 6000);
+        loadSidebar();
+      }
+    };
+    ws.onclose = () => setTimeout(connectWS, 5000);
+  } catch (e) { /* ws optional */ }
+}
+
+/* --- wiring --- */
+$("q").addEventListener("input", highlight);
+$("q").addEventListener("scroll", () => { $("hl").scrollTop = $("q").scrollTop; });
+$("q").addEventListener("keydown", ev => {
+  if ((ev.ctrlKey || ev.metaKey) && ev.key === "Enter") { ev.preventDefault(); run(); }
+});
+$("run").onclick = run;
+$("clear").onclick = () => { $("q").value = ""; highlight(); $("out").innerHTML = ""; };
+$("refresh").onclick = loadSidebar;
+$("key").value = localStorage.getItem("iql_key") || "";
+renderHistory(); highlight(); loadSidebar(); pollHealth(); connectWS();
+setInterval(pollHealth, 10000);
+</script>
+</body>
+</html>
+"""

@@ -163,6 +163,13 @@ class QueryServer:
                     bearer = self.headers.get("Authorization", "")
                     if bearer.startswith("Bearer "):
                         key = bearer[len("Bearer ") :]
+                if not key and "?" in self.path:
+                    # browsers cannot attach headers to a WebSocket
+                    # handshake — the console passes ?api_key= instead
+                    from urllib.parse import parse_qs, urlsplit
+
+                    qs = parse_qs(urlsplit(self.path).query)
+                    key = (qs.get("api_key") or [None])[0]
                 if not key:
                     return None
                 return outer.auth.authenticate_api_key(key)
@@ -251,6 +258,19 @@ class QueryServer:
                 if self.path == "/health":
                     self._send(200, {"status": "ok"})
                     return
+                if self.path in ("/", "/index.html"):
+                    # web console (reference gui/): a static shell — every
+                    # data call it makes goes through the authenticated
+                    # /query and /ws endpoints
+                    from inputlayer_spark.gui import render_console
+
+                    body = render_console().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 ident = self._identity()
                 if ident is None:
                     self._send(401, {"error": "invalid or missing API key"})
@@ -261,8 +281,9 @@ class QueryServer:
                         df = outer.engine.execute(".status")[0]
                         rows = {r["key"]: r["value"] for r in df.collect()}
                     self._send(200, rows)
-                elif self.path == "/ws" or (
-                    self.path.startswith("/sessions/") and self.path.endswith("/ws")
+                elif self.path.split("?", 1)[0] == "/ws" or (
+                    self.path.startswith("/sessions/")
+                    and self.path.split("?", 1)[0].endswith("/ws")
                 ):
                     self._websocket()
                 else:

@@ -1,0 +1,136 @@
+"""Web console (reference gui/): static shell at /, tokenizer-generated
+highlighting, api_key query-param auth for browser WebSockets."""
+
+import json
+import shutil
+import subprocess
+import urllib.request
+
+import pytest
+
+from inputlayer_spark.gui import _js_rules, render_console
+
+
+def test_console_page_served(spark):
+    from inputlayer_spark.server import QueryServer
+
+    srv = QueryServer(spark).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/") as r:
+            assert r.headers["Content-Type"].startswith("text/html")
+            html = r.read().decode()
+        assert "IQL Console" in html
+        # token rules injected — the page lexes with the ENGINE's grammar
+        assert '"meta"' in html and '"aggregate"' in html
+        assert "__TOKEN_RULES__" not in html  # template fully rendered
+    finally:
+        srv.stop()
+
+
+def test_console_served_without_auth_but_data_gated(spark, tmp_path):
+    """The shell is public (like the reference's static GUI assets);
+    every data call it issues goes through the authenticated /query."""
+    from inputlayer_spark.auth import AuthStore
+    from inputlayer_spark.server import QueryServer
+
+    store = AuthStore(str(tmp_path / "creds.json"))
+    store.add_user("root", "pw", role="admin")
+    srv = QueryServer(spark, auth=store).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/") as r:
+            assert r.status == 200
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/query",
+            data=json.dumps({"query": ".rel list"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 401
+    finally:
+        srv.stop()
+
+
+def test_ws_api_key_query_param(spark, tmp_path):
+    """Browsers cannot set headers on a WebSocket handshake — the
+    console authenticates /ws with ?api_key=<key> instead."""
+    import base64 as b64
+    import os
+    import socket
+
+    from inputlayer_spark.auth import AuthStore
+    from inputlayer_spark.server import QueryServer
+
+    store = AuthStore(str(tmp_path / "creds.json"))
+    store.add_user("root", "pw", role="admin")
+    key = store.issue_api_key("root")
+    srv = QueryServer(spark, auth=store).start()
+
+    def handshake(path):
+        sock = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        wk = b64.b64encode(os.urandom(16)).decode()
+        sock.sendall(
+            (
+                f"GET {path} HTTP/1.1\r\nHost: 127.0.0.1:{srv.port}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {wk}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        buf = b""
+        while b"\r\n" not in buf:
+            buf += sock.recv(4096)
+        sock.close()
+        return buf.split(b"\r\n")[0].decode()
+
+    try:
+        assert "401" in handshake("/ws")  # headerless, keyless → denied
+        assert "101" in handshake(f"/ws?api_key={key}")
+        assert "401" in handshake("/ws?api_key=wrong")
+    finally:
+        srv.stop()
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
+def test_js_lexer_matches_engine_tokenizer():
+    """The console's JS lexer replays the exact rule list the engine
+    tokenizer uses; token-for-token parity on a program covering every
+    token class (same regen-parity idea as the VSCode grammar test)."""
+    from inputlayer_spark.syntax import tokenize
+
+    sample = (
+        '.kg create demo\n'
+        '+edge[(1, 2), (2, 3)]\n'
+        '+path(X, Z) <- edge(X, Y), path(Y, Z), !blocked(X), '
+        'D = cosine(V1, V2) // comment\n'
+        '?path(X, Y) /* block\ncomment */ '
+        '+agg(Seg, count<O>, sum<T>) <- orders(O, C, Seg, T, D2, P2), '
+        'T >= 1.5e3\n'
+        '"str \\"esc\\"" top_k<3, Name, Score:desc>\n'
+    )
+    py = [[t.kind.value, t.start, t.end] for t in tokenize(sample)]
+    js_script = """
+const RULES = %s.map(([k, src]) => [k, new RegExp(src, "y")]);
+const text = %s;
+const toks = []; let pos = 0;
+outer: while (pos < text.length) {
+  for (const [kind, re] of RULES) {
+    re.lastIndex = pos;
+    const m = re.exec(text);
+    if (m && m.index === pos && m[0].length > 0) {
+      toks.push([kind, pos, pos + m[0].length]); pos += m[0].length;
+      continue outer;
+    }
+  }
+  toks.push(["unknown", pos, pos + 1]); pos += 1;
+}
+console.log(JSON.stringify(toks));
+""" % (json.dumps(_js_rules()), json.dumps(sample))
+    out = subprocess.run(
+        ["node", "-e", js_script], capture_output=True, text=True, check=True
+    )
+    assert json.loads(out.stdout) == py
+
+
+def test_render_console_is_deterministic():
+    assert render_console() == render_console()
+    assert len(render_console()) > 5000
