@@ -202,6 +202,25 @@ def q_union_clauses(spark, sf_dir):
     return df.select(F.col("K").alias("nationkey"))
 
 
+def q_shared_subplan(spark, sf_dir):
+    """Subplan sharing (CSE): two rules share the customer⋈nation join
+    pair, which the engine hoists into one persisted shared view both
+    consumers scan (reference src/subplan_sharing/mod.rs, shared views
+    executed first per src/lib.rs:1148)."""
+    eng = _engine(spark, sf_dir, "customer", "nation")
+    df = eng.query(
+        """
+        +notable(N, Nm) <- customer(C, Nm, K, B, S), nation(K, N, R), B > 7000.0
+        +notable(N, Nm) <- customer(C, Nm, K, B, S), nation(K, N, R), B < 100.0
+        ?notable(N, Nm)
+        """
+    )
+    assert eng._shared_frames, "CSE did not fire on the shared join pair"
+    return df.select(
+        F.col("N").alias("nation_name"), F.col("Nm").alias("cust_name")
+    )
+
+
 def q_theta_join(spark, sf_dir):
     """Theta join: equi on nation + comparison predicate
     (examples/iql/06_joins/20_theta_join.iql)."""
@@ -1597,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": q_count_distinct,
         "topk_per_group": q_topk_per_group,
         "union_clauses": q_union_clauses,
+        "shared_subplan": q_shared_subplan,
         "theta_join": q_theta_join,
         "order_limit_offset": q_order_limit_offset,
         "string_funcs": q_string_funcs,
@@ -1826,6 +1846,11 @@ def oracle_sql() -> dict[str, str]:
         "union_clauses": (
             "SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0 "
             "UNION SELECT s_nationkey FROM supplier"
+        ),
+        "shared_subplan": (
+            "SELECT DISTINCT n.n_name AS nation_name, c.c_name AS cust_name "
+            "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE c.c_acctbal > 7000.0 OR c.c_acctbal < 100.0"
         ),
         "theta_join": (
             "SELECT DISTINCT c.c_custkey, s.s_suppkey FROM customer c "
