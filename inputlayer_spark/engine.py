@@ -1347,14 +1347,22 @@ class IQLEngine:
                 rules = rewritten + [v.rule for v in views]
                 sccs = condensation(rules)
                 if needed is not None:
-                    for r in rewritten:
-                        if r.head.relation in needed:
+                    # pull shared views into the demand set transitively
+                    # (a nested view's body references inner views)
+                    changed = True
+                    while changed:
+                        changed = False
+                        for r in rules:
+                            if r.head.relation not in needed:
+                                continue
                             for lit in r.body:
                                 if (
                                     isinstance(lit, Atom)
                                     and lit.relation in shared_views
+                                    and lit.relation not in needed
                                 ):
                                     needed.add(lit.relation)
+                                    changed = True
 
         for scc in sccs:
             if skip & set(scc):

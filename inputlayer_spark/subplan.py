@@ -92,10 +92,15 @@ def _literal_vars(lit, out: set) -> None:
         _term_vars(lit.dist_var, out)
 
 
-def _atom_shareable(atom, derived_heads) -> bool:
+def _atom_shareable(atom, derived_heads, view_deps) -> bool:
     if not isinstance(atom, Atom) or atom.negated:
         return False
-    if atom.relation in derived_heads or atom.relation.startswith(SHARED_PREFIX):
+    if atom.relation.startswith(SHARED_PREFIX):
+        # views from an earlier sharing round are themselves shareable —
+        # iterating the pair rewrite shares arbitrary-depth join trees
+        # (the reference canonicalizes whole subtrees, min depth 2)
+        return atom.relation in view_deps
+    if atom.relation in derived_heads:
         return False
     for t in atom.terms:
         if isinstance(t, Var):
@@ -154,12 +159,33 @@ class SharedView:
 
 
 def share_subplans(
-    rules: Sequence[Rule], recursive_heads: set
+    rules: Sequence[Rule], recursive_heads: set, max_rounds: int = 3
 ) -> Tuple[List[SharedView], List[Rule]]:
-    """Detect join pairs appearing ≥2 times across (or within) rule
-    bodies and hoist each into a synthetic view rule; returns
-    (shared_views, rewritten_rules). No candidates → ([], original list).
-    """
+    """Detect shared join subtrees and hoist each into a synthetic view
+    rule; returns (shared_views, rewritten_rules). No candidates →
+    ([], original list).
+
+    Runs the pair rewrite to a (bounded) fixpoint: after round 1 replaces
+    a shared pair with a view atom, round 2 can pair that view atom with
+    a further shared atom — so an r⋈s⋈t chain common to two rules
+    collapses into nested views, the arbitrary-depth subtree sharing the
+    reference's canonicalizer performs in one pass."""
+    all_views: List[SharedView] = []
+    view_deps: Dict[str, tuple] = {}
+    cur = list(rules)
+    for _ in range(max_rounds):
+        views, cur = _share_once(cur, recursive_heads, view_deps)
+        if not views:
+            break
+        all_views.extend(views)
+        for v in views:
+            view_deps[v.name] = v.base_deps
+    return all_views, cur
+
+
+def _share_once(
+    rules: Sequence[Rule], recursive_heads: set, view_deps: Dict[str, tuple]
+) -> Tuple[List[SharedView], List[Rule]]:
     derived_heads = {r.head.relation for r in rules}
     # occurrences[key] = list of (rule_idx, atom_pos_a, atom_pos_b, canon_vars)
     occurrences: Dict[tuple, list] = {}
@@ -168,7 +194,9 @@ def share_subplans(
             continue
         body = list(rule.body)
         cand = [
-            i for i, lit in enumerate(body) if _atom_shareable(lit, derived_heads)
+            i
+            for i, lit in enumerate(body)
+            if _atom_shareable(lit, derived_heads, view_deps)
         ]
         for x in range(len(cand)):
             for y in range(x + 1, len(cand)):
@@ -233,11 +261,16 @@ def share_subplans(
                     ts.append(Const(t[2]))
             body_atoms.append(Atom(rel, tuple(ts)))
         head = Atom(name, tuple(Var(f"V{i}") for i in exp))
+        deps: set = set()
+        for rel, _ in key:
+            # nested views stamp with their TRANSITIVE base relations, so
+            # a base write invalidates the whole shared tree
+            deps.update(view_deps.get(rel, (rel,)))
         views.append(
             SharedView(
                 name=name,
                 rule=Rule(head=head, body=tuple(body_atoms), persistent=False),
-                base_deps=tuple(sorted({rel for rel, _ in key})),
+                base_deps=tuple(sorted(deps)),
             )
         )
         for ri, pa, pb, canon in live:

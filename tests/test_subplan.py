@@ -131,6 +131,47 @@ def test_aggregate_consumer_forces_full_export():
     assert len(views[0].rule.head.terms) == 3  # X, Y, Z all exported
 
 
+def test_triple_join_shares_nested_views():
+    # an r⋈s⋈t chain common to two rules collapses into nested views:
+    # round 1 hoists one pair, round 2 pairs the view with the third atom
+    chain = lambda a, b, c, d: [  # noqa: E731
+        _atom("r", a, b), _atom("s", b, c), _atom("t", c, d)
+    ]
+    r1 = _rule("x", ["A", "D"], chain("A", "B", "C", "D"))
+    r2 = _rule("y", ["P", "W"], chain("P", "Q", "V", "W"))
+    views, rewritten = share_subplans([r1, r2], recursive_heads=set())
+    assert len(views) == 2
+    inner, outer = views
+    # the outer view's body references the inner one; its epoch stamp
+    # covers the TRANSITIVE base relations
+    outer_body_rels = {a.relation for a in outer.rule.body}
+    assert inner.name in outer_body_rels
+    assert set(outer.base_deps) == {"r", "s", "t"}
+    # both rules end up with a single body atom over the outer view
+    for rw in rewritten:
+        atoms = [l for l in rw.body if isinstance(l, Atom)]
+        assert [a.relation for a in atoms] == [outer.name]
+
+
+def test_nested_shared_views_engine_end_to_end(engine):
+    engine.execute(
+        """
+        +r[(1, 2), (2, 3)]
+        +s[(2, 20), (3, 30)]
+        +t[(20, 200), (30, 300)]
+        +x(A, D) <- r(A, B), s(B, C), t(C, D)
+        +y(A, D) <- r(A, B), s(B, C), t(C, D), D > 250
+        """
+    )
+    assert rows(engine.query("?x(A, D)")) == [(1, 200), (2, 300)]
+    assert rows(engine.query("?y(A, D)")) == [(2, 300)]
+    # both levels materialized and stamped
+    assert len(engine._shared_frames) == 2
+    # a base write on the DEEPEST relation invalidates the whole tree
+    engine.execute("+r(0, 2)")
+    assert rows(engine.query("?x(A, D)")) == [(0, 200), (1, 200), (2, 300)]
+
+
 def test_wide_export_not_shared():
     # a pair whose observed binding set exceeds MAX_EXPORT_WIDTH stays
     # inline, where Catalyst column-prunes each consumer independently
