@@ -1364,25 +1364,32 @@ class IQLEngine:
                                     needed.add(lit.relation)
                                     changed = True
 
+        # snapshot ALL invalidation epochs BEFORE any frame resolution:
+        # reads are lock-free, so a concurrent writer can bump epochs
+        # mid-evaluation — stamping every head (and shared view) cached
+        # by THIS call with its pre-read value makes a racing write leave
+        # the entries immediately stale instead of permanently 'valid'.
+        # A per-SCC snapshot is NOT enough: a write landing during
+        # stratum k's evaluation would let stratum k+1 — built over this
+        # call's pre-write `derived` frames — stamp itself post-write.
+        epoch_snapshot = dict(self.current.head_epoch)
+
         for scc in sccs:
             if skip & set(scc):
                 continue
             if needed is not None and not (needed & set(scc)):
                 continue
             if len(scc) == 1 and scc[0] in shared_views:
-                self._resolve_shared_view(shared_views[scc[0]], derived)
+                self._resolve_shared_view(
+                    shared_views[scc[0]], derived, epoch_snapshot
+                )
                 continue
             resolver = self._resolver(derived)
             cached = {h: self._cached_view_get(h) for h in scc}
             if all(v is not None for v in cached.values()):
                 derived.update(cached)
                 continue
-            # snapshot invalidation epochs BEFORE resolving base frames:
-            # reads are lock-free, so a concurrent writer can bump the
-            # epoch mid-evaluation — stamping the cache with the
-            # pre-read value makes such an entry immediately stale
-            # instead of permanently 'valid' over pre-write frames
-            pre_epochs = {h: self.current.head_epoch.get(h, 0) for h in scc}
+            pre_epochs = {h: epoch_snapshot.get(h, 0) for h in scc}
             out = evaluate_scc(
                 scc, rules, resolver, self._hnsw_resolver, base_of=self._base_of
             )
@@ -1391,19 +1398,34 @@ class IQLEngine:
                 self._cache_view(h, df, epoch=pre_epochs.get(h))
         return derived
 
-    def _resolve_shared_view(self, view, derived: Dict[str, DataFrame]) -> None:
+    def _resolve_shared_view(
+        self,
+        view,
+        derived: Dict[str, DataFrame],
+        epoch_snapshot: Optional[Dict[str, int]] = None,
+    ) -> None:
         """Materialize (or reuse) one shared subplan view: compute-once
         via ``persist()`` so every consuming rule scans the same
-        InMemoryRelation. Stamped with the base relations' head_epochs —
-        NOT cached in _derived_cache, whose cascade invalidation walks
-        the stored rule set that synthetic rules are never part of."""
+        InMemoryRelation. Stamped with the base relations' head_epochs
+        from the caller's pre-read snapshot — NOT cached in
+        _derived_cache, whose cascade invalidation walks the stored rule
+        set that synthetic rules are never part of."""
+        if epoch_snapshot is None:
+            epoch_snapshot = self.current.head_epoch
         key = (self.current.name, view.name)
         stamp = tuple(
-            (d, self.current.head_epoch.get(d, 0)) for d in view.base_deps
+            (d, epoch_snapshot.get(d, 0)) for d in view.base_deps
         )
         ent = self._shared_frames.get(key)
         if ent is not None:
-            if ent[1] == stamp:
+            # reuse only when the stamp ALSO matches the live epochs —
+            # the snapshot alone could rehydrate an entry a concurrent
+            # write already invalidated
+            live = tuple(
+                (d, self.current.head_epoch.get(d, 0))
+                for d in view.base_deps
+            )
+            if ent[1] == stamp == live:
                 derived[view.name] = ent[0]
                 return
             try:

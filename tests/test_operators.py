@@ -546,16 +546,27 @@ def test_hnsw_knn_partitioned_reuses_persisted_index(spark, tmp_path):
     ).collect()
     assert first[0]["id"] == 5
 
+    # Tamper a COPY of the persisted dir, not the original: the
+    # per-worker graph cache is keyed by (path, shard), and in-place
+    # tampering races with whichever Python workers are still warm from
+    # the first call (reuse=true) — a warm worker legitimately serves
+    # its cached graph. A copied path is a cold key everywhere, so the
+    # sentinel answer proves the probe LOADED the persisted artifact
+    # instead of rebuilding from the corpus.
+    import shutil as _shutil
+
     sentinel = 424242
+    tampered = str(tmp_path / "tampered")
+    _shutil.copytree(idir, tampered)
     g = HnswGraph(8, "cosine")
     g.add_batch([sentinel], np.array([q], dtype=np.float32))
-    g.save(f"{idir}/shard=0")
-    meta = _json.loads(open(f"{idir}/{ShardedHnswIndex._META}").read())
+    g.save(f"{tampered}/shard=0")
+    meta = _json.loads(open(f"{tampered}/{ShardedHnswIndex._META}").read())
     meta["shards"] = {"0": 1}
-    open(f"{idir}/{ShardedHnswIndex._META}", "w").write(_json.dumps(meta))
+    open(f"{tampered}/{ShardedHnswIndex._META}", "w").write(_json.dumps(meta))
 
     again = hnsw_knn_partitioned(
-        df, "id", "v", q, k=1, ef_search=64, index_dir=idir
+        df, "id", "v", q, k=1, ef_search=64, index_dir=tampered
     ).collect()
     assert again[0]["id"] == sentinel  # probed the persisted (tampered) index
 

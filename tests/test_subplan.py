@@ -254,6 +254,47 @@ def test_kg_drop_clears_shared_frames(engine):
     assert not any(k[0] == "scratch" for k in engine._shared_frames)
 
 
+def test_shared_frame_stamp_snapshots_epoch_before_build(spark, monkeypatch):
+    """Lock-free reader vs foreign writer, for SHARED-VIEW frames: a
+    write landing between base-frame resolution and registry insert must
+    leave the persisted frame stale (pre-read epoch stamp), mirroring
+    the view-cache and index-artifact races fixed after ADVICE r6."""
+    import inputlayer_spark.engine as eng_mod
+    from inputlayer_spark.engine import IQLEngine
+    from inputlayer_spark.subplan import SHARED_PREFIX
+
+    a = IQLEngine(spark)
+    a.execute(
+        """
+        +e[(1, 10)]
+        +g[(10, 100)]
+        +u(X, Z) <- e(X, Y), g(Y, Z)
+        +w(X, Z) <- e(X, Y), g(Y, Z), Z > 0
+        """
+    )
+    b = IQLEngine(spark)
+    b.kgs = a.kgs
+    b.current = a.current
+
+    real = eng_mod.evaluate_scc
+    fired = []
+
+    def racy(scc, rules, resolver, hnsw_resolver, base_of=None):
+        out = real(scc, rules, resolver, hnsw_resolver, base_of=base_of)
+        if scc[0].startswith(SHARED_PREFIX) and not fired:
+            fired.append(True)
+            a.execute("+e(2, 10)")  # foreign write mid-build
+        return out
+
+    monkeypatch.setattr(eng_mod, "evaluate_scc", racy)
+    first = rows(b.query("?u(X, Z)"))
+    monkeypatch.undo()
+    assert fired, "race hook never fired"
+    assert first == [(1, 100)]  # consistent pre-write snapshot
+    # the shared frame must be stamped PRE-write → next query rebuilds
+    assert rows(b.query("?u(X, Z)")) == [(1, 100), (2, 100)]
+
+
 # --------------------------------------------------- max_query_cost
 
 
