@@ -1,0 +1,187 @@
+"""Randomized differential testing of whole Datalog programs.
+
+Random stratified programs (multi-clause heads, linear recursion, safe
+negation over lower strata, comparison filters) are evaluated by the
+engine — with subplan sharing ON and OFF — and checked tuple-for-tuple
+against a naive pure-Python fixpoint oracle. This is the program-level
+analogue of the reference's property suites: it fuzzes exactly the
+composition surface (join order, stratified execution, fixpoint
+termination, CSE rewrites) where unit tests pin single shapes.
+
+Generator invariants keep every program inside well-defined engine
+semantics: head and negated/comparison variables are bound by positive
+atoms (safety), negation only references strictly earlier heads or base
+relations (stratified by construction), every recursive head keeps a
+non-recursive exit clause (the reference's persistent-recursion quirk),
+integers only, no wildcards, no boolean constants."""
+
+import random
+
+from inputlayer_spark.engine import IQLEngine
+from tests.conftest import rows
+
+DOMAIN = range(7)
+VARS = ["X", "Y", "Z", "W"]
+
+
+def _gen_program(rng):
+    """Returns (base_extents, rules) where rules are
+    (head, head_vars, body) and body literals are
+    ('atom', rel, terms, negated) | ('cmp', op, var, var_or_const)."""
+    base = {}
+    for b in ("b0", "b1"):
+        n = rng.randrange(6, 15)
+        base[b] = sorted(
+            {(rng.choice(DOMAIN), rng.choice(DOMAIN)) for _ in range(n)}
+        )
+    rules = []
+    heads = []
+    for hi in range(3):
+        head = f"p{hi}"
+        n_clauses = rng.randrange(1, 3)
+        recursive = rng.random() < 0.5
+        for ci in range(n_clauses + (1 if recursive else 0)):
+            is_rec = recursive and ci == n_clauses  # last clause recurses
+            n_atoms = rng.randrange(2, 4)
+            body = []
+            for ai in range(n_atoms):
+                if is_rec and ai == n_atoms - 1:
+                    rel = head
+                else:
+                    rel = rng.choice(["b0", "b1"] + heads)
+                terms = (rng.choice(VARS), rng.choice(VARS))
+                body.append(("atom", rel, terms, False))
+            bound = {v for lit in body for v in lit[2]}
+            if len(bound) < 2:  # head needs two distinct bound vars
+                body[0] = ("atom", body[0][1], ("X", "Y"), False)
+                bound = {v for lit in body for v in lit[2]}
+            # optional safe negation over a base rel or an EARLIER head
+            if rng.random() < 0.4:
+                rel = rng.choice(["b0", "b1"] + heads)
+                terms = tuple(rng.choice(sorted(bound)) for _ in range(2))
+                body.append(("atom", rel, terms, True))
+            # optional comparison filter over bound vars
+            if rng.random() < 0.5:
+                v = rng.choice(sorted(bound))
+                if rng.random() < 0.5:
+                    body.append(("cmp", rng.choice(["<", ">="]), v,
+                                 rng.choice(DOMAIN)))
+                else:
+                    w = rng.choice(sorted(bound))
+                    body.append(("cmp", "!=", v, w))
+            hv = rng.sample(sorted(bound), 2)
+            rules.append((head, tuple(hv), tuple(body)))
+        heads.append(head)
+    return base, rules
+
+
+def _to_iql(base, rules):
+    out = []
+    for rel, tups in base.items():
+        out.append(f"+{rel}[{', '.join(f'({a}, {b})' for a, b in tups)}]")
+    for head, hv, body in rules:
+        lits = []
+        for lit in body:
+            if lit[0] == "atom":
+                _, rel, terms, neg = lit
+                lits.append(f"{'!' if neg else ''}{rel}({terms[0]}, {terms[1]})")
+            else:
+                _, op, left, right = lit
+                lits.append(f"{left} {op} {right}")
+        out.append(f"+{head}({hv[0]}, {hv[1]}) <- {', '.join(lits)}")
+    return "\n".join(out)
+
+
+def _oracle(base, rules):
+    """Naive stratified fixpoint: heads are defined in order and only
+    negate strictly earlier relations, so evaluate p0, p1, p2 each to
+    fixpoint over the finalized lower strata."""
+    db = {rel: set(tups) for rel, tups in base.items()}
+
+    def eval_body(body, env, k, out):
+        if k == len(body):
+            out.append(dict(env))
+            return
+        lit = body[k]
+        if lit[0] == "atom":
+            _, rel, terms, neg = lit
+            if neg:
+                vals = tuple(env[t] for t in terms)  # vars bound by safety
+                if vals not in db.get(rel, set()):
+                    eval_body(body, env, k + 1, out)
+                return
+            for tup in db.get(rel, set()):
+                bind = {}
+                ok = True
+                for t, v in zip(terms, tup):
+                    have = env.get(t, bind.get(t))
+                    if have is None:
+                        bind[t] = v
+                    elif have != v:
+                        ok = False
+                        break
+                if ok:
+                    env.update(bind)
+                    eval_body(body, env, k + 1, out)
+                    for t in bind:
+                        del env[t]
+        else:
+            _, op, left, right = lit
+            lv = env[left]
+            rv = env[right] if isinstance(right, str) else right
+            if (op == "<" and lv < rv) or (op == ">=" and lv >= rv) or (
+                op == "!=" and lv != rv
+            ):
+                eval_body(body, env, k + 1, out)
+
+    for head in ("p0", "p1", "p2"):
+        db.setdefault(head, set())
+        clauses = [r for r in rules if r[0] == head]
+        while True:
+            new = set()
+            for _, hv, body in clauses:
+                envs = []
+                eval_body(body, {}, 0, envs)
+                for env in envs:
+                    new.add((env[hv[0]], env[hv[1]]))
+            if new <= db[head]:
+                break
+            db[head] |= new
+    return db
+
+
+def test_random_programs_match_naive_oracle(spark):
+    rng = random.Random(1337)
+    for trial in range(5):
+        base, rules = _gen_program(rng)
+        program = _to_iql(base, rules)
+        want = _oracle(base, rules)
+        for sharing in (True, False):
+            eng = IQLEngine(spark)
+            eng.enable_subplan_sharing = sharing
+            eng.execute(program)
+            for head in ("p0", "p1", "p2"):
+                got = {tuple(r) for r in eng.query(f"?{head}(A, B)").collect()}
+                assert got == want[head], (
+                    f"trial {trial} head {head} sharing={sharing}\n{program}"
+                )
+
+
+def test_random_programs_count_aggregate_matches_oracle(spark):
+    """count<V> over a random body = |distinct full-body bindings| per
+    group in the oracle — the multiplicity semantics subplan sharing
+    must preserve (exports carry the full binding set for agg heads)."""
+    rng = random.Random(99)
+    for trial in range(3):
+        base, rules = _gen_program(rng)
+        program = _to_iql(base, rules)
+        want = _oracle(base, rules)
+        eng = IQLEngine(spark)
+        eng.execute(program)
+        # group p2 by first column, count bindings of the second
+        eng.execute("+cnt(A, count<B>) <- p2(A, B)")
+        got = {tuple(r) for r in eng.query("?cnt(A, N)").collect()}
+        exp = {}
+        for a, b in want["p2"]:
+            exp[a] = exp.get(a, 0) + 1
+        assert got == {(a, n) for a, n in exp.items()}, f"trial {trial}"
