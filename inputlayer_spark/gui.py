@@ -61,12 +61,26 @@ def _js_rules() -> list:
     return out
 
 
+def _completion_words() -> dict:
+    """Completion vocabulary, single-sourced from the tokenizer: meta
+    commands expanded from the grammar patterns, builtins + aggregates
+    from the same alternation lists the highlighter matches."""
+    from inputlayer_spark.syntax import _AGGREGATES, _BUILTINS, meta_commands
+
+    return {
+        "meta": meta_commands(),
+        "ident": sorted(set(_BUILTINS.split("|")) | set(_AGGREGATES.split("|"))),
+    }
+
+
 def render_console() -> str:
     rules = json.dumps(_js_rules())
     colors = json.dumps({k.value: v for k, v in _COLORS.items() if v})
+    words = json.dumps(_completion_words())
     return (
         _PAGE.replace("__TOKEN_RULES__", rules)
         .replace("__TOKEN_COLORS__", colors)
+        .replace("__COMPLETION_WORDS__", words)
     )
 
 
@@ -132,6 +146,14 @@ main { display: flex; flex-direction: column; overflow: hidden; }
   position: relative; background: transparent; color: transparent;
   caret-color: var(--fg); resize: vertical; outline: none; display: block;
 }
+#suggest { display: flex; gap: 6px; margin: 4px 12px 0; min-height: 22px; flex-wrap: wrap; }
+.chip {
+  background: #21262d; border: 1px solid var(--border); color: var(--accent);
+  border-radius: 10px; padding: 1px 10px; cursor: pointer;
+  font: 12px ui-monospace, monospace;
+}
+.chip:first-child { border-color: var(--accent); }
+.chip:hover { background: #30363d; }
 #bar { display: flex; gap: 8px; align-items: center; margin: 8px 12px; }
 button {
   background: #238636; color: #fff; border: 0; border-radius: 6px;
@@ -197,8 +219,9 @@ th { background: #21262d; color: var(--accent); font-weight: 600; }
   <div id="editor-wrap">
     <pre id="hl" aria-hidden="true"></pre>
     <textarea id="q" spellcheck="false"
-      placeholder="?relation(X, Y)   —   Ctrl/Cmd-Enter runs"></textarea>
+      placeholder="?relation(X, Y)   —   Ctrl/Cmd-Enter runs, Tab completes"></textarea>
   </div>
+  <div id="suggest"></div>
   <div id="bar">
     <button id="run">Run ▷</button>
     <button id="clear" class="ghost">Clear</button>
@@ -231,6 +254,55 @@ function tokenize(text) {
   return toks;
 }
 const esc = s => s.replace(/&/g, "&amp;").replace(/</g, "&lt;");
+
+/* --- completion (reference gui autocomplete-popup) --- */
+const WORDS = __COMPLETION_WORDS__;
+let RELS = [];
+// __COMPLETE_FN_START__ (extracted and node-tested in tests/test_gui.py)
+function complete(before, words, relations) {
+  const line = before.slice(before.lastIndexOf("\n") + 1);
+  if (/^\s*\./.test(line)) {
+    const frag = line.trimStart();
+    return words.meta
+      .filter(w => w.startsWith(frag) && w !== frag)
+      .slice(0, 8)
+      .map(w => ({show: w, insert: w.slice(frag.length)}));
+  }
+  const m = /[a-z_][A-Za-z0-9_]*$/.exec(line);
+  if (!m || m[0].length < 2) return [];
+  const frag = m[0];
+  const seen = new Set();
+  const out = [];
+  for (const w of relations.concat(words.ident)) {
+    if (w.startsWith(frag) && w !== frag && !seen.has(w)) {
+      seen.add(w);
+      out.push({show: w, insert: w.slice(frag.length)});
+      if (out.length >= 8) break;
+    }
+  }
+  return out;
+}
+// __COMPLETE_FN_END__
+let suggestions = [];
+function accept(i) {
+  if (!suggestions[i]) return;
+  const q = $("q");
+  const pos = q.selectionStart;
+  q.value = q.value.slice(0, pos) + suggestions[i].insert + q.value.slice(pos);
+  q.selectionStart = q.selectionEnd = pos + suggestions[i].insert.length;
+  q.focus(); highlight(); renderSuggest();
+}
+function renderSuggest() {
+  const q = $("q");
+  suggestions = complete(q.value.slice(0, q.selectionStart), WORDS, RELS);
+  const bar = $("suggest"); bar.innerHTML = "";
+  suggestions.forEach((s, i) => {
+    const c = document.createElement("span");
+    c.className = "chip"; c.textContent = s.show;
+    c.onmousedown = ev => { ev.preventDefault(); accept(i); };
+    bar.appendChild(c);
+  });
+}
 function highlight() {
   const text = $("q").value;
   let html = "";
@@ -332,6 +404,7 @@ async function run() {
 async function loadSidebar() {
   try {
     const [rels] = await query(".rel list");
+    RELS = rels.rows.map(r => String(r[0]));
     const ul = $("rels"); ul.innerHTML = "";
     rels.rows.forEach(r => {
       const li = document.createElement("li");
@@ -382,10 +455,12 @@ function connectWS() {
 }
 
 /* --- wiring --- */
-$("q").addEventListener("input", highlight);
+$("q").addEventListener("input", () => { highlight(); renderSuggest(); });
 $("q").addEventListener("scroll", () => { $("hl").scrollTop = $("q").scrollTop; });
 $("q").addEventListener("keydown", ev => {
   if ((ev.ctrlKey || ev.metaKey) && ev.key === "Enter") { ev.preventDefault(); run(); }
+  else if (ev.key === "Tab" && suggestions.length) { ev.preventDefault(); accept(0); }
+  else if (ev.key === "Escape") { suggestions = []; $("suggest").innerHTML = ""; }
 });
 $("run").onclick = run;
 $("clear").onclick = () => { $("q").value = ""; highlight(); $("out").innerHTML = ""; };

@@ -105,18 +105,35 @@ _BUILTINS = "|".join(
 # Meta commands with fused subcommand (the reference highlights
 # `.kg create` as ONE span). The reference grammar lags its own command
 # set; ours covers the engine's full surface (.why/.debug/.agent/...).
-_META = "|".join(
-    (
-        r"\.kg(?: (?:create|list|use|drop|acl))?",
-        r"\.rel",
-        r"\.rule(?: (?:list|drop|remove|def|clear|edit))?",
-        r"\.session(?: (?:clear|drop))?",
-        r"\.index(?: (?:list|create|drop|stats|rebuild))?",
-        r"\.why_not", r"\.why", r"\.debug", r"\.agent", r"\.load",
-        r"\.compact", r"\.status", r"\.clear", r"\.user", r"\.apikey",
-        r"\.help", r"\.quit", r"\.exit", r"\.\?", r"\.q",
-    )
+_META_PARTS = (
+    r"\.kg(?: (?:create|list|use|drop|acl))?",
+    r"\.rel",
+    r"\.rule(?: (?:list|drop|remove|def|clear|edit))?",
+    r"\.session(?: (?:clear|drop))?",
+    r"\.index(?: (?:list|create|drop|stats|rebuild))?",
+    r"\.why_not", r"\.why", r"\.debug", r"\.agent", r"\.load",
+    r"\.compact", r"\.status", r"\.clear", r"\.user", r"\.apikey",
+    r"\.help", r"\.quit", r"\.exit", r"\.\?", r"\.q",
 )
+_META = "|".join(_META_PARTS)
+
+
+def meta_commands() -> List[str]:
+    """Concrete meta-command words expanded from the tokenizer patterns
+    (single source with highlighting) — feeds the console's completion
+    list. `.kg(?: (?:create|...))?` → [".kg", ".kg create", ...]."""
+    words: List[str] = []
+    for p in _META_PARTS:
+        m = re.fullmatch(
+            r"\\\.([a-z_?\\]+)(?:\(\?: \(\?:([a-z|]+)\)\)\?)?", p
+        )
+        if m is None:
+            continue
+        base = "." + m.group(1).replace("\\", "")
+        words.append(base)
+        if m.group(2):
+            words.extend(f"{base} {sub}" for sub in m.group(2).split("|"))
+    return words
 
 # Ordered choice — mirror of iql.pest's `token` rule, most specific
 # first. Each pattern is match()-anchored at the scan position.

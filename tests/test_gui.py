@@ -131,6 +131,46 @@ console.log(JSON.stringify(toks));
     assert json.loads(out.stdout) == py
 
 
+@pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
+def test_completion_function():
+    """Extract the page's complete() (marker-delimited) and drive it
+    under node: meta-command expansion, builtin/relation prefixes,
+    dedupe, the 8-entry cap, and the no-fragment cases."""
+    from inputlayer_spark.gui import _completion_words
+
+    html = render_console()
+    start = html.index("// __COMPLETE_FN_START__")
+    end = html.index("// __COMPLETE_FN_END__")
+    fn = html[start:end]
+    words = json.dumps(_completion_words())
+    script = f"""
+{fn}
+const WORDS = {words};
+const RELS = ["customers", "custom_rules", "orders"];
+const out = [];
+out.push(complete(".kg ", WORDS, RELS).map(s => s.show));
+out.push(complete("?path(X, Y), cos", WORDS, RELS).map(s => s.show));
+out.push(complete("cust", WORDS, RELS).map(s => s.insert));
+out.push(complete("c", WORDS, RELS).length);        // 1 char: no popup
+out.push(complete("?p(X)", WORDS, RELS).length);     // no fragment
+out.push(complete("ti", WORDS, RELS).length);        // cap at 8
+console.log(JSON.stringify(out));
+"""
+    out = json.loads(
+        subprocess.run(
+            ["node", "-e", script], capture_output=True, text=True, check=True
+        ).stdout
+    )
+    assert out[0][:3] == [".kg acl", ".kg create", ".kg drop"] or set(
+        [".kg create", ".kg use", ".kg drop", ".kg list", ".kg acl"]
+    ) == set(out[0])
+    # "cos" itself is a builtin but equal to the fragment → excluded
+    assert "cosine" in out[1] and "cosine_int8" in out[1] and "cos" not in out[1]
+    assert set(out[2]) == {"omers", "om_rules"}  # relation completions
+    assert out[3] == 0 and out[4] == 0
+    assert out[5] <= 8
+
+
 def test_render_console_is_deterministic():
     assert render_console() == render_console()
     assert len(render_console()) > 5000
