@@ -64,6 +64,10 @@ QUERIES = [
     "agg_pricing_summary",
     "topk_per_group",
     "antijoin",
+    # subplan sharing (CSE): two rules over one persisted customer⋈nation
+    # view — the shared-view build is the scaling part, the second
+    # consumer rides the InMemoryRelation at every SF
+    "shared_subplan",
     # recursion (VERDICT r4 Missing #1: the sweep must cover the
     # reference's headline). The graphs derive from orders, so edge
     # count grows with SF; transitive_closure_large exceeds the 100k
