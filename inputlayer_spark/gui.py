@@ -332,6 +332,81 @@ async function query(program) {
   return body.results || [];
 }
 
+/* --- graph view (reference gui/app/graph): 2-column results render
+   as a node-link diagram under a deterministic force layout --- */
+// __LAYOUT_FN_START__ (extracted and node-tested in tests/test_gui.py)
+function layoutGraph(edges, w, h, iters) {
+  const ids = [];
+  const idx = new Map();
+  for (const [a, b] of edges) {
+    for (const v of [String(a), String(b)]) {
+      if (!idx.has(v)) { idx.set(v, ids.length); ids.push(v); }
+    }
+  }
+  const n = ids.length;
+  const px = new Array(n), py = new Array(n);
+  for (let i = 0; i < n; i++) {  // deterministic ring init
+    const ang = (2 * Math.PI * i) / n;
+    px[i] = w / 2 + (w / 3) * Math.cos(ang);
+    py[i] = h / 2 + (h / 3) * Math.sin(ang);
+  }
+  const es = edges.map(([a, b]) => [idx.get(String(a)), idx.get(String(b))]);
+  const kRep = (w * h) / Math.max(n, 1) / 50;
+  for (let it = 0; it < iters; it++) {
+    const fx = new Array(n).fill(0), fy = new Array(n).fill(0);
+    for (let i = 0; i < n; i++) {
+      for (let j = i + 1; j < n; j++) {
+        let dx = px[i] - px[j], dy = py[i] - py[j];
+        const d2 = dx * dx + dy * dy + 0.01;
+        const f = kRep / d2;
+        dx *= f; dy *= f;
+        fx[i] += dx; fy[i] += dy; fx[j] -= dx; fy[j] -= dy;
+      }
+    }
+    for (const [a, b] of es) {
+      if (a === b) continue;
+      const dx = px[b] - px[a], dy = py[b] - py[a];
+      fx[a] += dx * 0.1; fy[a] += dy * 0.1;
+      fx[b] -= dx * 0.1; fy[b] -= dy * 0.1;
+    }
+    const damp = 1 - it / iters;
+    for (let i = 0; i < n; i++) {
+      px[i] += Math.max(-8, Math.min(8, fx[i])) * damp;
+      py[i] += Math.max(-8, Math.min(8, fy[i])) * damp;
+      px[i] = Math.max(14, Math.min(w - 14, px[i]));
+      py[i] = Math.max(14, Math.min(h - 14, py[i]));
+    }
+  }
+  return {ids, x: px, y: py, edges: es};
+}
+// __LAYOUT_FN_END__
+function drawGraph(canvas, edges) {
+  const ctx = canvas.getContext("2d");
+  const w = canvas.width, h = canvas.height;
+  const g = layoutGraph(edges.slice(0, 400), w, h, 150);
+  ctx.clearRect(0, 0, w, h);
+  ctx.strokeStyle = "#30363d";
+  for (const [a, b] of g.edges) {
+    ctx.beginPath();
+    ctx.moveTo(g.x[a], g.y[a]); ctx.lineTo(g.x[b], g.y[b]); ctx.stroke();
+    const dx = g.x[b] - g.x[a], dy = g.y[b] - g.y[a];
+    const len = Math.hypot(dx, dy) || 1;
+    const tx = g.x[b] - (dx / len) * 12, ty = g.y[b] - (dy / len) * 12;
+    ctx.beginPath();  // arrowhead
+    ctx.moveTo(tx - dy / len * 3, ty + dx / len * 3);
+    ctx.lineTo(g.x[b] - (dx / len) * 6, g.y[b] - (dy / len) * 6);
+    ctx.lineTo(tx + dy / len * 3, ty - dx / len * 3);
+    ctx.stroke();
+  }
+  ctx.font = "10px ui-monospace, monospace";
+  for (let i = 0; i < g.ids.length; i++) {
+    ctx.fillStyle = "#58a6ff";
+    ctx.beginPath(); ctx.arc(g.x[i], g.y[i], 5, 0, 7); ctx.fill();
+    ctx.fillStyle = "#e6edf3";
+    ctx.fillText(g.ids[i].slice(0, 12), g.x[i] + 7, g.y[i] + 3);
+  }
+}
+
 /* --- results rendering --- */
 const MAX_ROWS = 500;
 function renderResults(results, secs) {
@@ -342,6 +417,23 @@ function renderResults(results, secs) {
     const meta = document.createElement("div"); meta.className = "meta";
     meta.textContent = `${n} row${n === 1 ? "" : "s"}` +
       (n > MAX_ROWS ? ` (showing first ${MAX_ROWS})` : "");
+    if (res.columns.length === 2 && n > 0 && n <= 400) {
+      const gb = document.createElement("a");
+      gb.textContent = " · graph";
+      gb.style.cssText = "cursor:pointer;color:var(--accent)";
+      gb.onclick = () => {
+        let cv = div.querySelector("canvas");
+        if (cv) { cv.remove(); return; }
+        cv = document.createElement("canvas");
+        cv.width = 640; cv.height = 420;
+        cv.style.cssText =
+          "background:var(--panel);border:1px solid var(--border);" +
+          "border-radius:8px;margin-top:6px;display:block";
+        div.appendChild(cv);
+        drawGraph(cv, res.rows);
+      };
+      meta.appendChild(gb);
+    }
     div.appendChild(meta);
     const t = document.createElement("table");
     const hr = t.insertRow();

@@ -171,6 +171,43 @@ console.log(JSON.stringify(out));
     assert out[5] <= 8
 
 
+@pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
+def test_graph_layout_function():
+    """Extract layoutGraph() and check the force layout's invariants
+    under node: all positions inside the canvas, deterministic across
+    runs, and adjacent nodes end up closer than non-adjacent ones on a
+    chain (the property that makes the picture readable)."""
+    html = render_console()
+    start = html.index("// __LAYOUT_FN_START__")
+    end = html.index("// __LAYOUT_FN_END__")
+    fn = html[start:end]
+    script = f"""
+{fn}
+const edges = [[1, 2], [2, 3], [3, 4], [4, 5]];
+const a = layoutGraph(edges, 640, 420, 150);
+const b = layoutGraph(edges, 640, 420, 150);
+const d = (g, u, v) => {{
+  const i = g.ids.indexOf(String(u)), j = g.ids.indexOf(String(v));
+  return Math.hypot(g.x[i] - g.x[j], g.y[i] - g.y[j]);
+}};
+console.log(JSON.stringify({{
+  n: a.ids.length,
+  inBounds: a.x.every(v => v >= 0 && v <= 640) &&
+            a.y.every(v => v >= 0 && v <= 420),
+  deterministic: JSON.stringify(a) === JSON.stringify(b),
+  chainLocal: d(a, 1, 2) < d(a, 1, 4) && d(a, 4, 5) < d(a, 1, 5),
+}}));
+"""
+    out = json.loads(
+        subprocess.run(
+            ["node", "-e", script], capture_output=True, text=True, check=True
+        ).stdout
+    )
+    assert out == {
+        "n": 5, "inBounds": True, "deterministic": True, "chainLocal": True
+    }
+
+
 def test_render_console_is_deterministic():
     assert render_console() == render_console()
     assert len(render_console()) > 5000
