@@ -196,6 +196,11 @@ def scan_atom(atom: Atom, resolve: Resolver, bool_consts_nop: bool = False) -> D
 
 # ------------------------------------------------------------ body
 
+# config [optimization] enable_join_planning: process-wide because
+# compile_body is engine-free; disabling keeps literal body order
+# (cross products included) for plan debugging
+JOIN_PLANNING_ENABLED = True
+
 
 def compile_body(
     body: Sequence,
@@ -246,7 +251,7 @@ def compile_body(
     # (e.g. same-generation's `edge(A,X), edge(B,Y), sg(A,B)`: edge ×
     # edge is |E|² rows; reordered it is two equi-joins). Inner joins
     # commute, so results are identical.
-    if len(atoms) > 2:
+    if len(atoms) > 2 and JOIN_PLANNING_ENABLED:
 
         def _avars(a: Atom) -> set:
             return {

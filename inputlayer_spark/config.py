@@ -31,26 +31,29 @@ class ConfigError(ValueError):
 
 @dataclass
 class PersistenceConfig:
-    format: str = "parquet"  # relation save format: parquet|csv|json|orc
-    compression: str = "snappy"  # parquet codec passed to the writer
-    auto_save_interval: int = 0  # seconds between checkpoint()s; 0 = manual
-    enable_wal: bool = True  # statement WAL under storage.data_dir
+    # snapshot format for save_kg / `.compact` generations
+    format: str = "parquet"  # parquet|csv|json|orc
+    compression: str = "snappy"  # parquet codec (engine.persist_compression)
+    auto_save_interval: int = 0  # server: secs between checkpoint()s; 0=manual
+    enable_wal: bool = True  # False: entrypoints skip wal_dir (no durability)
 
 
 @dataclass
 class StorageConfig:
     data_dir: str = "data"  # engine wal_dir (WAL + snapshots + shards)
-    default_knowledge_graph: str = "default"
-    auto_create_knowledge_graphs: bool = False  # `.kg use` creates missing
-    max_knowledge_graphs: int = 100  # 0 = unlimited
+    default_knowledge_graph: str = "default"  # created+used at startup
+    auto_create_knowledge_graphs: bool = False  # False: `.kg use` missing errors
+    max_knowledge_graphs: int = 100  # `.kg create` cap (engine.max_kgs); 0=∞
     persistence: PersistenceConfig = field(default_factory=PersistenceConfig)
 
 
 @dataclass
 class OptimizationConfig:
     # bound recursive queries rewrite to seeded frontier evaluation
+    # (engine.enable_magic_sets; off = full fixpoint + filter)
     enable_magic_sets: bool = True
-    # greedy left-deep body join ordering in compile_body
+    # greedy left-deep body join ordering (compiler.JOIN_PLANNING_ENABLED;
+    # off = literal body order, cross products included)
     enable_join_planning: bool = True
     # hoist join pairs shared by ≥2 rules into persisted shared views
     # (engine.enable_subplan_sharing; reference src/subplan_sharing/)
@@ -60,7 +63,7 @@ class OptimizationConfig:
 @dataclass
 class LoggingConfig:
     level: str = "warn"  # spark log level: error|warn|info|debug
-    format: str = "text"
+    format: str = "text"  # text | json (server startup/log lines)
 
 
 @dataclass
@@ -68,7 +71,9 @@ class PerformanceConfig:
     num_threads: int = 0  # local[N] cores; 0 = SPARK_GRAFT_CPUS / all
     shuffle_partitions: int = 0  # spark.sql.shuffle.partitions; 0 = default
     max_result_rows: int = 0  # REPL/server row window; 0 = unlimited
-    query_timeout_ms: int = 0  # 0 = no timeout
+    # server /query watchdog: Spark job group cancelled at the deadline,
+    # client gets 408 (QueryServer.query_timeout_ms). 0 = no timeout
+    query_timeout_ms: int = 0
     # reject queries whose structural cost estimate exceeds this
     # (engine.max_query_cost; reference lib.rs:1604 check #47). 0 = off
     max_query_cost: int = 0
@@ -78,6 +83,7 @@ class PerformanceConfig:
 class AuthConfig:
     credentials_file: Optional[str] = None  # AuthStore JSON path
     bootstrap_admin_password: Optional[str] = None
+    # idle session-engine eviction window on the server; 0 = keep forever
     session_timeout_secs: int = 86400
 
 

@@ -183,6 +183,22 @@ class IQLEngine:
         # (reference #47, src/lib.rs:1604-1625 + ir/mod.rs estimate_cost;
         # config [performance] max_query_cost). 0 = unlimited.
         self.max_query_cost = 0
+        # `.kg use` on a missing KG creates it (the golden-corpus
+        # behavior). config storage.auto_create_knowledge_graphs=false
+        # switches to the reference's production default: error instead
+        self.auto_create_kgs = True
+        # bound recursive queries rewrite to demand-seeded evaluation;
+        # config [optimization] enable_magic_sets=false falls back to
+        # full-fixpoint-then-filter (note: also disables the reference's
+        # exit-less bound-recursion quirk, which lives on the magic path)
+        self.enable_magic_sets = True
+        # cap on .kg create when > 0 (config storage.max_knowledge_graphs)
+        self.max_kgs = 0
+        # snapshot format/codec for save_kg / `.compact` generations
+        # (config storage.persistence.format/compression; reference
+        # persistence options parquet|csv|json + snappy|gzip|none)
+        self.persist_format = "parquet"
+        self.persist_compression = "snappy"
         # server-attached AuthStore for `.kg acl` commands (per-KG ACLs,
         # reference auth.rs layer 2); None outside a server context
         self.auth_store = None
@@ -1227,9 +1243,22 @@ class IQLEngine:
         from inputlayer_spark.printer import rule_to_iql
 
         os.makedirs(f"{path}/relations", exist_ok=True)
+        fmt = self.persist_format
         for name, df in self.current.relations.items():
-            df.write.mode("overwrite").parquet(f"{path}/relations/{name}.parquet")
+            w = df.write.mode("overwrite")
+            target = f"{path}/relations/{name}.{fmt}"
+            if fmt == "parquet":
+                w.option("compression", self.persist_compression).parquet(target)
+            elif fmt == "csv":
+                w.option("header", True).csv(target)
+            elif fmt == "json":
+                w.json(target)
+            elif fmt == "orc":
+                w.orc(target)
+            else:
+                raise CompileError(f"unsupported persistence format {fmt!r}")
         catalog = {
+            "format": fmt,
             "name": self.current.name,
             "rules": [rule_to_iql(r) for r in self.current.rules],
             "schemas": {
@@ -1260,9 +1289,20 @@ class IQLEngine:
         self.current.schemas.clear()
         self.current.indexes.clear()
         self._derived_cache.clear()
-        for p in glob.glob(f"{path}/relations/*.parquet"):
-            name = os.path.basename(p)[: -len(".parquet")]
-            self.current.relations[name] = self.spark.read.parquet(p)
+        fmt = catalog.get("format", "parquet")
+        for p in glob.glob(f"{path}/relations/*.{fmt}"):
+            name = os.path.basename(p)[: -len(f".{fmt}")]
+            if fmt == "parquet":
+                df = self.spark.read.parquet(p)
+            elif fmt == "csv":
+                df = self.spark.read.option("header", True).option(
+                    "inferSchema", True
+                ).csv(p)
+            elif fmt == "json":
+                df = self.spark.read.json(p)
+            else:
+                df = self.spark.read.orc(p)
+            self.current.relations[name] = df
         for rule_text in catalog.get("rules", []):
             self.execute(rule_text)
         for rel, fields in catalog.get("schemas", {}).items():
@@ -2325,6 +2365,8 @@ class IQLEngine:
         query over a recursive predicate, evaluate a demand-rewritten
         program instead of the full fixpoint. Returns the adorned goal
         relation (positional columns) or None to fall back."""
+        if not self.enable_magic_sets:
+            return None
         rules = self._all_rules()
         heads = {r.head.relation for r in rules}
         if goal.relation not in heads:
@@ -3023,8 +3065,22 @@ class IQLEngine:
                 return None
             sub = args[0]
             if sub == "create" and len(args) > 1:
+                if (
+                    args[1] not in self.kgs
+                    and self.max_kgs > 0
+                    and len(self.kgs) >= self.max_kgs
+                ):
+                    raise CompileError(
+                        f"Cannot create knowledge graph '{args[1]}': "
+                        f"max_knowledge_graphs ({self.max_kgs}) reached"
+                    )
                 self.kgs.setdefault(args[1], KnowledgeGraph(args[1]))
             elif sub == "use" and len(args) > 1:
+                if args[1] not in self.kgs and not self.auto_create_kgs:
+                    raise CompileError(
+                        f"Knowledge graph '{args[1]}' does not exist "
+                        "(auto_create_knowledge_graphs is disabled)"
+                    )
                 self.current = self.kgs.setdefault(args[1], KnowledgeGraph(args[1]))
                 # session overlays are per-KG-connection: switching clears
                 # them (examples/iql/04_session/02_session_facts.iql)

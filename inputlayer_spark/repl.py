@@ -321,10 +321,19 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     cfg = None
     if args.config:
+        import os
+
         from inputlayer_spark.config import Config
 
         cfg = Config.from_file(args.config)
-        args.wal_dir = args.wal_dir or (cfg.storage.data_dir or None)
+        if cfg.performance.num_threads > 0:
+            os.environ["SPARK_GRAFT_CPUS"] = str(cfg.performance.num_threads)
+        if cfg.performance.shuffle_partitions > 0:
+            os.environ["SPARK_GRAFT_SHUFFLE"] = str(
+                cfg.performance.shuffle_partitions
+            )
+        if cfg.storage.persistence.enable_wal:
+            args.wal_dir = args.wal_dir or (cfg.storage.data_dir or None)
         if args.kg is None and cfg.storage.default_knowledge_graph != "default":
             args.kg = cfg.storage.default_knowledge_graph
         if cfg.performance.max_result_rows:
@@ -356,6 +365,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             engine.enable_subplan_sharing = (
                 cfg.optimization.enable_subplan_sharing
             )
+            engine.auto_create_kgs = cfg.storage.auto_create_knowledge_graphs
+            engine.enable_magic_sets = cfg.optimization.enable_magic_sets
+            engine.max_kgs = cfg.storage.max_knowledge_graphs
+            engine.persist_format = cfg.storage.persistence.format
+            engine.persist_compression = cfg.storage.persistence.compression
+            if not cfg.optimization.enable_join_planning:
+                from inputlayer_spark import compiler as _compiler
+
+                _compiler.JOIN_PLANNING_ENABLED = False
     if args.kg:
         engine.execute(f".kg create {args.kg}\n.kg use {args.kg}")
 

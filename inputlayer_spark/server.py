@@ -121,16 +121,35 @@ def _ws_frame(opcode: int, payload: bytes) -> bytes:
 class QueryServer:
     """Holds one shared engine plus per-session overlay engines."""
 
-    def __init__(self, spark, host: str = "127.0.0.1", port: int = 0, auth=None):
+    def __init__(
+        self,
+        spark,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        auth=None,
+        query_timeout_ms: int = 0,
+    ):
         """`auth`: optional `inputlayer_spark.auth.AuthStore`. When set,
         every endpoint except `/health` requires a valid API key
         (`Authorization: Bearer <key>` or `X-API-Key`), and statements
         are authorized against the key's global role before execution
-        (reference src/auth.rs layer-1 authorization)."""
+        (reference src/auth.rs layer-1 authorization).
+
+        `query_timeout_ms` (config performance.query_timeout_ms): when
+        > 0, each /query request runs under its own Spark job group and
+        a watchdog cancels the group at the deadline — the client gets
+        408 instead of holding the writer lock forever."""
         self.spark = spark
         self.engine = IQLEngine(spark)
         self.sessions: Dict[str, IQLEngine] = {}
         self.auth = auth
+        self.query_timeout_ms = query_timeout_ms
+        # idle session-engine eviction (config http.auth.
+        # session_timeout_secs): overlays of a session nobody has
+        # touched for the window are dropped so a long-lived server
+        # doesn't accumulate dead per-session engines. 0 = keep forever
+        self.session_timeout_secs = 0
+        self._session_last_use: Dict[str, float] = {}
         # `.kg acl grant/revoke/list` run through the engine but mutate
         # the server's AuthStore (reference stores ACLs in an internal
         # KG, handler.rs:1695-1810; ours live with the credentials)
@@ -478,25 +497,84 @@ class QueryServer:
                 if ident is None:
                     self._send(401, {"error": "invalid or missing API key"})
                     return
+                timed_out = threading.Event()
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
                     q = req.get("query", "")
                     engine = outer._engine_for(req.get("session"))
+                    watchdog = None
                     with outer._lock:
                         grants = self._authorize_program(ident, engine, q)
                         engine.auth_identity = ident
+                        timed = False
+                        if outer.query_timeout_ms > 0:
+                            # the watchdog times READ-ONLY programs only:
+                            # cancelling a mutation mid-flight could leave
+                            # partially applied state, and the reference's
+                            # knob is a QUERY timeout
+                            from inputlayer_spark.ast_nodes import (
+                                Query as _Query,
+                            )
+                            from inputlayer_spark.parser import parse_program
+
+                            timed = all(
+                                isinstance(st, _Query)
+                                for st in parse_program(q).statements
+                            )
+                        if timed:
+                            # the watchdog cancels ALL jobs at the
+                            # deadline. This is exactly request-scoped
+                            # here because outer._lock serializes every
+                            # engine.execute — the timed request is the
+                            # only job source while it runs. (Job-group
+                            # cancellation would be narrower, but py4j's
+                            # unpinned thread pool scatters thread-local
+                            # job groups across JVM threads, making
+                            # setJobGroup/cancelJobGroup unreliable.)
+                            done = threading.Event()
+
+                            def _watch():
+                                if done.wait(outer.query_timeout_ms / 1000.0):
+                                    return
+                                timed_out.set()
+                                # cancel REPEATEDLY until the handler
+                                # acknowledges: a multi-stage query keeps
+                                # submitting fresh jobs after a one-shot
+                                # cancel, which would sail past the
+                                # deadline untouched
+                                while not done.wait(0.25):
+                                    outer.spark.sparkContext.cancelAllJobs()
+
+                            watchdog = threading.Thread(
+                                target=_watch, daemon=True
+                            )
+                            watchdog.start()
                         try:
                             results = engine.execute(q)
+                            payload = {
+                                "results": [_df_payload(df) for df in results]
+                            }
                         finally:
+                            if watchdog is not None:
+                                done.set()
+                                watchdog.join(timeout=2)
                             engine.auth_identity = None
                             self._apply_creator_grants(ident, grants, engine)
-                        payload = {"results": [_df_payload(df) for df in results]}
                     self._send(200, payload)
                 except PermissionError as exc:
                     self._send(403, {"error": str(exc)})
                 except Exception as exc:  # noqa: BLE001 — wire errors back
-                    self._send(400, {"error": str(exc)})
+                    if timed_out.is_set():
+                        self._send(
+                            408,
+                            {
+                                "error": "query timed out after "
+                                f"{outer.query_timeout_ms}ms"
+                            },
+                        )
+                    else:
+                        self._send(400, {"error": str(exc)})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
@@ -508,7 +586,18 @@ class QueryServer:
         the reference's snapshot-overlay semantics."""
         if not session_id:
             return self.engine
+        import time as _time
+
         with self._lock:
+            now = _time.monotonic()
+            if self.session_timeout_secs > 0:
+                for sid, last in list(self._session_last_use.items()):
+                    if sid != session_id and (
+                        now - last > self.session_timeout_secs
+                    ):
+                        self.sessions.pop(sid, None)
+                        self._session_last_use.pop(sid, None)
+            self._session_last_use[session_id] = now
             eng = self.sessions.get(session_id)
             if eng is None:
                 eng = IQLEngine(self.spark)
@@ -551,6 +640,22 @@ def main(argv=None) -> int:
 
     cfg = Config.from_file(args.config) if args.config else Config.load()
 
+    if not cfg.http.enabled:
+        print("http.enabled = false — server disabled by config")
+        return 1
+
+    import os
+
+    # performance.num_threads / shuffle_partitions feed the session
+    # factory's env knobs (local[N] + spark.sql.shuffle.partitions);
+    # must land before the SparkSession is built
+    if cfg.performance.num_threads > 0:
+        os.environ["SPARK_GRAFT_CPUS"] = str(cfg.performance.num_threads)
+    if cfg.performance.shuffle_partitions > 0:
+        os.environ["SPARK_GRAFT_SHUFFLE"] = str(
+            cfg.performance.shuffle_partitions
+        )
+
     from inputlayer_spark.session import get_spark
 
     spark = get_spark("inputlayer-server")
@@ -572,19 +677,67 @@ def main(argv=None) -> int:
         host=args.host or cfg.http.host,
         port=args.port if args.port is not None else cfg.http.port,
         auth=auth,
+        query_timeout_ms=cfg.performance.query_timeout_ms,
     )
+    srv.session_timeout_secs = cfg.http.auth.session_timeout_secs
     wal_dir = args.wal_dir or cfg.storage.data_dir
-    if wal_dir:
+    if wal_dir and cfg.storage.persistence.enable_wal:
         # rebuild the shared engine durably rooted at data_dir
         srv.engine = IQLEngine(spark, wal_dir=wal_dir)
         srv.engine.auth_store = auth
     srv.engine.max_query_cost = cfg.performance.max_query_cost
     srv.engine.enable_subplan_sharing = cfg.optimization.enable_subplan_sharing
+    srv.engine.enable_magic_sets = cfg.optimization.enable_magic_sets
+    srv.engine.auto_create_kgs = cfg.storage.auto_create_knowledge_graphs
+    srv.engine.max_kgs = cfg.storage.max_knowledge_graphs
+    srv.engine.persist_format = cfg.storage.persistence.format
+    srv.engine.persist_compression = cfg.storage.persistence.compression
+    if not cfg.optimization.enable_join_planning:
+        from inputlayer_spark import compiler as _compiler
+
+        _compiler.JOIN_PLANNING_ENABLED = False
+    if cfg.storage.default_knowledge_graph != "default":
+        srv.engine.execute(
+            f".kg create {cfg.storage.default_knowledge_graph}\n"
+            f".kg use {cfg.storage.default_knowledge_graph}"
+        )
+    # storage.persistence.auto_save_interval: periodic `.compact`
+    # checkpoints under the writer lock (reference auto-save loop)
+    if (
+        cfg.storage.persistence.auto_save_interval > 0
+        and srv.engine.wal_dir
+    ):
+        import threading as _threading
+
+        def _auto_save():
+            while True:
+                _time.sleep(cfg.storage.persistence.auto_save_interval)
+                try:
+                    with srv._lock:
+                        srv.engine.checkpoint()
+                except Exception:
+                    pass  # next tick retries; compaction is best-effort
+
+        import time as _time
+
+        _threading.Thread(target=_auto_save, daemon=True).start()
     srv.start()
-    print(
-        "inputlayer-spark server on "
-        f"http://{srv._httpd.server_address[0]}:{srv.port}"
-    )
+    if cfg.logging.format == "json":
+        print(
+            json.dumps(
+                {
+                    "event": "server_started",
+                    "host": srv._httpd.server_address[0],
+                    "port": srv.port,
+                    "data_dir": srv.engine.wal_dir,
+                }
+            )
+        )
+    else:
+        print(
+            "inputlayer-spark server on "
+            f"http://{srv._httpd.server_address[0]}:{srv.port}"
+        )
     try:
         srv._thread.join()
     except KeyboardInterrupt:

@@ -2,6 +2,10 @@
 toml + local overrides + INPUTLAYER_* env with `__` nesting,
 deny-unknown-fields, type validation)."""
 
+import json
+import urllib.error
+import urllib.request
+
 import pytest
 
 from inputlayer_spark.config import Config, ConfigError
@@ -111,3 +115,128 @@ def test_server_main_config_wiring(spark, tmp_path):
         assert os.path.isdir(f"{tmp_path}/kgdata")
     finally:
         srv.stop()
+
+
+def test_auto_create_and_max_kgs_bindings(spark):
+    """storage.auto_create_knowledge_graphs=false → `.kg use` on a
+    missing KG errors (the reference's production default);
+    storage.max_knowledge_graphs caps `.kg create`."""
+    import pytest
+
+    from inputlayer_spark.compiler import CompileError
+    from inputlayer_spark.engine import IQLEngine
+
+    eng = IQLEngine(spark)
+    eng.auto_create_kgs = False
+    with pytest.raises(CompileError, match="does not exist"):
+        eng.execute(".kg use nope")
+    eng.execute(".kg create yes\n.kg use yes")  # create-then-use still fine
+    eng.max_kgs = 2  # default + yes already exist
+    with pytest.raises(CompileError, match="max_knowledge_graphs"):
+        eng.execute(".kg create third")
+    eng.execute(".kg create yes")  # existing name: idempotent, not capped
+
+
+def test_persistence_format_binding(spark, tmp_path):
+    """storage.persistence.format drives save_kg/.compact snapshots; the
+    catalog records the format so load_kg reads it back regardless of
+    the loader engine's own setting."""
+    from inputlayer_spark.engine import IQLEngine
+
+    eng = IQLEngine(spark)
+    eng.persist_format = "json"
+    eng.execute('+fmt_rel[(1, "a"), (2, "b")]')
+    eng.save_kg(str(tmp_path / "snap"))
+    assert (tmp_path / "snap" / "relations" / "fmt_rel.json").is_dir()
+
+    eng2 = IQLEngine(spark)  # default parquet loader reads the catalog
+    eng2.load_kg(str(tmp_path / "snap"))
+    got = sorted(tuple(r) for r in eng2.query("?fmt_rel(X, Y)").collect())
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_magic_sets_and_join_planning_toggles(spark):
+    """Disabling either optimization must not change answers — magic
+    falls back to full-fixpoint-then-filter, join planning to literal
+    body order."""
+    from inputlayer_spark import compiler
+    from inputlayer_spark.engine import IQLEngine
+
+    prog = (
+        "+edge[(1, 2), (2, 3), (3, 4)]\n"
+        "+reach(X, Y) <- edge(X, Y)\n"
+        "+reach(X, Z) <- edge(X, Y), reach(Y, Z)"
+    )
+    eng = IQLEngine(spark)
+    eng.execute(prog)
+    want = sorted(tuple(r) for r in eng.query("?reach(1, Y)").collect())
+
+    eng2 = IQLEngine(spark)
+    eng2.enable_magic_sets = False
+    eng2.execute(prog)
+    assert sorted(tuple(r) for r in eng2.query("?reach(1, Y)").collect()) == want
+
+    try:
+        compiler.JOIN_PLANNING_ENABLED = False
+        eng3 = IQLEngine(spark)
+        eng3.execute(
+            "+e[(1, 10), (2, 20)]\n+f[(10, 7)]\n"
+            "+sg(A, C, B) <- e(A, X), e(B, Y), f(X, C)"
+        )
+        got = sorted(tuple(r) for r in eng3.query("?sg(A, C, B)").collect())
+        assert got == [(1, 7, 1), (1, 7, 2)]
+    finally:
+        compiler.JOIN_PLANNING_ENABLED = True
+
+
+def test_query_timeout_returns_408(spark):
+    """performance.query_timeout_ms: the /query watchdog cancels the
+    request's Spark job group at the deadline and the client gets 408;
+    subsequent fast queries still succeed."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from inputlayer_spark.server import QueryServer
+
+    srv = QueryServer(spark, query_timeout_ms=600)
+    big = spark.range(0, 5000).select(F.col("id").alias("c0"))
+    srv.engine.register("big_a", big)
+    srv.engine.register("big_b", big)
+    srv.engine.execute("+cross(A, B) <- big_a(A), big_b(B)")
+    srv.start()
+    try:
+        # a RULE registration is a mutation — untimed by design; the
+        # read-only query over the 25M-row cross product gets the watchdog
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/query",
+            data=json.dumps({"query": "?cross(A, B)"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=120)
+        assert e.value.code == 408
+        assert "timed out" in json.loads(e.value.read())["error"]
+        # the server (and its writer lock) survive the cancellation
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/query",
+            data=json.dumps({"query": "+ok(1)\n?ok(X)"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req2, timeout=120) as resp:
+            assert json.loads(resp.read())["results"][0]["rows"] == [[1]]
+    finally:
+        srv.stop()
+
+
+def test_session_engine_idle_eviction(spark):
+    """http.auth.session_timeout_secs: session engines idle past the
+    window are evicted (their overlays drop); active ones survive."""
+    from inputlayer_spark.server import QueryServer
+
+    srv = QueryServer(spark)
+    srv.session_timeout_secs = 1
+    a = srv._engine_for("sess-a")
+    assert srv._engine_for("sess-a") is a  # stable while fresh
+    srv._session_last_use["sess-a"] -= 5  # age it past the window
+    srv._engine_for("sess-b")  # any other access sweeps
+    assert "sess-a" not in srv.sessions
