@@ -39,6 +39,9 @@ def main() -> None:
         "agg_pricing_summary",
         "topk_per_group",
         "antijoin",
+        # subplan sharing (CSE): two rules over one persisted shared
+        # view — tracks the hoist+persist+reuse cost round-over-round
+        "shared_subplan",
         "transitive_closure",
         # the reference's full-TC anchor workload (BENCHMARKS.md:108,
         # 10.49s for 2k nodes/4k edges/~1M pairs), FORCED onto the

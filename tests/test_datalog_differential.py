@@ -167,6 +167,32 @@ def test_random_programs_match_naive_oracle(spark):
                 )
 
 
+def test_random_programs_grouped_aggregates_match_oracle(spark):
+    """sum/min/max<B> grouped by A over a random derived head — the
+    engine's aggregate semantics (dedupe the full binding set, then
+    reduce) against the oracle's set-based groups."""
+    rng = random.Random(7)
+    for trial in range(2):
+        base, rules = _gen_program(rng)
+        program = _to_iql(base, rules)
+        want = _oracle(base, rules)
+        eng = IQLEngine(spark)
+        eng.execute(program)
+        eng.execute(
+            "+agg_s(A, sum<B>) <- p1(A, B)\n"
+            "+agg_mn(A, min<B>) <- p1(A, B)\n"
+            "+agg_mx(A, max<B>) <- p1(A, B)"
+        )
+        groups: dict = {}
+        for a, b in want["p1"]:
+            groups.setdefault(a, []).append(b)
+        for head, red in (("agg_s", sum), ("agg_mn", min), ("agg_mx", max)):
+            got = {tuple(r) for r in eng.query(f"?{head}(A, V)").collect()}
+            assert got == {(a, red(bs)) for a, bs in groups.items()}, (
+                f"trial {trial} {head}\n{program}"
+            )
+
+
 def test_random_programs_count_aggregate_matches_oracle(spark):
     """count<V> over a random body = |distinct full-body bindings| per
     group in the oracle — the multiplicity semantics subplan sharing
