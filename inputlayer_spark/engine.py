@@ -3367,6 +3367,13 @@ class IQLEngine:
                 ("persistent_rules", str(len(self.current.rules))),
                 ("session_rules", str(len(self.session_rules))),
                 ("indexes", str(len(self.current.indexes))),
+                # optimizer / limit knobs (config-bound engine state)
+                ("magic_sets", str(self.enable_magic_sets).lower()),
+                ("subplan_sharing", str(self.enable_subplan_sharing).lower()),
+                ("shared_views", str(len(self._shared_frames))),
+                ("max_query_cost", str(self.max_query_cost)),
+                ("persist_format", self.persist_format),
+                ("durable", str(bool(self.wal_dir)).lower()),
             ]
             return self.spark.createDataFrame(rows, schema="key string, value string")
         elif cmd == "debug":

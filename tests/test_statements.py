@@ -98,6 +98,10 @@ def test_status(eng):
     eng.execute("+p[(1)]")
     st = {r["key"]: r["value"] for r in eng.execute(".status")[0].collect()}
     assert st["relations"] == "1"
+    # config-bound engine state is reported
+    assert st["subplan_sharing"] == "true" and st["magic_sets"] == "true"
+    assert st["max_query_cost"] == "0" and st["persist_format"] == "parquet"
+    assert st["durable"] == "false"
 
 
 def test_debug_plan(eng):
