@@ -1195,6 +1195,24 @@ def q_hash_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_train_val_test_split(spark, sf_dir):
+    """Deterministic 98/1/1 train/val/test assignment by seeded content
+    hash (operators/sampling.py assign_splits): leakage-safe — a doc can
+    never migrate between train and eval across runs, retries, or
+    incremental appends. Expression-only, no shuffle before the
+    verification rollup."""
+    from inputlayer_spark.operators.sampling import assign_splits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = assign_splits(
+        docs, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01}, seed=11
+    )
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Quality-weighted Bernoulli subsampling (operators/sampling.py
     weighted_sample): keep each document with probability equal to a
@@ -1659,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_signal": q_compression_signal,
         "image_probe": q_image_probe,
         "hash_sample": q_hash_sample,
+        "train_val_test_split": q_train_val_test_split,
         "weighted_sample": q_weighted_sample,
         "cap_per_group": q_cap_per_group,
         "chunk_documents": q_chunk_documents,
@@ -2147,6 +2166,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             "WHERE (('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),"
             " 1, 8))::BIGINT % 10000) < 1000"
+        ),
+        "train_val_test_split": (
+            "SELECT split, count(*) AS n_docs, sum(length(text)) AS total_chars "
+            "FROM (SELECT text, CASE "
+            "WHEN b < 9800 THEN 'train' WHEN b < 9900 THEN 'val' "
+            "ELSE 'test' END AS split FROM ("
+            "SELECT text, (('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)),"
+            " 1, 8))::BIGINT % 10000) AS b FROM documents)) GROUP BY split"
         ),
         "weighted_sample": (
             "SELECT doc_id, least(1.0::DOUBLE, length(text)::DOUBLE / 2000.0)"

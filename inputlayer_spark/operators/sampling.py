@@ -44,6 +44,43 @@ def hash_sample(
     return df.filter(bucket < int(round(fraction * 10_000)))
 
 
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    ratios: dict,
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the seeded content hash
+    of `key_col` lands in one of 10,000 buckets; cumulative `ratios`
+    slices (e.g. {"train": .98, "val": .01, "test": .01}) carve the
+    bucket range. Same key + seed → same split on any engine, any run,
+    any cluster size — the property leakage-safe dataset splits need
+    (rand() reassigns rows on task retry; a row must never migrate
+    between train and eval). Expression-only: no shuffle, no UDF; the
+    assignment survives repartitioning and incremental appends."""
+    total = sum(ratios.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split ratios must sum to 1, got {total}")
+    bucket = (
+        TX.seeded_md5_long32(F.col(key_col).cast("string"), seed) % 10_000
+    )
+    expr = None
+    acc = 0.0
+    names = list(ratios)
+    for name in names[:-1]:
+        acc += ratios[name]
+        cond = bucket < int(round(acc * 10_000))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
 def cap_per_group(
     df: DataFrame,
     key_col: str,

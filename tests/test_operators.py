@@ -1305,3 +1305,36 @@ def test_keep_canonical_survivor_selection(spark):
     # custom quality column: invert the preference
     out2 = keep_canonical(docs, clusters, quality=-F.length("text"))
     assert sorted(r["doc_id"] for r in out2.collect()) == [1, 3, 5]
+
+
+def test_assign_splits_deterministic_partition(spark):
+    """assign_splits: covers every row exactly once, is a pure function
+    of (key, seed) — stable across repartitioning — and rejects ratio
+    sets that don't sum to 1 (operators/sampling.py)."""
+    import pytest
+
+    from inputlayer_spark.operators.sampling import assign_splits
+
+    df = spark.range(0, 2000).select(F.col("id").cast("string").alias("k"))
+    ratios = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_splits(df, "k", ratios, seed=3)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # total cover, no drops/dupes
+    assert set(counts) == {"train", "val", "test"}
+    assert 1400 < counts["train"] < 1800  # hash-uniform, not exact
+    # purity: same assignment regardless of physical layout
+    a = {r["k"]: r["split"] for r in out.collect()}
+    b = {
+        r["k"]: r["split"]
+        for r in assign_splits(df.repartition(13), "k", ratios, seed=3).collect()
+    }
+    assert a == b
+    # a different seed reshuffles membership
+    c = {
+        r["k"]: r["split"]
+        for r in assign_splits(df, "k", ratios, seed=4).collect()
+    }
+    assert a != c
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(df, "k", {"train": 0.5, "val": 0.1})
