@@ -1109,6 +1109,21 @@ class IQLEngine:
         self.session_facts.setdefault(relation, []).append(tuple(values))
         self._invalidate(relation)
 
+    def _discard_session_overlay(self) -> None:
+        """Drop all session-scoped facts and rules, invalidating every
+        derivation they fed. Overlay mutations bump head_epoch on the
+        way IN (add_session_fact → _invalidate); clears must do the same
+        on the way OUT, or epoch-stamped shared-subplan frames (whose
+        stamps track only base head_epochs) keep serving the cleared
+        overlay from their persisted InMemoryRelation."""
+        affected = set(self.session_facts)
+        affected.update(r.head.relation for r in self.session_rules)
+        self.session_rules.clear()
+        self.session_facts.clear()
+        self._derived_cache.clear()
+        for rel in sorted(affected):
+            self._invalidate(rel)
+
     # ------------------------------------------------------------ IO
 
     def load_csv(self, relation: str, path: str, header: bool = True) -> None:
@@ -3081,11 +3096,14 @@ class IQLEngine:
                         f"Knowledge graph '{args[1]}' does not exist "
                         "(auto_create_knowledge_graphs is disabled)"
                     )
-                self.current = self.kgs.setdefault(args[1], KnowledgeGraph(args[1]))
                 # session overlays are per-KG-connection: switching clears
-                # them (examples/iql/04_session/02_session_facts.iql)
-                self.session_rules.clear()
-                self.session_facts.clear()
+                # them (examples/iql/04_session/02_session_facts.iql).
+                # Discard BEFORE reassigning current — the invalidation
+                # must bump the epochs of the KG the overlay applied to,
+                # or its shared-subplan frames stay stale for a later
+                # switch back
+                self._discard_session_overlay()
+                self.current = self.kgs.setdefault(args[1], KnowledgeGraph(args[1]))
                 self._derived_cache.clear()
             elif sub == "drop" and len(args) > 1:
                 dropped = self.kgs.pop(args[1], None)
@@ -3125,7 +3143,10 @@ class IQLEngine:
                     self.current = self.kgs.setdefault("default", KnowledgeGraph("default"))
                     # dropping the current KG is a namespace switch like
                     # `kg use`: stale derivations and session overlays from
-                    # the dropped KG must not leak into the new current KG
+                    # the dropped KG must not leak into the new current KG.
+                    # Plain clears suffice here — the overlays applied to
+                    # the dropped namespace, whose shared frames were just
+                    # unpersisted above
                     self.session_rules.clear()
                     self.session_facts.clear()
                     self._derived_cache.clear()
@@ -3553,9 +3574,7 @@ class IQLEngine:
                         self._index_frame(args[1])
         elif cmd == "session":
             if args and args[0] == "clear":
-                self.session_rules.clear()
-                self.session_facts.clear()
-                self._derived_cache.clear()
+                self._discard_session_overlay()
             elif args and args[0] == "drop" and len(args) > 1:
                 # `.session drop <n>` removes the n-th session rule
                 # (1-based); out-of-bounds is a no-op message, index < 1
@@ -3571,14 +3590,16 @@ class IQLEngine:
                             "(1-based indexing)"
                         )
                     if idx <= len(self.session_rules):
-                        self.session_rules.pop(idx - 1)
+                        gone = self.session_rules.pop(idx - 1)
                         self._derived_cache.clear()
+                        self._invalidate(gone.head.relation)
                 else:
                     self.session_rules = [
                         r for r in self.session_rules if r.head.relation != tgt
                     ]
                     self.session_facts.pop(tgt, None)
                     self._derived_cache.clear()
+                    self._invalidate(tgt)
             elif args and args[0] == "list":
                 from inputlayer_spark.printer import rule_to_iql
 
@@ -3608,9 +3629,7 @@ class IQLEngine:
                         self.session_facts.pop(name, None)
                         self._invalidate(name)
             else:
-                self.session_rules.clear()
-                self.session_facts.clear()
-                self._derived_cache.clear()
+                self._discard_session_overlay()
         elif cmd == "compact":
             # snapshot + truncate the statement log (reference WAL
             # compaction, src/storage/persist/wal.rs); no-op without a

@@ -352,3 +352,62 @@ def test_engine_enforces_max_query_cost(engine):
         engine.query("?path(X, Y)")
     engine.max_query_cost = 0
     assert len(rows(engine.query("?path(X, Y)"))) == 3
+
+
+# --------------------------------------- session overlays vs shared frames
+# ADVICE r7 (high): `.session clear` / `.kg use` / `.session drop` cleared
+# session_facts but left _shared_frames epoch-stamps matching, so queries
+# kept returning cleared session facts from the persisted view.
+
+
+def test_session_clear_invalidates_shared_frames(engine):
+    _setup_shared(engine)
+    baseline = rows(engine.query("?hop_tagged(X, N)"))
+    engine.add_session_fact("label", 4, "d")
+    assert (3, "d") in rows(engine.query("?hop_tagged(X, N)"))
+    engine.execute(".session clear")
+    assert rows(engine.query("?hop_tagged(X, N)")) == baseline
+
+
+def test_clear_command_invalidates_shared_frames(engine):
+    _setup_shared(engine)
+    baseline = rows(engine.query("?hop_tagged(X, N)"))
+    engine.add_session_fact("label", 4, "d")
+    engine.query("?hop_tagged(X, N)")  # bake overlay into the shared frame
+    engine.execute(".clear")
+    assert rows(engine.query("?hop_tagged(X, N)")) == baseline
+
+
+def test_session_drop_by_name_invalidates_shared_frames(engine):
+    _setup_shared(engine)
+    baseline = rows(engine.query("?hop_tagged(X, N)"))
+    engine.add_session_fact("label", 4, "d")
+    engine.query("?hop_tagged(X, N)")
+    engine.execute(".session drop label")
+    assert rows(engine.query("?hop_tagged(X, N)")) == baseline
+
+
+def test_kg_use_roundtrip_invalidates_shared_frames(engine):
+    # overlay applies to KG A; switch A→B→A must not revive the overlay
+    _setup_shared(engine)
+    baseline = rows(engine.query("?hop_tagged(X, N)"))
+    engine.add_session_fact("label", 4, "d")
+    engine.query("?hop_tagged(X, N)")
+    engine.execute(".kg create other\n.kg use other\n.kg use default")
+    assert rows(engine.query("?hop_tagged(X, N)")) == baseline
+
+
+def test_session_rule_feeding_shared_view_clears(engine):
+    # session RULE head consumed by two persistent rules → shared view
+    # scans it; dropping the session rule must rebuild the view
+    engine.execute(
+        """
+        +edge[(1, 2), (2, 3)]
+        +via_a(X, Z) <- edge(X, Y), extra(Y, Z)
+        +via_b(X, Z) <- edge(X, Y), extra(Y, Z)
+        """
+    )
+    engine.execute("extra(Y, Z) <- edge(Y, Z)")  # session rule (no `+`)
+    assert rows(engine.query("?via_a(X, Z)")) == [(1, 3)]
+    engine.execute(".session clear")
+    assert rows(engine.query("?via_a(X, Z)")) == []
