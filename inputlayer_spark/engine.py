@@ -1259,6 +1259,18 @@ class IQLEngine:
 
         os.makedirs(f"{path}/relations", exist_ok=True)
         fmt = self.persist_format
+        if fmt == "csv":
+            # fail BEFORE any file is written: Spark's CSV writer throws
+            # on array columns mid-write, which would leave a torn
+            # snapshot (some relations written, catalog absent)
+            for name, df in self.current.relations.items():
+                for f in df.schema.fields:
+                    if isinstance(f.dataType, T.ArrayType):
+                        raise CompileError(
+                            f"csv persistence cannot store array/vector "
+                            f"column {name}.{f.name}; use parquet "
+                            "(storage.persist_format)"
+                        )
         for name, df in self.current.relations.items():
             w = df.write.mode("overwrite")
             target = f"{path}/relations/{name}.{fmt}"
@@ -1279,6 +1291,17 @@ class IQLEngine:
             "schemas": {
                 rel: [(f.name, f.dataType.simpleString()) for f in sch.fields]
                 for rel, sch in self.current.schemas.items()
+            },
+            # per-relation column ORDER + types for every relation (not
+            # just declared schemas): IQL atoms bind positionally, and
+            # spark.read.json infers fields alphabetically while CSV
+            # inferSchema drifts types — loading re-applies this exactly
+            "columns": {
+                name: [
+                    (f.name, f.dataType.simpleString())
+                    for f in df.schema.fields
+                ]
+                for name, df in self.current.relations.items()
             },
             "indexes": self.current.indexes,
             # empty-relation declarations (+rel[]) are catalog state:
@@ -1305,18 +1328,45 @@ class IQLEngine:
         self.current.indexes.clear()
         self._derived_cache.clear()
         fmt = catalog.get("format", "parquet")
+        columns = catalog.get("columns", {})
         for p in glob.glob(f"{path}/relations/*.{fmt}"):
             name = os.path.basename(p)[: -len(f".{fmt}")]
+            saved = columns.get(name)
+            schema = (
+                T.StructType(
+                    [T.StructField(n, _parse_dtype(t), True) for n, t in saved]
+                )
+                if saved
+                else None
+            )
             if fmt == "parquet":
                 df = self.spark.read.parquet(p)
             elif fmt == "csv":
-                df = self.spark.read.option("header", True).option(
-                    "inferSchema", True
-                ).csv(p)
+                # explicit schema (enforceSchema default) maps the CSV
+                # columns POSITIONALLY in the writer's order = saved
+                # order — no inferSchema type drift
+                r = self.spark.read.option("header", True)
+                df = (
+                    r.schema(schema).csv(p)
+                    if schema is not None
+                    else r.option("inferSchema", True).csv(p)
+                )
             elif fmt == "json":
-                df = self.spark.read.json(p)
+                # explicit schema maps JSON fields BY NAME in the saved
+                # order — spark.read.json's inference sorts field names
+                # alphabetically, silently permuting positional bindings
+                df = (
+                    self.spark.read.schema(schema).json(p)
+                    if schema is not None
+                    else self.spark.read.json(p)
+                )
             else:
                 df = self.spark.read.orc(p)
+            if schema is not None and [f.name for f in df.schema.fields] != [
+                n for n, _ in saved
+            ]:
+                # parquet/orc keep their own schema; realign defensively
+                df = df.select(*[n for n, _ in saved])
             self.current.relations[name] = df
         for rule_text in catalog.get("rules", []):
             self.execute(rule_text)

@@ -482,3 +482,42 @@ def test_non_owner_engine_builds_shards_outside_shared_root(spark, tmp_path):
     assert not b._hnsw_shard_dir("idx").startswith(shared)
     a.close()
     b.close()
+
+
+def test_save_load_kg_json_preserves_column_order(eng, tmp_path):
+    # ADVICE r7 (medium): spark.read.json infers fields alphabetically,
+    # permuting positional bindings — catalog['columns'] must restore
+    # the writer's order and types exactly
+    eng.persist_format = "json"
+    eng.execute('+t[("x", 1), ("y", 2)]')  # first col sorts AFTER second
+    eng.query("?t(A, B)")
+    eng.save_kg(str(tmp_path / "snap"))
+    eng2 = IQLEngine(eng.spark)
+    eng2.load_kg(str(tmp_path / "snap"))
+    assert _rows(eng2.query("?t(A, B)")) == [("x", 1), ("y", 2)]
+    # types survive too (JSON integers must come back as the saved type)
+    a, b = eng2.current.relations["t"].schema.fields
+    assert (a.dataType.simpleString(), b.dataType.simpleString()) == (
+        eng.current.relations["t"].schema.fields[0].dataType.simpleString(),
+        eng.current.relations["t"].schema.fields[1].dataType.simpleString(),
+    )
+
+
+def test_save_load_kg_csv_types_no_drift(eng, tmp_path):
+    eng.persist_format = "csv"
+    eng.execute('+m[(1, 2.0, "0123")]')  # "0123" would infer as int
+    eng.save_kg(str(tmp_path / "snap"))
+    eng2 = IQLEngine(eng.spark)
+    eng2.load_kg(str(tmp_path / "snap"))
+    assert _rows(eng2.query("?m(A, B, C)")) == [(1, 2.0, "0123")]
+
+
+def test_save_kg_csv_rejects_vector_columns(eng, tmp_path):
+    eng.persist_format = "csv"
+    eng.execute("+v[(1, [0.1, 0.2])]")
+    from inputlayer_spark.compiler import CompileError
+
+    with pytest.raises(CompileError, match="csv persistence cannot store"):
+        eng.save_kg(str(tmp_path / "snap"))
+    # fail-fast: nothing was written (no torn snapshot)
+    assert not (tmp_path / "snap" / "catalog.json").exists()
