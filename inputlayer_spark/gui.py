@@ -525,12 +525,19 @@ async function pollHealth() {
 }
 
 /* --- change notifications over the wire protocol's websocket --- */
-function connectWS() {
+async function connectWS() {
   try {
     const proto = location.protocol === "https:" ? "wss" : "ws";
+    // browsers cannot set headers on a WS handshake: mint a one-time
+    // short-lived ticket over the authenticated POST instead of putting
+    // the long-lived API key in the URL (it would persist in logs)
+    let q = "";
     const k = $("key").value || localStorage.getItem("iql_key") || "";
-    const ws = new WebSocket(
-      `${proto}://${location.host}/ws${k ? "?api_key=" + encodeURIComponent(k) : ""}`);
+    if (k) {
+      const r = await fetch("/ws_ticket", {method: "POST", headers: headers()});
+      if (r.ok) q = "?ticket=" + encodeURIComponent((await r.json()).ticket);
+    }
+    const ws = new WebSocket(`${proto}://${location.host}/ws${q}`);
     ws.onmessage = ev => {
       let msg; try { msg = JSON.parse(ev.data); } catch { return; }
       if (msg.type === "persistent_update" || msg.type === "notification") {

@@ -155,6 +155,20 @@ class QueryServer:
         # KG, handler.rs:1695-1810; ours live with the credentials)
         self.engine.auth_store = auth
         self._lock = threading.Lock()
+        # declare this server as a job source: the timeout watchdog's
+        # cancelAllJobs() is request-scoped ONLY while we are the sole
+        # producer of Spark jobs on the shared context (see
+        # session.register_job_source)
+        from inputlayer_spark.session import register_job_source
+
+        self._job_source = register_job_source(spark, "query-server")
+        # one-time WebSocket handshake tickets (POST /ws_ticket): browsers
+        # cannot set headers on a WS handshake, and a long-lived API key
+        # in the URL query string ends up in access/proxy logs — a
+        # 60-second single-use ticket leaks nothing reusable
+        self._ws_tickets: Dict[str, tuple] = {}
+        self._ws_ticket_lock = threading.Lock()
+        self.ws_ticket_ttl_secs = 60.0
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -184,11 +198,16 @@ class QueryServer:
                         key = bearer[len("Bearer ") :]
                 if not key and "?" in self.path:
                     # browsers cannot attach headers to a WebSocket
-                    # handshake — the console passes ?api_key= instead
+                    # handshake — the console redeems a one-time ticket
+                    # minted via the authenticated POST /ws_ticket. The
+                    # long-lived API key itself is NOT accepted in the
+                    # query string (it would land in access/proxy logs)
                     from urllib.parse import parse_qs, urlsplit
 
                     qs = parse_qs(urlsplit(self.path).query)
-                    key = (qs.get("api_key") or [None])[0]
+                    ticket = (qs.get("ticket") or [None])[0]
+                    if ticket:
+                        return outer._redeem_ws_ticket(ticket)
                 if not key:
                     return None
                 return outer.auth.authenticate_api_key(key)
@@ -490,6 +509,17 @@ class QueryServer:
                     send_json({"type": "error", **tag, "message": str(exc)})
 
             def do_POST(self):
+                if self.path == "/ws_ticket":
+                    # mint a single-use, short-TTL WebSocket handshake
+                    # ticket for the header-authenticated caller
+                    ident = self._identity()
+                    if ident is None:
+                        self._send(
+                            401, {"error": "invalid or missing API key"}
+                        )
+                        return
+                    self._send(200, {"ticket": outer._mint_ws_ticket(ident)})
+                    return
                 if self.path != "/query":
                     self._send(404, {"error": "not found"})
                     return
@@ -538,6 +568,22 @@ class QueryServer:
                                 if done.wait(outer.query_timeout_ms / 1000.0):
                                     return
                                 timed_out.set()
+                                # guard the single-job-source invariant:
+                                # cancelAllJobs() kills EVERY job on the
+                                # shared SparkContext. If another source
+                                # is registered (a streaming maintainer,
+                                # a second server), skip the cancel —
+                                # the request still reports 408 when the
+                                # query eventually finishes, but no
+                                # bystander loses its jobs
+                                from inputlayer_spark.session import (
+                                    sole_job_source,
+                                )
+
+                                if not sole_job_source(
+                                    outer.spark, outer._job_source
+                                ):
+                                    return
                                 # cancel REPEATEDLY until the handler
                                 # acknowledges: a multi-stage query keeps
                                 # submitting fresh jobs after a one-shot
@@ -561,6 +607,18 @@ class QueryServer:
                                 watchdog.join(timeout=2)
                             engine.auth_identity = None
                             self._apply_creator_grants(ident, grants, engine)
+                    if timed_out.is_set():
+                        # the watchdog skipped cancelAllJobs (another job
+                        # source was registered) and the query ran to
+                        # completion past the deadline: report-only 408
+                        self._send(
+                            408,
+                            {
+                                "error": "query timed out after "
+                                f"{outer.query_timeout_ms}ms"
+                            },
+                        )
+                        return
                     self._send(200, payload)
                 except PermissionError as exc:
                     self._send(403, {"error": str(exc)})
@@ -610,6 +668,38 @@ class QueryServer:
                 self.sessions[session_id] = eng
             return eng
 
+    def _mint_ws_ticket(self, identity) -> str:
+        """Single-use WS handshake ticket bound to `identity`, expiring
+        after ws_ticket_ttl_secs (reference concern: ADVICE r7 — API
+        keys in WS URLs persist in access logs)."""
+        import secrets
+        import time
+
+        token = secrets.token_urlsafe(24)
+        now = time.monotonic()
+        with self._ws_ticket_lock:
+            # purge expired tickets so abandoned mints don't accumulate
+            for t in [
+                t for t, (_, exp) in self._ws_tickets.items() if exp < now
+            ]:
+                self._ws_tickets.pop(t, None)
+            self._ws_tickets[token] = (
+                identity,
+                now + self.ws_ticket_ttl_secs,
+            )
+        return token
+
+    def _redeem_ws_ticket(self, token: str):
+        """Consume a ticket: valid at most once, and only before its
+        expiry. Returns the bound identity or None."""
+        import time
+
+        with self._ws_ticket_lock:
+            ent = self._ws_tickets.pop(token, None)
+        if ent is None or ent[1] < time.monotonic():
+            return None
+        return ent[0]
+
     def start(self) -> "QueryServer":
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
@@ -619,6 +709,11 @@ class QueryServer:
         self._httpd.shutdown()
         if self._thread:
             self._thread.join(timeout=5)
+        if self._job_source is not None:
+            from inputlayer_spark.session import unregister_job_source
+
+            unregister_job_source(self.spark, self._job_source)
+            self._job_source = None
 
 
 def main(argv=None) -> int:

@@ -118,15 +118,31 @@ class IncrementalMaintainer:
             writer = writer.trigger(availableNow=True)
         else:
             writer = writer.trigger(processingTime=processing_interval)
+        # streaming micro-batches are an independent job source on the
+        # shared SparkContext: register so a QueryServer watchdog on the
+        # same session won't cancelAllJobs() out from under the stream
+        from inputlayer_spark.session import register_job_source
+
+        self._job_source = register_job_source(
+            self.engine.spark, "incremental-maintainer"
+        )
         self._query = writer.start()
         return self._query
 
     def process_available(self) -> None:
         """Drain all currently-available files and return (sync)."""
         q = self.start(processing_interval=None)
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        finally:
+            self.stop()  # also unregisters the job source
 
     def stop(self) -> None:
         if self._query is not None:
             self._query.stop()
             self._query = None
+        if getattr(self, "_job_source", None) is not None:
+            from inputlayer_spark.session import unregister_job_source
+
+            unregister_job_source(self.engine.spark, self._job_source)
+            self._job_source = None

@@ -240,3 +240,47 @@ def test_session_engine_idle_eviction(spark):
     srv._session_last_use["sess-a"] -= 5  # age it past the window
     srv._engine_for("sess-b")  # any other access sweeps
     assert "sess-a" not in srv.sessions
+
+
+def test_watchdog_skips_cancel_with_second_job_source(spark):
+    """ADVICE r7: cancelAllJobs() kills every job on the shared
+    SparkContext. With a second registered job source the watchdog must
+    NOT cancel — the request degrades to a report-only 408 after the
+    query completes, and the bystander's jobs survive."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from inputlayer_spark.server import QueryServer
+    from inputlayer_spark.session import (
+        register_job_source,
+        sole_job_source,
+        unregister_job_source,
+    )
+
+    srv = QueryServer(spark, query_timeout_ms=400)
+    big = spark.range(0, 3000).select(F.col("id").alias("c0"))
+    srv.engine.register("big_a", big)
+    srv.engine.register("big_b", big)
+    srv.engine.execute("+cross(A, B) <- big_a(A), big_b(B)")
+    other = register_job_source(spark, "bystander-stream")
+    assert not sole_job_source(spark, srv._job_source)
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/query",
+            data=json.dumps({"query": "?cross(A, B)"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        # the 9M-row cross product RUNS TO COMPLETION (no cancel), then
+        # reports the blown deadline as 408
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=300)
+        assert e.value.code == 408
+        # a bystander job submitted right after is untouched (nothing
+        # cancelled it while the watchdog was live)
+        assert spark.range(5).count() == 5
+    finally:
+        srv.stop()
+        unregister_job_source(spark, other)
+    # stop() released the server's registration
+    assert sole_job_source(spark, other)

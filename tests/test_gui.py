@@ -1,5 +1,5 @@
 """Web console (reference gui/): static shell at /, tokenizer-generated
-highlighting, api_key query-param auth for browser WebSockets."""
+highlighting, one-time-ticket auth for browser WebSockets."""
 
 import json
 import shutil
@@ -51,12 +51,16 @@ def test_console_served_without_auth_but_data_gated(spark, tmp_path):
         srv.stop()
 
 
-def test_ws_api_key_query_param(spark, tmp_path):
+def test_ws_ticket_auth(spark, tmp_path):
     """Browsers cannot set headers on a WebSocket handshake — the
-    console authenticates /ws with ?api_key=<key> instead."""
+    console redeems a single-use short-TTL ticket minted via the
+    authenticated POST /ws_ticket. The long-lived API key is NOT
+    accepted in the URL (ADVICE r7: query strings persist in
+    access/proxy logs)."""
     import base64 as b64
     import os
     import socket
+    import urllib.error
 
     from inputlayer_spark.auth import AuthStore
     from inputlayer_spark.server import QueryServer
@@ -82,10 +86,35 @@ def test_ws_api_key_query_param(spark, tmp_path):
         sock.close()
         return buf.split(b"\r\n")[0].decode()
 
+    def mint(headers):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/ws_ticket",
+            data=b"",
+            headers=headers,
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return json.loads(r.read())["ticket"]
+
     try:
         assert "401" in handshake("/ws")  # headerless, keyless → denied
-        assert "101" in handshake(f"/ws?api_key={key}")
-        assert "401" in handshake("/ws?api_key=wrong")
+        # the long-lived key is rejected in the URL
+        assert "401" in handshake(f"/ws?api_key={key}")
+        # minting requires header auth
+        with pytest.raises(urllib.error.HTTPError) as e:
+            mint({})
+        assert e.value.code == 401
+        t = mint({"X-API-Key": key})
+        assert "101" in handshake(f"/ws?ticket={t}")
+        # single-use: the same ticket is dead after one handshake
+        assert "401" in handshake(f"/ws?ticket={t}")
+        assert "401" in handshake("/ws?ticket=forged")
+        # expiry: a ticket past its TTL is rejected
+        t2 = mint({"X-API-Key": key})
+        with srv._ws_ticket_lock:
+            ident, _ = srv._ws_tickets[t2]
+            srv._ws_tickets[t2] = (ident, -1.0)
+        assert "401" in handshake(f"/ws?ticket={t2}")
     finally:
         srv.stop()
 
