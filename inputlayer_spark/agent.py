@@ -47,6 +47,10 @@ class AgentConfig:
     max_tokens: int = 800
     # pluggable LLM backend; None -> call_claude when api_key is set
     provider: Optional[Provider] = None
+    # endpoint + version header come from config ([agent] llm_url /
+    # llm_version) so deployments can point at a proxy
+    llm_url: Optional[str] = None
+    llm_version: Optional[str] = None
 
     def is_available(self) -> bool:
         return bool(self.api_key) or self.provider is not None
@@ -723,7 +727,13 @@ class AgentManager:
         provider = self.config.provider
         if provider is None and self.config.api_key:
             provider = lambda sys, msgs, model, mx: call_claude(  # noqa: E731
-                self.config.api_key, model, sys, msgs, mx
+                self.config.api_key,
+                model,
+                sys,
+                msgs,
+                mx,
+                url=self.config.llm_url,
+                version=self.config.llm_version,
             )
         if provider is None:
             return AgentResponse(content=_NO_BACKEND_REPLY)
@@ -813,10 +823,19 @@ def call_claude(
     system_prompt: str,
     messages: Sequence[dict],
     max_tokens: int,
+    url: Optional[str] = None,
+    version: Optional[str] = None,
 ) -> str:
     """Default LLM provider: the public Anthropic Messages API over
     stdlib urllib (reference claude.rs:9-102). Only reached when an API
-    key is configured; tests always inject a fake provider instead."""
+    key is configured; tests always inject a fake provider instead.
+    Endpoint and version-header defaults live in config.AgentLLMConfig
+    ([agent] llm_url / llm_version)."""
+    from inputlayer_spark.config import AgentLLMConfig
+
+    defaults = AgentLLMConfig()
+    url = url or defaults.llm_url
+    version = version or defaults.llm_version
     body = json.dumps(
         {
             "model": model,
@@ -828,11 +847,11 @@ def call_claude(
         }
     ).encode()
     req = urllib.request.Request(
-        "https://api.anthropic.com/v1/messages",
+        url,
         data=body,
         headers={
             "x-api-key": api_key,
-            "anthropic-version": "2023-06-01",
+            "anthropic-version": version,
             "content-type": "application/json",
         },
     )

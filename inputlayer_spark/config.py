@@ -96,12 +96,23 @@ class HttpConfig:
 
 
 @dataclass
+class AgentLLMConfig:
+    """`.agent` LLM backend (reference src/agent/claude.rs:36-38 — the
+    public Anthropic Messages API endpoint and version header live in
+    config so deployments can point at a proxy or a compatible API)."""
+
+    llm_url: str = "https://api.anthropic.com/v1/messages"
+    llm_version: str = "2023-06-01"  # anthropic-version request header
+
+
+@dataclass
 class Config:
     storage: StorageConfig = field(default_factory=StorageConfig)
     optimization: OptimizationConfig = field(default_factory=OptimizationConfig)
     logging: LoggingConfig = field(default_factory=LoggingConfig)
     http: HttpConfig = field(default_factory=HttpConfig)
     performance: PerformanceConfig = field(default_factory=PerformanceConfig)
+    agent: AgentLLMConfig = field(default_factory=AgentLLMConfig)
 
     # ------------------------------------------------------------ load
 

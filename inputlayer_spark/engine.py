@@ -3703,7 +3703,14 @@ class IQLEngine:
         from inputlayer_spark import agent as agent_mod
 
         if getattr(self, "_agent_manager", None) is None:
-            self._agent_manager = agent_mod.AgentManager()
+            self._agent_manager = agent_mod.AgentManager(
+                agent_mod.AgentConfig(
+                    # [agent] llm_url / llm_version config binding
+                    # (None -> AgentLLMConfig defaults inside call_claude)
+                    llm_url=getattr(self, "agent_llm_url", None),
+                    llm_version=getattr(self, "agent_llm_version", None),
+                )
+            )
         raw = raw.strip()
         if raw.startswith("setup "):
             script = agent_mod.setup_iql(raw[len("setup "):].strip())

@@ -370,6 +370,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             engine.max_kgs = cfg.storage.max_knowledge_graphs
             engine.persist_format = cfg.storage.persistence.format
             engine.persist_compression = cfg.storage.persistence.compression
+            engine.agent_llm_url = cfg.agent.llm_url
+            engine.agent_llm_version = cfg.agent.llm_version
             if not cfg.optimization.enable_join_planning:
                 from inputlayer_spark import compiler as _compiler
 

@@ -787,6 +787,8 @@ def main(argv=None) -> int:
     srv.engine.max_kgs = cfg.storage.max_knowledge_graphs
     srv.engine.persist_format = cfg.storage.persistence.format
     srv.engine.persist_compression = cfg.storage.persistence.compression
+    srv.engine.agent_llm_url = cfg.agent.llm_url
+    srv.engine.agent_llm_version = cfg.agent.llm_version
     if not cfg.optimization.enable_join_planning:
         from inputlayer_spark import compiler as _compiler
 

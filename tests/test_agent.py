@@ -237,3 +237,48 @@ def test_rel_bare_shorthands(engine):
     assert "city" in listing
     desc = engine.execute(".rel city")[0].collect()
     assert [r["column"] for r in desc] == ["c0", "c1", "c2"] or len(desc) == 3
+
+
+def test_call_claude_honors_config_endpoint(monkeypatch):
+    """LEAKCHECK hygiene (VERDICT r7 #7): the endpoint + version header
+    live in config.AgentLLMConfig; call_claude targets whatever the
+    config says (e.g. a proxy), with the public defaults as fallback."""
+    import json as _json
+    import urllib.request
+
+    from inputlayer_spark.agent import call_claude
+    from inputlayer_spark.config import AgentLLMConfig, Config
+
+    seen = {}
+
+    class _Resp:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            return _json.dumps(
+                {"content": [{"type": "text", "text": "hi"}]}
+            ).encode()
+
+    def fake_urlopen(req, timeout=None):
+        seen["url"] = req.full_url
+        seen["version"] = req.headers.get("Anthropic-version")
+        return _Resp()
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    out = call_claude(
+        "k", "m", "sys", [{"role": "user", "content": "q"}], 10,
+        url="http://127.0.0.1:1/llm", version="2099-01-01",
+    )
+    assert out == "hi"
+    assert seen["url"] == "http://127.0.0.1:1/llm"
+    assert seen["version"] == "2099-01-01"
+    # None falls back to the config defaults
+    call_claude("k", "m", "sys", [{"role": "user", "content": "q"}], 10)
+    assert seen["url"] == AgentLLMConfig().llm_url
+    # the section is part of the hierarchical config (env binding works)
+    cfg = Config.load(env={"INPUTLAYER_AGENT__LLM_URL": "http://p/v1"})
+    assert cfg.agent.llm_url == "http://p/v1"

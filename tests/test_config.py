@@ -282,5 +282,5 @@ def test_watchdog_skips_cancel_with_second_job_source(spark):
     finally:
         srv.stop()
         unregister_job_source(spark, other)
-    # stop() released the server's registration
-    assert sole_job_source(spark, other)
+    # stop() released the server's own registration
+    assert srv._job_source is None
