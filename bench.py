@@ -213,9 +213,13 @@ def main() -> None:
     # (recursion.dred_retract) through the same materialized closure —
     # reference retraction re-query 602 ms-1.13 s (BENCHMARKS.md:67-71).
     best = None
-    for cycle in range(2):
+    for cycle in range(3):
         # ~49 avg out-degree: each pass deletes a handful of node-3
-        # edges (real overdelete cones), widening per cycle
+        # edges (real overdelete cones), widening per cycle. THREE
+        # passes (not two): this row measured the highest run-to-run
+        # variance of the suite (r8 adjudication: 3.6/4.0/13.6 s across
+        # three clean runs — GC/AQE timing in the DRed rederive loop),
+        # so its min needs the extra sample
         t0 = time.perf_counter()
         eng2.execute(f"-edge(3, S) <- edge(3, S), S < {300 * (cycle + 1)}")
         eng2.query("?reach(X, Y)").count()

@@ -100,6 +100,15 @@ QUERIES = [
     "knn_lsh_selective",
     "hnsw_knn",
     "ivf_knn",
+    # round-7 curation operators (VERDICT r7 #5): plan audits say
+    # scale-safe — one key shuffle (asof, sessionize), md5-key shuffle
+    # + broadcast-anti blocklist (dedup_lines), |groups|-row collect
+    # (rebalance), pure hash expressions (splits) — measure it
+    "asof_join",
+    "sessionize",
+    "dedup_lines",
+    "rebalance_mixture",
+    "train_val_test_split",
 ]
 
 
