@@ -1145,10 +1145,12 @@ def q_doc_fingerprint(spark, sf_dir):
 def q_compression_signal(spark, sf_dir):
     """zlib compressed/raw ratio per document — the classic cheap
     low-entropy/boilerplate filter (functions/text.compression_ratio,
-    Arrow-batched pandas_udf; zlib is not expressible in SQL, so this
-    row gets the driver's rows-only check; determinism and bounds are
-    pinned by tests/test_operators.py instead). Returns the docs a
-    pipeline would KEEP (ratio ≥ 0.25) plus the flagged count."""
+    Arrow-batched pandas_udf; zlib is not expressible in plain SQL, so
+    this row gets the driver's rows-only check — but the repo's parity
+    suite value-checks it end-to-end against the SAME zlib ratio
+    registered as a DuckDB Python UDF,
+    tests/test_oracle_parity.py::test_compression_signal_value_parity).
+    Returns the docs a pipeline would KEEP (ratio ≥ 0.25)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     scored = docs.select(
         "doc_id", TX.compression_ratio(F.col("text")).alias("zratio")

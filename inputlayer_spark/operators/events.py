@@ -60,11 +60,23 @@ def asof_join(
     well-defined (DuckDB's ASOF JOIN has the same caveat).
 
     Output: all `left` columns + `right_ts_alias` + `payload_cols`.
+
+    NULL keys follow SQL equality (DuckDB ASOF JOIN semantics): a NULL
+    left key never matches — including NULL-key right rows — so those
+    left rows keep NULL payloads. (The window partitioning would
+    otherwise group NULL with NULL, a semantic no SQL engine shares.)
     """
     lcols = left.columns
     payload = F.struct(
         F.col(ts_col).alias("__rts"),
         *[F.col(c) for c in payload_cols],
+    )
+    # SQL comparison semantics for NULLs: a NULL-key or NULL-ts right
+    # row can never satisfy `l.k = r.k AND l.ts >= r.ts`; dropping them
+    # up front makes the carry agree (left NULL-ts rows sort first in
+    # the window, before every surviving right row, so they carry NULL)
+    right = right.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
     )
     r = right.select(
         F.col(key_col),

@@ -105,3 +105,39 @@ def test_entry_smoke(spark):
     df = ENTRY.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) == 3
+
+
+def test_compression_signal_value_parity(spark):
+    """VERDICT r7 #3: close the one oracle hole. The driver's DuckDB
+    oracle can't express zlib, but DuckDB supports registered Python
+    UDFs — run the SAME zlib ratio as a DuckDB scalar UDF and compare
+    full values, not just row counts."""
+    import zlib
+
+    name = "compression_signal"
+    sdf = QUERIES[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = _rows([tuple(r) for r in sdf.collect()], scols)
+
+    def zratio(s):
+        if s is None or len(s) == 0:
+            return 1.0
+        raw = s.encode("utf-8", "ignore")
+        return len(zlib.compress(raw, 6)) / len(raw)
+
+    con = _duck()
+    con.create_function(
+        "zratio",
+        zratio,
+        [duckdb.typing.VARCHAR],
+        duckdb.typing.DOUBLE,
+        null_handling="special",
+    )
+    res = con.execute(
+        "SELECT * FROM (SELECT doc_id, zratio(text) AS zratio FROM documents) WHERE zratio >= 0.25"
+    )
+    dcols = [d[0] for d in res.description]
+    drows = _rows(res.fetchall(), dcols)
+    assert sorted(scols) == sorted(dcols), f"columns {scols} vs {dcols}"
+    ok, why = _approx_equal(srows, drows)
+    assert ok, f"{name}: {why}\nspark[:3]={srows[:3]}\nduck[:3]={drows[:3]}"
