@@ -1,0 +1,126 @@
+"""Sample application: seed + query the engine over the wire protocol.
+
+Reference parity: demo/src/index.ts (connect admin client, seed KGs
+from seeds/*.iql, serve) + examples/retail/printer-ink.iql (the
+recommendation walkthrough). Everything here goes through the HTTP
+wire client — no direct engine access — so this doubles as an
+end-to-end smoke of the server + client + engine stack.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SEEDS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "seeds")
+
+
+def parse_statements(content: str) -> list[str]:
+    """Split an .iql seed into executable statements: blank lines
+    separate; `//` comments stripped; multi-line statements (a rule
+    body continuing after `<-` or `,`) are joined — the same scheme the
+    reference seeder uses (demo/src/seeder.ts parseStatements)."""
+    statements: list[str] = []
+    current = ""
+    for line in content.split("\n"):
+        stripped = line.strip()
+        if stripped.startswith("//"):
+            continue
+        stripped = stripped.split("//")[0].rstrip() if '"' not in stripped else stripped
+        if stripped == "":
+            if current.strip():
+                statements.append(current.strip())
+            current = ""
+            continue
+        starts_new = stripped.startswith(("+", ".", "?", "-"))
+        continuing = current.rstrip().endswith(("<-", ","))
+        if starts_new and current.strip() and not continuing:
+            statements.append(current.strip())
+            current = stripped
+        else:
+            current = (current + "\n" + stripped) if current else stripped
+    if current.strip():
+        statements.append(current.strip())
+    return statements
+
+
+def seed(client, path: str) -> int:
+    n = 0
+    with open(path) as fh:
+        for st in parse_statements(fh.read()):
+            client.execute(st)
+            n += 1
+    return n
+
+
+def show(title: str, rs) -> None:
+    print(f"\n== {title}")
+    cols = list(rs.columns)
+    print("   " + " | ".join(cols))
+    for row in rs.to_tuples():
+        print("   " + " | ".join(str(v) for v in row))
+
+
+RANKED = (
+    '?pitch("amara", Part), part(Part, Desc, Price, E), asked(Q), '
+    "D = cosine(E, Q), D < 0.05"
+)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--port", type=int, default=0, help="0 = ephemeral")
+    ap.add_argument("--keep", action="store_true", help="leave server running")
+    args = ap.parse_args(argv)
+
+    from inputlayer_spark.client import Client
+    from inputlayer_spark.server import QueryServer
+    from inputlayer_spark.session import get_spark
+
+    spark = get_spark("inputlayer-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    srv = QueryServer(spark, port=args.port).start()
+    print(f"[demo] server on 127.0.0.1:{srv.port}")
+    client = Client(f"http://127.0.0.1:{srv.port}")
+
+    n = seed(client, os.path.join(SEEDS_DIR, "espresso.iql"))
+    print(f"[demo] seeded espresso_demo ({n} statements)")
+
+    show("everything that fits amara's machines", client.query(
+        '?relevant("amara", Part)'
+    ))
+    show("in stock too (21g basket drops: 0 on hand)", client.query(
+        '?pitch("amara", Part)'
+    ))
+    show("vector-ranked recommendations", client.query(RANKED))
+
+    print("\n[demo] the last shower screen sells mid-session ...")
+    client.execute('-stocked("e61-shower-screen", 12)\n'
+                   '+stocked("e61-shower-screen", 0)')
+    show("re-query: shower screen gone", client.query(RANKED))
+
+    print("\n[demo] amara buys a moka pot ...")
+    client.execute(
+        '+owns("amara", "bialetti-3c", "2026-08-15")\n'
+        '+fits("bialetti-3c", "moka-gasket-3c")'
+    )
+    show("re-query: gasket appears", client.query(RANKED))
+
+    show("provenance: why is the 18g basket pitched?", client.query(
+        '.why pitch("amara", "e61-basket-18g")'
+    ))
+
+    if args.keep:
+        print(f"[demo] --keep: server up at http://127.0.0.1:{srv.port} "
+              "(console at /). Ctrl-C to stop.")
+        import signal
+        signal.sigwait([signal.SIGINT, signal.SIGTERM])
+    srv.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -204,6 +204,7 @@ th { background: #21262d; color: var(--accent); font-weight: 600; }
   <div id="dot" title="server status"></div>
   <h1>IQL Console <span>— inputlayer-spark</span></h1>
   <div class="spacer"></div>
+  <button id="dbbtn" class="ghost" title="knowledge-graph management">⛁ Database</button>
   <label style="color:var(--dim);font-size:12px">KG</label>
   <select id="kg"><option value="default">default</option></select>
   <input id="key" type="password" placeholder="API key (if required)"
@@ -227,6 +228,7 @@ th { background: #21262d; color: var(--accent); font-weight: 600; }
     <button id="clear" class="ghost">Clear</button>
     <span id="timing"></span>
   </div>
+  <div id="dbpanel" style="display:none"></div>
   <div id="out"></div>
 </main>
 <div id="notif"></div>
@@ -460,6 +462,102 @@ function renderError(msg) {
   out.prepend(div);
 }
 
+/* --- database management (reference gui/app/database): list KGs with
+   the current one marked, create, switch, drop-with-confirm, per-KG
+   relation counts, ACL listing when an auth store is configured --- */
+// __DB_OPS_FN_START__ (extracted and node-tested in tests/test_gui.py)
+function dbOps(kgRows, currentKg) {
+  // pure view-model: [{name, current, canDrop}] sorted, default first
+  const rows = kgRows
+    .map(r => ({name: String(r[0]),
+                current: String(r[0]) === String(currentKg)}))
+    .sort((a, b) =>
+      (a.name === "default" ? -1 : b.name === "default" ? 1 : 0) ||
+      a.name.localeCompare(b.name));
+  for (const r of rows) r.canDrop = r.name !== "default";
+  return rows;
+}
+// __DB_OPS_FN_END__
+async function loadDbPanel() {
+  const panel = $("dbpanel");
+  panel.innerHTML = "";
+  const head = document.createElement("div");
+  head.className = "meta";
+  head.textContent = "Knowledge graphs";
+  panel.appendChild(head);
+  let kgRows = [];
+  try { const [kgs] = await query(".kg list"); kgRows = kgs.rows; }
+  catch (e) { renderError(e.message); return; }
+  const cur = kgRows.find(r => r[1] === true || r[1] === "true");
+  const t = document.createElement("table");
+  const hr = t.insertRow();
+  for (const htxt of ["name", "", "relations", "actions"]) {
+    const th = document.createElement("th");
+    th.textContent = htxt; hr.appendChild(th);
+  }
+  for (const row of dbOps(kgRows, cur ? cur[0] : "default")) {
+    const tr = t.insertRow();
+    tr.insertCell().textContent = row.name;
+    tr.insertCell().textContent = row.current ? "◉ current" : "";
+    const relc = tr.insertCell();
+    if (row.current) {
+      // count only for the current KG: probing others would move the
+      // shared engine's KG cursor mid-flight (racy for other clients)
+      relc.textContent = "…";
+      query(".rel list")
+        .then(rs => { relc.textContent = String(rs[0].rows.length); })
+        .catch(() => { relc.textContent = "?"; });
+    } else {
+      relc.textContent = "—";
+    }
+    const act = tr.insertCell();
+    const useB = document.createElement("button");
+    useB.className = "ghost"; useB.textContent = "use";
+    useB.onclick = async () => {
+      try { await query(`.kg use ${row.name}`); } catch (e) { renderError(e.message); }
+      $("kg").value = row.name; loadSidebar(); loadDbPanel();
+    };
+    act.appendChild(useB);
+    if (row.canDrop) {
+      const dropB = document.createElement("button");
+      dropB.className = "ghost"; dropB.textContent = "drop";
+      dropB.onclick = async () => {
+        if (!confirm(`Drop knowledge graph '${row.name}'? This deletes ` +
+                     "its relations and rules.")) return;
+        try { await query(`.kg drop ${row.name}`); } catch (e) { renderError(e.message); }
+        loadSidebar(); loadDbPanel();
+      };
+      act.appendChild(dropB);
+    }
+    const aclB = document.createElement("button");
+    aclB.className = "ghost"; aclB.textContent = "acls";
+    aclB.onclick = async () => {
+      try {
+        const [acls] = await query(`.kg acl list ${row.name}`);
+        renderResults([acls], 0);
+      } catch (e) { renderError(e.message); }
+    };
+    act.appendChild(aclB);
+  }
+  panel.appendChild(t);
+  const form = document.createElement("div");
+  form.style.marginTop = "6px";
+  const inp = document.createElement("input");
+  inp.placeholder = "new knowledge graph name";
+  inp.style.width = "220px";
+  const mk = document.createElement("button");
+  mk.textContent = "Create";
+  mk.onclick = async () => {
+    const name = inp.value.trim();
+    if (!name) return;
+    try { await query(`.kg create ${name}`); inp.value = ""; }
+    catch (e) { renderError(e.message); }
+    loadSidebar(); loadDbPanel();
+  };
+  form.appendChild(inp); form.appendChild(mk);
+  panel.appendChild(form);
+}
+
 /* --- actions --- */
 let history = JSON.parse(localStorage.getItem("iql_history") || "[]");
 function renderHistory() {
@@ -562,6 +660,12 @@ $("q").addEventListener("keydown", ev => {
   else if (ev.key === "Escape") { suggestions = []; $("suggest").innerHTML = ""; }
 });
 $("run").onclick = run;
+$("dbbtn").onclick = () => {
+  const p = $("dbpanel");
+  const show = p.style.display === "none";
+  p.style.display = show ? "block" : "none";
+  if (show) loadDbPanel();
+};
 $("clear").onclick = () => { $("q").value = ""; highlight(); $("out").innerHTML = ""; };
 $("refresh").onclick = loadSidebar;
 $("key").value = localStorage.getItem("iql_key") || "";

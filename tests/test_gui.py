@@ -240,3 +240,42 @@ console.log(JSON.stringify({{
 def test_render_console_is_deterministic():
     assert render_console() == render_console()
     assert len(render_console()) > 5000
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
+def test_db_ops_view_model():
+    """The database-management panel's view model (extracted dbOps):
+    default first, current marked, default not droppable — the console
+    twin of the reference's gui/app/database page."""
+    html = render_console()
+    start = html.index("// __DB_OPS_FN_START__")
+    end = html.index("// __DB_OPS_FN_END__")
+    fn = html[start:end]
+    script = f"""
+{fn}
+const rows = dbOps([["scratch", false], ["default", true], ["alpha", false]], "scratch");
+console.log(JSON.stringify(rows));
+"""
+    out = json.loads(
+        subprocess.run(
+            ["node", "-e", script], capture_output=True, text=True, check=True
+        ).stdout
+    )
+    assert [r["name"] for r in out] == ["default", "alpha", "scratch"]
+    assert [r["current"] for r in out] == [False, False, True]
+    assert [r["canDrop"] for r in out] == [False, True, True]
+
+
+def test_console_has_database_panel(spark):
+    """The page ships the management panel: toggle button, panel div,
+    and the kg create/drop/use wiring strings."""
+    html = render_console()
+    for needle in (
+        'id="dbbtn"',
+        'id="dbpanel"',
+        ".kg create",
+        ".kg drop",
+        ".kg acl list",
+        "Drop knowledge graph",
+    ):
+        assert needle in html, needle

@@ -44,3 +44,31 @@ def test_js_sdk_integration_against_live_server(spark):
         assert "# skipped 0" in out.stdout, out.stdout
     finally:
         srv.stop()
+
+
+def test_type_declarations_cover_every_export():
+    """index.d.ts (the typed-client parity surface, reference
+    packages/api-client) must declare every runtime export of
+    index.js — no tsc in this container, so pin coverage textually."""
+    import re
+
+    root = os.path.join(PKG, "src")
+    src = open(os.path.join(root, "index.js")).read()
+    dts = open(os.path.join(root, "index.d.ts")).read()
+    names = set()
+    for m in re.finditer(r"export\s*\{([^}]*)\}", src):
+        for n in m.group(1).split(","):
+            n = n.strip()
+            if n:
+                names.add(n)
+    assert names, "no exports parsed"
+    for n in sorted(names):
+        assert re.search(
+            rf"export (class|function|const|interface|type) {n}\b", dts
+        ), f"{n} missing from index.d.ts"
+    # package.json advertises the types entry
+    import json as _json
+
+    pkg = _json.load(open(os.path.join(PKG, "package.json")))
+    assert pkg["types"] == "src/index.d.ts"
+    assert pkg["exports"]["."]["types"] == "./src/index.d.ts"
