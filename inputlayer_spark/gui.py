@@ -61,6 +61,51 @@ def _js_rules() -> list:
     return out
 
 
+def _docs_dir() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs"
+    )
+
+
+def docs_index() -> list:
+    """Available documentation pages ([{name, title}]) — the console's
+    docs panel and GET /docs both read this (reference gui/app/docs
+    renders its bundled markdown the same way)."""
+    import os
+
+    out = []
+    d = _docs_dir()
+    if not os.path.isdir(d):
+        return out
+    for f in sorted(os.listdir(d)):
+        if not f.endswith(".md"):
+            continue
+        title = f[:-3]
+        with open(os.path.join(d, f)) as fh:
+            first = fh.readline().strip()
+            if first.startswith("#"):
+                title = first.lstrip("# ").strip()
+        out.append({"name": f[:-3], "title": title})
+    return out
+
+
+def docs_page(name: str) -> "str | None":
+    """Markdown source of one docs page, or None. The name is
+    sanitized to a bare identifier — no path traversal."""
+    import os
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_-]+", name or ""):
+        return None
+    p = os.path.join(_docs_dir(), f"{name}.md")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return fh.read()
+
+
 def _completion_words() -> dict:
     """Completion vocabulary, single-sourced from the tokenizer: meta
     commands expanded from the grammar patterns, builtins + aggregates
@@ -204,6 +249,7 @@ th { background: #21262d; color: var(--accent); font-weight: 600; }
   <div id="dot" title="server status"></div>
   <h1>IQL Console <span>— inputlayer-spark</span></h1>
   <div class="spacer"></div>
+  <button id="docsbtn" class="ghost" title="language + server docs">🕮 Docs</button>
   <button id="dbbtn" class="ghost" title="knowledge-graph management">⛁ Database</button>
   <label style="color:var(--dim);font-size:12px">KG</label>
   <select id="kg"><option value="default">default</option></select>
@@ -229,6 +275,7 @@ th { background: #21262d; color: var(--accent); font-weight: 600; }
     <span id="timing"></span>
   </div>
   <div id="dbpanel" style="display:none"></div>
+  <div id="docspanel" style="display:none"></div>
   <div id="out"></div>
 </main>
 <div id="notif"></div>
@@ -558,6 +605,96 @@ async function loadDbPanel() {
   panel.appendChild(form);
 }
 
+/* --- docs panel (reference gui/app/docs): fetch /docs markdown and
+   render with a tiny, safe subset renderer --- */
+// __MD_FN_START__ (extracted and node-tested in tests/test_gui.py)
+function mdRender(src, escFn) {
+  // minimal markdown: headings, fenced code, inline code, tables,
+  // paragraphs. Everything is escaped FIRST — no raw HTML passthrough.
+  const out = [];
+  const lines = src.split("\n");
+  let i = 0, para = [];
+  const flush = () => {
+    if (para.length) { out.push("<p>" + para.join(" ") + "</p>"); para = []; }
+  };
+  const inline = s => escFn(s)
+    .replace(/`([^`]+)`/g, "<code>$1</code>")
+    .replace(/\*\*([^*]+)\*\*/g, "<b>$1</b>");
+  while (i < lines.length) {
+    const ln = lines[i];
+    if (/^```/.test(ln)) {
+      flush();
+      const buf = [];
+      i++;
+      while (i < lines.length && !/^```/.test(lines[i])) buf.push(lines[i++]);
+      i++;  // closing fence
+      out.push("<pre><code>" + escFn(buf.join("\n")) + "</code></pre>");
+      continue;
+    }
+    const h = /^(#{1,4})\s+(.*)$/.exec(ln);
+    if (h) { flush(); out.push(`<h${h[1].length + 1}>` + inline(h[2]) +
+                               `</h${h[1].length + 1}>`); i++; continue; }
+    if (/^\|/.test(ln)) {
+      flush();
+      const rows = [];
+      while (i < lines.length && /^\|/.test(lines[i])) {
+        const cells = lines[i].replace(/^\||\|$/g, "").split("|");
+        if (!/^\s*:?-+/.test(cells[0])) rows.push(cells.map(c => inline(c.trim())));
+        i++;
+      }
+      let t = "<table>";
+      rows.forEach((r, ri) => {
+        t += "<tr>" + r.map(c =>
+          ri === 0 ? `<th>${c}</th>` : `<td>${c}</td>`).join("") + "</tr>";
+      });
+      out.push(t + "</table>");
+      continue;
+    }
+    if (/^\s*-\s+/.test(ln)) {
+      flush();
+      let ul = "<ul>";
+      while (i < lines.length && /^\s*-\s+/.test(lines[i])) {
+        let item = lines[i].replace(/^\s*-\s+/, "");
+        // continuation lines (indented, not a new bullet/blank)
+        while (i + 1 < lines.length && /^\s+\S/.test(lines[i + 1]) &&
+               !/^\s*-\s+/.test(lines[i + 1])) { item += " " + lines[++i].trim(); }
+        ul += "<li>" + inline(item) + "</li>"; i++;
+      }
+      out.push(ul + "</ul>");
+      continue;
+    }
+    if (ln.trim() === "") { flush(); i++; continue; }
+    para.push(inline(ln.trim())); i++;
+  }
+  flush();
+  return out.join("\n");
+}
+// __MD_FN_END__
+async function loadDocsPanel(page) {
+  const panel = $("docspanel");
+  panel.innerHTML = "";
+  try {
+    const idx = await (await fetch("/docs")).json();
+    const nav = document.createElement("div");
+    nav.className = "meta";
+    idx.pages.forEach(p => {
+      const a = document.createElement("a");
+      a.textContent = p.title;
+      a.style.cssText = "cursor:pointer;color:var(--accent);margin-right:14px";
+      a.onclick = () => loadDocsPanel(p.name);
+      nav.appendChild(a);
+    });
+    panel.appendChild(nav);
+    const name = page || (idx.pages[0] && idx.pages[0].name);
+    if (!name) return;
+    const md = await (await fetch("/docs/" + encodeURIComponent(name))).text();
+    const body = document.createElement("div");
+    body.className = "result";
+    body.innerHTML = mdRender(md, esc);
+    panel.appendChild(body);
+  } catch (e) { renderError(e.message); }
+}
+
 /* --- actions --- */
 let history = JSON.parse(localStorage.getItem("iql_history") || "[]");
 function renderHistory() {
@@ -665,6 +802,12 @@ $("dbbtn").onclick = () => {
   const show = p.style.display === "none";
   p.style.display = show ? "block" : "none";
   if (show) loadDbPanel();
+};
+$("docsbtn").onclick = () => {
+  const p = $("docspanel");
+  const show = p.style.display === "none";
+  p.style.display = show ? "block" : "none";
+  if (show) loadDocsPanel();
 };
 $("clear").onclick = () => { $("q").value = ""; highlight(); $("out").innerHTML = ""; };
 $("refresh").onclick = loadSidebar;

@@ -309,6 +309,29 @@ class QueryServer:
                     self.end_headers()
                     self.wfile.write(body)
                     return
+                if self.path == "/docs" or self.path.startswith("/docs/"):
+                    # user documentation (reference gui/app/docs renders
+                    # bundled markdown): public static assets like the
+                    # console shell. /docs lists pages; /docs/<name>
+                    # returns the markdown source (console renders it)
+                    from inputlayer_spark.gui import docs_index, docs_page
+
+                    if self.path == "/docs":
+                        self._send(200, {"pages": docs_index()})
+                        return
+                    page = docs_page(self.path[len("/docs/"):])
+                    if page is None:
+                        self._send(404, {"error": "no such docs page"})
+                        return
+                    body = page.encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "text/markdown; charset=utf-8"
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 ident = self._identity()
                 if ident is None:
                     self._send(401, {"error": "invalid or missing API key"})

@@ -279,3 +279,72 @@ def test_console_has_database_panel(spark):
         "Drop knowledge graph",
     ):
         assert needle in html, needle
+
+
+def test_docs_index_and_pages():
+    """GET /docs backing functions: index lists the shipped pages with
+    their H1 titles; page lookup sanitizes names (no traversal)."""
+    from inputlayer_spark.gui import docs_index, docs_page
+
+    idx = docs_index()
+    names = [p["name"] for p in idx]
+    assert "iql" in names and "server" in names
+    assert any("IQL" in p["title"] for p in idx)
+    assert "# IQL language guide" in docs_page("iql")
+    assert docs_page("../secrets") is None
+    assert docs_page("no_such_page") is None
+    assert docs_page("") is None
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
+def test_md_renderer_safe_subset():
+    """The console's markdown renderer (extracted mdRender): headings,
+    fenced code, inline code, tables, lists, paragraph joining — and
+    everything escaped (no raw-HTML injection from docs content)."""
+    html = render_console()
+    fn = html[html.index("// __MD_FN_START__"):html.index("// __MD_FN_END__")]
+    md = (
+        "# Title\n\npara *one* `code` **bold**\nsame para\n\n"
+        "```iql\n+edge(1, 2) <b>raw</b>\n```\n\n"
+        "| a | b |\n|---|---|\n| 1 | 2 |\n\n"
+        "- item one\n- item two\n  continued\n\n<script>evil()</script>\n"
+    )
+    script = f"""
+{fn}
+const esc = s => s.replace(/&/g, "&amp;").replace(/</g, "&lt;");
+console.log(JSON.stringify(mdRender({json.dumps(md)}, esc)));
+"""
+    out = json.loads(
+        subprocess.run(
+            ["node", "-e", script], capture_output=True, text=True, check=True
+        ).stdout
+    )
+    assert "<h2>Title</h2>" in out
+    assert "<code>code</code>" in out and "<b>bold</b>" in out
+    assert "para" in out and "same para" in out
+    assert "<pre><code>+edge(1, 2) &lt;b>raw&lt;/b></code></pre>" in out
+    assert "<th>a</th>" in out and "<td>1</td>" in out
+    assert "<li>item two continued</li>" in out
+    assert "<script>" not in out and "&lt;script>" in out
+
+
+def test_docs_served_over_http(spark):
+    from inputlayer_spark.server import QueryServer
+
+    srv = QueryServer(spark).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/docs") as r:
+            idx = json.loads(r.read())
+        assert any(p["name"] == "iql" for p in idx["pages"])
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/docs/server"
+        ) as r:
+            assert r.headers["Content-Type"].startswith("text/markdown")
+            assert b"wire protocol" in r.read().lower()
+        import pytest as _pytest
+
+        with _pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/docs/nope")
+        assert e.value.code == 404
+    finally:
+        srv.stop()

@@ -521,3 +521,26 @@ def test_save_kg_csv_rejects_vector_columns(eng, tmp_path):
         eng.save_kg(str(tmp_path / "snap"))
     # fail-fast: nothing was written (no torn snapshot)
     assert not (tmp_path / "snap" / "catalog.json").exists()
+
+
+def test_save_load_kg_orc_roundtrip(eng, tmp_path):
+    eng.persist_format = "orc"
+    eng.execute('+o[("z", 1), ("y", 2)]')
+    eng.save_kg(str(tmp_path / "snap"))
+    eng2 = IQLEngine(eng.spark)
+    eng2.load_kg(str(tmp_path / "snap"))
+    assert _rows(eng2.query("?o(A, B)")) == [("y", 2), ("z", 1)]
+
+
+def test_load_kg_without_columns_catalog_backcompat(eng, tmp_path):
+    # snapshots written before catalog['columns'] existed still load
+    import json as _json
+
+    eng.execute('+bc[(1, "a")]')
+    eng.save_kg(str(tmp_path / "snap"))
+    cat = _json.load(open(tmp_path / "snap" / "catalog.json"))
+    cat.pop("columns")
+    _json.dump(cat, open(tmp_path / "snap" / "catalog.json", "w"))
+    eng2 = IQLEngine(eng.spark)
+    eng2.load_kg(str(tmp_path / "snap"))
+    assert _rows(eng2.query("?bc(A, B)")) == [(1, "a")]
