@@ -1536,3 +1536,52 @@ def test_asof_join_matches_duckdb_randomized(spark):
                 assert g_mts is None, (seed, eid, g_mts)
             else:
                 assert g_mts is not None and abs(g_mts - mts) < 1e-6
+
+
+def test_sessionize_matches_python_oracle_randomized(spark):
+    """Randomized differential for gap sessionization: tied timestamps
+    (with the deterministic tiebreak), gaps exactly AT the threshold
+    (same session: <= gap_s), singleton keys, and bursty clusters —
+    against a direct per-key Python scan."""
+    import random
+
+    for seed in (3, 11, 42):
+        rng = random.Random(seed)
+        base = 1_700_000_000
+        rows = []
+        eid = 0
+        for k in range(25):
+            t = base + rng.randrange(0, 100)
+            for _ in range(rng.randrange(1, 40)):
+                # mix: zero gaps (ties), exact-threshold gaps (30s),
+                # sub- and super-threshold jumps
+                t += rng.choice([0, 1, 5, 30, 31, 120])
+                rows.append((eid, k, t))
+                eid += 1
+        rng.shuffle(rows)  # input order must not matter
+
+        df = spark.createDataFrame(rows, "event_id long, k int, ts_s long")
+        df = df.withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        from inputlayer_spark.operators.events import sessionize
+
+        got = {
+            r["event_id"]: r["session_seq"]
+            for r in sessionize(
+                df, "k", "ts", 30.0, order_tiebreak="event_id"
+            ).collect()
+        }
+
+        # oracle: sort per key by (ts, event_id), break when gap > 30
+        bykey = {}
+        for e, k, t in rows:
+            bykey.setdefault(k, []).append((t, e))
+        expected = {}
+        for k, evs in bykey.items():
+            evs.sort()
+            seq, prev = 0, None
+            for t, e in evs:
+                if prev is not None and t - prev > 30:
+                    seq += 1
+                expected[e] = seq
+                prev = t
+        assert got == expected, f"seed {seed}"

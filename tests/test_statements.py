@@ -544,3 +544,72 @@ def test_load_kg_without_columns_catalog_backcompat(eng, tmp_path):
     eng2 = IQLEngine(eng.spark)
     eng2.load_kg(str(tmp_path / "snap"))
     assert _rows(eng2.query("?bc(A, B)")) == [(1, "a")]
+
+
+def test_save_load_kg_randomized_roundtrip_all_formats(eng, tmp_path):
+    """Snapshot round-trip fuzz: random relations with adversarial
+    column orders (reverse-alphabetical), mixed types, numeric-looking
+    strings, negative/zero floats, bools, and vector columns — across
+    every persistence format. Values, column order, and dtypes must
+    survive exactly (ADVICE r7 medium, generalized)."""
+    import random
+
+    rng = random.Random(99)
+
+    def mkstr(i):
+        return rng.choice([f"0{i}", f"s{i}", "", "TRUE", "1e5", f"x,{i}"])
+
+    specs = {
+        "zz_mixed": ("(z_str: string, m_int: int, a_flt: float)",
+                     lambda i: (mkstr(i), rng.randrange(-5, 5), rng.uniform(-2, 2))),
+        "yy_bools": ("(y_b: bool, x_i: int)",
+                     lambda i: (bool(i % 2), i)),
+        "ww_vec": ("(w_id: int, v: float_vector)",
+                   lambda i: (i, [round(rng.uniform(-1, 1), 3) for _ in range(3)])),
+    }
+    for fmt in ("parquet", "json", "orc", "csv"):
+        e = IQLEngine(eng.spark)
+        e.persist_format = fmt
+        expect = {}
+        for rel, (schema, gen) in specs.items():
+            if fmt == "csv" and rel == "ww_vec":
+                continue  # csv rejects vector columns (tested separately)
+            e.execute(f".rel schema {rel} {schema}")
+            rows = [gen(i) for i in range(8)]
+            for row in rows:
+                vals = []
+                for v in row:
+                    if isinstance(v, bool):
+                        vals.append("true" if v else "false")
+                    elif isinstance(v, str):
+                        vals.append('"' + v.replace('"', '\\"') + '"')
+                    elif isinstance(v, list):
+                        vals.append("[" + ", ".join(str(x) for x in v) + "]")
+                    else:
+                        vals.append(str(v))
+                e.execute(f"+{rel}({', '.join(vals)})")
+            expect[rel] = e.current.relations[rel]
+        snap = str(tmp_path / f"snap_{fmt}")
+        e.save_kg(snap)
+        e2 = IQLEngine(eng.spark)
+        e2.load_kg(snap)
+        for rel, src in expect.items():
+            got = e2.current.relations[rel]
+            assert [f.name for f in got.schema.fields] == [
+                f.name for f in src.schema.fields
+            ], (fmt, rel)
+            assert [f.dataType.simpleString() for f in got.schema.fields] == [
+                f.dataType.simpleString() for f in src.schema.fields
+            ], (fmt, rel)
+            def norm(df):
+                rows = []
+                for r in df.collect():
+                    t = tuple(r)
+                    if fmt == "csv":
+                        # CSV cannot distinguish empty string from NULL
+                        # — known writer limitation; compare modulo that
+                        t = tuple(None if v == "" else v for v in t)
+                    rows.append(repr(t))
+                return sorted(rows)
+
+            assert norm(src) == norm(got), (fmt, rel)
