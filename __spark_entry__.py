@@ -1186,6 +1186,20 @@ def q_image_probe(spark, sf_dir):
     )
 
 
+def q_topic_clusters(spark, sf_dir):
+    """Deterministic k-means topic clustering over the embedding corpus
+    (operators/clustering.kmeans_assign: init = k smallest ids, argmin
+    squared-euclidean with lowest-index tiebreak, per-dim mean update,
+    FIXED 2 rounds — no RNG anywhere, so DuckDB reproduces the exact
+    assignment with unrolled CTE iterations). The clustering twin of
+    rebalance_mixture: a curation pipeline clusters, then rebalances
+    cluster sizes."""
+    from inputlayer_spark.operators.clustering import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_assign(emb, "vec_id", "embedding", k=4, iters=2)
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic content-hash Bernoulli sample (10% of documents by
     seeded md5 bucket) — rand() is nondeterministic under task retries;
@@ -1678,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "compression_signal": q_compression_signal,
         "image_probe": q_image_probe,
+        "topic_clusters": q_topic_clusters,
         "hash_sample": q_hash_sample,
         "train_val_test_split": q_train_val_test_split,
         "weighted_sample": q_weighted_sample,
@@ -2168,6 +2183,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             "WHERE (('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),"
             " 1, 8))::BIGINT % 10000) < 1000"
+        ),
+        # Deterministic k-means (k=4, 2 rounds, no RNG): DuckDB unrolls
+        # the exact Lloyd iterations — init from the 4 smallest vec_ids,
+        # argmin SQUARED euclidean with lowest-cid tiebreak, per-dim
+        # mean update (float32 values promoted to DOUBLE on both
+        # engines, so the arithmetic agrees bit-for-bit up to
+        # summation order — assignments are stable far beyond that)
+        "topic_clusters": (
+            "WITH c0 AS ("
+            "  SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1 AS cid,"
+            "         embedding AS c"
+            "  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)"
+            "), a0 AS ("
+            "  SELECT vec_id, embedding, cl FROM ("
+            "    SELECT e.vec_id, e.embedding, c.cid AS cl,"
+            "           row_number() OVER (PARTITION BY e.vec_id ORDER BY"
+            "             list_sum(list_transform(range(1, 65),"
+            "               i -> (e.embedding[i]::DOUBLE - c.c[i]::DOUBLE)"
+            "                  * (e.embedding[i]::DOUBLE - c.c[i]::DOUBLE)"
+            "             )) ASC, c.cid ASC) AS rn"
+            "    FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1"
+            "), m1 AS ("
+            "  SELECT cl AS cid, i AS pos, avg(embedding[i]::DOUBLE) AS m"
+            "  FROM a0, range(1, 65) t(i) GROUP BY cl, i"
+            "), c1 AS ("
+            "  SELECT cid, list(m ORDER BY pos) AS c FROM m1 GROUP BY cid"
+            "), c1f AS ("
+            "  SELECT c0.cid,"
+            "         COALESCE(c1.c, list_transform(c0.c, x -> x::DOUBLE)) AS c"
+            "  FROM c0 LEFT JOIN c1 ON c0.cid = c1.cid"
+            ") SELECT vec_id, cl AS cluster FROM ("
+            "    SELECT e.vec_id, c.cid AS cl,"
+            "           row_number() OVER (PARTITION BY e.vec_id ORDER BY"
+            "             list_sum(list_transform(range(1, 65),"
+            "               i -> (e.embedding[i]::DOUBLE - c.c[i])"
+            "                  * (e.embedding[i]::DOUBLE - c.c[i])"
+            "             )) ASC, c.cid ASC) AS rn"
+            "    FROM embeddings e CROSS JOIN c1f c) WHERE rn = 1"
         ),
         "train_val_test_split": (
             "SELECT split, count(*) AS n_docs, sum(length(text)) AS total_chars "

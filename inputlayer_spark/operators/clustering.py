@@ -1,0 +1,115 @@
+"""Deterministic k-means topic clustering over embedding columns.
+
+A large-scale curation pipeline clusters its corpus to balance topics
+(downsample over-represented clusters, surface under-represented
+ones) — the clustering twin of `rebalance_to_mixture`. This is
+Lloyd's algorithm made fully deterministic so an independent engine
+can reproduce it bit-for-bit:
+
+- init: the vectors of the `k` smallest ids (no RNG),
+- assignment: argmin SQUARED euclidean distance, ties to the lowest
+  centroid index,
+- update: per-dimension mean over each cluster; an emptied cluster
+  keeps its previous centroid,
+- a FIXED number of assignment rounds (no convergence test — the
+  round count is part of the contract).
+
+Scale shape: each round is one narrow map over the corpus (distances
+against k broadcast-literal centroids — k*dim doubles, no join) plus
+one aggregation whose output is k*dim rows collected to the driver
+(k=8, dim=64 → 512 rows; independent of corpus size). At 100 TB the
+corpus is never shuffled — only scanned once per round — and the
+centroid state that crosses the driver is kilobytes.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec_col, centroid: List[float]):
+    """Squared euclidean between an array<float> column and a literal
+    centroid, accumulated in double (same promotion the SQL oracle
+    applies with ::DOUBLE)."""
+    lit = F.array(*[F.lit(float(x)).cast("double") for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            vec_col, lit, lambda a, b: (a.cast("double") - b) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Assign every row to one of `k` clusters after `iters`
+    deterministic Lloyd rounds. Returns (id_col, cluster).
+
+    Reference analog: the reference curates corpora with vector
+    bucketing (src/vector/ ops + IVF centroid artifacts); this is the
+    batch clustering operator a topic-balancing pipeline runs before
+    `rebalance_to_mixture`.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        return df.select(F.col(id_col), F.lit(0).alias("cluster")).limit(0)
+    dim = dim_row["d"]
+
+    # deterministic init: vectors of the k smallest ids
+    seed_rows = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+
+    def assign(frame: DataFrame) -> DataFrame:
+        dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
+        # array_position returns the FIRST index of the min → ties break
+        # to the lowest centroid index (the SQL oracle orders by
+        # (dist, cid) for the same contract)
+        cl = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        return frame.withColumn("cluster", cl)
+
+    for _ in range(iters - 1):
+        assigned = assign(df)
+        # per-dimension means: k*dim tiny rows cross the driver, the
+        # corpus itself is only scanned — posexplode keeps it narrow
+        means = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # emptied cluster keeps old
+        by_cluster: dict = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        for ci, dims in by_cluster.items():
+            new_c[ci] = [dims[p] for p in range(dim)]
+        centroids = new_c
+
+    return assign(df).select(F.col(id_col), F.col("cluster"))
+
+
+def cluster_sizes(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 4, iters: int = 2
+) -> DataFrame:
+    """Cluster cardinality histogram — the input a topic-balancing
+    policy consumes. Returns (cluster, n)."""
+    return (
+        kmeans_assign(df, id_col, vec_col, k, iters)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -109,6 +109,9 @@ QUERIES = [
     "dedup_lines",
     "rebalance_mixture",
     "train_val_test_split",
+    # deterministic k-means: per-round narrow scan + k*dim-row agg —
+    # time should track the scan, never a shuffle of the corpus
+    "topic_clusters",
 ]
 
 

@@ -1585,3 +1585,60 @@ def test_sessionize_matches_python_oracle_randomized(spark):
                 expected[e] = seq
                 prev = t
         assert got == expected, f"seed {seed}"
+
+
+def test_kmeans_deterministic_and_converging(spark):
+    """kmeans_assign: separable blobs land in distinct clusters, the
+    assignment is identical across runs (no RNG), an emptied cluster
+    keeps its previous centroid, and iters=1 means init-only
+    assignment."""
+    from inputlayer_spark.operators.clustering import (
+        cluster_sizes,
+        kmeans_assign,
+    )
+
+    # two tight blobs far apart; ids interleaved so init picks one
+    # point of each blob (ids 0 and 1)
+    rows = []
+    for i in range(40):
+        blob = i % 2
+        base = 0.0 if blob == 0 else 10.0
+        rows.append((i, [base + (i % 5) * 0.01, base - (i % 3) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    a1 = {r["vec_id"]: r["cluster"] for r in
+          kmeans_assign(df, "vec_id", "embedding", k=2, iters=3).collect()}
+    a2 = {r["vec_id"]: r["cluster"] for r in
+          kmeans_assign(df, "vec_id", "embedding", k=2, iters=3).collect()}
+    assert a1 == a2  # deterministic
+    for i, cl in a1.items():
+        assert cl == i % 2  # blob structure recovered exactly
+
+    sizes = {r["cluster"]: r["n"] for r in
+             cluster_sizes(df, "vec_id", "embedding", k=2, iters=3).collect()}
+    assert sizes == {0: 20, 1: 20}
+
+    # k=3 on the 2-blob data: one centroid empties and must persist
+    # (no crash, all rows still assigned)
+    a3 = kmeans_assign(df, "vec_id", "embedding", k=3, iters=3)
+    assert a3.count() == 40
+    assert set(r["cluster"] for r in a3.collect()) <= {0, 1, 2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmeans_assign(df, "vec_id", "embedding", k=0)
+
+
+def test_kmeans_assignment_plan_no_join(spark):
+    """The per-round assignment is a NARROW map (centroids are literal
+    arrays, no join with a centroid table) — at 100 TB the corpus is
+    scanned, never shuffled, per round."""
+    from inputlayer_spark.operators.clustering import kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = kmeans_assign(emb, "vec_id", "embedding", k=4, iters=1)._jdf \
+        .queryExecution().executedPlan().toString()
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop",
+                "Exchange"):
+        assert bad not in plan, f"{bad} in assignment plan:\n{plan[:600]}"
