@@ -1200,6 +1200,17 @@ def q_topic_clusters(spark, sf_dir):
     return kmeans_assign(emb, "vec_id", "embedding", k=4, iters=2)
 
 
+def q_vocabulary(spark, sf_dir):
+    """Tokenizer-prep vocabulary: top-500 corpus tokens by frequency
+    (ties broken lexicographically — a deterministic cutoff), counts
+    included (functions/text.vocabulary). One explode + one token-key
+    hash aggregate; output is vocabulary-sized, never corpus-sized."""
+    from inputlayer_spark.functions import text as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.vocabulary(docs, "text", top_n=500, min_count=2)
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic content-hash Bernoulli sample (10% of documents by
     seeded md5 bucket) — rand() is nondeterministic under task retries;
@@ -1693,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_signal": q_compression_signal,
         "image_probe": q_image_probe,
         "topic_clusters": q_topic_clusters,
+        "vocabulary": q_vocabulary,
         "hash_sample": q_hash_sample,
         "train_val_test_split": q_train_val_test_split,
         "weighted_sample": q_weighted_sample,
@@ -2183,6 +2195,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             "WHERE (('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),"
             " 1, 8))::BIGINT % 10000) < 1000"
+        ),
+        "vocabulary": (
+            "SELECT token, count(*) AS n FROM ("
+            "  SELECT unnest(regexp_split_to_array(lower(trim(text)),"
+            "         '[^a-z0-9'']+')) AS token FROM documents"
+            ") WHERE token <> '' GROUP BY token HAVING count(*) >= 2 "
+            "ORDER BY n DESC, token ASC LIMIT 500"
         ),
         # Deterministic k-means (k=4, 2 rounds, no RNG): DuckDB unrolls
         # the exact Lloyd iterations — init from the 4 smallest vec_ids,

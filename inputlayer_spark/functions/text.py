@@ -278,3 +278,22 @@ def compression_ratio(text: Column) -> Column:
         return col.map(one)
 
     return _ratio(text)
+
+
+def vocabulary(df, text_col: str, top_n: int = 1000, min_count: int = 1):
+    """Corpus vocabulary for tokenizer training: the `top_n` most
+    frequent tokens (the engine's standard lowercase word tokenizer,
+    `tokens()`) with counts, ties broken lexicographically so the
+    cutoff is deterministic. One explode + one hash-aggregate on the
+    token — the same shape word-count holds at any corpus size; the
+    result is vocabulary-sized, not corpus-sized."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(top_n)
+    )
