@@ -1211,6 +1211,18 @@ def q_vocabulary(spark, sf_dir):
     return TX.vocabulary(docs, "text", top_n=500, min_count=2)
 
 
+def q_tfidf(spark, sf_dir):
+    """Per-document TF-IDF term scores (functions/text.tfidf): integer
+    tf >= 3 admission keeps the row set engine-exact; the float score
+    column rides the harness's tolerance compare. The top-k ranking
+    variant (top_keywords) is Spark-side API — float rank boundaries
+    don't cross engines."""
+    from inputlayer_spark.functions import text as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.tfidf(docs, "doc_id", "text", min_tf=3)
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic content-hash Bernoulli sample (10% of documents by
     seeded md5 bucket) — rand() is nondeterministic under task retries;
@@ -1705,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_probe": q_image_probe,
         "topic_clusters": q_topic_clusters,
         "vocabulary": q_vocabulary,
+        "tfidf": q_tfidf,
         "hash_sample": q_hash_sample,
         "train_val_test_split": q_train_val_test_split,
         "weighted_sample": q_weighted_sample,
@@ -2202,6 +2215,20 @@ def oracle_sql() -> dict[str, str]:
             "         '[^a-z0-9'']+')) AS token FROM documents"
             ") WHERE token <> '' GROUP BY token HAVING count(*) >= 2 "
             "ORDER BY n DESC, token ASC LIMIT 500"
+        ),
+        "tfidf": (
+            "WITH tok AS ("
+            "  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)),"
+            "         '[^a-z0-9'']+')) AS token FROM documents"
+            "), tok2 AS (SELECT * FROM tok WHERE token <> ''),"
+            " tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2"
+            "        GROUP BY doc_id, token HAVING count(*) >= 3),"
+            " dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok2"
+            "           GROUP BY token),"
+            " n AS (SELECT count(*)::DOUBLE AS n FROM documents)"
+            " SELECT tf.doc_id, tf.token, tf.tf,"
+            "        tf.tf::DOUBLE * ln(n.n / dfreq.df::DOUBLE) AS score"
+            " FROM tf JOIN dfreq USING (token), n"
         ),
         # Deterministic k-means (k=4, 2 rounds, no RNG): DuckDB unrolls
         # the exact Lloyd iterations — init from the 4 smallest vec_ids,

@@ -297,3 +297,55 @@ def vocabulary(df, text_col: str, top_n: int = 1000, min_count: int = 1):
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(top_n)
     )
+
+
+def tfidf(df, id_col: str, text_col: str, min_tf: int = 2):
+    """Per-document TF-IDF term scores: tf = in-document token count
+    (standard `tokens()` tokenizer), idf = ln(N / df) over distinct
+    containing documents, score = tf * idf. `min_tf` is an INTEGER
+    admission cut, so the returned row set is engine-exact while the
+    float score column is tolerance-comparable. Two aggregates (one
+    per (doc, token), one per token) + a broadcast of the
+    vocabulary-sized df table — corpus rows are shuffled once, on the
+    token key."""
+    from pyspark.sql import functions as F
+
+    n_docs = df.count()
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = (
+        tok.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= min_tf)
+    )
+    dfreq = tok.distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return tf.join(F.broadcast(dfreq), "token").select(
+        F.col(id_col),
+        F.col("token"),
+        F.col("tf"),
+        (
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        ).alias("score"),
+    )
+
+
+def top_keywords(df, id_col: str, text_col: str, k: int = 5):
+    """Top-k TF-IDF keywords per document, ties broken by token text —
+    deterministic within an engine (cross-engine rank boundaries on
+    float scores are why the oracle row uses `tfidf` instead)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    scored = tfidf(df, id_col, text_col, min_tf=1)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

@@ -1642,3 +1642,28 @@ def test_kmeans_assignment_plan_no_join(spark):
     for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop",
                 "Exchange"):
         assert bad not in plan, f"{bad} in assignment plan:\n{plan[:600]}"
+
+
+def test_top_keywords_deterministic_ranking(spark):
+    from inputlayer_spark.functions.text import top_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark datalog datalog engine"),
+            (2, "engine engine engine engine common common"),
+            (3, "common words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = top_keywords(docs, "doc_id", "text", k=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r["token"])
+    # doc 1: 'spark' (tf=3, df=1) dominates; 'datalog' (tf=2, df=1) next
+    assert by_doc[1] == ["spark", "datalog"]
+    # every doc gets at most k keywords, deterministic across runs
+    assert all(len(v) <= 2 for v in by_doc.values())
+    again = {}
+    for r in top_keywords(docs, "doc_id", "text", k=2).collect():
+        again.setdefault(r["doc_id"], []).append(r["token"])
+    assert again == by_doc
