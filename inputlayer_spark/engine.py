@@ -1265,10 +1265,13 @@ class IQLEngine:
             # snapshot (some relations written, catalog absent)
             for name, df in self.current.relations.items():
                 for f in df.schema.fields:
-                    if isinstance(f.dataType, T.ArrayType):
+                    if isinstance(
+                        f.dataType, (T.ArrayType, T.StructType, T.MapType)
+                    ):
                         raise CompileError(
-                            f"csv persistence cannot store array/vector "
-                            f"column {name}.{f.name}; use parquet "
+                            f"csv persistence cannot store nested column "
+                            f"{name}.{f.name} "
+                            f"({f.dataType.simpleString()}); use parquet "
                             "(storage.persist_format)"
                         )
         for name, df in self.current.relations.items():

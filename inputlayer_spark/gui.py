@@ -561,8 +561,13 @@ async function loadDbPanel() {
     const useB = document.createElement("button");
     useB.className = "ghost"; useB.textContent = "use";
     useB.onclick = async () => {
-      try { await query(`.kg use ${row.name}`); } catch (e) { renderError(e.message); }
-      $("kg").value = row.name; loadSidebar(); loadDbPanel();
+      try {
+        await query(`.kg use ${row.name}`);
+        // only reflect the switch in the header once it SUCCEEDED — a
+        // 403 must not leave the dropdown claiming a KG we're not on
+        $("kg").value = row.name;
+      } catch (e) { renderError(e.message); }
+      loadSidebar(); loadDbPanel();
     };
     act.appendChild(useB);
     if (row.canDrop) {
@@ -639,7 +644,11 @@ function mdRender(src, escFn) {
       const rows = [];
       while (i < lines.length && /^\|/.test(lines[i])) {
         const cells = lines[i].replace(/^\||\|$/g, "").split("|");
-        if (!/^\s*:?-+/.test(cells[0])) rows.push(cells.map(c => inline(c.trim())));
+        // the separator row is ONLY dashes/colons — a data cell that
+        // merely STARTS with '-' (e.g. IQL retraction syntax) is data
+        if (!/^\s*:?-+:?\s*$/.test(cells[0])) {
+          rows.push(cells.map(c => inline(c.trim())));
+        }
         i++;
       }
       let t = "<table>";

@@ -35,9 +35,14 @@ def _sq_dist(vec_col, centroid: List[float]):
     centroid, accumulated in double (same promotion the SQL oracle
     applies with ::DOUBLE)."""
     lit = F.array(*[F.lit(float(x)).cast("double") for x in centroid])
+    # (a-b)*(a-b), NOT (a-b)**2: POWER lowers to Math.pow (1-ulp
+    # guarantee only) while the SQL oracle multiplies — self-multiply
+    # keeps the arithmetic bit-identical across engines
     return F.aggregate(
         F.zip_with(
-            vec_col, lit, lambda a, b: (a.cast("double") - b) ** 2
+            vec_col,
+            lit,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,

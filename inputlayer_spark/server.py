@@ -685,6 +685,23 @@ class QueryServer:
                 eng.kgs = self.engine.kgs  # shared persistent state
                 eng.current = self.engine.current
                 eng.auth_store = self.auth
+                # config bindings the shared engine carries must follow
+                # the session engine too — a session-scoped `.agent`
+                # would otherwise fall back to the public default
+                # endpoint instead of the configured [agent] llm proxy
+                for attr in (
+                    "agent_llm_url",
+                    "agent_llm_version",
+                    "max_query_cost",
+                    "enable_subplan_sharing",
+                    "enable_magic_sets",
+                    "auto_create_kgs",
+                    "max_kgs",
+                    "persist_format",
+                    "persist_compression",
+                ):
+                    if hasattr(self.engine, attr):
+                        setattr(eng, attr, getattr(self.engine, attr))
                 # one notification bus across all sessions: a write in any
                 # session pushes persistent_update to every connection
                 eng._subscribers = self.engine._subscribers
@@ -729,8 +746,10 @@ class QueryServer:
         return self
 
     def stop(self) -> None:
-        self._httpd.shutdown()
         if self._thread:
+            # shutdown() blocks forever unless serve_forever is running —
+            # only issue it for a server that was actually start()ed
+            self._httpd.shutdown()
             self._thread.join(timeout=5)
         if self._job_source is not None:
             from inputlayer_spark.session import unregister_job_source

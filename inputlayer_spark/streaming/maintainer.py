@@ -120,13 +120,26 @@ class IncrementalMaintainer:
             writer = writer.trigger(processingTime=processing_interval)
         # streaming micro-batches are an independent job source on the
         # shared SparkContext: register so a QueryServer watchdog on the
-        # same session won't cancelAllJobs() out from under the stream
-        from inputlayer_spark.session import register_job_source
+        # same session won't cancelAllJobs() out from under the stream.
+        # Release any previous registration first — a restart without
+        # stop() must not orphan a token (which would permanently
+        # disable every watchdog on this context)
+        from inputlayer_spark.session import (
+            register_job_source,
+            unregister_job_source,
+        )
 
+        if getattr(self, "_job_source", None) is not None:
+            unregister_job_source(self.engine.spark, self._job_source)
         self._job_source = register_job_source(
             self.engine.spark, "incremental-maintainer"
         )
-        self._query = writer.start()
+        try:
+            self._query = writer.start()
+        except Exception:
+            unregister_job_source(self.engine.spark, self._job_source)
+            self._job_source = None
+            raise
         return self._query
 
     def process_available(self) -> None:

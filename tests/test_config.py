@@ -240,6 +240,7 @@ def test_session_engine_idle_eviction(spark):
     srv._session_last_use["sess-a"] -= 5  # age it past the window
     srv._engine_for("sess-b")  # any other access sweeps
     assert "sess-a" not in srv.sessions
+    srv.stop()  # release the job-source registration
 
 
 def test_watchdog_skips_cancel_with_second_job_source(spark):
@@ -284,3 +285,69 @@ def test_watchdog_skips_cancel_with_second_job_source(spark):
         unregister_job_source(spark, other)
     # stop() released the server's own registration
     assert srv._job_source is None
+
+
+def test_session_engines_inherit_config_bindings(spark):
+    """Per-session engines must carry the shared engine's config-bound
+    attributes — a session-scoped .agent would otherwise fall back to
+    the public default LLM endpoint instead of the configured proxy."""
+    from inputlayer_spark.server import QueryServer
+
+    srv = QueryServer(spark)
+    srv.engine.agent_llm_url = "http://proxy.internal/v1"
+    srv.engine.agent_llm_version = "2099-01-01"
+    srv.engine.max_query_cost = 123
+    eng = srv._engine_for("sess-1")
+    assert eng is not srv.engine
+    assert eng.agent_llm_url == "http://proxy.internal/v1"
+    assert eng.agent_llm_version == "2099-01-01"
+    assert eng.max_query_cost == 123
+    srv.stop()
+
+
+def test_maintainer_restart_does_not_leak_job_source(spark, tmp_path):
+    """start() after a dead stream (no stop()) must not orphan a
+    job-source token — that would permanently disable every watchdog
+    on the context."""
+    from pyspark.sql import types as T
+
+    from inputlayer_spark.engine import IQLEngine
+    from inputlayer_spark.session import (
+        register_job_source,
+        sole_job_source,
+        unregister_job_source,
+    )
+    from inputlayer_spark.streaming.maintainer import IncrementalMaintainer
+
+    src = tmp_path / "in"
+    src.mkdir()
+    eng = IQLEngine(spark)
+    eng.execute("+edge[(1, 2)]")
+    schema = T.StructType(
+        [T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]
+    )
+    m = IncrementalMaintainer(
+        eng, "edge", str(src), schema, str(tmp_path / "ckpt"), refresh=False
+    )
+    m.process_available()
+    first = m._job_source
+    assert first is None  # process_available stops (and unregisters)
+    q = m.start(processing_interval=None)
+    tok1 = m._job_source
+    q.awaitTermination()
+    # restart WITHOUT stop(): old token must be released, not orphaned
+    q2 = m.start(processing_interval=None)
+    tok2 = m._job_source
+    q2.awaitTermination()
+    assert tok1 != tok2
+    # the maintainer's CURRENT token is registered, the old one is
+    # not: a probe alongside tok2 sees exactly those two (token-level
+    # check — other suites' leftovers must not affect this test)
+    from inputlayer_spark import session as sess_mod
+
+    live = sess_mod._JOB_SOURCES.get(id(spark), {})
+    assert tok2 in live and tok1 not in live
+    m.stop()
+    assert m._job_source is None
+    live = sess_mod._JOB_SOURCES.get(id(spark), {})
+    assert tok2 not in live

@@ -324,6 +324,18 @@ console.log(JSON.stringify(mdRender({json.dumps(md)}, esc)));
     assert "para" in out and "same para" in out
     assert "<pre><code>+edge(1, 2) &lt;b>raw&lt;/b></code></pre>" in out
     assert "<th>a</th>" in out and "<td>1</td>" in out
+    # a data cell STARTING with '-' (IQL retraction syntax) is data,
+    # not a separator row — it must render
+    md2 = "| stmt | what |\n|---|---|\n| -edge(1, 2) | retracts |\n"
+    out2 = json.loads(
+        subprocess.run(
+            ["node", "-e",
+             fn + f'\nconst esc = s => s.replace(/&/g, "&amp;").replace(/</g, "&lt;");'
+                  f"\nconsole.log(JSON.stringify(mdRender({json.dumps(md2)}, esc)));"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+    )
+    assert "-edge(1, 2)" in out2 and "retracts" in out2
     assert "<li>item two continued</li>" in out
     assert "<script>" not in out and "&lt;script>" in out
 

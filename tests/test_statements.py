@@ -613,3 +613,22 @@ def test_save_load_kg_randomized_roundtrip_all_formats(eng, tmp_path):
                 return sorted(rows)
 
             assert norm(src) == norm(got), (fmt, rel)
+
+
+def test_save_kg_csv_rejects_struct_columns(eng, tmp_path):
+    # the fail-before-write guard covers every nested type the CSV
+    # writer chokes on, not just arrays
+    from pyspark.sql import functions as F
+
+    eng.persist_format = "csv"
+    eng.register(
+        "nested",
+        eng.spark.range(2).select(
+            F.col("id"), F.struct(F.col("id").alias("a")).alias("s")
+        ),
+    )
+    from inputlayer_spark.compiler import CompileError
+
+    with pytest.raises(CompileError, match="nested column"):
+        eng.save_kg(str(tmp_path / "snap"))
+    assert not (tmp_path / "snap" / "catalog.json").exists()
