@@ -170,11 +170,16 @@ def main() -> None:
     # index artifacts outside the timed region, min-of-2 per query
     qs["minhash_lsh"](spark, "/root/testdata/sf0.001").count()
 
-    results: dict[str, dict[str, float]] = {name: {} for name in QUERIES}
-    rows_seen: dict[str, dict[str, int]] = {name: {} for name in QUERIES}
+    # SPARK_GRAFT_SCALE_ONLY="a,b": sweep a subset (e.g. newly added
+    # rows) — merge into the full artifact with merge-by-hand or jq
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    queries = [q for q in QUERIES if q in only.split(",")] if only else QUERIES
+
+    results: dict[str, dict[str, float]] = {name: {} for name in queries}
+    rows_seen: dict[str, dict[str, int]] = {name: {} for name in queries}
     for label, d in sf_dirs:
         entry.warmup(spark, d)
-        for name in QUERIES:
+        for name in queries:
             fn = qs[name]
             best, n = None, 0
             for _ in range(2):
@@ -189,7 +194,7 @@ def main() -> None:
     labels = [lbl for lbl, _ in sf_dirs]
     print("| query | " + " | ".join(f"sf{lbl}" for lbl in labels) + " | 100× growth |")
     print("|---|" + "---|" * (len(labels) + 1))
-    for name in QUERIES:
+    for name in queries:
         r = results[name]
         growth = r[labels[-1]] / max(r[labels[0]], 1e-9)
         print(
@@ -206,7 +211,7 @@ def main() -> None:
             name: round(
                 results[name][labels[-1]] / max(results[name][labels[0]], 1e-9), 2
             )
-            for name in QUERIES
+            for name in queries
         },
     }
     print(json.dumps(payload))
