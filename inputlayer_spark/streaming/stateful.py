@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["streaming_dedup", "sessionize", "stateful_topk"]
+__all__ = ["streaming_dedup", "sessionize", "stateful_topk", "stream_enrich_latest"]
 
 
 def streaming_dedup(
@@ -123,5 +123,86 @@ def stateful_topk(stream: DataFrame, k: int = 5) -> DataFrame:
         outputStructType=_TOPK_OUT,
         stateStructType=_TOPK_STATE,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_ENRICH_OUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("matched_ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+_ENRICH_STATE = T.StructType(
+    [
+        T.StructField("sts", T.DoubleType()),  # epoch seconds
+        T.StructField("val", T.DoubleType()),
+    ]
+)
+
+
+def stream_enrich_latest(stream: DataFrame) -> DataFrame:
+    """Streaming twin of `operators/events.asof_join`: enrich each
+    arriving event with the latest state value at-or-before its
+    timestamp — the classic stream-enrichment join (clicks × latest
+    price, reading × latest calibration).
+
+    Input: one stream of tagged rows
+    (key string, ts timestamp, kind string in {'state','event'},
+    event_id long, value double) — union the two feeds upstream,
+    exactly like the batch operator's union-and-carry plan.
+
+    Per key, the persisted state is ONE (ts, value) pair — the latest
+    state row seen across all micro-batches. Within a batch, rows
+    process in (ts, kind) order with 'state' first on ties, so an
+    event at the same timestamp sees that state — the batch twin's
+    "at or before" tie rule. An event older than every retained state
+    ts emits NULL (single-value state cannot rewind; feed historical
+    backfills through the batch asof_join instead). State per key is
+    constant-size at any stream length."""
+
+    def enrich(key, pdfs, state: GroupState):
+        if state.exists:
+            sts, val = state.get
+        else:
+            sts, val = None, None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # explicit tie key: state rows first at equal ts, so an event
+        # at the state's exact timestamp sees it ("at or before")
+        pdf = pdf.assign(
+            __tag=(pdf["kind"] != "state").astype(int)
+        ).sort_values(["ts", "__tag"], kind="mergesort")
+        out = []
+        for r in pdf.itertuples(index=False):
+            ets = r.ts.timestamp()
+            if r.kind == "state":
+                sts, val = ets, float(r.value)
+            else:
+                hit = sts is not None and sts <= ets
+                out.append(
+                    {
+                        "key": key[0],
+                        "event_id": int(r.event_id),
+                        "ts": r.ts,
+                        "matched_ts": (
+                            pd.Timestamp(sts, unit="s") if hit else pd.NaT
+                        ),
+                        "value": val if hit else None,
+                    }
+                )
+        if sts is not None:
+            state.update((float(sts), float(val)))
+        yield pd.DataFrame(
+            out, columns=["key", "event_id", "ts", "matched_ts", "value"]
+        )
+
+    return stream.groupBy("key").applyInPandasWithState(
+        enrich,
+        outputStructType=_ENRICH_OUT,
+        stateStructType=_ENRICH_STATE,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

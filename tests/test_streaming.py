@@ -755,3 +755,86 @@ def test_delta_merge_bails_on_session_overlay(spark):
     # binding alive via the overlay — total must still be 15 (bug: 10)
     eng.execute("-s(1, 5.0)")
     assert _rows(eng.query("?tot(K, V)")) == [(1, 15.0), (2, 20.0)]
+
+
+def test_stream_enrich_latest_asof_semantics(spark, tmp_path):
+    """Streaming twin of asof_join: events enrich with the latest state
+    at-or-before their timestamp; the single-pair state survives the
+    checkpoint across micro-batches; ties see the state ('at or
+    before'); events older than every known state emit NULL."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from inputlayer_spark.streaming.stateful import stream_enrich_latest
+
+    def ts(s):
+        return dt.datetime(2026, 1, 1, 0, 0, s)
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    sch = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    out_rows = []
+
+    def run_phase():
+        stream = spark.readStream.schema(sch).parquet(str(src_dir))
+        q = (
+            stream_enrich_latest(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: out_rows.extend(df.collect())
+            )
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # batch 1: state@10=1.0; events at 5 (before any state), 10 (tie),
+    # 12 (after)
+    spark.createDataFrame(
+        [
+            ("a", ts(10), "state", 0, 1.0),
+            ("a", ts(5), "event", 100, 0.0),
+            ("a", ts(10), "event", 101, 0.0),
+            ("a", ts(12), "event", 102, 0.0),
+        ],
+        sch,
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    run_phase()
+    got = {r.event_id: r.value for r in out_rows}
+    assert got == {100: None, 101: 1.0, 102: 1.0}
+
+    # batch 2 (fresh run over the same checkpoint): an in-batch late
+    # event at 15 still sees val 1.0 (the state@20 sorts after it);
+    # event at 25 sees the new state; event at 11 (older than the new
+    # state but newer than the retained one... state is now 20) → NULL
+    out_rows.clear()
+    spark.createDataFrame(
+        [
+            ("a", ts(20), "state", 0, 2.0),
+            ("a", ts(15), "event", 200, 0.0),
+            ("a", ts(25), "event", 201, 0.0),
+        ],
+        sch,
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    run_phase()
+    got2 = {r.event_id: (r.value, r.matched_ts) for r in out_rows}
+    assert got2[200][0] == 1.0  # carried across the checkpoint
+    assert got2[200][1] == ts(10)
+    assert got2[201][0] == 2.0 and got2[201][1] == ts(20)
+
+    # batch 3: event older than the retained single-pair state → NULL
+    out_rows.clear()
+    spark.createDataFrame(
+        [("a", ts(11), "event", 300, 0.0)], sch
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    run_phase()
+    assert {r.event_id: r.value for r in out_rows} == {300: None}
