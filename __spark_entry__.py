@@ -1223,6 +1223,32 @@ def q_tfidf(spark, sf_dir):
     return TX.tfidf(docs, "doc_id", "text", min_tf=3)
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation COMPOSITION — quality gate -> exact-dup
+    survivor selection -> leakage-safe split assignment -> per-split
+    doc/token rollup, all in one declarative plan (one oracle row
+    proving the operator family composes, not just that each piece
+    works alone). Every stage is the library operator, not a re-
+    implementation: functions/text.quality_score + token_count,
+    md5-survivor dedup, operators/sampling.assign_splits."""
+    from inputlayer_spark.operators.sampling import assign_splits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = docs.filter(TX.quality_score(F.col("text")) >= 0.6)
+    surv = (
+        kept.withColumn("h", F.md5(F.col("text")))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+    )
+    split = assign_splits(
+        surv, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01}, seed=11
+    )
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).alias("n_tokens"),
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic content-hash Bernoulli sample (10% of documents by
     seeded md5 bucket) — rand() is nondeterministic under task retries;
@@ -1718,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_clusters": q_topic_clusters,
         "vocabulary": q_vocabulary,
         "tfidf": q_tfidf,
+        "curation_pipeline": q_curation_pipeline,
         "hash_sample": q_hash_sample,
         "train_val_test_split": q_train_val_test_split,
         "weighted_sample": q_weighted_sample,
@@ -2229,6 +2256,22 @@ def oracle_sql() -> dict[str, str]:
             " SELECT tf.doc_id, tf.token, tf.tf,"
             "        tf.tf::DOUBLE * ln(n.n / dfreq.df::DOUBLE) AS score"
             " FROM tf JOIN dfreq USING (token), n"
+        ),
+        "curation_pipeline": (
+            "WITH kept AS (SELECT doc_id, text FROM documents WHERE "
+            f"(least(len({_TOKS})::DOUBLE / 50.0, 1.0) "
+            f" + (1.0 - least({_PUNCT_RATIO} * 4.0, 1.0)) "
+            f" + (CASE WHEN {_SW_RATIO} >= 0.1 AND {_SW_RATIO} <= 0.6 THEN 1.0 ELSE 0.5 END) "
+            f" + (CASE WHEN {_MEAN_WLEN} >= 3.0 AND {_MEAN_WLEN} <= 10.0 THEN 1.0 ELSE 0.5 END)"
+            ") / 4.0 >= 0.6), "
+            "surv AS (SELECT min(doc_id) AS doc_id, min(text) AS text "
+            "         FROM kept GROUP BY md5(text)), "
+            "labeled AS (SELECT text, CASE WHEN b < 9800 THEN 'train' "
+            "  WHEN b < 9900 THEN 'val' ELSE 'test' END AS split FROM ("
+            "  SELECT text, (('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)),"
+            "  1, 8))::BIGINT % 10000) AS b FROM surv)) "
+            f"SELECT split, count(*) AS n_docs, sum(len({_TOKS})) AS n_tokens "
+            "FROM labeled GROUP BY split"
         ),
         # Deterministic k-means (k=4, 2 rounds, no RNG): DuckDB unrolls
         # the exact Lloyd iterations — init from the 4 smallest vec_ids,
