@@ -305,9 +305,14 @@ def tfidf(df, id_col: str, text_col: str, min_tf: int = 2):
     containing documents, score = tf * idf. `min_tf` is an INTEGER
     admission cut, so the returned row set is engine-exact while the
     float score column is tolerance-comparable. Two aggregates (one
-    per (doc, token), one per token) + a broadcast of the
-    vocabulary-sized df table — corpus rows are shuffled once, on the
-    token key."""
+    per (doc, token), one per token) joined back on the token key.
+
+    The distinct-token table of an open-tokenizer web corpus is
+    heavy-tailed (typos, numbers, URLs — 1e8+ rows at 100 TB), so the
+    dfreq side is NEVER hint-broadcast: both sides already pay the
+    token-key shuffle, and the join stays a shuffle join unless
+    Catalyst/AQE *measures* the side under the broadcast threshold.
+    Plan pinned in tests/test_plans.py (no ResolvedHint on dfreq)."""
     from pyspark.sql import functions as F
 
     n_docs = df.count()
@@ -322,7 +327,7 @@ def tfidf(df, id_col: str, text_col: str, min_tf: int = 2):
     dfreq = tok.distinct().groupBy("token").agg(
         F.count(F.lit(1)).alias("df")
     )
-    return tf.join(F.broadcast(dfreq), "token").select(
+    return tf.join(dfreq, "token").select(
         F.col(id_col),
         F.col("token"),
         F.col("tf"),

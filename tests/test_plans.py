@@ -249,3 +249,22 @@ def test_keep_canonical_plan_no_window_sort(spark):
     assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
     assert "partial_min_by" in plan
     assert "LeftSemi" in plan
+
+
+def test_tfidf_dfreq_never_hint_broadcast(spark):
+    """The document-frequency side of tfidf is the distinct-token
+    table — unbounded (heavy-tailed) on an open-tokenizer web corpus,
+    so a forced broadcast is a driver-OOM scale-killer at 100 TB. The
+    logical plan must carry NO broadcast hint: the join is allowed to
+    become a broadcast join only when Catalyst/AQE *measures* the side
+    under the threshold, never by fiat."""
+    df = entry.queries()["tfidf"](spark, SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # a broadcast() hint survives into the optimized Join node as
+    # leftHint/rightHint=(strategy=broadcast)
+    assert "strategy=broadcast" not in logical
+    assert "ResolvedHint" not in logical
+    # and the physical plan keeps the hot path JVM-side
+    plan = _plan(spark, "tfidf")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
