@@ -65,8 +65,22 @@ def asof_join(
     left key never matches — including NULL-key right rows — so those
     left rows keep NULL payloads. (The window partitioning would
     otherwise group NULL with NULL, a semantic no SQL engine shares.)
+    NULL-key left rows are routed AROUND the window entirely: on dirty
+    data at scale they would all hash to the single NULL partition of
+    the key-partitioned window — a skew bomb doing work whose answer
+    is known to be NULL — so they get their NULL payloads attached
+    narrowly and union back in (plan + behavior pinned in tests).
     """
     lcols = left.columns
+    null_left = left.filter(F.col(key_col).isNull()).select(
+        *lcols,
+        F.lit(None).cast(right.schema[ts_col].dataType).alias(
+            right_ts_alias
+        ),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in payload_cols],
+    )
+    left = left.filter(F.col(key_col).isNotNull())
     payload = F.struct(
         F.col(ts_col).alias("__rts"),
         *[F.col(c) for c in payload_cols],
@@ -113,7 +127,7 @@ def asof_join(
         *lcols,
         matched["__rts"].alias(right_ts_alias),
         *[matched[c].alias(c) for c in payload_cols],
-    )
+    ).unionByName(null_left)
 
 
 def sessionize(

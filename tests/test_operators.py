@@ -1667,3 +1667,34 @@ def test_top_keywords_deterministic_ranking(spark):
     for r in top_keywords(docs, "doc_id", "text", k=2).collect():
         again.setdefault(r["doc_id"], []).append(r["token"])
     assert again == by_doc
+
+
+def test_asof_join_null_key_left_rows_bypass_window(spark):
+    """A NULL-key left row can never match (SQL equality), so it must
+    NOT enter the key-partitioned window — on dirty data at scale all
+    such rows hash to the single NULL partition, a skew bomb whose
+    answer is known. Behavior: majority-NULL-key corpus keeps every
+    left row, NULL payloads on the NULL-key ones. Plan: the window
+    input filters isnotnull(key) and the NULL branch unions back."""
+    import datetime as dt
+
+    from inputlayer_spark.operators.events import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    L = spark.createDataFrame(
+        [(i, None if i % 10 else 10, t0 + dt.timedelta(hours=i)) for i in range(40)],
+        "event_id long, user_id int, ts timestamp",
+    )
+    R = spark.createDataFrame(
+        [(10, t0, 5.0)], "user_id int, ts timestamp, price double"
+    )
+    out = asof_join(L, R, "user_id", "ts", ["price"])
+    rows = {r["event_id"]: r["price"] for r in out.collect()}
+    assert len(rows) == 40                       # no left row lost
+    assert rows[0] == 5.0 and rows[10] == 5.0    # the non-NULL keys match
+    assert all(rows[i] is None for i in range(40) if i % 10)
+    # plan: every Window input is guarded by isnotnull on the key, and
+    # the NULL-key branch comes back via a Union
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in logical
+    assert "isnotnull(user_id" in logical
