@@ -170,12 +170,42 @@ def stream_enrich_latest(stream: DataFrame) -> DataFrame:
         else:
             sts, val = None, None
         pdf = pd.concat(list(pdfs), ignore_index=True)
+        # SQL NULL semantics, mirroring the batch asof_join: a state
+        # row with NULL ts can never satisfy "at or before" (and NaT
+        # .timestamp() raises), a NULL-value state row would poison
+        # the single-value state with NaN, and under SQL equality a
+        # NULL key matches nothing — so in the NULL-key group every
+        # state row is inert. Drop them; NULL-ts EVENT rows are kept
+        # and emit NULL payloads (the batch twin carries NULL there).
+        is_state = pdf["kind"] == "state"
+        pdf = pdf[
+            ~(
+                is_state
+                & (
+                    pdf["ts"].isna()
+                    | pdf["value"].isna()
+                    | (key[0] is None)
+                )
+            )
+        ]
+        null_ts_events = pdf[(pdf["kind"] != "state") & pdf["ts"].isna()]
+        pdf = pdf[pdf["ts"].notna()]
         # explicit tie key: state rows first at equal ts, so an event
         # at the state's exact timestamp sees it ("at or before")
         pdf = pdf.assign(
             __tag=(pdf["kind"] != "state").astype(int)
         ).sort_values(["ts", "__tag"], kind="mergesort")
         out = []
+        for r in null_ts_events.itertuples(index=False):
+            out.append(
+                {
+                    "key": key[0],
+                    "event_id": int(r.event_id),
+                    "ts": pd.NaT,
+                    "matched_ts": pd.NaT,
+                    "value": None,
+                }
+            )
         for r in pdf.itertuples(index=False):
             ets = r.ts.timestamp()
             if r.kind == "state":

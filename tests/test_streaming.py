@@ -838,3 +838,71 @@ def test_stream_enrich_latest_asof_semantics(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(str(src_dir))
     run_phase()
     assert {r.event_id: r.value for r in out_rows} == {300: None}
+
+
+def test_stream_enrich_latest_null_rows_do_not_crash_or_poison(spark, tmp_path):
+    """ADVICE r8: a NULL-ts row used to crash the whole streaming query
+    (NaT.timestamp() raises in the kernel) and a NULL-value state row
+    poisoned state with NaN. SQL semantics, mirroring the batch
+    asof_join: NULL-ts / NULL-value state rows are inert, a NULL key
+    matches nothing (so NULL-key state never enriches anything), and
+    NULL-ts events are kept with NULL payloads."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from inputlayer_spark.streaming.stateful import stream_enrich_latest
+
+    def ts(s):
+        return dt.datetime(2026, 1, 1, 0, 0, s)
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    sch = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    out_rows = []
+
+    def run_phase():
+        stream = spark.readStream.schema(sch).parquet(str(src_dir))
+        q = (
+            stream_enrich_latest(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: out_rows.extend(df.collect())
+            )
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    spark.createDataFrame(
+        [
+            ("a", ts(10), "state", 0, 1.0),
+            ("a", None, "state", 0, 7.0),      # NULL ts: inert (was a crash)
+            ("a", ts(12), "state", 0, None),   # NULL value: inert (was NaN)
+            ("a", None, "event", 100, 0.0),    # NULL ts event: NULL payload
+            ("a", ts(13), "event", 101, 0.0),  # must still see 1.0, not NaN
+            (None, ts(5), "state", 0, 9.0),    # NULL-key state: matches nothing
+            (None, ts(10), "event", 200, 0.0), # NULL-key event: NULL payload
+        ],
+        sch,
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    run_phase()
+    got = {r.event_id: r.value for r in out_rows}
+    assert got == {100: None, 101: 1.0, 200: None}
+    # and the inert state rows did not update the checkpointed state:
+    # a later event@12.5 still matches the ts(10) state
+    out_rows.clear()
+    spark.createDataFrame(
+        [("a", ts(12), "event", 300, 0.0)], sch
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    run_phase()
+    got2 = {r.event_id: (r.value, r.matched_ts) for r in out_rows}
+    assert got2 == {300: (1.0, ts(10))}
