@@ -80,6 +80,21 @@ def _json_val(v):
 # ------------------------------------------------------------ websocket
 
 
+def _cancel_until_acknowledged(spark, done, token, interval=0.25):
+    """Watchdog cancel loop: repeatedly cancelAllJobs until the request
+    handler acknowledges (`done`). The single-job-source invariant is
+    re-checked on EVERY lap, not just at entry — a maintainer or second
+    server registering mid-loop must not have its jobs killed for the
+    remainder of the deadline (TOCTOU guard; unit-tested with a fake
+    context in tests/test_config.py)."""
+    from inputlayer_spark.session import sole_job_source
+
+    while not done.wait(interval):
+        if not sole_job_source(spark, token):
+            return
+        spark.sparkContext.cancelAllJobs()
+
+
 def _ws_accept_key(key: str) -> str:
     return base64.b64encode(
         hashlib.sha1((key + _WS_GUID).encode()).digest()
@@ -611,9 +626,11 @@ class QueryServer:
                                 # acknowledges: a multi-stage query keeps
                                 # submitting fresh jobs after a one-shot
                                 # cancel, which would sail past the
-                                # deadline untouched
-                                while not done.wait(0.25):
-                                    outer.spark.sparkContext.cancelAllJobs()
+                                # deadline untouched (the loop re-checks
+                                # the single-source invariant every lap)
+                                _cancel_until_acknowledged(
+                                    outer.spark, done, outer._job_source
+                                )
 
                             watchdog = threading.Thread(
                                 target=_watch, daemon=True

@@ -351,3 +351,60 @@ def test_maintainer_restart_does_not_leak_job_source(spark, tmp_path):
     assert m._job_source is None
     live = sess_mod._JOB_SOURCES.get(id(spark), {})
     assert tok2 not in live
+
+
+def test_watchdog_cancel_loop_rechecks_job_sources_every_lap():
+    """ADVICE r8 TOCTOU: the watchdog checked sole_job_source once at
+    the deadline, then looped cancelAllJobs — a bystander registering
+    just after the check had its jobs killed for the rest of the loop.
+    The loop must re-check every lap and bail as soon as a second
+    source appears. Unit-level with a fake context (no timing)."""
+    import threading
+
+    from inputlayer_spark.server import _cancel_until_acknowledged
+    from inputlayer_spark.session import (
+        register_job_source,
+        sole_job_source,
+        unregister_job_source,
+    )
+
+    class FakeCtx:
+        def __init__(self):
+            self.cancels = 0
+
+        def cancelAllJobs(self):
+            self.cancels += 1
+
+    class FakeSpark:
+        def __init__(self):
+            self.sparkContext = FakeCtx()
+
+    fake = FakeSpark()
+    mine = register_job_source(fake, "server")
+    other = [None]
+    done = threading.Event()
+
+    real_cancel = fake.sparkContext.cancelAllJobs
+
+    def cancel_then_register():
+        real_cancel()
+        if fake.sparkContext.cancels == 2:
+            # a maintainer registers mid-loop, AFTER the entry check
+            other[0] = register_job_source(fake, "bystander")
+
+    fake.sparkContext.cancelAllJobs = cancel_then_register
+    try:
+        t = threading.Thread(
+            target=_cancel_until_acknowledged,
+            args=(fake, done, mine, 0.01),
+        )
+        t.start()
+        t.join(timeout=10)
+        assert not t.is_alive()  # bailed out without done being set
+        assert fake.sparkContext.cancels == 2  # no cancel after register
+        assert not sole_job_source(fake, mine)
+    finally:
+        done.set()
+        unregister_job_source(fake, mine)
+        if other[0] is not None:
+            unregister_job_source(fake, other[0])
