@@ -59,6 +59,14 @@ def kmeans_assign(
     """Assign every row to one of `k` clusters after `iters`
     deterministic Lloyd rounds. Returns (id_col, cluster).
 
+    Dirty vectors (NULL, NULL elements, or a length different from the
+    corpus dim — the dim of the null-free vector with the smallest id)
+    cannot participate: their zip_with distance would be NULL, which
+    silently skews array_min assignment, and a NULL element reaching
+    the centroid average used to raise TypeError on the next round's
+    F.lit(None). They are excluded from seeding and centroid updates
+    and come back with a NULL `cluster` so no input row is lost.
+
     Reference analog: the reference curates corpora with vector
     bucketing (src/vector/ ops + IVF centroid artifacts); this is the
     batch clustering operator a topic-balancing pipeline runs before
@@ -66,10 +74,25 @@ def kmeans_assign(
     """
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
-    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    clean = ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    dim_row = (
+        df.filter(F.col(vec_col).isNotNull() & clean)
+        .orderBy(F.col(id_col).asc())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
     if dim_row is None:
-        return df.select(F.col(id_col), F.lit(0).alias("cluster")).limit(0)
+        return df.select(
+            F.col(id_col), F.lit(None).cast("int").alias("cluster")
+        )
     dim = dim_row["d"]
+    valid_pred = (
+        F.col(vec_col).isNotNull() & clean & (F.size(F.col(vec_col)) == dim)
+    )
+    invalid = df.filter(~valid_pred | F.col(vec_col).isNull()).select(
+        F.col(id_col), F.lit(None).cast("int").alias("cluster")
+    )
+    df = df.filter(valid_pred)
 
     # deterministic init: vectors of the k smallest ids
     seed_rows = (
@@ -102,10 +125,20 @@ def kmeans_assign(
         for r in means:
             by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
         for ci, dims in by_cluster.items():
-            new_c[ci] = [dims[p] for p in range(dim)]
+            # validated input makes every mean non-NULL and every pos
+            # present; keep the previous component as a belt-and-braces
+            # fallback rather than ever minting F.lit(None)
+            new_c[ci] = [
+                dims.get(p, centroids[ci][p])
+                if dims.get(p) is not None
+                else centroids[ci][p]
+                for p in range(dim)
+            ]
         centroids = new_c
 
-    return assign(df).select(F.col(id_col), F.col("cluster"))
+    return assign(df).select(F.col(id_col), F.col("cluster")).unionByName(
+        invalid
+    )
 
 
 def cluster_sizes(

@@ -1698,3 +1698,49 @@ def test_asof_join_null_key_left_rows_bypass_window(spark):
     logical = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" in logical
     assert "isnotnull(user_id" in logical
+
+
+def test_kmeans_dirty_vectors_excluded_not_crashing(spark):
+    """ADVICE r8: a NULL element in any embedding made F.avg feed
+    F.lit(float(None)) next round (TypeError), and short vectors
+    silently skewed distances via zip_with NULL padding. Dirty vectors
+    (NULL, NULL element, wrong length) must come back with a NULL
+    cluster, never seed or shift a centroid, and clean rows must
+    cluster exactly as they would without the dirty ones present."""
+    from inputlayer_spark.operators.clustering import kmeans_assign
+
+    clean_rows = []
+    for i in range(20):
+        blob = i % 2
+        base = 0.0 if blob == 0 else 10.0
+        clean_rows.append((i, [base + (i % 5) * 0.01, base]))
+    dirty_rows = [
+        (100, None),                  # NULL vector
+        (101, [None, 5.0]),           # NULL element
+        (102, [1.0]),                 # too short
+        (103, [1.0, 2.0, 3.0]),       # too long
+    ]
+    schema = "vec_id long, embedding array<double>"
+    clean = spark.createDataFrame(clean_rows, schema)
+    both = spark.createDataFrame(clean_rows + dirty_rows, schema)
+
+    want = {r["vec_id"]: r["cluster"] for r in
+            kmeans_assign(clean, "vec_id", "embedding", k=2, iters=3).collect()}
+    got = {r["vec_id"]: r["cluster"] for r in
+           kmeans_assign(both, "vec_id", "embedding", k=2, iters=3).collect()}
+    assert len(got) == 24                       # every input row kept
+    assert all(got[i] is None for i in (100, 101, 102, 103))
+    assert {i: got[i] for i in want} == want    # clean rows unaffected
+
+    # corpus with NO clean majority: the dim anchor is the null-free
+    # vector with the smallest id (102, [1.0]) — it clusters, the rest
+    # are NULL; and an all-invalid corpus yields all-NULL, no crash
+    only_dirty = spark.createDataFrame(dirty_rows, schema)
+    res = {r["vec_id"]: r["cluster"] for r in
+           kmeans_assign(only_dirty, "vec_id", "embedding", k=2, iters=2).collect()}
+    assert res == {100: None, 101: None, 102: 0, 103: None}
+    all_null = spark.createDataFrame(
+        [(1, None), (2, [None, None])], schema
+    )
+    res2 = kmeans_assign(all_null, "vec_id", "embedding", k=2, iters=2)
+    assert [r["cluster"] for r in res2.collect()] == [None, None]
