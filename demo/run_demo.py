@@ -18,18 +18,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SEEDS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "seeds")
 
 
+def _strip_comment(line: str) -> str:
+    """Drop a trailing `//` comment, honoring double-quoted strings —
+    a `//` inside quotes is data, a `//` after a quoted value is still
+    a comment (the `'\"' not in line` heuristic got that wrong)."""
+    in_str = False
+    i = 0
+    while i < len(line):
+        c = line[i]
+        if c == '"':
+            # IQL string literals use "" to escape a quote
+            if in_str and i + 1 < len(line) and line[i + 1] == '"':
+                i += 2
+                continue
+            in_str = not in_str
+        elif not in_str and c == "/" and line[i : i + 2] == "//":
+            return line[:i].rstrip()
+        i += 1
+    return line
+
+
 def parse_statements(content: str) -> list[str]:
     """Split an .iql seed into executable statements: blank lines
-    separate; `//` comments stripped; multi-line statements (a rule
-    body continuing after `<-` or `,`) are joined — the same scheme the
-    reference seeder uses (demo/src/seeder.ts parseStatements)."""
+    separate; `//` comments stripped (string-aware); multi-line
+    statements (a rule body continuing after `<-` or `,`) are joined —
+    the same scheme the reference seeder uses (demo/src/seeder.ts
+    parseStatements)."""
     statements: list[str] = []
     current = ""
     for line in content.split("\n"):
         stripped = line.strip()
         if stripped.startswith("//"):
             continue
-        stripped = stripped.split("//")[0].rstrip() if '"' not in stripped else stripped
+        stripped = _strip_comment(stripped)
         if stripped == "":
             if current.strip():
                 statements.append(current.strip())

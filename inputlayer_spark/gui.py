@@ -644,9 +644,11 @@ function mdRender(src, escFn) {
       const rows = [];
       while (i < lines.length && /^\|/.test(lines[i])) {
         const cells = lines[i].replace(/^\||\|$/g, "").split("|");
-        // the separator row is ONLY dashes/colons — a data cell that
-        // merely STARTS with '-' (e.g. IQL retraction syntax) is data
-        if (!/^\s*:?-+:?\s*$/.test(cells[0])) {
+        // the separator row is one where EVERY cell is only
+        // dashes/colons — judging by the first cell alone dropped a
+        // data row whose first cell was dash-like (e.g. `---`) and
+        // rendered a separator with a non-dash first cell as data
+        if (!cells.every(c => /^\s*:?-+:?\s*$/.test(c))) {
           rows.push(cells.map(c => inline(c.trim())));
         }
         i++;

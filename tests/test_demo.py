@@ -30,6 +30,23 @@ def test_seed_parse_statements():
     assert sts[3] == "?path(X, Y)"
 
 
+def test_seed_parse_strips_comments_string_aware():
+    """ADVICE r8: a quoted statement with a trailing // comment kept
+    the comment text (the `'\"' not in line` heuristic skipped
+    stripping). A // inside quotes must survive; a // outside must go,
+    even on lines that contain quotes; "" escapes a quote."""
+    sts = parse_statements(
+        '+page[("https://a.example/x", 1)] // seed url\n'
+        '\n'
+        '+note[("says ""hi"" // not a comment", 2)] // trailing\n'
+        '\n'
+        '?page(U, N) // ask\n'
+    )
+    assert sts[0] == '+page[("https://a.example/x", 1)]'
+    assert sts[1] == '+note[("says ""hi"" // not a comment", 2)]'
+    assert sts[2] == "?page(U, N)"
+
+
 def test_demo_walkthrough_end_to_end(spark, capsys):
     from run_demo import main
 

@@ -336,6 +336,23 @@ console.log(JSON.stringify(mdRender({json.dumps(md)}, esc)));
         ).stdout
     )
     assert "-edge(1, 2)" in out2 and "retracts" in out2
+    # ADVICE r8: classifying by the FIRST cell alone dropped a data row
+    # whose first cell is dash-like, and rendered a separator whose
+    # first cell is not dash-like as data. EVERY cell must match.
+    md3 = (
+        "| stmt | what |\n|---|---|\n| --- | all-dash data cell |\n\n"
+        "| a | b |\n| x |---|\n| 1 | 2 |\n"
+    )
+    out3 = json.loads(
+        subprocess.run(
+            ["node", "-e",
+             fn + '\nconst esc = s => s.replace(/&/g, "&amp;").replace(/</g, "&lt;");'
+                  f"\nconsole.log(JSON.stringify(mdRender({json.dumps(md3)}, esc)));"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+    )
+    assert "all-dash data cell" in out3      # data row kept
+    assert "<td>x</td>" in out3              # non-separator row renders as data
     assert "<li>item two continued</li>" in out
     assert "<script>" not in out and "&lt;script>" in out
 
