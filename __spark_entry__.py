@@ -1705,12 +1705,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": q_string_funcs,
         "math_funcs": q_math_funcs,
         "type_conversion": q_type_conversion,
-        "topk_threshold": q_topk_threshold,
-        "within_radius_iql": q_within_radius_iql,
+        "minhash_lsh": q_minhash_lsh,
+        "asof_join": q_asof_join,
         "embedding_dedup": q_embedding_dedup,
-        "embedding_dedup_bucketed": q_embedding_dedup_bucketed,
+        "pack_sequences": q_pack_sequences,
         "transitive_closure": q_transitive_closure,
-        "transitive_closure_distributed": q_transitive_closure_distributed,
+        "dedup_lines": q_dedup_lines,
         "transitive_closure_large": q_transitive_closure_large,
         "transitive_closure_anchor": q_transitive_closure_anchor,
         "incr_agg_delta": q_incr_agg_delta,
@@ -1739,29 +1739,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_lang": q_quality_lang,
         "doc_fingerprint": q_doc_fingerprint,
-        "compression_signal": q_compression_signal,
+        "tfidf": q_tfidf,
         "image_probe": q_image_probe,
         "topic_clusters": q_topic_clusters,
         "vocabulary": q_vocabulary,
-        "tfidf": q_tfidf,
+        "compression_signal": q_compression_signal,
         "curation_pipeline": q_curation_pipeline,
         "hash_sample": q_hash_sample,
         "train_val_test_split": q_train_val_test_split,
         "weighted_sample": q_weighted_sample,
         "cap_per_group": q_cap_per_group,
         "chunk_documents": q_chunk_documents,
-        "asof_join": q_asof_join,
+        "within_radius_iql": q_within_radius_iql,
         "sessionize": q_sessionize,
         "quality_percentiles": q_quality_percentiles,
-        "pack_sequences": q_pack_sequences,
+        "embedding_dedup_bucketed": q_embedding_dedup_bucketed,
         "global_shuffle": q_global_shuffle,
         "rebalance_mixture": q_rebalance_mixture,
-        "dedup_lines": q_dedup_lines,
+        "transitive_closure_distributed": q_transitive_closure_distributed,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
-        "minhash_lsh": q_minhash_lsh,
+        "topk_threshold": q_topk_threshold,
         "simhash": q_simhash,
         "repetition": q_repetition,
         "contamination": q_contamination,
