@@ -80,6 +80,14 @@ def main() -> None:
         "pack_sequences",
         "dedup_lines",
         "asof_join",
+        # text-aggregation family (round 9): vocabulary's explode +
+        # token hash-agg + top-N, tfidf's two aggregates + token-key
+        # shuffle join (the r8 forced-broadcast fix — drift here means
+        # the join strategy moved), and the deterministic k-means
+        # assignment loop (flat 0.99x at 100x in SCALE_r08)
+        "vocabulary",
+        "tfidf",
+        "topic_clusters",
     ]
 
     # warmup: JVM codegen + parquet file-listing/footer caches for every

@@ -2,13 +2,14 @@
 
 Media are opaque `binary` columns with typed metadata structs. The
 decode/extract kernels are Pandas-UDF `mapInPandas` stages so the heavy
-work is Arrow-batched and partition-parallel. Three kernels are REAL,
+work is Arrow-batched and partition-parallel. Four kernels are REAL,
 stdlib-only implementations: `decode_wav_features` (wave + numpy:
 sample rate / duration / RMS / zero-crossing rate), `probe_image_meta`
 (PNG/GIF/BMP/JPEG header parsing for dimensions without pixel decode),
-and PNG pixel decode inside `extract_features` (`_png_pixels`:
-zlib-inflate IDAT + per-scanline unfilter, feature vector = real
-per-channel mean/std). Codecs that genuinely need PIL/ffmpeg
+and pixel decode inside `extract_features` for PNG (`_png_pixels`:
+zlib-inflate IDAT + per-scanline unfilter) and uncompressed 24-bit BMP
+(`_bmp_pixels`: stride walk + BGR swizzle), feature vector = real
+per-channel mean/std. Codecs that genuinely need PIL/ffmpeg
 (JPEG pixels, video frames) remain STUBBED behind deterministic fakes,
 clearly marked — their Spark-side plumbing (schemas, batch iteration,
 partitioning) is real and tested.
@@ -142,14 +143,49 @@ def _png_pixels(b):
     return (w, h, nch, bytes(out))
 
 
-def _png_real_features(content, dim: int = 8):
-    """Real pixel statistics for decodable PNGs: per-channel mean then
-    per-channel std (each in [0,1], 4 slots per block, absent channels
-    0), truncated/zero-padded to `dim`. None when content is not a
-    decodable PNG."""
-    dec = _png_pixels(content)
-    if dec is None:
+def _bmp_pixels(b):
+    """REAL stdlib BMP pixel decode — uncompressed (BI_RGB) 24-bit
+    BITMAPINFOHEADER bitmaps, the format the repo already header-probes
+    in `probe_image_meta`: 14-byte file header (pixel-array offset at
+    10), 40+-byte info header (w/h/bpp/compression), rows padded to
+    4-byte boundaries, BGR byte order, bottom-up unless height is
+    negative (top-down). Returns (width, height, 3, RGB bytes,
+    top-down row order) matching `_png_pixels`' convention, or None
+    when the payload is not a decodable BMP (caller falls back)."""
+    import struct
+
+    if not b or len(b) < 54 or b[:2] != b"BM":
         return None
+    (offset,) = struct.unpack("<I", b[10:14])
+    (hdr_size,) = struct.unpack("<I", b[14:18])
+    if hdr_size < 40 or len(b) < 14 + hdr_size:
+        return None
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp, comp = struct.unpack("<HI", b[28:34])
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0 or bpp != 24 or comp != 0:
+        return None
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(b) < offset + stride * h:
+        return None
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        src_y = y if top_down else h - 1 - y
+        row = b[offset + src_y * stride : offset + src_y * stride + w * 3]
+        o = y * w * 3
+        for x in range(w):
+            # BGR on disk -> RGB out
+            out[o + x * 3] = row[x * 3 + 2]
+            out[o + x * 3 + 1] = row[x * 3 + 1]
+            out[o + x * 3 + 2] = row[x * 3]
+    return (w, h, 3, bytes(out))
+
+
+def _pixel_stats(dec, dim: int = 8):
+    """Per-channel mean then per-channel std over decoded pixels (each
+    in [0,1], 4 slots per block, absent channels 0), truncated or
+    zero-padded to `dim`."""
     import numpy as np
 
     w, h, nch, px = dec
@@ -160,6 +196,20 @@ def _png_real_features(content, dim: int = 8):
     feat += [float(stds[k]) if k < nch else 0.0 for k in range(4)]
     feat = feat[:dim] + [0.0] * max(0, dim - 8)
     return [round(v, 6) for v in feat]
+
+
+def _png_real_features(content, dim: int = 8):
+    """Real pixel statistics for decodable PNGs; None when content is
+    not a decodable PNG."""
+    dec = _png_pixels(content)
+    return None if dec is None else _pixel_stats(dec, dim)
+
+
+def _bmp_real_features(content, dim: int = 8):
+    """Real pixel statistics for decodable 24-bit BMPs; None when
+    content is not a decodable BMP."""
+    dec = _bmp_pixels(content)
+    return None if dec is None else _pixel_stats(dec, dim)
 
 
 def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
@@ -192,6 +242,33 @@ def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
     )
 
 
+def encode_bmp(width: int, height: int, pixels: bytes, top_down: bool = False) -> bytes:
+    """Minimal stdlib 24-bit BMP encoder (BI_RGB, BITMAPINFOHEADER) —
+    the test/oracle harness for `_bmp_pixels`: takes RGB bytes in
+    top-down row order (the decoder's output convention), writes the
+    on-disk BGR, 4-byte-padded, bottom-up (or top-down) layout."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    order = range(height) if top_down else range(height - 1, -1, -1)
+    for y in order:
+        row = bytearray()
+        for x in range(width):
+            o = (y * width + x) * 3
+            row += bytes((pixels[o + 2], pixels[o + 1], pixels[o]))  # RGB->BGR
+        row += b"\x00" * (stride - width * 3)
+        rows.append(bytes(row))
+    data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, -height if top_down else height, 1, 24, 0,
+        len(data), 2835, 2835, 0, 0,
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    return hdr + info + data
+
+
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction over binary media columns.
 
@@ -200,11 +277,15 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     parallelism, no driver involvement, codec libs loaded once per
     executor). Decodable PNGs get REAL pixel statistics
     (_png_real_features: stdlib inflate + unfilter, per-channel
-    mean/std); other payloads fall back to the deterministic fake
-    kernel (container has no PIL/ffmpeg for JPEG/video)."""
+    mean/std), as do uncompressed 24-bit BMPs (_bmp_real_features:
+    stride walk + BGR swizzle); other payloads fall back to the
+    deterministic fake kernel (container has no PIL/ffmpeg for
+    JPEG/video)."""
 
     def features(b):
         real = _png_real_features(b, dim)
+        if real is None:
+            real = _bmp_real_features(b, dim)
         return real if real is not None else _fake_decode_features(b, dim)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

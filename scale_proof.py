@@ -21,6 +21,12 @@ files do not).
 Usage:
     python scale_proof.py             # builds .scale/sf1 if missing
     python scale_proof.py --rebuild   # force-rebuild sf1
+    python scale_proof.py --min3      # adjudication protocol: 3
+        sequential fresh-JVM runs on a quiet box, min per (query, sf)
+        cell, per-run totals + protocol embedded in the JSON — the
+        same protocol as BENCH_r08_min3.json (the r8 adjudication
+        showed a single noisy run inflates EVERY row 1.3-6x, so
+        cross-run minima are the only attributable signal)
 
 Prints per-SF timings as a markdown table + one JSON line; results are
 recorded in BASELINE.md ("Scale proof" section).
@@ -144,6 +150,63 @@ def build_sf1(spark) -> None:
     os.replace(tmp, SF1_DIR)
 
 
+def min3_orchestrate() -> None:
+    """Run the sweep three times in fresh sequential JVMs (quiet-box
+    protocol), take the min per (query, sf) cell, embed the per-run
+    results so outliers stay attributable."""
+    import subprocess
+
+    out_path = os.environ.get("SPARK_GRAFT_SCALE_OUT", "SCALE_min3.json")
+    runs = []
+    for i in range(3):
+        run_out = f"{out_path}.run{i + 1}"
+        env = dict(os.environ, SPARK_GRAFT_SCALE_OUT=run_out)
+        argv = [sys.executable, os.path.abspath(__file__)]
+        if "--rebuild" in sys.argv and i == 0:
+            argv.append("--rebuild")
+        print(f"# min3 pass {i + 1}/3 ...", file=sys.stderr)
+        subprocess.run(argv, check=True, env=env)
+        with open(run_out) as fh:
+            runs.append(json.load(fh))
+        os.remove(run_out)
+    names = list(runs[0]["results"])
+    labels = list(runs[0]["results"][names[0]])
+    results = {
+        name: {
+            lbl: min(r["results"][name][lbl] for r in runs)
+            for lbl in labels
+        }
+        for name in names
+    }
+    payload = {
+        "metric": "scale_proof_min3",
+        "unit": "sec",
+        "protocol": (
+            "3 sequential fresh-JVM runs on a quiet box; min per "
+            "(query, sf) cell; per-run totals embedded (same protocol "
+            "as BENCH_r08_min3.json)"
+        ),
+        "results": results,
+        "rows": runs[0]["rows"],
+        "growth_100x": {
+            name: round(
+                results[name][labels[-1]] / max(results[name][labels[0]], 1e-9),
+                2,
+            )
+            for name in names
+        },
+        "per_run_totals": [
+            round(sum(sum(r["results"][n].values()) for n in names), 2)
+            for r in runs
+        ],
+        "per_run_results": [r["results"] for r in runs],
+    }
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps({k: payload[k] for k in
+                      ("metric", "growth_100x", "per_run_totals")}))
+
+
 def main() -> None:
     from inputlayer_spark.session import get_spark
 
@@ -223,4 +286,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--min3" in sys.argv:
+        min3_orchestrate()
+    else:
+        main()

@@ -1744,3 +1744,63 @@ def test_kmeans_dirty_vectors_excluded_not_crashing(spark):
     )
     res2 = kmeans_assign(all_null, "vec_id", "embedding", k=2, iters=2)
     assert [r["cluster"] for r in res2.collect()] == [None, None]
+
+
+def test_bmp_pixels_roundtrip_and_edge_cases():
+    """_bmp_pixels: exact decode of crafted 24-bit BMPs — stride
+    padding (width 3 -> 9-byte rows pad to 12), BGR->RGB swizzle,
+    bottom-up AND top-down row order — mirroring the PNG harness."""
+    from inputlayer_spark.operators.multimodal import (
+        _bmp_pixels,
+        encode_bmp,
+    )
+
+    # width 3 => 9 bytes/row, padded to 12: exercises the stride walk
+    px = bytes(range(3 * 3 * 3))  # 3x3 RGB, all distinct values
+    for td in (False, True):
+        bmp = encode_bmp(3, 3, px, top_down=td)
+        assert _bmp_pixels(bmp) == (3, 3, 3, px), f"top_down={td}"
+    # width 4: zero padding branch
+    px4 = bytes((i * 7) % 256 for i in range(4 * 2 * 3))
+    assert _bmp_pixels(encode_bmp(4, 2, px4)) == (4, 2, 3, px4)
+    # non-BMP / truncated / unsupported payloads fall back (None)
+    assert _bmp_pixels(b"not a bmp") is None
+    assert _bmp_pixels(encode_bmp(3, 3, px)[:30]) is None
+    import struct
+    bad_bpp = bytearray(encode_bmp(3, 3, px))
+    bad_bpp[28:30] = struct.pack("<H", 8)  # 8-bit palette: unsupported
+    assert _bmp_pixels(bytes(bad_bpp)) is None
+    bad_comp = bytearray(encode_bmp(3, 3, px))
+    bad_comp[30:34] = struct.pack("<I", 1)  # BI_RLE8: unsupported
+    assert _bmp_pixels(bytes(bad_comp)) is None
+
+
+def test_extract_features_real_bmp_stats(spark):
+    """media_features end-to-end with a crafted BMP: known per-channel
+    means/stds come out of the REAL decoder (not the hash fake), and a
+    non-decodable payload still falls back."""
+    import hashlib
+
+    from inputlayer_spark.operators.multimodal import (
+        _fake_decode_features,
+        encode_bmp,
+        extract_features,
+    )
+
+    bmp = encode_bmp(4, 4, bytes([200, 100, 50] * 16))
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(bmp), (4, 4, None, None, "image/bmp")),
+            (2, "image", bytearray(b"fakeimg"), (4, 4, None, None, "image/bmp")),
+        ],
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:long,mime:string>",
+    )
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    f = out[1]["feature"]
+    assert abs(f[0] - 200 / 255) < 1e-5 and abs(f[1] - 100 / 255) < 1e-5
+    assert abs(f[2] - 50 / 255) < 1e-5 and f[4] == 0.0  # constant image: std 0
+    assert out[1]["content_sha"] == hashlib.sha256(bmp).hexdigest()
+    assert list(out[2]["feature"]) == pytest.approx(
+        _fake_decode_features(b"fakeimg"), abs=1e-6
+    )
