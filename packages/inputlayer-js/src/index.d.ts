@@ -171,3 +171,92 @@ export function query(
   goal: AtomExpr,
   ...rest: (Term | { limit?: number; offset?: number })[]
 ): QueryExpr;
+
+// ------------------------------------------------- typed REST client
+// (reference packages/api-client/src/client.ts shape over this wire)
+
+export interface ApiClientConfig {
+  url: string;
+  apiKey?: string | null;
+  session?: string | null;
+  timeoutMs?: number;
+}
+
+export interface KnowledgeGraphInfo {
+  name: string;
+  current: boolean;
+}
+
+export interface RelationInfo {
+  name: string;
+  arity: number;
+  kind: "base" | "derived" | string;
+}
+
+export interface RuleInfo {
+  name: string;
+  definition: string;
+  persistent: boolean;
+}
+
+export interface HealthStatus {
+  status: string;
+  [k: string]: unknown;
+}
+
+export class AdminApi {
+  health(): Promise<HealthStatus>;
+  status(): Promise<Record<string, string>>;
+  wsTicket(): Promise<{ ticket: string }>;
+}
+
+export class DocsApi {
+  list(): Promise<{ pages: Array<{ name: string; title?: string }> }>;
+  page(name: string): Promise<{ name: string; markdown: string }>;
+}
+
+export class QueryApi {
+  execute(params: { query: string }): Promise<ResultSet[]>;
+  debug(params: { query: string }): Promise<{ plan: string }>;
+}
+
+export class KnowledgeGraphApi {
+  list(): Promise<{
+    knowledgeGraphs: KnowledgeGraphInfo[];
+    current?: string;
+  }>;
+  create(name: string): Promise<void>;
+  use(name: string): Promise<void>;
+  drop(name: string): Promise<void>;
+}
+
+export class RelationsApi {
+  list(): Promise<{ relations: RelationInfo[] }>;
+  describe(name: string): Promise<{
+    columns: Array<{ column: string; type: string }>;
+  }>;
+  getData(
+    name: string,
+    params?: { limit?: number; offset?: number }
+  ): Promise<{ columns: string[]; rows: IqlValue[][] }>;
+  insertData(name: string, rows: IqlValue[][]): Promise<{ inserted: number }>;
+  deleteData(name: string, row: IqlValue[]): Promise<void>;
+  drop(name: string): Promise<void>;
+}
+
+export class RulesApi {
+  list(): Promise<{ rules: RuleInfo[] }>;
+  add(definition: string): Promise<void>;
+  remove(nameOrIndex: string | number): Promise<void>;
+}
+
+export class InputLayerApiClient {
+  constructor(config: ApiClientConfig);
+  readonly admin: AdminApi;
+  readonly docs: DocsApi;
+  readonly query: QueryApi;
+  readonly knowledgeGraphs: KnowledgeGraphApi;
+  readonly relations: RelationsApi;
+  readonly rules: RulesApi;
+  connect(): Promise<this>;
+}

@@ -19,3 +19,12 @@ export {
 export { compileValue, insertStatement, deleteStatement } from "./iql.js";
 export { WsConn, encodeFrame, decodeFrames } from "./ws.js";
 export { V, ANY, rel, not, agg, fn, rule, sessionRule, query } from "./fluent.js";
+export {
+  InputLayerApiClient,
+  AdminApi,
+  DocsApi,
+  QueryApi,
+  KnowledgeGraphApi,
+  RelationsApi,
+  RulesApi,
+} from "./api.js";

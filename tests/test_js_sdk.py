@@ -36,11 +36,14 @@ def test_js_sdk_integration_against_live_server(spark):
     try:
         env = dict(os.environ, INPUTLAYER_URL=f"http://127.0.0.1:{srv.port}")
         out = subprocess.run(
-            [node, "--test", "tests/integration.test.mjs", "tests/fluent.test.mjs"],
-            cwd=PKG, capture_output=True, text=True, timeout=300, env=env,
+            [node, "--test", "--test-concurrency=1",
+             "tests/integration.test.mjs", "tests/fluent.test.mjs",
+             "tests/api.test.mjs"],
+            cwd=PKG, capture_output=True, text=True, timeout=600, env=env,
         )
         assert out.returncode == 0, out.stdout + out.stderr
-        assert "# pass 6" in out.stdout, out.stdout  # incl. live fluent roundtrip
+        # live fluent roundtrip + the typed REST api-client namespaces
+        assert "# pass 7" in out.stdout, out.stdout
         assert "# skipped 0" in out.stdout, out.stdout
     finally:
         srv.stop()
