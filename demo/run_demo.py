@@ -91,22 +91,7 @@ RANKED = (
 )
 
 
-def main(argv=None) -> int:
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--port", type=int, default=0, help="0 = ephemeral")
-    ap.add_argument("--keep", action="store_true", help="leave server running")
-    args = ap.parse_args(argv)
-
-    from inputlayer_spark.client import Client
-    from inputlayer_spark.server import QueryServer
-    from inputlayer_spark.session import get_spark
-
-    spark = get_spark("inputlayer-demo")
-    spark.sparkContext.setLogLevel("ERROR")
-    srv = QueryServer(spark, port=args.port).start()
-    print(f"[demo] server on 127.0.0.1:{srv.port}")
-    client = Client(f"http://127.0.0.1:{srv.port}")
-
+def espresso_walkthrough(client) -> None:
     n = seed(client, os.path.join(SEEDS_DIR, "espresso.iql"))
     print(f"[demo] seeded espresso_demo ({n} statements)")
 
@@ -133,6 +118,70 @@ def main(argv=None) -> int:
     show("provenance: why is the 18g basket pitched?", client.query(
         '.why pitch("amara", "e61-basket-18g")'
     ))
+
+
+def retail_walkthrough(client) -> None:
+    """Scenario 2 (seeds/retail.iql): recursion through the delivery
+    graph, a real HNSW index over catalogue embeddings, and live
+    maintenance — a new route extends the materialized closure, a
+    restock retracts order lines — all over the wire client."""
+    n = seed(client, os.path.join(SEEDS_DIR, "retail.iql"))
+    print(f"[demo] seeded retail_ops ({n} statements)")
+
+    show("shelves below their reorder point", client.query(
+        "?needs_restock(Store, Sku)"
+    ))
+    show("order plan (supplier must make the sku AND reach the store)",
+         client.query("?order_line(Store, Sku, Supplier)"))
+    show("supplier workload", client.query("?supplier_load(Supplier, N)"))
+
+    # ferment-co makes kimchi but only ships via d_south -> s_cedar;
+    # s_birch needs kimchi and is unreachable — until a route appears
+    print("\n[demo] new delivery route: d_south starts serving s_birch ...")
+    client.execute('+route[("d_south", "s_birch")]')
+    show("re-query: kimchi order line appears (closure extended)",
+         client.query('?order_line("s_birch", Sku, Supplier)'))
+
+    print("\n[demo] oat milk restocked at s_alder ...")
+    client.execute('-shelf("s_alder", "oat-milk-1l", 4, 10)\n'
+                   '+shelf[("s_alder", "oat-milk-1l", 30, 10)]')
+    show("re-query: oat milk drops out of the plan",
+         client.query('?order_line("s_alder", Sku, Supplier)'))
+
+    show("index-served search: 'plant milk' embedding, top 2", client.query(
+        "?hnsw_nearest(idx_catalog, [0.87, 0.2, 0.35, 0.12], 2, Sku, D)"
+    ))
+    show("provenance: why does grove-dairy restock s_alder's cold brew?",
+         client.query('.why order_line("s_alder", "cold-brew-330", '
+                      '"grove-dairy")'))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--port", type=int, default=0, help="0 = ephemeral")
+    ap.add_argument("--keep", action="store_true", help="leave server running")
+    ap.add_argument(
+        "--scenario",
+        choices=("espresso", "retail", "all"),
+        default="all",
+        help="which seeded walkthrough(s) to run",
+    )
+    args = ap.parse_args(argv)
+
+    from inputlayer_spark.client import Client
+    from inputlayer_spark.server import QueryServer
+    from inputlayer_spark.session import get_spark
+
+    spark = get_spark("inputlayer-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    srv = QueryServer(spark, port=args.port).start()
+    print(f"[demo] server on 127.0.0.1:{srv.port}")
+    client = Client(f"http://127.0.0.1:{srv.port}")
+
+    if args.scenario in ("espresso", "all"):
+        espresso_walkthrough(client)
+    if args.scenario in ("retail", "all"):
+        retail_walkthrough(client)
 
     if args.keep:
         print(f"[demo] --keep: server up at http://127.0.0.1:{srv.port} "

@@ -3348,6 +3348,21 @@ class IQLEngine:
                 return self.spark.createDataFrame(rows, schema="column string, type string")
             if args and args[0] == "drop" and len(args) > 1:
                 self._delete(Delete(args[1], drop=True))
+            if args and args[0] == "schema" and len(args) > 2:
+                # `.rel schema r (c: type, ...)` (docs/iql.md) — the
+                # meta spelling of the `+r(c: type, ...)` declaration.
+                # This used to fall through every branch as a SILENT
+                # no-op; route it through the same SchemaDecl path.
+                from inputlayer_spark.ast_nodes import SchemaDecl
+                from inputlayer_spark.parser import parse_program
+
+                decl_text = f"+{args[1]}" + " ".join(args[2:])
+                decl = parse_program(decl_text).statements[0]
+                if not isinstance(decl, SchemaDecl):
+                    raise CompileError(
+                        f"invalid .rel schema declaration: {decl_text}"
+                    )
+                self._declare_schema(decl)
         elif cmd == "rule":
             from inputlayer_spark.printer import rule_to_iql
 

@@ -488,6 +488,22 @@ class Parser:
     # ----- query -----
     def parse_query(self) -> Query:
         self.expect("?")
+        t = self.peek()
+        if t is not None and t.kind == "ident" and t.text == "hnsw_nearest":
+            # direct-goal form (docs/iql.md):
+            #   ?hnsw_nearest(idx, [..], k, Id, Dist) [, body] [, limit(..)]
+            # sugar for a query over the builtin's output variables —
+            # previously this silently compiled as a scan of a
+            # nonexistent relation named hnsw_nearest
+            h = self._hnsw()
+            body, limit, offset = self._query_suffix()
+            return Query(
+                Atom("knn", (h.id_var, h.dist_var)),
+                (h, *body),
+                (),
+                limit,
+                offset,
+            )
         name = self._ident()
         self.expect("(")
         terms = []
@@ -505,6 +521,11 @@ class Parser:
                 if not self.eat(","):
                     break
         self.expect(")")
+        body, limit, offset = self._query_suffix()
+        return Query(Atom(name, tuple(terms)), tuple(body), tuple(order_by), limit, offset)
+
+    def _query_suffix(self):
+        """The `, body-literal ... , limit(n[, off])` tail of a query."""
         body = []
         limit = offset = None
         while self.eat(","):
@@ -522,7 +543,7 @@ class Parser:
                 self.expect(")")
             else:
                 body.append(self._body_literal())
-        return Query(Atom(name, tuple(terms)), tuple(body), tuple(order_by), limit, offset)
+        return tuple(body), limit, offset
 
     # ----- body -----
     def _body(self) -> list:
@@ -591,6 +612,9 @@ class Parser:
         self.next()  # hnsw_nearest
         self.expect("(")
         index = self._term()
+        if isinstance(index, Var) and not index.is_wildcard:
+            # bare index name (docs spelling: hnsw_nearest(idx_docs, ..))
+            index = Const(index.name)
         if not isinstance(index, Const) or not isinstance(index.value, str):
             raise ParseError("hnsw_nearest: first arg must be an index name string")
         self.expect(",")

@@ -50,7 +50,7 @@ def test_seed_parse_strips_comments_string_aware():
 def test_demo_walkthrough_end_to_end(spark, capsys):
     from run_demo import main
 
-    assert main([]) == 0
+    assert main(["--scenario", "espresso"]) == 0
     out = capsys.readouterr().out
     # stock retraction removes the shower screen from the ranked answer
     assert "re-query: shower screen gone" in out
@@ -61,3 +61,30 @@ def test_demo_walkthrough_end_to_end(spark, capsys):
     # 21g basket (0 stock) never pitched
     pitched = out.split("in stock too")[1].split("==")[0]
     assert "e61-basket-18g" in pitched and "e61-basket-21g" not in pitched
+
+
+def test_retail_walkthrough_end_to_end(spark, capsys):
+    """Scenario 2 (seeds/retail.iql): recursive delivery closure,
+    HNSW-indexed catalogue search, and live maintenance — a new route
+    extends the materialized closure mid-session, a restock retracts
+    order lines — all through the wire client."""
+    from run_demo import main
+
+    assert main(["--scenario", "retail"]) == 0
+    out = capsys.readouterr().out
+    # the initial plan: grove-dairy reaches s_alder through d_north
+    plan = out.split("order plan")[1].split("==")[0]
+    assert "grove-dairy" in plan and "oat-milk-1l" in plan
+    # ferment-co cannot reach s_birch before the new route exists
+    assert "s_birch | kimchi-450g" not in plan.replace("  ", " ")
+    # after +route(d_south, s_birch): closure extends, kimchi appears
+    extended = out.split("closure extended")[1].split("==")[0]
+    assert "kimchi-450g" in extended and "ferment-co" in extended
+    # after the restock, oat milk leaves s_alder's plan
+    after = out.split("oat milk drops out")[1].split("==")[0]
+    assert "oat-milk-1l" not in after
+    # index-served ANN search found the plant milks
+    ann = out.split("index-served search")[1].split("==")[0]
+    assert "oat-milk-1l" in ann or "soy-milk-1l" in ann
+    # provenance trace ran
+    assert "grove-dairy restock" in out

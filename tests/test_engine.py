@@ -602,3 +602,37 @@ def test_ivf_typed_index_probe_and_fallback(engine):
         )
     )
     assert {g[0] for g in got2} == {1, 5}
+
+
+def test_hnsw_nearest_direct_goal_form(engine):
+    """`?hnsw_nearest(idx, [..], k, Id, D)` — the docs' direct-goal
+    spelling (docs/iql.md) — used to silently compile as a scan of a
+    nonexistent relation named hnsw_nearest, returning junk columns.
+    It is sugar for a knn(Id, D) query over the builtin; the index
+    name may be bare or quoted, and the limit tail still parses."""
+    engine.execute("+emb(id: int, v: vector)")
+    engine.execute("+emb[(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])]")
+    engine.execute(".index create vidx on emb(v) type hnsw metric cosine")
+    got = rows(engine.query("?hnsw_nearest(vidx, [1.0, 0.0], 2, Id, D)"))
+    assert [g[0] for g in got] == [1, 3]
+    got_q = rows(engine.query('?hnsw_nearest("vidx", [1.0, 0.0], 2, Id, D)'))
+    assert [g[0] for g in got_q] == [1, 3]
+    got_lim = rows(
+        engine.query("?hnsw_nearest(vidx, [1.0, 0.0], 2, Id, D), limit(1)")
+    )
+    assert [g[0] for g in got_lim] == [1]
+
+
+def test_rel_schema_meta_registers(engine):
+    """`.rel schema r (c: type, ...)` (docs/iql.md) was a silent no-op
+    — every branch of the .rel handler fell through. It must register
+    the schema (enabling .index create) and name the columns."""
+    engine.execute(
+        ".rel schema cat (sku: string, price: float, emb: vector)"
+    )
+    engine.execute('+cat[("a", 1.0, [1.0, 0.0]), ("b", 2.0, [0.0, 1.0])]')
+    desc = [tuple(r) for r in engine.execute(".rel describe cat")[0].collect()]
+    assert [d[0] for d in desc] == ["sku", "price", "emb"]
+    engine.execute(".index create cidx on cat(emb) type hnsw metric cosine")
+    got = rows(engine.query("?hnsw_nearest(cidx, [1.0, 0.0], 1, Id, D)"))
+    assert len(got) == 1

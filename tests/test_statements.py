@@ -564,7 +564,7 @@ def test_save_load_kg_randomized_roundtrip_all_formats(eng, tmp_path):
                      lambda i: (mkstr(i), rng.randrange(-5, 5), rng.uniform(-2, 2))),
         "yy_bools": ("(y_b: bool, x_i: int)",
                      lambda i: (bool(i % 2), i)),
-        "ww_vec": ("(w_id: int, v: float_vector)",
+        "ww_vec": ("(w_id: int, v: vector)",
                    lambda i: (i, [round(rng.uniform(-1, 1), 3) for _ in range(3)])),
     }
     for fmt in ("parquet", "json", "orc", "csv"):
