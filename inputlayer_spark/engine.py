@@ -3354,7 +3354,6 @@ class IQLEngine:
                 # This used to fall through every branch as a SILENT
                 # no-op; route it through the same SchemaDecl path.
                 from inputlayer_spark.ast_nodes import SchemaDecl
-                from inputlayer_spark.parser import parse_program
 
                 decl_text = f"+{args[1]}" + " ".join(args[2:])
                 decl = parse_program(decl_text).statements[0]
