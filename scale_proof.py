@@ -118,6 +118,14 @@ QUERIES = [
     # deterministic k-means: per-round narrow scan + k*dim-row agg —
     # time should track the scan, never a shuffle of the corpus
     "topic_clusters",
+    # text-aggregation family (round 9): vocabulary is one explode +
+    # token hash-agg; tfidf is the r8 weak-item fix — the dfreq side
+    # now rides the token-key shuffle join instead of a forced
+    # broadcast, so its growth curve is the proof the fix holds at
+    # 100x (the broadcast would have collected the distinct-token
+    # table to the driver)
+    "vocabulary",
+    "tfidf",
 ]
 
 
