@@ -2,15 +2,17 @@
 
 Media are opaque `binary` columns with typed metadata structs. The
 decode/extract kernels are Pandas-UDF `mapInPandas` stages so the heavy
-work is Arrow-batched and partition-parallel. Four kernels are REAL,
-stdlib-only implementations: `decode_wav_features` (wave + numpy:
-sample rate / duration / RMS / zero-crossing rate), `probe_image_meta`
-(PNG/GIF/BMP/JPEG header parsing for dimensions without pixel decode),
-and pixel decode inside `extract_features` for PNG (`_png_pixels`:
-zlib-inflate IDAT + per-scanline unfilter) and uncompressed 24-bit BMP
-(`_bmp_pixels`: stride walk + BGR swizzle), feature vector = real
-per-channel mean/std. Codecs that genuinely need PIL/ffmpeg
-(JPEG pixels, video frames) remain STUBBED behind deterministic fakes,
+work is Arrow-batched and partition-parallel. The REAL, stdlib-only
+kernels: `decode_wav_features` (wave + numpy: sample rate / duration /
+RMS / zero-crossing rate), `probe_image_meta` (PNG/GIF/BMP/JPEG header
+parsing for dimensions without pixel decode), and pixel decode inside
+`extract_features` for PNG (`_png_pixels`: zlib-inflate IDAT +
+per-scanline unfilter), uncompressed 24-bit BMP (`_bmp_pixels`: stride
+walk + BGR swizzle), and GIF (`_gif_pixels`: LZW decompression with
+variable code width, palette lookup, interlace de-weave) — feature
+vector = real per-channel mean/std. Codecs that genuinely need
+PIL/ffmpeg (JPEG pixels, video frames) remain STUBBED behind
+deterministic fakes,
 clearly marked — their Spark-side plumbing (schemas, batch iteration,
 partitioning) is real and tested.
 """
@@ -182,6 +184,126 @@ def _bmp_pixels(b):
     return (w, h, 3, bytes(out))
 
 
+def _gif_pixels(b):
+    """REAL stdlib GIF pixel decode — GIF87a/GIF89a, first image frame:
+    logical-screen + image descriptors, global/local color table, LZW
+    decompression (variable code width, clear/EOI codes), optional
+    interlace de-weave. Transparency (GCE) is ignored — the transparent
+    index still maps through the palette, which is what pixel
+    statistics want. Returns (width, height, 3, RGB bytes) or None when
+    the payload is not a decodable GIF (caller falls back)."""
+    import struct
+
+    if not b or len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+        i = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = b[i : i + 3 * n]
+            i += 3 * n
+        # walk blocks to the first image descriptor
+        while i < len(b):
+            blk = b[i]
+            if blk == 0x2C:  # image descriptor
+                break
+            if blk == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while i < len(b) and b[i] != 0:
+                    i += 1 + b[i]
+                i += 1
+            elif blk == 0x3B:  # trailer — no image
+                return None
+            else:
+                return None
+        if i >= len(b) or b[i] != 0x2C:
+            return None
+        _lx, _ly, w, h, ipacked = struct.unpack("<HHHHB", b[i + 1 : i + 10])
+        i += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = b[i : i + 3 * n]
+            i += 3 * n
+        interlaced = bool(ipacked & 0x40)
+        if not ct or w == 0 or h == 0:
+            return None
+        min_code_size = b[i]
+        i += 1
+        data = bytearray()
+        while i < len(b) and b[i] != 0:
+            ln = b[i]
+            data += b[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        # ---- LZW decode (variable-width codes, LSB-first bit order)
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        indices = bytearray()
+        table = [bytes((c,)) for c in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+        acc = nbits = 0
+        done = False
+        for byte in data:
+            if done:
+                break
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == clear:
+                    table = [bytes((c,)) for c in range(clear)] + [b"", b""]
+                    width = min_code_size + 1
+                    prev = None
+                    continue
+                if code == eoi:
+                    done = True
+                    break
+                if prev is None:
+                    entry = table[code]
+                else:
+                    if code < len(table):
+                        entry = table[code]
+                        table.append(prev + entry[:1])
+                    elif code == len(table):
+                        entry = prev + prev[:1]
+                        table.append(entry)
+                    else:
+                        return None
+                    if len(table) >= (1 << width) and width < 12:
+                        width += 1
+                indices += entry
+                prev = entry
+                if len(indices) >= w * h:
+                    done = True
+                    break
+        if len(indices) < w * h:
+            return None
+        indices = indices[: w * h]
+        if interlaced:
+            # de-weave the four passes back into natural row order
+            rows = [None] * h
+            src = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for y in range(start, h, step):
+                    rows[y] = indices[src * w : (src + 1) * w]
+                    src += 1
+            indices = b"".join(rows)
+        n_colors = len(ct) // 3
+        out = bytearray(w * h * 3)
+        for p, idx in enumerate(indices):
+            if idx >= n_colors:
+                return None
+            out[p * 3 : p * 3 + 3] = ct[idx * 3 : idx * 3 + 3]
+        return (w, h, 3, bytes(out))
+    except (struct.error, IndexError):
+        return None
+
+
 def _pixel_stats(dec, dim: int = 8):
     """Per-channel mean then per-channel std over decoded pixels (each
     in [0,1], 4 slots per block, absent channels 0), truncated or
@@ -209,6 +331,13 @@ def _bmp_real_features(content, dim: int = 8):
     """Real pixel statistics for decodable 24-bit BMPs; None when
     content is not a decodable BMP."""
     dec = _bmp_pixels(content)
+    return None if dec is None else _pixel_stats(dec, dim)
+
+
+def _gif_real_features(content, dim: int = 8):
+    """Real pixel statistics for decodable GIFs (first frame); None
+    when content is not a decodable GIF."""
+    dec = _gif_pixels(content)
     return None if dec is None else _pixel_stats(dec, dim)
 
 
@@ -269,6 +398,64 @@ def encode_bmp(width: int, height: int, pixels: bytes, top_down: bool = False) -
     return hdr + info + data
 
 
+def encode_gif(width: int, height: int, indices: bytes, palette: bytes,
+               interlaced: bool = False) -> bytes:
+    """Minimal stdlib GIF89a encoder — the test/oracle harness for
+    `_gif_pixels`: real LZW output (literal codes with periodic clears
+    so the code width never grows past the minimum), global color
+    table, optional interlaced row order."""
+    import struct
+
+    n = max(2, len(palette) // 3)
+    depth = max(2, (n - 1).bit_length())
+    table_size = 1 << depth
+    gct = palette + b"\x00" * (3 * table_size - len(palette))
+    hdr = b"GIF89a" + struct.pack(
+        "<HHBBB", width, height, 0x80 | (depth - 1), 0, 0
+    ) + gct
+    ipacked = 0x40 if interlaced else 0
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, ipacked)
+    if interlaced:
+        order = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for y in range(start, height, step)]
+        indices = b"".join(
+            indices[y * width : (y + 1) * width] for y in order
+        )
+    # LZW with only literal codes: emit CLEAR before every table-growth
+    # point so codes stay at min_code_size+1 bits
+    mcs = depth
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width_bits = mcs + 1
+    out_bits = []
+    budget = (1 << width_bits) - eoi - 2  # literals before table would grow
+
+    def emit(code):
+        for k in range(width_bits):
+            out_bits.append((code >> k) & 1)
+
+    emit(clear)
+    since_clear = 0
+    for idx in indices:
+        if since_clear >= budget:
+            emit(clear)
+            since_clear = 0
+        emit(idx)
+        since_clear += 1
+    emit(eoi)
+    by = bytearray()
+    for k in range(0, len(out_bits), 8):
+        v = 0
+        for j, bit in enumerate(out_bits[k : k + 8]):
+            v |= bit << j
+        by.append(v)
+    blocks = bytearray([mcs])
+    for k in range(0, len(by), 255):
+        chunk = by[k : k + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return hdr + desc + bytes(blocks) + b"\x3b"
+
+
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction over binary media columns.
 
@@ -286,6 +473,8 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
         real = _png_real_features(b, dim)
         if real is None:
             real = _bmp_real_features(b, dim)
+        if real is None:
+            real = _gif_real_features(b, dim)
         return real if real is not None else _fake_decode_features(b, dim)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1804,3 +1804,134 @@ def test_extract_features_real_bmp_stats(spark):
     assert list(out[2]["feature"]) == pytest.approx(
         _fake_decode_features(b"fakeimg"), abs=1e-6
     )
+
+
+def test_gif_pixels_roundtrip_and_edge_cases():
+    """_gif_pixels: exact decode of crafted GIFs — LZW with clears,
+    global color table lookup, interlace de-weave — mirroring the
+    PNG/BMP harnesses."""
+    from inputlayer_spark.operators.multimodal import (
+        _gif_pixels,
+        encode_gif,
+    )
+
+    # 4 distinct palette colors, 3x3 frame using all of them
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    idx = bytes([0, 1, 2, 3, 0, 1, 2, 3, 0])
+    rgb = b"".join(palette[i * 3 : i * 3 + 3] for i in idx)
+    for il in (False, True):
+        gif = encode_gif(3, 3, idx, palette, interlaced=il)
+        assert _gif_pixels(gif) == (3, 3, 3, rgb), f"interlaced={il}"
+    # tall interlaced image exercises all four passes
+    h = 11
+    idx2 = bytes((y % 4) for y in range(h) for _ in range(2))
+    rgb2 = b"".join(palette[i * 3 : i * 3 + 3] for i in idx2)
+    assert _gif_pixels(encode_gif(2, h, idx2, palette, interlaced=True)) == (
+        2, h, 3, rgb2
+    )
+    # payload long enough to force a mid-stream CLEAR re-emit
+    big = bytes((i * 7) % 4 for i in range(40 * 30))
+    dec = _gif_pixels(encode_gif(40, 30, big, palette))
+    assert dec is not None and dec[:3] == (40, 30, 3)
+    assert dec[3] == b"".join(palette[i * 3 : i * 3 + 3] for i in big)
+    # non-GIF / truncated / trailer-only payloads fall back (None)
+    assert _gif_pixels(b"not a gif") is None
+    assert _gif_pixels(encode_gif(3, 3, idx, palette)[:20]) is None
+    assert _gif_pixels(b"GIF89a" + b"\x00" * 7 + b"\x3b") is None
+
+
+def test_extract_features_real_gif_stats(spark):
+    """media_features end-to-end with a crafted GIF: known per-channel
+    means come from the REAL decoder; non-decodable falls back."""
+    import hashlib
+
+    from inputlayer_spark.operators.multimodal import (
+        _fake_decode_features,
+        encode_gif,
+        extract_features,
+    )
+
+    palette = bytes([200, 100, 50])
+    gif = encode_gif(4, 4, bytes(16), palette)  # constant color
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(gif), (4, 4, None, None, "image/gif")),
+            (2, "image", bytearray(b"fakegif"), (4, 4, None, None, "image/gif")),
+        ],
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:long,mime:string>",
+    )
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    f = out[1]["feature"]
+    assert abs(f[0] - 200 / 255) < 1e-5 and abs(f[1] - 100 / 255) < 1e-5
+    assert abs(f[2] - 50 / 255) < 1e-5 and f[4] == 0.0
+    assert out[1]["content_sha"] == hashlib.sha256(gif).hexdigest()
+    assert list(out[2]["feature"]) == pytest.approx(
+        _fake_decode_features(b"fakegif"), abs=1e-6
+    )
+
+
+def test_gif_pixels_real_lzw_compression_path():
+    """Drive _gif_pixels through a REAL LZW compressor (dictionary
+    growth, variable code width, the KwKwK code==len(table) case) —
+    the literal-only harness never grows the table, so this pins the
+    decoder's compressed path against an independent encoder."""
+    import struct
+
+    from inputlayer_spark.operators.multimodal import _gif_pixels
+
+    def lzw_compress(indices, mcs):
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        dict_ = {bytes((c,)): c for c in range(clear)}
+        next_code = eoi + 1
+        width = mcs + 1
+        bits = []
+
+        def emit(code):
+            nonlocal width
+            for k in range(width):
+                bits.append((code >> k) & 1)
+
+        emit(clear)
+        wbuf = b""
+        for idx in indices:
+            nxt = wbuf + bytes((idx,))
+            if nxt in dict_:
+                wbuf = nxt
+                continue
+            emit(dict_[wbuf])
+            dict_[nxt] = next_code
+            next_code += 1
+            # GIF: width grows when the NEXT code would not fit
+            if next_code > (1 << width) and width < 12:
+                width += 1
+            wbuf = bytes((idx,))
+        if wbuf:
+            emit(dict_[wbuf])
+        emit(eoi)
+        by = bytearray()
+        for k in range(0, len(bits), 8):
+            v = 0
+            for j, bit in enumerate(bits[k : k + 8]):
+                v |= bit << j
+            by.append(v)
+        return bytes(by)
+
+    # repetitive data → long dictionary entries, immediate KwKwK hits
+    w, h = 16, 16
+    indices = bytes(([0, 0, 1, 1] * (w // 4))[:w]) * h
+    palette = bytes([255, 0, 0, 0, 255, 0])
+    depth = 2  # min table 4 even with 2 colors (GIF min code size >= 2)
+    gct = palette + b"\x00" * (3 * (1 << depth) - len(palette))
+    hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0) + gct
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    comp = lzw_compress(indices, depth)
+    blocks = bytearray([depth])
+    for k in range(0, len(comp), 255):
+        chunk = comp[k : k + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    gif = hdr + desc + bytes(blocks) + b"\x3b"
+
+    want = b"".join(palette[i * 3 : i * 3 + 3] for i in indices)
+    assert _gif_pixels(gif) == (w, h, 3, want)
