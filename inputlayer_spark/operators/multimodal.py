@@ -8,11 +8,13 @@ RMS / zero-crossing rate), `probe_image_meta` (PNG/GIF/BMP/JPEG header
 parsing for dimensions without pixel decode), and pixel decode inside
 `extract_features` for PNG (`_png_pixels`: zlib-inflate IDAT +
 per-scanline unfilter), uncompressed 24-bit BMP (`_bmp_pixels`: stride
-walk + BGR swizzle), and GIF (`_gif_pixels`: LZW decompression with
-variable code width, palette lookup, interlace de-weave) — feature
-vector = real per-channel mean/std. Codecs that genuinely need
-PIL/ffmpeg (JPEG pixels, video frames) remain STUBBED behind
-deterministic fakes,
+walk + BGR swizzle), GIF (`_gif_pixels`: LZW decompression with
+variable code width, palette lookup, interlace de-weave), and baseline
+JPEG (`_jpeg_pixels`: canonical Huffman + dequant + IDCT + chroma
+upsample + YCbCr->RGB; handles real libjpeg output incl. 4:2:0 and
+restart markers) — feature vector = real per-channel mean/std. Only
+kernels that genuinely need ffmpeg (video frame sampling; progressive
+JPEG) remain STUBBED behind deterministic fakes,
 clearly marked — their Spark-side plumbing (schemas, batch iteration,
 partitioning) is real and tested.
 """
@@ -304,6 +306,265 @@ def _gif_pixels(b):
         return None
 
 
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix():
+    import math
+
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        a = math.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            c[u, x] = a * math.cos((2 * x + 1) * u * math.pi / 16)
+    return c
+
+
+def _build_huff(counts, symbols):
+    """Canonical JPEG Huffman table: (bit-length, code) -> symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_pixels(b):
+    """REAL stdlib+numpy baseline JPEG decode — SOF0 sequential DCT,
+    8-bit, 1 or 3 components, any 1/2 sampling factors (4:4:4, 4:2:2,
+    4:2:0), DQT 8/16-bit tables, DHT canonical Huffman, byte stuffing,
+    DRI/RSTn restart markers, JFIF YCbCr->RGB. Returns
+    (width, height, channels, pixel bytes) in the `_png_pixels`
+    convention, or None when the payload is not a decodable baseline
+    JPEG (progressive SOF2 etc. fall back)."""
+    import struct
+
+    import numpy as np
+
+    if not b or len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt = {}
+        huff = {}
+        comps = None
+        height = width = None
+        restart_interval = 0
+        scan_comps = None
+        scan_start = None
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            m = b[i + 1]
+            if m == 0xD9:
+                break
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            data = b[i + 4 : i + 2 + seg_len]
+            if m == 0xDB:  # DQT
+                j = 0
+                while j < len(data):
+                    pq, tq = data[j] >> 4, data[j] & 15
+                    j += 1
+                    if pq:
+                        vals = list(struct.unpack(">64H", data[j : j + 128]))
+                        j += 128
+                    else:
+                        vals = list(data[j : j + 64])
+                        j += 64
+                    qt[tq] = vals
+            elif m == 0xC0:  # SOF0 baseline
+                if data[0] != 8:
+                    return None
+                height, width = struct.unpack(">HH", data[1:5])
+                nc = data[5]
+                comps = []
+                for k in range(nc):
+                    cid, samp, tq = data[6 + 3 * k : 9 + 3 * k]
+                    comps.append(
+                        {"id": cid, "sh": samp >> 4, "sv": samp & 15, "tq": tq}
+                    )
+            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                       0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # extended/progressive/lossless: unsupported
+            elif m == 0xC4:  # DHT
+                j = 0
+                while j < len(data):
+                    tc, th = data[j] >> 4, data[j] & 15
+                    counts = list(data[j + 1 : j + 17])
+                    n = sum(counts)
+                    symbols = list(data[j + 17 : j + 17 + n])
+                    huff[(tc, th)] = _build_huff(counts, symbols)
+                    j += 17 + n
+            elif m == 0xDD:  # DRI
+                restart_interval = struct.unpack(">H", data[:2])[0]
+            elif m == 0xDA:  # SOS
+                ns = data[0]
+                scan_comps = {}
+                for k in range(ns):
+                    cid = data[1 + 2 * k]
+                    tsel = data[2 + 2 * k]
+                    scan_comps[cid] = (tsel >> 4, tsel & 15)
+                scan_start = i + 2 + seg_len
+                break
+            i += 2 + seg_len
+        if comps is None or scan_start is None or not width or not height:
+            return None
+        for c in comps:
+            if c["sh"] not in (1, 2) or c["sv"] not in (1, 2):
+                return None
+            if c["tq"] not in qt or c["id"] not in scan_comps:
+                return None
+
+        # ---- entropy-coded segment: bit reader with FF-stuffing
+        pos = [scan_start]
+        bitbuf = [0, 0]  # value, nbits
+
+        def fill():
+            while bitbuf[1] <= 24:
+                p = pos[0]
+                if p >= len(b):
+                    bitbuf[0] = (bitbuf[0] << 8) | 0
+                    bitbuf[1] += 8
+                    continue
+                byte = b[p]
+                if byte == 0xFF:
+                    nxt = b[p + 1] if p + 1 < len(b) else 0xD9
+                    if nxt == 0x00:
+                        pos[0] = p + 2
+                    elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                        # marker: pad with zeros, do not consume
+                        bitbuf[0] = (bitbuf[0] << 8) | 0
+                        bitbuf[1] += 8
+                        continue
+                    else:
+                        pos[0] = p + 2  # unexpected marker: skip
+                else:
+                    pos[0] = p + 1
+                bitbuf[0] = (bitbuf[0] << 8) | byte
+                bitbuf[1] += 8
+
+        def read_bits(n):
+            if n == 0:
+                return 0
+            fill()
+            bitbuf[1] -= n
+            v = (bitbuf[0] >> bitbuf[1]) & ((1 << n) - 1)
+            bitbuf[0] &= (1 << bitbuf[1]) - 1
+            return v
+
+        def decode_symbol(table):
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | read_bits(1)
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("bad huffman code")
+
+        def extend(v, s):
+            return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+        def sync_restart():
+            # byte-align and consume the RSTn marker
+            bitbuf[0] = 0
+            bitbuf[1] = 0
+            p = pos[0]
+            while p + 1 < len(b) and not (
+                b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7
+            ):
+                p += 1
+            pos[0] = p + 2
+
+        hmax = max(c["sh"] for c in comps)
+        vmax = max(c["sv"] for c in comps)
+        mcux = (width + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+        cmat = _dct_matrix()
+        planes = [
+            np.zeros((mcuy * c["sv"] * 8, mcux * c["sh"] * 8)) for c in comps
+        ]
+        dc_pred = [0] * len(comps)
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and \
+                        mcu_count % restart_interval == 0:
+                    sync_restart()
+                    dc_pred = [0] * len(comps)
+                mcu_count += 1
+                for ci, c in enumerate(comps):
+                    dc_t, ac_t = scan_comps[c["id"]]
+                    dct = huff[(0, dc_t)]
+                    act = huff[(1, ac_t)]
+                    q = qt[c["tq"]]
+                    for by in range(c["sv"]):
+                        for bx in range(c["sh"]):
+                            coef = np.zeros(64)
+                            s = decode_symbol(dct)
+                            diff = extend(read_bits(s), s)
+                            dc_pred[ci] += diff
+                            coef[0] = dc_pred[ci] * q[0]
+                            k = 1
+                            while k < 64:
+                                rs = decode_symbol(act)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC overrun")
+                                coef[_ZIGZAG[k]] = extend(
+                                    read_bits(s), s
+                                ) * q[k]
+                                k += 1
+                            block = coef.reshape(8, 8)
+                            spatial = cmat.T @ block @ cmat + 128.0
+                            y0 = (my * c["sv"] + by) * 8
+                            x0 = (mx * c["sh"] + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+        # upsample to full resolution, crop
+        full = []
+        for ci, c in enumerate(comps):
+            p = planes[ci]
+            p = np.repeat(p, hmax // c["sh"], axis=1)
+            p = np.repeat(p, vmax // c["sv"], axis=0)
+            full.append(p[:height, :width])
+        if len(full) == 1:
+            gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+            return (width, height, 1, gray.tobytes())
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        bl = y + 1.772 * cb
+        rgb = np.stack([r, g, bl], axis=-1)
+        rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return (width, height, 3, rgb.tobytes())
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def _jpeg_real_features(content, dim: int = 8):
+    """Real pixel statistics for decodable baseline JPEGs; None when
+    content is not a decodable JPEG."""
+    dec = _jpeg_pixels(content)
+    return None if dec is None else _pixel_stats(dec, dim)
+
+
 def _pixel_stats(dec, dim: int = 8):
     """Per-channel mean then per-channel std over decoded pixels (each
     in [0,1], 4 slots per block, absent channels 0), truncated or
@@ -456,6 +717,175 @@ def encode_gif(width: int, height: int, indices: bytes, palette: bytes,
     return hdr + desc + bytes(blocks) + b"\x3b"
 
 
+def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 3,
+                subsample: bool = False, restart_interval: int = 0) -> bytes:
+    """Minimal stdlib+numpy baseline JPEG encoder — the test/oracle
+    harness for `_jpeg_pixels`: all-ones quant tables (DCT rounding is
+    the only loss), flat canonical Huffman tables (12 4-bit DC
+    categories, 256 9-bit AC run/size symbols), 4:4:4 by default or
+    4:2:0 with `subsample` (2x2 chroma mean), optional DRI/RSTn
+    restart markers. Takes RGB (channels=3) or gray (channels=1)
+    top-down bytes."""
+    import struct
+
+    import numpy as np
+
+    cmat = _dct_matrix()
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    a = a.astype(np.float64)
+    if channels == 3:
+        r, g, bl = a[..., 0], a[..., 1], a[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bl
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0
+        if subsample:
+            def half(p):
+                ph = p[: (height // 2) * 2, : (width // 2) * 2]
+                if ph.size == 0:
+                    ph = p[:1, :1]
+                return (
+                    ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2)
+                    .mean(axis=(1, 3))
+                )
+            planes = [(y, 2, 2), (half(cb), 1, 1), (half(cr), 1, 1)]
+        else:
+            planes = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+    else:
+        planes = [(a[..., 0], 1, 1)]
+
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    def pad(p, bw, bh):
+        out = np.zeros((bh, bw))
+        ph, pw = min(p.shape[0], bh), min(p.shape[1], bw)
+        out[:ph, :pw] = p[:ph, :pw]
+        if pw < bw:
+            out[:, pw:] = out[:, pw - 1 : pw]
+        if ph < bh:
+            out[ph:, :] = out[ph - 1 : ph, :]
+        return out
+
+    padded = [
+        pad(p, mcux * sh * 8, mcuy * sv * 8) for p, sh, sv in planes
+    ]
+
+    bits = []
+
+    def emit(code, n):
+        for k in range(n - 1, -1, -1):
+            bits.append((code >> k) & 1)
+
+    def category(v):
+        return abs(v).bit_length()
+
+    dc_pred = [0] * len(planes)
+
+    def encode_block(plane, bx8, by8, ci):
+        block = plane[by8 : by8 + 8, bx8 : bx8 + 8] - 128.0
+        coef = cmat @ block @ cmat.T
+        zz = [int(round(coef.flat[_ZIGZAG[k]])) for k in range(64)]
+        diff = zz[0] - dc_pred[ci]
+        dc_pred[ci] = zz[0]
+        s = category(diff)
+        emit(s, 4)  # DC symbol: category s as a 4-bit code (flat table)
+        if s:
+            emit(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, 64):
+            if k > last_nz:
+                emit(0x00, 9)  # EOB
+                break
+            v = zz[k]
+            if v == 0:
+                run += 1
+                if run == 16:
+                    emit(0xF0, 9)  # ZRL
+                    run = 0
+                continue
+            s = category(v)
+            emit((run << 4) | s, 9)
+            emit(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+
+    def flush_segment():
+        # byte-align with 1-fill, pack, and byte-stuff FF -> FF 00 —
+        # per restart segment, so embedded RSTn markers are never
+        # confused with coincidental FF bytes in entropy data
+        while len(bits) % 8:
+            bits.append(1)
+        out = bytearray()
+        for k in range(0, len(bits), 8):
+            v = 0
+            for bit in bits[k : k + 8]:
+                v = (v << 1) | bit
+            out.append(v)
+            if v == 0xFF:
+                out.append(0x00)
+        bits.clear()
+        return bytes(out)
+
+    scan_bytes = bytearray()
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                scan_bytes += flush_segment()
+                n = (mcu_count // restart_interval - 1) % 8
+                scan_bytes += bytes((0xFF, 0xD0 + n))
+                dc_pred[:] = [0] * len(planes)
+            mcu_count += 1
+            for ci, (p, sh, sv) in enumerate(planes):
+                for by in range(sv):
+                    for bx in range(sh):
+                        encode_block(
+                            padded[ci],
+                            (mx * sh + bx) * 8,
+                            (my * sv + by) * 8,
+                            ci,
+                        )
+    scan_bytes += flush_segment()
+    stuffed = scan_bytes
+
+    def seg(marker, payload):
+        return bytes((0xFF, marker)) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    ncomp = len(planes)
+    sof_comps = b"".join(
+        bytes((ci + 1, (sh << 4) | sv, 0))
+        for ci, (_, sh, sv) in enumerate(planes)
+    )
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, ncomp) + sof_comps)
+    dc_counts = [0] * 16
+    dc_counts[3] = 12  # twelve 4-bit codes: categories 0..11
+    ac_counts = [0] * 16
+    # 255 9-bit codes for symbols 0x00..0xFE (DHT counts are single
+    # bytes, so 256 won't fit; 0xFF = run 15/size 15 is unencodable
+    # anyway since size <= 14 with 8-bit samples)
+    ac_counts[8] = 255
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
+        + bytes([0x10]) + bytes(ac_counts) + bytes(range(255)),
+    )
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos = seg(
+        0xDA,
+        bytes([ncomp])
+        + b"".join(bytes((ci + 1, 0x00)) for ci in range(ncomp))
+        + bytes([0, 63, 0]),
+    )
+    return (b"\xff\xd8" + dqt + sof + dht + dri + sos
+            + bytes(stuffed) + b"\xff\xd9")
+
+
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction over binary media columns.
 
@@ -475,6 +905,8 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             real = _bmp_real_features(b, dim)
         if real is None:
             real = _gif_real_features(b, dim)
+        if real is None:
+            real = _jpeg_real_features(b, dim)
         return real if real is not None else _fake_decode_features(b, dim)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

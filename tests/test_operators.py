@@ -1935,3 +1935,104 @@ def test_gif_pixels_real_lzw_compression_path():
 
     want = b"".join(palette[i * 3 : i * 3 + 3] for i in indices)
     assert _gif_pixels(gif) == (w, h, 3, want)
+
+
+def test_jpeg_pixels_roundtrip_all_modes():
+    """_jpeg_pixels vs the encode_jpeg harness (all-ones quant tables,
+    so DCT rounding is the only loss): grayscale within ±1, RGB 4:4:4
+    within ±3, constant-color 4:2:0 exact, restart markers honored,
+    non-multiple-of-8 dims padded/cropped correctly."""
+    import numpy as np
+
+    from inputlayer_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def roundtrip(w, h, ch=3, tol=3, **kw):
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        dec = _jpeg_pixels(encode_jpeg(w, h, px.tobytes(), channels=ch, **kw))
+        assert dec is not None and dec[:3] == (w, h, ch)
+        got = np.frombuffer(dec[3], dtype=np.uint8).reshape(h, w, ch)
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= tol
+
+    roundtrip(16, 16, ch=1, tol=1)
+    roundtrip(17, 13, ch=1, tol=1)     # pad/crop path
+    roundtrip(16, 16, ch=3, tol=3)     # YCbCr round-trip
+    roundtrip(24, 8, ch=3, tol=3, restart_interval=1)  # RSTn every MCU
+    # constant color survives 4:2:0 chroma subsampling exactly
+    px = np.tile(np.array([200, 100, 50], dtype=np.uint8), (20, 18, 1))
+    dec = _jpeg_pixels(encode_jpeg(18, 20, px.tobytes(), subsample=True))
+    assert dec[:3] == (18, 20, 3)
+    got = np.frombuffer(dec[3], dtype=np.uint8).reshape(20, 18, 3)
+    assert np.array_equal(got, px)
+    # non-JPEG / truncated fall back (None); progressive would too
+    assert _jpeg_pixels(b"not a jpeg") is None
+    assert _jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+
+
+def test_jpeg_pixels_decodes_real_libjpeg_output():
+    """Differential vs REAL encoder output: any libjpeg-produced JPEG
+    shipped with the Python install must decode to its probed
+    dimensions with in-range pixels (gated on the asset existing)."""
+    import os
+
+    import numpy as np
+
+    from inputlayer_spark.operators.multimodal import (
+        _jpeg_pixels,
+        _probe_dims,
+    )
+
+    candidates = [
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+        "python3.11/test/imghdrdata/python.jpg",
+        "/usr/share/doc/shared-mime-info/shared-mime-info-spec.html/python.jpg",
+    ]
+    found = [p for p in candidates if os.path.exists(p)]
+    if not found:
+        pytest.skip("no real JPEG asset on this box")
+    b = open(found[0], "rb").read()
+    kind, w, h = _probe_dims(b)
+    assert kind == "jpeg"
+    dec = _jpeg_pixels(b)
+    assert dec is not None and dec[0] == w and dec[1] == h
+    a = np.frombuffer(dec[3], dtype=np.uint8)
+    assert a.size == w * h * dec[2]
+    assert 0 < a.mean() < 255  # real content, not all-black/white
+
+
+def test_extract_features_real_jpeg_stats(spark):
+    """media_features end-to-end with a crafted JPEG: known per-channel
+    means come from the REAL decoder (constant color is DC-only, so it
+    survives exactly); non-decodable payloads still fall back."""
+    import hashlib
+
+    import numpy as np
+
+    from inputlayer_spark.operators.multimodal import (
+        _fake_decode_features,
+        encode_jpeg,
+        extract_features,
+    )
+
+    px = np.tile(np.array([200, 100, 50], dtype=np.uint8), (8, 8, 1))
+    jpg = encode_jpeg(8, 8, px.tobytes())
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(jpg), (8, 8, None, None, "image/jpeg")),
+            (2, "image", bytearray(b"fakejpg"), (8, 8, None, None, "image/jpeg")),
+        ],
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:long,mime:string>",
+    )
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    f = out[1]["feature"]
+    assert abs(f[0] - 200 / 255) < 0.02 and abs(f[1] - 100 / 255) < 0.02
+    assert abs(f[2] - 50 / 255) < 0.02 and f[4] < 0.02
+    assert out[1]["content_sha"] == hashlib.sha256(jpg).hexdigest()
+    assert list(out[2]["feature"]) == pytest.approx(
+        _fake_decode_features(b"fakejpg"), abs=1e-6
+    )
