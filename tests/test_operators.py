@@ -2036,3 +2036,53 @@ def test_extract_features_real_jpeg_stats(spark):
     assert list(out[2]["feature"]) == pytest.approx(
         _fake_decode_features(b"fakejpg"), abs=1e-6
     )
+
+
+def test_resize_images_real_box_downsample(spark):
+    """resize_images is now REAL for stdlib-decodable formats: an 8x8
+    PNG with four 4x4 quadrant colors box-averages to the exact 2x2
+    quadrant means at 4x4 (integer ratio = exact block means), output
+    re-encoded as PNG; a GIF input also resizes (and becomes PNG); a
+    non-decodable payload keeps the passthrough contract."""
+    import numpy as np
+
+    from inputlayer_spark.operators.multimodal import (
+        _png_pixels,
+        encode_gif,
+        encode_png,
+        resize_images,
+    )
+
+    quad = np.zeros((8, 8, 3), dtype=np.uint8)
+    quad[:4, :4] = [200, 0, 0]
+    quad[:4, 4:] = [0, 100, 0]
+    quad[4:, :4] = [0, 0, 60]
+    quad[4:, 4:] = [40, 40, 40]
+    png = encode_png(8, 8, quad.tobytes())
+    gif = encode_gif(4, 4, bytes(16), bytes([10, 20, 30]))
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png), (8, 8, None, None, "image/png")),
+            (2, "image", bytearray(gif), (4, 4, None, None, "image/gif")),
+            (3, "image", bytearray(b"opaque"), (9, 9, None, None, "application/x")),
+            (4, "audio", bytearray(b"wav?"), (None, None, 44100, None, "audio/wav")),
+        ],
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:long,mime:string>",
+    )
+    out = {r["media_id"]: r for r in resize_images(media, 4, 4).collect()}
+    assert set(out) == {1, 2, 3}           # audio filtered out
+    # quadrant image: each 4x4 output quadrant is the pure source color
+    w, h, nch, px = _png_pixels(bytes(out[1]["content"]))
+    assert (w, h, nch) == (4, 4, 3)
+    a = np.frombuffer(px, dtype=np.uint8).reshape(4, 4, 3)
+    assert (a[:2, :2] == [200, 0, 0]).all() and (a[:2, 2:] == [0, 100, 0]).all()
+    assert (a[2:, :2] == [0, 0, 60]).all() and (a[2:, 2:] == [40, 40, 40]).all()
+    assert out[1]["meta"]["width"] == 4 and out[1]["meta"]["mime"] == "image/png"
+    # GIF input: decoded, (up)sized 4x4 -> 4x4, re-encoded PNG, constant color
+    w2, h2, nch2, px2 = _png_pixels(bytes(out[2]["content"]))
+    assert (w2, h2) == (4, 4)
+    assert np.frombuffer(px2, dtype=np.uint8).reshape(-1, nch2)[0].tolist() == [10, 20, 30]
+    # non-decodable: content untouched, meta rewritten (honest passthrough)
+    assert bytes(out[3]["content"]) == b"opaque"
+    assert out[3]["meta"]["width"] == 4 and out[3]["meta"]["height"] == 4
