@@ -998,10 +998,54 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
+def _avi_mjpeg_frames(b):
+    """REAL stdlib MJPEG-AVI container parse: RIFF walk -> `avih`
+    (microseconds per frame) + `movi` LIST -> the `..dc`/`..db` video
+    chunks, each a complete baseline-JPEG frame (`_jpeg_pixels`
+    decodes them). Returns (frame_duration_ms, [frame bytes]) or None
+    when the payload is not an MJPEG AVI (other codecs, other
+    containers — the caller falls back to the honest stub)."""
+    import struct
+
+    if not b or len(b) < 24 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    us_per_frame = None
+    frames = []
+
+    def walk(lo, hi):
+        nonlocal us_per_frame
+        i = lo
+        while i + 8 <= hi:
+            tag = b[i : i + 4]
+            (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+            data_lo, data_hi = i + 8, min(i + 8 + size, hi)
+            if tag == b"LIST" and data_hi - data_lo >= 4:
+                walk(data_lo + 4, data_hi)  # skip the list type fourcc
+            elif tag == b"avih" and size >= 4:
+                (us_per_frame,) = struct.unpack("<I", b[data_lo : data_lo + 4])
+            elif tag[2:4] in (b"dc", b"db") and size >= 2:
+                payload = b[data_lo:data_hi]
+                if payload[:2] == b"\xff\xd8":
+                    frames.append(payload)
+            i = data_lo + size + (size & 1)  # chunks pad to even
+
+    try:
+        walk(12, len(b))
+    except struct.error:
+        return None
+    if not frames or not us_per_frame:
+        return None
+    return (max(1, us_per_frame // 1000), frames)
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame sampling — STUB kernel, real plumbing: one output row per
-    sampled timestamp with the binary payload deferred to the decode
-    stage (at scale you never materialize frames you don't keep)."""
+    """Frame sampling — REAL for MJPEG-AVI payloads (`_avi_mjpeg_frames`
+    walks the RIFF container; each sampled row hashes the ACTUAL JPEG
+    frame at that timestamp, decodable by `_jpeg_pixels` downstream);
+    other codecs keep the honest deterministic stub (duration from
+    metadata, whole-payload hash) — real plumbing either way: one
+    output row per sampled timestamp, no frame you don't keep is ever
+    materialized past its partition."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -1014,13 +1058,52 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
+                content = bytes(r["content"] or b"")
+                avi = _avi_mjpeg_frames(content)
+                if avi is not None:
+                    frame_ms, frames = avi
+                    dur = frame_ms * len(frames)
+                    for ts in range(0, int(dur), every_ms):
+                        idx = min(ts // frame_ms, len(frames) - 1)
+                        rows.append(
+                            {
+                                "media_id": r["media_id"],
+                                "frame_ts_ms": ts,
+                                "content_sha": hashlib.sha256(
+                                    frames[idx]
+                                ).hexdigest(),
+                            }
+                        )
+                    continue
                 dur = (r["meta"] or {}).get("duration_ms") or 0
-                sha = hashlib.sha256(r["content"] or b"").hexdigest()
+                sha = hashlib.sha256(content).hexdigest()
                 for ts in range(0, int(dur), every_ms):
                     rows.append({"media_id": r["media_id"], "frame_ts_ms": ts, "content_sha": sha})
             yield pd.DataFrame(rows, columns=["media_id", "frame_ts_ms", "content_sha"])
 
     return media.filter(F.col("kind") == "video").mapInPandas(kernel, schema=out_schema)
+
+
+def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+    """Minimal stdlib MJPEG-AVI writer — the test harness for
+    `_avi_mjpeg_frames`: RIFF('AVI ') with an hdrl LIST carrying avih
+    (us/frame, total frames) and a movi LIST of 00dc JPEG chunks."""
+    import struct
+
+    def chunk(tag, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, 0, 0, 0, len(frames), 0, 1, 0, 0, 0, 0, 0, 0, 0,
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(
+        b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # ---------------------------------------------------------------------

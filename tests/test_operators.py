@@ -2086,3 +2086,55 @@ def test_resize_images_real_box_downsample(spark):
     # non-decodable: content untouched, meta rewritten (honest passthrough)
     assert bytes(out[3]["content"]) == b"opaque"
     assert out[3]["meta"]["width"] == 4 and out[3]["meta"]["height"] == 4
+
+
+def test_sample_video_frames_real_mjpeg_avi(spark):
+    """sample_video_frames is REAL for MJPEG-AVI: the RIFF walk finds
+    the per-frame JPEG chunks, each sampled row hashes the ACTUAL frame
+    at that timestamp (and that frame decodes with _jpeg_pixels);
+    non-AVI payloads keep the honest stub contract."""
+    import hashlib
+
+    import numpy as np
+
+    from inputlayer_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_avi_mjpeg,
+        encode_jpeg,
+        sample_video_frames,
+    )
+
+    # three distinguishable frames at 2 fps -> 500 ms per frame
+    colors = [(250, 0, 0), (0, 250, 0), (0, 0, 250)]
+    frames = [
+        encode_jpeg(8, 8, np.tile(np.array(c, dtype=np.uint8), (8, 8, 1)).tobytes())
+        for c in colors
+    ]
+    avi = encode_avi_mjpeg(frames, fps=2)
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(avi), (None, None, None, None, "video/avi")),
+            (2, "video", bytearray(b"notavi"), (None, None, None, 2500, "video/mp4")),
+        ],
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:long,mime:string>",
+    )
+    out = sample_video_frames(media, every_ms=500).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(
+            (r["frame_ts_ms"], r["content_sha"])
+        )
+    # real path: 1500 ms of video at 500 ms sampling -> ts 0/500/1000,
+    # each hashing its OWN frame
+    got = sorted(by_media[1])
+    assert [t for t, _ in got] == [0, 500, 1000]
+    want = [hashlib.sha256(f).hexdigest() for f in frames]
+    assert [s for _, s in got] == want
+    # and the sampled frame really is a decodable JPEG of that color
+    w, h, nch, px = _jpeg_pixels(frames[1])
+    assert (w, h, nch) == (8, 8, 3) and abs(px[1] - 250) <= 3
+    # stub path: duration from meta, whole-payload hash on every row
+    stub = sorted(by_media[2])
+    assert [t for t, _ in stub] == [0, 500, 1000, 1500, 2000]
+    assert len({s for _, s in stub}) == 1
