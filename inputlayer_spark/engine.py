@@ -3348,14 +3348,17 @@ class IQLEngine:
                 return self.spark.createDataFrame(rows, schema="column string, type string")
             if args and args[0] == "drop" and len(args) > 1:
                 self._delete(Delete(args[1], drop=True))
-            if args and args[0] == "schema" and len(args) > 2:
+            if args and args[0] == "schema" and len(args) >= 2:
                 # `.rel schema r (c: type, ...)` (docs/iql.md) — the
                 # meta spelling of the `+r(c: type, ...)` declaration.
                 # This used to fall through every branch as a SILENT
                 # no-op; route it through the same SchemaDecl path.
+                # `>= 2` (not `> 2`): the no-space spelling
+                # `.rel schema cat(sku: string)` arrives as a single
+                # token after the subcommand.
                 from inputlayer_spark.ast_nodes import SchemaDecl
 
-                decl_text = f"+{args[1]}" + " ".join(args[2:])
+                decl_text = "+" + " ".join(args[1:])
                 decl = parse_program(decl_text).statements[0]
                 if not isinstance(decl, SchemaDecl):
                     raise CompileError(

@@ -497,8 +497,12 @@ class Parser:
             # nonexistent relation named hnsw_nearest
             h = self._hnsw()
             body, limit, offset = self._query_suffix()
+            # collision-proof internal goal name: a user relation or rule
+            # named plain `knn` would otherwise resolve in engine._query
+            # and be scanned/joined instead of projecting the builtin's
+            # output variables (silently wrong results)
             return Query(
-                Atom("knn", (h.id_var, h.dist_var)),
+                Atom("__hnsw_knn__", (h.id_var, h.dist_var)),
                 (h, *body),
                 (),
                 limit,

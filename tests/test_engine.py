@@ -623,6 +623,38 @@ def test_hnsw_nearest_direct_goal_form(engine):
     assert [g[0] for g in got_lim] == [1]
 
 
+def test_hnsw_nearest_direct_goal_ignores_user_knn_relation(engine):
+    """The direct-goal sugar compiles to an INTERNAL goal name — a user
+    relation (or rule) that happens to be named `knn` must not be
+    scanned/joined in its place (it used to be: the sugar's goal atom
+    was literally `knn(Id, D)`, which engine._query resolved against
+    the user relation and silently returned its rows)."""
+    engine.execute("+emb(id: int, v: vector)")
+    engine.execute("+emb[(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])]")
+    engine.execute(".index create vidx on emb(v) type hnsw metric cosine")
+    # decoy relation named knn with non-matching junk rows
+    engine.execute("+knn(id: int, d: float)")
+    engine.execute("+knn[(777, 9.9), (888, 8.8)]")
+    got = rows(engine.query("?hnsw_nearest(vidx, [1.0, 0.0], 2, Id, D)"))
+    assert [g[0] for g in got] == [1, 3]
+    # decoy RULE named knn must not capture the goal either
+    engine.execute("+knn2(X, Y) <- knn(X, Y)")
+    got2 = rows(engine.query('?hnsw_nearest("vidx", [1.0, 0.0], 1, Id, D)'))
+    assert [g[0] for g in got2] == [1]
+
+
+def test_rel_schema_meta_no_space_spelling(engine):
+    """`.rel schema cat(sku: string)` — name and open-paren in ONE
+    token — used to fall through every .rel branch as a silent no-op
+    (the handler required len(args) > 2)."""
+    engine.execute(".rel schema cat(sku: string, price: float)")
+    desc = [tuple(r) for r in engine.execute(".rel describe cat")[0].collect()]
+    assert [d[0] for d in desc] == ["sku", "price"]
+    engine.execute('+cat[("a", 1.0)]')
+    got = rows(engine.query("?cat(S, P)"))
+    assert got == [("a", 1.0)]
+
+
 def test_rel_schema_meta_registers(engine):
     """`.rel schema r (c: type, ...)` (docs/iql.md) was a silent no-op
     — every branch of the .rel handler fell through. It must register

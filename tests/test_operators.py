@@ -1986,22 +1986,27 @@ def test_jpeg_pixels_decodes_real_libjpeg_output():
         _probe_dims,
     )
 
-    candidates = [
-        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
-        "python3.11/test/imghdrdata/python.jpg",
-        "/usr/share/doc/shared-mime-info/shared-mime-info-spec.html/python.jpg",
-    ]
-    found = [p for p in candidates if os.path.exists(p)]
+    # discover CPython's own bundled test JPEGs portably — works on any
+    # install, no machine-specific paths
+    import glob
+    import sysconfig
+
+    stdlib = sysconfig.get_paths()["stdlib"]
+    found = sorted(
+        glob.glob(os.path.join(stdlib, "test", "imghdrdata", "*.jpg"))
+        + glob.glob(os.path.join(stdlib, "test", "test_email", "data", "*.jpg"))
+    )
     if not found:
         pytest.skip("no real JPEG asset on this box")
-    b = open(found[0], "rb").read()
-    kind, w, h = _probe_dims(b)
-    assert kind == "jpeg"
-    dec = _jpeg_pixels(b)
-    assert dec is not None and dec[0] == w and dec[1] == h
-    a = np.frombuffer(dec[3], dtype=np.uint8)
-    assert a.size == w * h * dec[2]
-    assert 0 < a.mean() < 255  # real content, not all-black/white
+    for path in found:
+        b = open(path, "rb").read()
+        kind, w, h = _probe_dims(b)
+        assert kind == "jpeg"
+        dec = _jpeg_pixels(b)
+        assert dec is not None and dec[0] == w and dec[1] == h
+        a = np.frombuffer(dec[3], dtype=np.uint8)
+        assert a.size == w * h * dec[2]
+        assert 0 < a.mean() < 255  # real content, not all-black/white
 
 
 def test_extract_features_real_jpeg_stats(spark):
