@@ -1655,8 +1655,10 @@ def q_pii_scrub(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: binary columns + mapInPandas feature kernel
-    (decode stubbed deterministically — container has no codec libs)."""
+    """Multimodal plumbing: binary columns + mapInPandas feature kernel.
+    These payloads are UTF-8 text (not decodable images), so the kernel
+    flags them decoded=false and derives deterministic hash features;
+    the projected columns are the decode-independent ones."""
     from inputlayer_spark.operators.multimodal import extract_features
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -2143,3 +2143,351 @@ def test_sample_video_frames_real_mjpeg_avi(spark):
     stub = sorted(by_media[2])
     assert [t for t, _ in stub] == [0, 500, 1000, 1500, 2000]
     assert len({s for _, s in stub}) == 1
+
+
+def test_jpeg_progressive_roundtrip_all_modes():
+    """encode_jpeg_progressive -> _jpeg_pixels: SOF2 with the full
+    annex-G scan script (interleaved DC first + refine, two spectral
+    AC bands, two successive-approximation refinement passes with
+    EOB-run accumulation and correction bits). All-ones quant makes
+    DCT rounding the only loss."""
+    import numpy as np
+
+    from inputlayer_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+
+    def roundtrip(w, h, ch, tol, **kw):
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        b = encode_jpeg_progressive(w, h, px.tobytes(), channels=ch, **kw)
+        assert b"\xff\xc2" in b[:128]  # really SOF2
+        dec = _jpeg_pixels(b)
+        assert dec is not None and dec[:3] == (w, h, ch), (w, h, ch, kw)
+        got = np.frombuffer(dec[3], dtype=np.uint8).reshape(h, w, ch)
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= tol
+
+    roundtrip(8, 8, 1, 1)
+    roundtrip(17, 13, 1, 1)            # pad/crop path
+    roundtrip(16, 16, 3, 3)            # YCbCr round-trip
+    roundtrip(24, 8, 3, 3, restart_interval=2)   # RSTn resets eobrun+pred
+    # 4:2:0 on noise loses chroma by design -> compare against the
+    # BASELINE encoder's decode of the same content, not the original
+    px = rng.integers(0, 256, size=(24, 20, 3), dtype=np.uint8)
+    for kw in ({}, {"restart_interval": 1}):
+        d0 = np.frombuffer(
+            _jpeg_pixels(encode_jpeg(20, 24, px.tobytes(), subsample=True))[3],
+            dtype=np.uint8,
+        ).astype(int)
+        d2 = np.frombuffer(
+            _jpeg_pixels(
+                encode_jpeg_progressive(20, 24, px.tobytes(), subsample=True, **kw)
+            )[3],
+            dtype=np.uint8,
+        ).astype(int)
+        assert np.abs(d0 - d2).max() <= 2, kw
+
+    # constant color survives 4:2:0 exactly (DC-only blocks)
+    px = np.tile(np.array([200, 100, 50], dtype=np.uint8), (20, 18, 1))
+    dec = _jpeg_pixels(
+        encode_jpeg_progressive(18, 20, px.tobytes(), subsample=True)
+    )
+    got = np.frombuffer(dec[3], dtype=np.uint8).reshape(20, 18, 3)
+    assert np.array_equal(got, px)
+
+    # mostly-flat image: long EOB runs + ZRL-in-refine paths
+    px = np.full((32, 32, 1), 128, dtype=np.uint8)
+    px[5, 7] = 250
+    px[20, 25] = 3
+    b = encode_jpeg_progressive(32, 32, px.tobytes(), channels=1)
+    got = np.frombuffer(_jpeg_pixels(b)[3], dtype=np.uint8).reshape(32, 32, 1)
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 1
+
+
+
+_JPEGTOOL_C = r"""
+/* differential harness: jpegtool enc <w> <h> <ch> <q> reads raw pixels
+   on stdin, writes a PROGRESSIVE (jpeg_simple_progression) JPEG to
+   stdout; jpegtool dec reads a JPEG, writes "w h ch\n" + raw pixels
+   (plain upsampling + float IDCT so differences are codec-level). */
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <jpeglib.h>
+static unsigned char *read_all(FILE *f, size_t *n) {
+    size_t cap = 1 << 20, len = 0, r;
+    unsigned char *buf = malloc(cap);
+    while ((r = fread(buf + len, 1, cap - len, f)) > 0) {
+        len += r;
+        if (len == cap) { cap *= 2; buf = realloc(buf, cap); }
+    }
+    *n = len;
+    return buf;
+}
+int main(int argc, char **argv) {
+    if (argc >= 2 && !strcmp(argv[1], "enc")) {
+        int w = atoi(argv[2]), h = atoi(argv[3]), ch = atoi(argv[4]);
+        int q = argc > 5 ? atoi(argv[5]) : 90;
+        size_t n; unsigned char *px = read_all(stdin, &n);
+        if ((int)n < w * h * ch) return 2;
+        struct jpeg_compress_struct c; struct jpeg_error_mgr e;
+        c.err = jpeg_std_error(&e);
+        jpeg_create_compress(&c);
+        unsigned char *out = NULL; unsigned long outn = 0;
+        jpeg_mem_dest(&c, &out, &outn);
+        c.image_width = w; c.image_height = h;
+        c.input_components = ch;
+        c.in_color_space = ch == 3 ? JCS_RGB : JCS_GRAYSCALE;
+        jpeg_set_defaults(&c);
+        jpeg_set_quality(&c, q, TRUE);
+        jpeg_simple_progression(&c);
+        jpeg_start_compress(&c, TRUE);
+        while (c.next_scanline < c.image_height) {
+            JSAMPROW row = px + (size_t)c.next_scanline * w * ch;
+            jpeg_write_scanlines(&c, &row, 1);
+        }
+        jpeg_finish_compress(&c);
+        fwrite(out, 1, outn, stdout);
+        return 0;
+    }
+    if (argc >= 2 && !strcmp(argv[1], "dec")) {
+        size_t n; unsigned char *buf = read_all(stdin, &n);
+        struct jpeg_decompress_struct d; struct jpeg_error_mgr e;
+        d.err = jpeg_std_error(&e);
+        jpeg_create_decompress(&d);
+        jpeg_mem_src(&d, buf, n);
+        if (jpeg_read_header(&d, TRUE) != JPEG_HEADER_OK) return 3;
+        d.do_fancy_upsampling = FALSE;
+        d.dct_method = JDCT_FLOAT;
+        jpeg_start_decompress(&d);
+        int w = d.output_width, h = d.output_height, ch = d.output_components;
+        printf("%d %d %d\n", w, h, ch);
+        unsigned char *row = malloc((size_t)w * ch);
+        while ((int)d.output_scanline < h) {
+            JSAMPROW rp = row;
+            jpeg_read_scanlines(&d, &rp, 1);
+            fwrite(row, 1, (size_t)w * ch, stdout);
+        }
+        jpeg_finish_decompress(&d);
+        return 0;
+    }
+    return 1;
+}
+"""
+
+
+def test_jpeg_progressive_real_libjpeg_differential(tmp_path):
+    """BOTH-DIRECTION differential against the system's REAL libjpeg
+    (compiled on the fly; skips when gcc or jpeglib is absent):
+    (1) libjpeg's own jpeg_simple_progression output must decode with
+    `_jpeg_pixels` to within +-2 of libjpeg's reference decode (the
+    residue is fixed-point vs float YCbCr conversion), across quality
+    levels down to q=30 (coarse quant exercises the T.81 A.3.1 plane
+    range-limit); (2) `encode_jpeg_progressive` output must be accepted
+    and decoded by real libjpeg."""
+    import os
+    import shutil
+    import subprocess
+
+    import numpy as np
+
+    from inputlayer_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg_progressive,
+    )
+
+    gcc = shutil.which("gcc") or shutil.which("cc")
+    if not gcc or not os.path.exists("/usr/include/jpeglib.h"):
+        pytest.skip("no gcc/jpeglib on this box")
+    src = tmp_path / "jpegtool.c"
+    src.write_text(_JPEGTOOL_C)
+    tool = str(tmp_path / "jpegtool")
+    try:
+        subprocess.run(
+            [gcc, "-O2", "-o", tool, str(src), "-ljpeg"],
+            capture_output=True, check=True,
+        )
+    except subprocess.CalledProcessError:
+        pytest.skip("libjpeg not linkable on this box")
+
+    rng = np.random.default_rng(3)
+    # direction 1: real encoder -> my decoder
+    for (w, h, ch, q) in [
+        (64, 48, 3, 95), (33, 17, 3, 85), (128, 96, 3, 75),
+        (40, 40, 1, 92), (96, 128, 3, 30),
+    ]:
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        base = np.stack([(xx * 5 + yy * 2) % 256] * ch, axis=-1)
+        px = ((base + rng.integers(0, 30, size=(h, w, ch))) % 256).astype(
+            np.uint8
+        )
+        enc = subprocess.run(
+            [tool, "enc", str(w), str(h), str(ch), str(q)],
+            input=px.tobytes(), capture_output=True, check=True,
+        ).stdout
+        assert b"\xff\xc2" in enc[:256]  # SOF2: really progressive
+        mine = _jpeg_pixels(enc)
+        assert mine is not None and mine[:3] == (w, h, ch)
+        ref = subprocess.run(
+            [tool, "dec"], input=enc, capture_output=True, check=True
+        ).stdout
+        hdr, raw = ref.split(b"\n", 1)
+        assert tuple(map(int, hdr.split())) == (w, h, ch)
+        a = np.frombuffer(mine[3], dtype=np.uint8).astype(int)
+        b = np.frombuffer(raw[: w * h * ch], dtype=np.uint8).astype(int)
+        assert np.abs(a - b).max() <= 2, (w, h, ch, q)
+    # direction 2: my encoder -> real libjpeg decoder
+    for (w, h, ch) in [(24, 16, 3), (17, 13, 1)]:
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        enc = encode_jpeg_progressive(w, h, px.tobytes(), channels=ch)
+        ref = subprocess.run(
+            [tool, "dec"], input=enc, capture_output=True, check=True
+        ).stdout
+        hdr, raw = ref.split(b"\n", 1)
+        assert tuple(map(int, hdr.split())) == (w, h, ch)
+        got = np.frombuffer(raw[: w * h * ch], dtype=np.uint8).astype(int)
+        assert np.abs(got - px.astype(int).ravel()).max() <= 3
+
+
+def test_extract_features_decoded_flag(spark):
+    """The honesty contract (VERDICT r9): every extract_features row
+    carries `decoded` + `codec` so downstream curation can tell real
+    pixel statistics from the deterministic fake. One payload per real
+    decoder, one opaque blob."""
+    import numpy as np
+
+    from inputlayer_spark.operators.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        encode_png,
+        extract_features,
+    )
+
+    px = np.full((8, 8, 3), 100, dtype=np.uint8)
+    gray = np.full((8, 8), 7, dtype=np.uint8)
+    payloads = {
+        1: (encode_png(8, 8, px.tobytes()), True, "png"),
+        2: (encode_bmp(8, 8, px.tobytes()), True, "bmp"),
+        3: (
+            encode_gif(8, 8, gray.tobytes(), bytes(range(256)) * 3),
+            True,
+            "gif",
+        ),
+        4: (encode_jpeg(8, 8, px.tobytes()), True, "jpeg"),
+        5: (encode_jpeg_progressive(8, 8, px.tobytes()), True, "jpeg"),
+        6: (b"opaque video-ish payload", False, "fake"),
+    }
+    media = spark.createDataFrame(
+        [
+            (i, "image", bytearray(b), (8, 8, None, None, "application/x"))
+            for i, (b, _, _) in payloads.items()
+        ],
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:long,mime:string>",
+    )
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    for i, (_, want_decoded, want_codec) in payloads.items():
+        assert out[i]["decoded"] == want_decoded, i
+        assert out[i]["codec"] == want_codec, i
+    # progressive JPEG of constant color: real per-channel means
+    feat = out[5]["feature"]
+    assert abs(feat[0] - 100 / 255) < 0.02 and abs(feat[4]) < 0.02
+    # fake features are hash-derived, not pixel stats
+    assert out[6]["feature"] != out[4]["feature"]
+
+
+def test_mp4_samples_container_walk():
+    """_mp4_samples round-trips encode_mp4 exactly: stts timestamps,
+    stss keyframes, stsc/stco/stsz sample byte extents, mdhd duration;
+    non-MP4 payloads are rejected."""
+    from inputlayer_spark.operators.multimodal import (
+        _mp4_samples,
+        encode_mp4,
+    )
+
+    frames = [bytes([k]) * (10 + k) for k in range(7)]
+    b = encode_mp4(
+        frames,
+        timescale=1000,
+        deltas=[100, 100, 200, 200, 100, 100, 100],
+        keyframes=[1, 4],
+        chunk_size=3,
+    )
+    codec, dur, samples = _mp4_samples(b)
+    assert codec == "avc1"
+    assert dur == 900  # sum of deltas at timescale 1000
+    assert [s[0] for s in samples] == [0, 100, 200, 400, 600, 700, 800]
+    assert [s[3] for s in samples] == [
+        True, False, False, True, False, False, False,
+    ]
+    for k, (_, off, size, _) in enumerate(samples):
+        assert b[off : off + size] == frames[k]
+    # no stss box => every sample is a sync sample; single chunk
+    b2 = encode_mp4(frames, keyframes=[])
+    codec2, _, s2 = _mp4_samples(b2)
+    assert all(s[3] for s in s2)
+    assert [s[0] for s in s2] == [0, 100, 200, 300, 400, 500, 600]
+    for k, (_, off, size, _) in enumerate(s2):
+        assert b2[off : off + size] == frames[k]
+    # rejects: AVI, PNG, junk, truncation
+    assert _mp4_samples(b"RIFF\x00\x00\x00\x00AVI ") is None
+    assert _mp4_samples(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64) is None
+    assert _mp4_samples(b"") is None
+    assert _mp4_samples(b[: len(b) // 2]) is None  # moov truncated away
+
+
+def test_sample_video_frames_mp4_and_honesty_flags(spark):
+    """sample_video_frames over an MP4: REAL container timing (stts),
+    codec fourcc, per-sample byte hashes and keyframe flags — but
+    decoded=false (no AVC pixel decode); MJPEG-AVI rows decoded=true;
+    opaque payloads codec='fake'."""
+    import hashlib
+
+    import numpy as np
+
+    from inputlayer_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        encode_mp4,
+        sample_video_frames,
+    )
+
+    frames = [bytes([40 + k]) * 32 for k in range(4)]
+    mp4 = encode_mp4(frames, timescale=1000, deltas=[250] * 4, keyframes=[1, 3])
+    jpg = encode_jpeg(
+        8, 8, np.full((8, 8, 3), 200, dtype=np.uint8).tobytes()
+    )
+    avi = encode_avi_mjpeg([jpg, jpg], fps=2)
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(mp4), (None, None, None, None, "video/mp4")),
+            (2, "video", bytearray(avi), (None, None, None, None, "video/avi")),
+            (3, "video", bytearray(b"opaque"), (None, None, None, 1000, "video/x")),
+        ],
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:long,mime:string>",
+    )
+    rows = sample_video_frames(media, every_ms=250).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    mp4_rows = sorted(by_media[1], key=lambda r: r["frame_ts_ms"])
+    assert [r["frame_ts_ms"] for r in mp4_rows] == [0, 250, 500, 750]
+    assert all(r["decoded"] is False for r in mp4_rows)
+    assert all(r["codec"] == "avc1" for r in mp4_rows)
+    assert [r["keyframe"] for r in mp4_rows] == [True, False, True, False]
+    assert [r["content_sha"] for r in mp4_rows] == [
+        hashlib.sha256(f).hexdigest() for f in frames
+    ]
+    avi_rows = by_media[2]
+    assert all(r["decoded"] and r["codec"] == "mjpeg" and r["keyframe"]
+               for r in avi_rows)
+    stub_rows = by_media[3]
+    assert all(
+        r["decoded"] is False and r["codec"] == "fake" for r in stub_rows
+    )
