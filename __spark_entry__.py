@@ -1713,15 +1713,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "transitive_closure": q_transitive_closure,
         "dedup_lines": q_dedup_lines,
-        "transitive_closure_large": q_transitive_closure_large,
+        "sessionize": q_sessionize,
         "transitive_closure_anchor": q_transitive_closure_anchor,
         "incr_agg_delta": q_incr_agg_delta,
         "incr_recursive_delta": q_incr_recursive_delta,
         "reach_bound": q_reach_bound,
-        "reach_bound_large": q_reach_bound_large,
+        "chunk_documents": q_chunk_documents,
         "shortest_path": q_shortest_path,
         "same_generation": q_same_generation,
-        "same_generation_bound": q_same_generation_bound,
+        "curation_pipeline": q_curation_pipeline,
         "knn_cosine": q_knn_cosine,
         "within_radius": q_within_radius,
         "pairwise_cosine": q_pairwise_cosine,
@@ -1730,14 +1730,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_distances": q_int8_distances,
         "knn_join": q_knn_join,
         "knn_lsh": q_knn_lsh,
-        "knn_lsh_selective": q_knn_lsh_selective,
+        "dedup_survivors": q_dedup_survivors,
         "hnsw_knn": q_hnsw_knn,
         "hnsw_knn_sharded": q_hnsw_knn_sharded,
         "ivf_knn": q_ivf_knn,
         "recent_events": q_recent_events,
         "temporal_arith": q_temporal_arith,
         "time_decay_sum": q_time_decay_sum,
-        "interval_overlaps": q_interval_overlaps,
+        "contamination": q_contamination,
         "token_stats": q_token_stats,
         "quality_lang": q_quality_lang,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1746,14 +1746,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_clusters": q_topic_clusters,
         "vocabulary": q_vocabulary,
         "compression_signal": q_compression_signal,
-        "curation_pipeline": q_curation_pipeline,
+        "same_generation_bound": q_same_generation_bound,
         "hash_sample": q_hash_sample,
         "train_val_test_split": q_train_val_test_split,
         "weighted_sample": q_weighted_sample,
         "cap_per_group": q_cap_per_group,
-        "chunk_documents": q_chunk_documents,
+        "reach_bound_large": q_reach_bound_large,
         "within_radius_iql": q_within_radius_iql,
-        "sessionize": q_sessionize,
+        "transitive_closure_large": q_transitive_closure_large,
         "quality_percentiles": q_quality_percentiles,
         "embedding_dedup_bucketed": q_embedding_dedup_bucketed,
         "global_shuffle": q_global_shuffle,
@@ -1762,11 +1762,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_survivors": q_dedup_survivors,
+        "knn_lsh_selective": q_knn_lsh_selective,
         "topk_threshold": q_topk_threshold,
         "simhash": q_simhash,
         "repetition": q_repetition,
-        "contamination": q_contamination,
+        "interval_overlaps": q_interval_overlaps,
         "pii_scrub": q_pii_scrub,
         "media_features": q_media_features,
     }
