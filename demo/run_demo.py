@@ -156,13 +156,82 @@ def retail_walkthrough(client) -> None:
                       '"grove-dairy")'))
 
 
+
+
+def embedding_walkthrough(spark) -> None:
+    """Library-embedding narrative (docs/embedding.md): the Python-API
+    analog of the reference's examples/storage_demo.rs (multi-KG
+    isolation, WAL persistence -> compaction -> recovery) and
+    examples/parallel_queries.rs (concurrent queries against one
+    engine). Drives IQLEngine DIRECTLY — no server, no wire client."""
+    import tempfile
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from inputlayer_spark import IQLEngine
+
+    wal = tempfile.mkdtemp(prefix="inputlayer-embed-")
+    print(f"[embed] WAL dir: {wal}")
+
+    # --- storage_demo: multiple KGs, isolation ----------------------
+    eng = IQLEngine(spark, wal_dir=wal)
+    for kg in ("analytics", "staging", "production"):
+        eng.execute(f".kg create {kg}")
+    eng.execute(".kg use analytics")
+    eng.execute("+edge[(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (6, 7), (7, 8)]")
+    eng.execute("+person[(1, 100), (2, 200), (3, 300), (4, 400), (5, 500)]")
+    n_all = eng.query("?edge(X, Y)").count()
+    n_gt2 = eng.query("?edge(X, Y), X > 2").count()
+    print(f"[embed] analytics: edge has {n_all} tuples, {n_gt2} with X > 2")
+    eng.execute(".kg use staging")
+    n_iso = eng.query("?edge(X, Y)").count()
+    print(f"[embed] staging sees {n_iso} edge tuples (isolation)")
+    assert n_iso == 0
+
+    # --- storage_demo: WAL -> crash -> recovery -> compaction -------
+    eng.execute(".kg use analytics")
+    eng.execute("+adult(Id) <- person(Id, Score), Score > 150")
+    del eng  # "crash": recover a brand-new engine from the same log
+    eng2 = IQLEngine(spark, wal_dir=wal)
+    eng2.execute(".kg use analytics")
+    adults = sorted(r[0] for r in eng2.query("?adult(Id)").collect())
+    print(f"[embed] recovered from WAL: adults = {adults}")
+    assert adults == [2, 3, 4, 5]
+    eng2.execute(".compact")
+    eng3 = IQLEngine(spark, wal_dir=wal)
+    eng3.execute(".kg use analytics")
+    assert eng3.query("?edge(X, Y)").count() == n_all
+    print("[embed] .compact generation recovers identically")
+
+    # --- parallel_queries: concurrent reads on one engine -----------
+    queries = [
+        "?edge(X, Y)",
+        "?edge(X, Y), X < 4",
+        "?edge(X, Y), X > 2",
+        "?edge(X, Y), X > 1, X < 7",
+    ]
+    t0 = time.perf_counter()
+    seq = [eng3.query(q).count() for q in queries]
+    t_seq = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        par = list(pool.map(lambda q: eng3.query(q).count(), queries))
+    t_par = time.perf_counter() - t0
+    assert par == seq
+    print(
+        f"[embed] 4 queries sequential {t_seq:.2f}s vs concurrent "
+        f"{t_par:.2f}s -> same counts {par} (lock-free reads)"
+    )
+
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--port", type=int, default=0, help="0 = ephemeral")
     ap.add_argument("--keep", action="store_true", help="leave server running")
     ap.add_argument(
         "--scenario",
-        choices=("espresso", "retail", "all"),
+        choices=("espresso", "retail", "embedding", "all"),
         default="all",
         help="which seeded walkthrough(s) to run",
     )
@@ -182,6 +251,8 @@ def main(argv=None) -> int:
         espresso_walkthrough(client)
     if args.scenario in ("retail", "all"):
         retail_walkthrough(client)
+    if args.scenario in ("embedding", "all"):
+        embedding_walkthrough(spark)
 
     if args.keep:
         print(f"[demo] --keep: server up at http://127.0.0.1:{srv.port} "

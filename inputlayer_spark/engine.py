@@ -2406,7 +2406,21 @@ class IQLEngine:
                         cols.append(F.col(v.name))
                         names.append(v.name)
             if cols:
-                df = atom_df.select(*cols).distinct().toDF(*names)
+                # skip the set-semantics distinct when it is provably a
+                # no-op: a body-less goal over a DERIVED extent is
+                # already a set (compile_head/fixpoint/union paths all
+                # dedup), and the projection preserves distinctness —
+                # every goal position is either projected (vars,
+                # wildcards, vector literals) or constant post-filter
+                # (consts, repeated vars). Registered base frames keep
+                # the distinct: users can register duplicate-bearing
+                # DataFrames. On a materialized 1M-pair closure this
+                # turns every re-query from a view-width shuffle into a
+                # metadata-only count (bench incr_recursive_* rows).
+                df = atom_df.select(*cols)
+                if q.body or q.goal.relation not in derived:
+                    df = df.distinct()
+                df = df.toDF(*names)
             else:
                 # zero-arity goal: one empty-cell row when matched, none
                 # otherwise (golden 10_edge_cases/14_wildcard_patterns.iql

@@ -916,11 +916,25 @@ def dred_retract(
     most of the view = recomputing it, with extra bookkeeping). Bailing
     is always safe: the caller invalidates and re-derives.
     """
+    import os
+    import sys
+    import time as _time
+
+    trace = os.environ.get("SPARK_GRAFT_DRED_TRACE") == "1"
+    t_start = _time.perf_counter()
+    n_pins = [0]
+    marks: List[Tuple[str, float]] = []
+
+    def mark(label: str):
+        if trace:
+            marks.append((label, _time.perf_counter() - t_start))
+
     rules = list(scc_rules)
     members_set = set(members)
 
     def pin(df: DataFrame) -> Tuple[DataFrame, int]:
         df = df.localCheckpoint(eager=True)
+        n_pins[0] += 1
         return df, df.count()
 
     def union_into(acc: Dict[str, Optional[DataFrame]], head: str, df):
@@ -964,9 +978,11 @@ def dred_retract(
             delta_rows[h] = n
             over_rows += n
 
+    mark("overdelete_seed")
     # cone-size budget: half the cached view (see docstring guard (b));
     # counting cached extents costs one job per member, paid once
     cone_budget = max(1, sum(cached[h].count() for h in members_set) // 2)
+    mark("cone_budget")
 
     iteration = 0
     while any(delta[h] is not None for h in members_set):
@@ -1014,6 +1030,8 @@ def dred_retract(
                 over[h] = cand if over[h] is None else over[h].unionByName(cand)
                 over_rows += n
         delta = next_delta
+    over_iters = iteration
+    mark("overdelete_loop")
 
     if all(over[h] is None for h in members_set):
         # deletion cone never reached this SCC — extents unchanged
@@ -1032,14 +1050,26 @@ def dred_retract(
             remaining[h], _ = pin(rem)
 
     red: Dict[str, Optional[DataFrame]] = {h: None for h in members_set}
-    # seed: ONE full application over the remaining db, restricted to the
-    # overdeleted tuples (alternative-derivation check)
+    # seed: ONE rule application over the remaining db, restricted to the
+    # overdeleted tuples (alternative-derivation check). Rules whose head
+    # has no overdeleted tuples are skipped outright — their seed would
+    # be discarded by the semi-join below. (A cone-column pre-filter of
+    # the body atoms was measured here and REVERTED: on dense closures
+    # the cone's head-variable projections cover most of the domain, so
+    # the extra broadcast semi-joins cost a view-width pass without
+    # shrinking the join — r10 probe: rederive_seed 1.0-1.5 s unfiltered
+    # vs 2.6-3.4 s filtered on the bench's 1M-pair closure.)
     seedR: Dict[str, Optional[DataFrame]] = {h: None for h in members_set}
     for r in rules:
+        h = r.head.relation
+        if over[h] is None:
+            continue  # nothing overdeleted under this head: no rederive
         union_into(
             seedR,
-            r.head.relation,
-            _apply_with_sources(r, None, None, remaining, resolve_new, hnsw_resolver),
+            h,
+            _apply_with_sources(
+                r, None, None, remaining, resolve_new, hnsw_resolver
+            ),
         )
     deltaR: Dict[str, Optional[DataFrame]] = {h: None for h in members_set}
     deltaR_rows: Dict[str, int] = {}
@@ -1053,6 +1083,7 @@ def dred_retract(
         if n:
             red[h] = deltaR[h] = cand
             deltaR_rows[h] = n
+    mark("rederive_seed")
 
     iteration = 0
     while any(deltaR[h] is not None for h in members_set):
@@ -1106,11 +1137,26 @@ def dred_retract(
                 deltaR_rows[h] = n
                 red[h] = cand if red[h] is None else red[h].unionByName(cand)
         deltaR = next_deltaR
+    mark("rederive_loop")
 
     out: Dict[str, DataFrame] = {}
     for h in members_set:
         final = remaining[h] if red[h] is None else remaining[h].unionByName(red[h])
         out[h] = final.localCheckpoint(eager=True)
+    if trace:
+        mark("final_pin")
+        total = _time.perf_counter() - t_start
+        prev = 0.0
+        parts = []
+        for label, t in marks:
+            parts.append(f"{label}={t - prev:.3f}s")
+            prev = t
+        print(
+            f"# DRED_TRACE total={total:.3f}s over_iters={over_iters} "
+            f"red_iters={iteration} pins={n_pins[0]} over_rows={over_rows} "
+            + " ".join(parts),
+            file=sys.stderr,
+        )
     return out
 
 

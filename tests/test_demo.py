@@ -88,3 +88,29 @@ def test_retail_walkthrough_end_to_end(spark, capsys):
     assert "oat-milk-1l" in ann or "soy-milk-1l" in ann
     # provenance trace ran
     assert "grove-dairy restock" in out
+
+
+def test_embedding_walkthrough_end_to_end(spark, capsys):
+    """Scenario 3 (docs/embedding.md): library embedding driven through
+    the Python API directly — multi-KG isolation, WAL crash-recovery,
+    .compact generation recovery, and concurrent lock-free reads (the
+    reference's storage_demo.rs + parallel_queries.rs teaching content)."""
+    from run_demo import embedding_walkthrough
+
+    embedding_walkthrough(spark)
+    out = capsys.readouterr().out
+    assert "staging sees 0 edge tuples (isolation)" in out
+    assert "recovered from WAL: adults = [2, 3, 4, 5]" in out
+    assert ".compact generation recovers identically" in out
+    assert "lock-free reads" in out
+
+
+def test_embedding_doc_served(spark):
+    """docs/embedding.md is a real docs page: the /docs index lists it
+    and /docs/embedding serves the markdown."""
+    from inputlayer_spark.gui import docs_index, docs_page
+
+    assert "embedding" in {p["name"] for p in docs_index()}
+    page = docs_page("embedding")
+    assert page is not None and "Embedding the engine as a library" in page
+    assert "--scenario embedding" in page

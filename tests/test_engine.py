@@ -668,3 +668,52 @@ def test_rel_schema_meta_registers(engine):
     engine.execute(".index create cidx on cat(emb) type hnsw metric cosine")
     got = rows(engine.query("?hnsw_nearest(cidx, [1.0, 0.0], 1, Id, D)"))
     assert len(got) == 1
+
+
+def test_goal_query_distinct_skip_semantics(engine):
+    """The body-less goal query over a DERIVED extent skips the
+    set-semantics distinct (it is provably a no-op there — engine.py
+    query path); this pins the three behavioral edges around the skip:
+    derived results stay sets, duplicate-bearing REGISTERED frames are
+    still deduped, and body-extended queries still dedup."""
+    spark = engine.spark
+    # derived extent: two clauses deriving an overlapping set
+    engine.execute("+src[(1, 2), (2, 3)]")
+    engine.execute("+d(X, Y) <- src(X, Y)\n+d(X, Y) <- src(X, Y), X > 0")
+    got = sorted(tuple(r) for r in engine.query("?d(X, Y)").collect())
+    assert got == [(1, 2), (2, 3)]
+    # repeated goal var + constant still dedup after projection
+    engine.execute("+pairs[(1, 1), (1, 2), (2, 2)]")
+    engine.execute("+dd(X, Y) <- pairs(X, Y)")
+    same = sorted(tuple(r) for r in engine.query("?dd(X, X)").collect())
+    assert same == [(1,), (2,)]
+    # registered base frame WITH duplicates: distinct must still apply
+    dup = spark.createDataFrame([(7, 8), (7, 8), (9, 9)], "a long, b long")
+    engine.register("dupbase", dup)
+    got2 = sorted(tuple(r) for r in engine.query("?dupbase(X, Y)").collect())
+    assert got2 == [(7, 8), (9, 9)]
+    # body-extended query (join can duplicate projections): still a set
+    engine.execute("+tag[(2, 10), (2, 20)]")
+    got3 = sorted(
+        tuple(r) for r in engine.query("?d(X, Y), tag(X, _)").collect()
+    )
+    assert got3 == [(2, 3)]
+
+
+def test_goal_query_derived_plan_has_no_distinct(engine):
+    """Plan pin: ?view(X, Y) over a MATERIALIZED (checkpoint-pinned)
+    derived extent must not re-shuffle the view through a distinct —
+    the re-query of a pinned 1M-pair closure is metadata-only (bench
+    incr_recursive_* rows). Recursive views pin their fixpoint output,
+    so the cached extent is a bare LogicalRDD; the query on top must
+    add only a projection. A registered base frame keeps the distinct
+    (users can register duplicate-bearing DataFrames)."""
+    engine.execute("+e[(1, 2), (2, 3), (3, 4)]")
+    engine.execute("+tc(X, Y) <- e(X, Y)\n+tc(X, Z) <- e(X, Y), tc(Y, Z)")
+    engine.query("?tc(X, Y)").count()  # materialize + pin the fixpoint
+    plan = engine.query("?tc(X, Y)")._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" not in plan and "Aggregate" not in plan, plan
+    base = engine.spark.createDataFrame([(1, 1), (1, 1)], "a long, b long")
+    engine.register("rawbase", base)
+    plan2 = engine.query("?rawbase(X, Y)")._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" in plan2 or "Aggregate" in plan2, plan2
