@@ -1632,10 +1632,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     accept (PNG/BMP/GIF/baseline JPEG): decode to pixels, box-average
     (area) downsample / nearest upsample with numpy, re-encode as PNG
     (the canonical intermediate a curation pipeline wants — lossless,
-    stdlib-writable). Non-decodable payloads keep the deterministic
-    passthrough (meta rewritten, content untouched) so pipelines stay
-    total; at 100 TB this runs Arrow-batched per partition with no
-    driver involvement."""
+    stdlib-writable). Non-decodable payloads pass through UNTOUCHED —
+    content AND meta (honesty contract, r9 VERDICT: a passthrough row
+    must not claim target dimensions its bytes don't have; downstream
+    tells resized rows apart by meta.width/height == target and
+    mime == image/png) — so pipelines stay total; at 100 TB this runs
+    Arrow-batched per partition with no driver involvement."""
     import numpy as np
 
     def resample(px_bytes, w0, h0, nch):
@@ -1660,9 +1662,11 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
     def one(b, meta):
         dec = _decode_any_pixels(bytes(b) if b is not None else b"")
-        new_meta = {**(meta or {}), "width": width, "height": height}
         if dec is None:
-            return b, new_meta  # honest passthrough for non-decodables
+            # passthrough: content AND meta untouched — rewriting meta
+            # to the target dims would claim a resize that never ran
+            return b, meta
+        new_meta = {**(meta or {}), "width": width, "height": height}
         w0, h0, nch, px = dec
         out = resample(px, w0, h0, nch)
         if nch == 1:
@@ -1985,15 +1989,13 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     continue
                 mp4 = _mp4_samples(content)
                 if mp4 is not None:
+                    import bisect
+
                     codec, dur, samples = mp4
+                    sample_ts = [s[0] for s in samples]
                     for ts in range(0, int(dur), every_ms):
                         # last sample whose decode ts is <= ts
-                        idx = 0
-                        for k in range(len(samples)):
-                            if samples[k][0] <= ts:
-                                idx = k
-                            else:
-                                break
+                        idx = max(0, bisect.bisect_right(sample_ts, ts) - 1)
                         s_ts, off, size, key = samples[idx]
                         rows.append(
                             {

@@ -2088,9 +2088,13 @@ def test_resize_images_real_box_downsample(spark):
     w2, h2, nch2, px2 = _png_pixels(bytes(out[2]["content"]))
     assert (w2, h2) == (4, 4)
     assert np.frombuffer(px2, dtype=np.uint8).reshape(-1, nch2)[0].tolist() == [10, 20, 30]
-    # non-decodable: content untouched, meta rewritten (honest passthrough)
+    # non-decodable: content AND meta untouched — a passthrough row
+    # must not claim the target dimensions its bytes don't have
+    # (honesty contract, r10); downstream tells resized rows apart by
+    # meta.width == target + mime == image/png
     assert bytes(out[3]["content"]) == b"opaque"
-    assert out[3]["meta"]["width"] == 4 and out[3]["meta"]["height"] == 4
+    assert out[3]["meta"]["width"] == 9 and out[3]["meta"]["height"] == 9
+    assert out[3]["meta"]["mime"] == "application/x"
 
 
 def test_sample_video_frames_real_mjpeg_avi(spark):
