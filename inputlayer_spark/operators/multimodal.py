@@ -82,6 +82,16 @@ def _fake_decode_features(content: bytes, dim: int = 8) -> list:
     return [round(b / 255.0, 6) for b in h[:dim]]
 
 
+# Decode-bomb guard for untrusted corpora: a crafted header can declare
+# dimensions (PNG/GIF u16-u32 fields, JPEG SOF, MP4 sample tables) whose
+# pixel buffers would allocate gigabytes from a kilobyte payload — at
+# 100 TB that is a trivially plantable executor-OOM. Payloads past the
+# caps fall back to the fake kernel and are FLAGGED decoded=false, so
+# the skip is honest and machine-visible downstream.
+_MAX_PIXELS = 1 << 24  # ~16.7M px (4096x4096); pure-Python decode of more is impractical anyway
+_MAX_VIDEO_SAMPLES = 1 << 22
+
+
 def _png_pixels(b):
     """REAL stdlib PNG pixel decode — no codec library: chunk walk,
     zlib-inflate the IDAT stream, per-scanline unfilter (types 0-4 per
@@ -113,12 +123,18 @@ def _png_pixels(b):
     nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
     if not idat or not w or not h or depth != 8 or interlace != 0 or nch is None:
         return None
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except Exception:
+    if w * h > _MAX_PIXELS:
         return None
     stride = w * nch
-    if len(raw) < h * (stride + 1):
+    needed = h * (stride + 1)
+    try:
+        # bounded inflate: cap the OUTPUT at what the declared dims need
+        # — an unbounded zlib.decompress turns a 1 MB IDAT bomb into
+        # gigabytes regardless of the declared (checked) dimensions
+        raw = zlib.decompressobj().decompress(bytes(idat), needed)
+    except Exception:
+        return None
+    if len(raw) < needed:
         return None
     out = bytearray(h * stride)
     pos = 0
@@ -241,7 +257,7 @@ def _gif_pixels(b):
             ct = b[i : i + 3 * n]
             i += 3 * n
         interlaced = bool(ipacked & 0x40)
-        if not ct or w == 0 or h == 0:
+        if not ct or w == 0 or h == 0 or w * h > _MAX_PIXELS:
             return None
         min_code_size = b[i]
         i += 1
@@ -434,6 +450,8 @@ def _jpeg_pixels(b):
                 break
             i += 2 + seg_len
         if comps is None or scan_start is None or not width or not height:
+            return None
+        if width * height > _MAX_PIXELS:
             return None
         for c in comps:
             if c["sh"] not in (1, 2) or c["sv"] not in (1, 2):
@@ -830,6 +848,8 @@ def _jpeg_progressive(b):
                 for c in comps:
                     if c["sh"] not in (1, 2) or c["sv"] not in (1, 2):
                         return None
+                if width * height > _MAX_PIXELS:
+                    return None
                 hmax = max(c["sh"] for c in comps)
                 vmax = max(c["sv"] for c in comps)
                 mcux = (width + 8 * hmax - 1) // (8 * hmax)
@@ -1843,6 +1863,8 @@ def _mp4_samples(b):
         for _ in range(n_stts):
             cnt, delta = struct.unpack(">II", b[p : p + 8])
             p += 8
+            if len(ts_units) + cnt > _MAX_VIDEO_SAMPLES:
+                return None  # sample-table bomb: a u32 count per run
             for _ in range(cnt):
                 ts_units.append(t)
                 t += delta

@@ -2495,3 +2495,76 @@ def test_sample_video_frames_mp4_and_honesty_flags(spark):
     assert all(
         r["decoded"] is False and r["codec"] == "fake" for r in stub_rows
     )
+
+
+def test_decoder_bomb_guards():
+    """Decode-bomb hardening for untrusted corpora: crafted headers
+    declaring huge dimensions (PNG/GIF/JPEG) or sample counts (MP4
+    stts), and inflate bombs whose output dwarfs the declared dims,
+    must be REJECTED in O(header) time — they fall back to the fake
+    kernel with decoded=false instead of OOM-ing the executor. Good
+    payloads keep decoding."""
+    import struct
+    import time
+    import zlib
+
+    import numpy as np
+
+    from inputlayer_spark.operators.multimodal import (
+        _gif_pixels,
+        _jpeg_pixels,
+        _mp4_samples,
+        _png_pixels,
+        encode_gif,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        encode_mp4,
+        encode_png,
+    )
+
+    def png_chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(c[4:]))
+
+    t0 = time.perf_counter()
+    bomb = zlib.compress(b"\x00" * (10 * 1024 * 1024), 9)  # 10MB -> ~10KB
+    # PNG declaring 20000x20000
+    ihdr = png_chunk(b"IHDR", struct.pack(">IIBBBBB", 20000, 20000, 8, 2, 0, 0, 0))
+    png_bomb = (b"\x89PNG\r\n\x1a\n" + ihdr + png_chunk(b"IDAT", bomb)
+                + png_chunk(b"IEND", b""))
+    assert _png_pixels(png_bomb) is None
+    # PNG with sane dims but a 10MB inflate bomb: bounded decompressobj
+    # reads only the needed bytes and decodes the real prefix
+    ihdr2 = png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+    png_bomb2 = (b"\x89PNG\r\n\x1a\n" + ihdr2 + png_chunk(b"IDAT", bomb)
+                 + png_chunk(b"IEND", b""))
+    assert _png_pixels(png_bomb2)[:3] == (4, 4, 3)
+    # GIF declaring 65535x65535
+    gif_bomb = (b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0x80, 0, 0)
+                + b"\x00\x00\x00" * 2
+                + b"\x2c" + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+                + b"\x02" + b"\x01\x00" + b"\x00" + b"\x3b")
+    assert _gif_pixels(gif_bomb) is None
+    # JPEG SOF0/SOF2 rewritten to declare 65500x65500
+    good = encode_jpeg(8, 8, np.zeros((8, 8, 3), np.uint8).tobytes())
+    goodp = encode_jpeg_progressive(8, 8, np.zeros((8, 8, 3), np.uint8).tobytes())
+    for payload, marker in ((good, b"\xff\xc0"), (goodp, b"\xff\xc2")):
+        hacked = bytearray(payload)
+        sof = hacked.find(marker)
+        hacked[sof + 5 : sof + 9] = struct.pack(">HH", 65500, 65500)
+        assert _jpeg_pixels(bytes(hacked)) is None
+    # MP4 stts run declaring ~4 billion samples
+    mp4 = encode_mp4([b"x" * 8] * 3)
+    hacked4 = bytearray(mp4)
+    i = hacked4.find(b"stts")
+    hacked4[i + 8 : i + 12] = struct.pack(">I", 1)
+    hacked4[i + 12 : i + 16] = struct.pack(">I", 0xFFFFFFF0)
+    assert _mp4_samples(bytes(hacked4)) is None
+    # every rejection above must be near-instant (header-time, no alloc)
+    assert time.perf_counter() - t0 < 5.0
+    # good payloads still decode after hardening
+    assert _png_pixels(encode_png(8, 8, bytes(192)))[:3] == (8, 8, 3)
+    assert _gif_pixels(encode_gif(4, 4, bytes(16), bytes([1, 2, 3])))[:3] == (4, 4, 3)
+    assert _jpeg_pixels(good)[:3] == (8, 8, 3)
+    assert _jpeg_pixels(goodp)[:3] == (8, 8, 3)
+    assert _mp4_samples(mp4) is not None
