@@ -2204,9 +2204,15 @@ def _wav_features(content):
             raw = w.readframes(n)
     except Exception:
         return None
-    if sw != 2 or sr <= 0 or n == 0:
+    if sw != 2 or sr <= 0 or n == 0 or ch <= 0:
         # only 16-bit PCM decoded; others report container metadata only
         return (sr, ch, int(n * 1000 / sr) if sr else 0, None, None)
+    # a truncated payload can end mid-frame: drop the partial frame so
+    # frombuffer/reshape never raise inside the executor kernel
+    frame_bytes = 2 * ch
+    raw = raw[: len(raw) - (len(raw) % frame_bytes)]
+    if not raw:
+        return (sr, ch, int(n * 1000 / sr), None, None)
     x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)

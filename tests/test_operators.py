@@ -2568,3 +2568,34 @@ def test_decoder_bomb_guards():
     assert _jpeg_pixels(good)[:3] == (8, 8, 3)
     assert _jpeg_pixels(goodp)[:3] == (8, 8, 3)
     assert _mp4_samples(mp4) is not None
+
+
+def test_wav_features_truncated_payload():
+    """A WAV truncated mid-frame (common in a crawled corpus) must not
+    crash the kernel: frombuffer/reshape only ever see whole frames;
+    header-only payloads report container metadata with NULL signal
+    stats."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from inputlayer_spark.operators.multimodal import _wav_features
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)
+    w.setframerate(8000)
+    sig = (np.sin(np.arange(800) / 10) * 20000).astype("<i2")
+    w.writeframes(np.repeat(sig, 2).tobytes())
+    w.close()
+    good = buf.getvalue()
+    full = _wav_features(good)
+    assert full[3] is not None and full[0] == 8000
+    # ends mid-frame: stats computed over the whole frames present
+    trunc = _wav_features(good[:-3])
+    assert trunc is not None and abs(trunc[3] - full[3]) < 0.01
+    # header only: metadata row, NULL rms/zcr
+    hdr = _wav_features(good[:44])
+    assert hdr == (8000, 2, 100, None, None)
