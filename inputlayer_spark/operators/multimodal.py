@@ -591,7 +591,9 @@ def _jpeg_pixels(b):
         rgb = np.stack([r, g, bl], axis=-1)
         rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
         return (width, height, 3, rgb.tobytes())
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, KeyError, struct.error):
+        # KeyError: a scan referencing an undefined Huffman/quant
+        # table id (malformed stream) must fall back, not crash
         return None
 
 
@@ -924,7 +926,9 @@ def _jpeg_progressive(b):
         rgb = np.stack([r, g, bl], axis=-1)
         rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
         return (width, height, 3, rgb.tobytes())
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, KeyError, struct.error):
+        # KeyError: a scan referencing an undefined Huffman/quant
+        # table id (malformed stream) must fall back, not crash
         return None
 
 

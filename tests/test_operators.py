@@ -2599,3 +2599,22 @@ def test_wav_features_truncated_payload():
     # header only: metadata row, NULL rms/zcr
     hdr = _wav_features(good[:44])
     assert hdr == (8000, 2, 100, None, None)
+
+
+def test_jpeg_undefined_table_falls_back():
+    """A scan referencing an undefined Huffman table id (malformed
+    stream) must return None — a KeyError escaping the decoder would
+    fail the whole executor task on one bad web image."""
+    import numpy as np
+
+    from inputlayer_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for enc in (encode_jpeg, encode_jpeg_progressive):
+        payload = bytearray(enc(8, 8, np.zeros((8, 8, 3), np.uint8).tobytes()))
+        i = payload.find(b"\xff\xda")
+        payload[i + 6] = 0x33  # DC/AC table 3: never defined
+        assert _jpeg_pixels(bytes(payload)) is None
