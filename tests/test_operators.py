@@ -2618,3 +2618,68 @@ def test_jpeg_undefined_table_falls_back():
         i = payload.find(b"\xff\xda")
         payload[i + 6] = 0x33  # DC/AC table 3: never defined
         assert _jpeg_pixels(bytes(payload)) is None
+
+
+def test_decoder_corruption_fuzz():
+    """Seeded corruption fuzz over every binary decoder: random byte
+    flips / deletions / insertions on valid payloads must yield a
+    decode or None — never an exception (one bad crawled file must not
+    fail an executor task). 150 mutants per format."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from inputlayer_spark.operators.multimodal import (
+        _avi_mjpeg_frames,
+        _bmp_pixels,
+        _gif_pixels,
+        _jpeg_pixels,
+        _mp4_samples,
+        _png_pixels,
+        _wav_features,
+        encode_avi_mjpeg,
+        encode_bmp,
+        encode_gif,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        encode_mp4,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(99)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    jb = encode_jpeg(16, 16, px.tobytes())
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(8000)
+    w.writeframes(bytes(1600))
+    w.close()
+    payloads = [
+        (encode_png(16, 16, px.tobytes()), _png_pixels),
+        (encode_bmp(16, 16, px.tobytes()), _bmp_pixels),
+        (encode_gif(8, 8, bytes(range(64)), bytes(range(256)) * 3), _gif_pixels),
+        (jb, _jpeg_pixels),
+        (encode_jpeg_progressive(16, 16, px.tobytes()), _jpeg_pixels),
+        (encode_mp4([b"x" * 9] * 4, deltas=[100] * 4), _mp4_samples),
+        (encode_avi_mjpeg([jb, jb], fps=4), _avi_mjpeg_frames),
+        (buf.getvalue(), _wav_features),
+    ]
+    for base, dec in payloads:
+        base = bytearray(base)
+        for _ in range(150):
+            m = bytearray(base)
+            for _ in range(rng.integers(1, 6)):
+                kind = rng.integers(0, 3)
+                pos = int(rng.integers(0, len(m)))
+                if kind == 0:
+                    m[pos] = int(rng.integers(0, 256))
+                elif kind == 1:
+                    del m[pos : pos + int(rng.integers(1, 9))]
+                else:
+                    m[pos:pos] = bytes(
+                        rng.integers(0, 256, int(rng.integers(1, 9)), dtype=np.uint8)
+                    )
+            dec(bytes(m))  # decode-or-None; an exception fails the test
