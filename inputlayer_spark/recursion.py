@@ -477,6 +477,13 @@ def _try_path_doubling(
     # jumps 7×+ on the FIRST squaring and must keep its raw edges, since
     # every widened step multiplies the delta sweeps' join fan-out) and
     # the total stays within 8× of the original edges.
+    # NOTE (r10): an "exact" alternative was measured and REVERTED —
+    # gating on the squaring join's intermediate (|S| × max out-degree
+    # ≤ 10-30M) lets wide-but-shallow graphs widen to 4+ hops, and the
+    # sweeps then pay out-degree-many rederivations per closure pair:
+    # anchor 10.8 s -> 24-26 s, transitive_closure_large 27 s -> 72 s.
+    # The growth ratio IS the right signal: it detects exactly the
+    # fan-out that multiplies sweep volume.
     growth_cap = 8
     widened, n_widened = step, n_step
     for _ in range(6):  # ≤ 64-hop widening
