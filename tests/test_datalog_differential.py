@@ -211,3 +211,27 @@ def test_random_programs_count_aggregate_matches_oracle(spark):
         for a, b in want["p2"]:
             exp[a] = exp.get(a, 0) + 1
         assert got == {(a, n) for a, n in exp.items()}, f"trial {trial}"
+
+
+def test_random_programs_no_duplicate_rows(spark):
+    """Duplicate-freedom differential for the r10 query-path change:
+    body-less goal queries over DERIVED heads skip the set-semantics
+    distinct (engine treats derived extents as sets). The other tests
+    here compare as Python sets, which would HIDE duplicate rows — this
+    one asserts the collected rows are duplicate-free and match the
+    oracle, over random programs with multi-clause heads (overlapping
+    clause derivations are the way duplicates would sneak in) and
+    recursion."""
+    rng = random.Random(2024)
+    for trial in range(5):
+        base, rules = _gen_program(rng)
+        program = _to_iql(base, rules)
+        want = _oracle(base, rules)
+        eng = IQLEngine(spark)
+        eng.execute(program)
+        for head in ("p0", "p1", "p2"):
+            got = [tuple(r) for r in eng.query(f"?{head}(A, B)").collect()]
+            assert len(got) == len(set(got)), (
+                f"trial {trial} head {head}: duplicate rows\n{program}"
+            )
+            assert set(got) == want[head], f"trial {trial} head {head}\n{program}"
