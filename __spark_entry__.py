@@ -1654,6 +1654,17 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_lm_score(spark, sf_dir):
+    """Corpus-trained bigram LM score per document (functions/text.py
+    lm_score): gibberish/outlier curation gate — token-key shuffle
+    aggs + joins, tfidf's scale class, dfreq-style no-broadcast-hint
+    discipline."""
+    from inputlayer_spark.functions.text import lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_score(docs, "doc_id", "text")
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary columns + mapInPandas feature kernel.
     These payloads are UTF-8 text (not decodable images), so the kernel
@@ -1768,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "interval_overlaps": q_interval_overlaps,
         "pii_scrub": q_pii_scrub,
+        "lm_score": q_lm_score,
         "media_features": q_media_features,
     }
 
@@ -2518,6 +2530,26 @@ def oracle_sql() -> dict[str, str]:
             "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'), "
             "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')"
             ") AS scrubbed_md5 FROM salted"
+        ),
+        "lm_score": (
+            "WITH arr2 AS ("
+            "  SELECT doc_id, list_filter(regexp_split_to_array("
+            "    lower(trim(text)), '[^a-z0-9'']+'), x -> x <> '') AS a"
+            "  FROM documents"
+            "), bg AS ("
+            "  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2"
+            "  FROM arr2, unnest(generate_series(1, len(a) - 1)) AS g(i)"
+            "  WHERE len(a) >= 2"
+            "), big AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),"
+            " uni AS (SELECT w1, sum(cb) AS cu FROM big GROUP BY w1),"
+            " v AS (SELECT count(DISTINCT t.tok)::DOUBLE AS v FROM ("
+            "   SELECT unnest(a) AS tok FROM arr2) t WHERE t.tok <> '')"
+            " SELECT bg.doc_id, count(*) AS n_bigrams,"
+            "        round(avg(ln((big.cb::DOUBLE + 0.5)"
+            "                     / (uni.cu::DOUBLE + 0.5 * v.v))), 6)"
+            "          AS avg_logprob"
+            " FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1), v"
+            " GROUP BY bg.doc_id"
         ),
         "media_features": (
             "SELECT doc_id AS media_id, "

@@ -87,6 +87,9 @@ def main() -> None:
         # assignment loop (flat 0.99x at 100x in SCALE_r08)
         "vocabulary",
         "tfidf",
+        # bigram LM scoring (round 10): trains corpus bigram counts and
+        # joins them back per-document — tfidf's token-key shuffle class
+        "lm_score",
         "topic_clusters",
     ]
 

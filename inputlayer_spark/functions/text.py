@@ -338,6 +338,71 @@ def tfidf(df, id_col: str, text_col: str, min_tf: int = 2):
     )
 
 
+def lm_score(df, id_col: str, text_col: str, alpha: float = 0.5):
+    """Corpus-trained bigram language-model score per document — the
+    classic curation gate for gibberish / boilerplate outliers (docs
+    whose token transitions are improbable under the corpus's own
+    bigram statistics): train C(w1,w2) and C(w1) on the WHOLE input,
+    then score each document as the mean log of the add-alpha-smoothed
+    transition probability
+
+        avg_logprob = mean over the doc's bigrams of
+                      ln( (C(w1,w2) + alpha) / (C(w1) + alpha * V) )
+
+    with V = corpus distinct-token count. Documents with fewer than two
+    tokens have no bigrams and are absent from the output.
+
+    Scale shape (same class as `tfidf`): one explode pass over the
+    token volume, two token-key aggregations, and two token-key shuffle
+    joins back to the per-document bigram occurrences. Like tfidf's
+    dfreq, the bigram-count table of an open-tokenizer web corpus is
+    heavy-tailed and is NEVER hint-broadcast — Catalyst/AQE may still
+    stat-broadcast a measured-small side. C(w1) is derived from the
+    bigram counts (sum over w2), so prefix counts and pair counts are
+    consistent by construction."""
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    # corpus vocabulary size: one scalar to the driver
+    v_size = (
+        toks.select(F.explode("__toks").alias("t")).distinct().count()
+    )
+    # ordered bigram pairs; sequence(1, n-1) guarded so one-token docs
+    # don't generate a DESCENDING sequence
+    pairs = toks.filter(F.size("__toks") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("__toks", i).alias("w1"),
+                    F.element_at("__toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uni = big.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    scored = pairs.join(big, ["w1", "w2"]).join(uni, ["w1"])
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.avg(
+                F.log(
+                    (F.col("cb").cast("double") + F.lit(float(alpha)))
+                    / (
+                        F.col("cu").cast("double")
+                        + F.lit(float(alpha)) * F.lit(float(v_size))
+                    )
+                )
+            ),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
 def top_keywords(df, id_col: str, text_col: str, k: int = 5):
     """Top-k TF-IDF keywords per document, ties broken by token text —
     deterministic within an engine (cross-engine rank boundaries on

@@ -126,6 +126,7 @@ QUERIES = [
     # table to the driver)
     "vocabulary",
     "tfidf",
+    "lm_score",
 ]
 
 

@@ -268,3 +268,17 @@ def test_tfidf_dfreq_never_hint_broadcast(spark):
     plan = _plan(spark, "tfidf")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lm_score_counts_never_hint_broadcast(spark):
+    """lm_score's bigram-count and prefix-count tables are unbounded on
+    an open-tokenizer web corpus (same heavy tail as tfidf's dfreq) —
+    the joins back to the per-document bigram stream must carry NO
+    broadcast hint; only a Catalyst/AQE measurement may broadcast."""
+    df = entry.queries()["lm_score"](spark, SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical
+    assert "ResolvedHint" not in logical
+    plan = _plan(spark, "lm_score")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
