@@ -1654,6 +1654,35 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_source_filter(spark, sf_dir):
+    """Source-level curation (domain filtering): per-source signals via
+    source_quality_stats (one corpus aggregate) + the documents that
+    survive filter_by_source_quality's broadcast semi-join at the 0.85
+    mean-quality gate — kept_docs = 0 marks a dropped source."""
+    from inputlayer_spark.operators.sampling import (
+        filter_by_source_quality,
+        source_quality_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = source_quality_stats(docs)
+    kept = (
+        filter_by_source_quality(docs, min_avg_quality=0.85)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )
+    return (
+        stats.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.round("avg_quality", 6).alias("avg_quality"),
+            F.round("dup_fraction", 6).alias("dup_fraction"),
+            F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("kept_docs"),
+        )
+    )
+
+
 def q_lm_score(spark, sf_dir):
     """Corpus-trained bigram LM score per document (functions/text.py
     lm_score): gibberish/outlier curation gate — token-key shuffle
@@ -1780,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlaps": q_interval_overlaps,
         "pii_scrub": q_pii_scrub,
         "lm_score": q_lm_score,
+        "source_filter": q_source_filter,
         "media_features": q_media_features,
     }
 
@@ -2530,6 +2560,22 @@ def oracle_sql() -> dict[str, str]:
             "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'), "
             "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')"
             ") AS scrubbed_md5 FROM salted"
+        ),
+        "source_filter": (
+            "WITH q AS (SELECT source, text, "
+            f"(least(len({_TOKS})::DOUBLE / 50.0, 1.0) "
+            f" + (1.0 - least(({_PUNCT_RATIO}) * 4.0, 1.0)) "
+            f" + (CASE WHEN ({_SW_RATIO}) >= 0.1 AND ({_SW_RATIO}) <= 0.6 THEN 1.0 ELSE 0.5 END) "
+            f" + (CASE WHEN ({_MEAN_WLEN}) >= 3.0 AND ({_MEAN_WLEN}) <= 10.0 THEN 1.0 ELSE 0.5 END)"
+            ") / 4.0 AS qs FROM documents), "
+            "st AS (SELECT source, count(*) AS n_docs, avg(qs) AS aq, "
+            "  1.0 - count(DISTINCT md5(text))::DOUBLE / count(*) AS df "
+            "  FROM q GROUP BY source) "
+            "SELECT source, n_docs, round(aq, 6) AS avg_quality, "
+            "  round(df, 6) AS dup_fraction, "
+            "  CASE WHEN n_docs >= 1 AND aq >= 0.85 AND df <= 1.0 "
+            "       THEN n_docs ELSE 0 END AS kept_docs "
+            "FROM st"
         ),
         "lm_score": (
             "WITH arr2 AS ("

@@ -90,6 +90,9 @@ def main() -> None:
         # bigram LM scoring (round 10): trains corpus bigram counts and
         # joins them back per-document — tfidf's token-key shuffle class
         "lm_score",
+        # source-level curation: one corpus aggregate + broadcast
+        # semi-join (domain filtering)
+        "source_filter",
         "topic_clusters",
     ]
 

@@ -356,3 +356,51 @@ def filter_above_group_percentile(
         .filter(F.col(score_col) >= F.col("__th"))
         .drop("__th")
     )
+
+
+def source_quality_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source curation signals — the domain-filtering calibration
+    pass every web pipeline runs before document-level gates (a bad
+    domain poisons all its documents; per-document filters can't see
+    that): document count, mean `quality_score`, and exact-duplicate
+    fraction (1 - distinct text hashes / docs — boilerplate farms sit
+    near 1). One partial+final hash aggregate over the corpus;
+    |sources| output rows."""
+    from inputlayer_spark.functions.text import quality_score
+
+    n = F.count(F.lit(1))
+    return df.groupBy(source_col).agg(
+        n.alias("n_docs"),
+        F.avg(quality_score(F.col(text_col))).alias("avg_quality"),
+        (
+            F.lit(1.0)
+            - F.count_distinct(F.md5(F.col(text_col))).cast("double") / n
+        ).alias("dup_fraction"),
+    )
+
+
+def filter_by_source_quality(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_docs: int = 1,
+    min_avg_quality: float = 0.0,
+    max_dup_fraction: float = 1.0,
+) -> DataFrame:
+    """Drop ENTIRE sources that fail the aggregate gates, documents and
+    all. The surviving-source table is bounded by the domain count
+    (millions at web scale, never corpus-sized), so broadcasting it is
+    legitimate — the corpus pays one map-side semi-join, no shuffle.
+    Contrast with token-keyed tables (tfidf's dfreq, lm_score's bigram
+    counts), which are unbounded and must never be hint-broadcast."""
+    stats = source_quality_stats(df, source_col, text_col)
+    good = stats.filter(
+        (F.col("n_docs") >= min_docs)
+        & (F.col("avg_quality") >= min_avg_quality)
+        & (F.col("dup_fraction") <= max_dup_fraction)
+    ).select(source_col)
+    return df.join(F.broadcast(good), source_col, "left_semi")

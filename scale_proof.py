@@ -127,6 +127,7 @@ QUERIES = [
     "vocabulary",
     "tfidf",
     "lm_score",
+    "source_filter",
 ]
 
 

@@ -2721,3 +2721,33 @@ def test_lm_score_hand_computed(spark):
     # gibberish doc 3 scores lower than natural doc 2 ordering holds on
     # this corpus by construction of the counts
     assert out[2]["avg_logprob"] > out[1]["avg_logprob"]
+
+
+def test_source_quality_filter(spark):
+    """Source-level curation: stats aggregate correctly (incl. the
+    exact-dup fraction) and filter_by_source_quality drops entire
+    failing sources via the broadcast semi-join."""
+    from inputlayer_spark.operators.sampling import (
+        filter_by_source_quality,
+        source_quality_stats,
+    )
+
+    rows = [
+        # good source: varied, natural text
+        (1, "the cat sat on the mat and it was a good day for everyone", "good"),
+        (2, "a fine meal is worth the wait and the effort of cooking it", "good"),
+        # boilerplate farm: one text duplicated
+        (3, "click here to subscribe", "farm"),
+        (4, "click here to subscribe", "farm"),
+        (5, "click here to subscribe", "farm"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    stats = {r["source"]: r for r in source_quality_stats(df).collect()}
+    assert stats["good"]["n_docs"] == 2 and stats["good"]["dup_fraction"] == 0.0
+    assert stats["farm"]["n_docs"] == 3
+    assert abs(stats["farm"]["dup_fraction"] - (1 - 1 / 3)) < 1e-9
+    kept = filter_by_source_quality(df, max_dup_fraction=0.5).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2]
+    # min_docs gate drops small sources wholesale
+    kept2 = filter_by_source_quality(df, min_docs=3).collect()
+    assert sorted(r["doc_id"] for r in kept2) == [3, 4, 5]

@@ -282,3 +282,16 @@ def test_lm_score_counts_never_hint_broadcast(spark):
     plan = _plan(spark, "lm_score")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_source_filter_broadcasts_the_source_table(spark):
+    """filter_by_source_quality's surviving-source table is bounded by
+    the DOMAIN count — broadcasting it is the intended plan (the corpus
+    pays one map-side semi-join, no shuffle). This pins the contrast
+    with tfidf/lm_score, whose token-keyed tables must never be
+    hint-broadcast."""
+    df = entry.queries()["source_filter"](spark, SF_DIR)
+    plan = _plan(spark, "source_filter")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
