@@ -1718,6 +1718,62 @@ def q_media_features(spark, sf_dir):
     return out.select("media_id", "kind", "n_bytes", "content_sha")
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Exact-substring (token-window) dedup — the Lee et al. 2022
+    "Deduplicating Training Data" pass (operators/dedup.dedup_spans):
+    every 8-token span occurring more than once in the corpus is
+    removed from ALL its occurrences, survivors reassembled in order.
+    Window hashes built array-side, shuffle carries fixed-width md5
+    keys, the duplicated-window set is broadcast-anti-joined (the
+    dedup_lines discipline)."""
+    from inputlayer_spark.operators.dedup import dedup_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup_spans(docs, "doc_id", "text", window=8, max_freq=1)
+    return out.select("doc_id", F.col("text").alias("clean_text"))
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    hashed unigram+bigram bucket distributions for the target domain
+    (source = 'src0') vs the raw corpus, add-1 smoothing over 256
+    buckets; per-doc mean log-likelihood ratio. The weight table is
+    bucket-sized by construction — the one legitimately broadcast
+    token-statistics table (operators/sampling.dsir_weights)."""
+    from inputlayer_spark.operators.sampling import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_weights(
+        docs, "doc_id", "text", F.col("source") == "src0", buckets=256
+    )
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-10 retrieval (functions/text.bm25_search) — targeted
+    decontamination / contrastive-set primitive. The query's term set
+    is a literal IN-filter at the token explode, dfreq is |q|-row
+    broadcast, scores rounded to 6dp before the (score desc, id asc)
+    TakeOrdered so the k-boundary is cross-engine deterministic."""
+    from inputlayer_spark.functions.text import bm25_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_search(docs, "doc_id", "text", "fast table scan merge", k=10)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): deterministic
+    k-means (k=4, 2 rounds — the topic_clusters pipeline) confines the
+    cosine comparison to within-cluster pairs; rows with a >= 0.30
+    similar lower-id cluster-mate are dropped
+    (operators/dedup.semantic_dedup). Survivors keep their cluster id."""
+    from inputlayer_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", k=4, iters=2, threshold=0.30
+    )
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -1764,10 +1820,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "knn_cosine": q_knn_cosine,
         "within_radius": q_within_radius,
-        "pairwise_cosine": q_pairwise_cosine,
-        "vector_norms": q_vector_norms,
-        "quantize_roundtrip": q_quantize_roundtrip,
-        "int8_distances": q_int8_distances,
+        # rotation wave 3 (r10): the four NEW pipeline operators take
+        # driver-window slots; the four §2.5 vector-function twins they
+        # displace (pairwise_cosine, vector_norms, quantize_roundtrip,
+        # int8_distances) stay below with full repo-side oracle parity
+        "substring_dedup": q_substring_dedup,
+        "dsir_weights": q_dsir_weights,
+        "bm25_search": q_bm25_search,
+        "semantic_dedup": q_semantic_dedup,
         "knn_join": q_knn_join,
         "knn_lsh": q_knn_lsh,
         "dedup_survivors": q_dedup_survivors,
@@ -1787,6 +1847,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "compression_signal": q_compression_signal,
         "same_generation_bound": q_same_generation_bound,
+        "pairwise_cosine": q_pairwise_cosine,
+        "vector_norms": q_vector_norms,
+        "quantize_roundtrip": q_quantize_roundtrip,
+        "int8_distances": q_int8_distances,
         "hash_sample": q_hash_sample,
         "train_val_test_split": q_train_val_test_split,
         "weighted_sample": q_weighted_sample,
@@ -2602,6 +2666,119 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, "
             "octet_length(encode(text)) AS n_bytes, "
             "sha256(text) AS content_sha FROM documents"
+        ),
+        # Exact-substring dedup (Lee et al. 2022): identical window
+        # hashing (md5 of the space-joined 8-token slice), duplicated
+        # windows (count > 1 corpus-wide) expand to covered positions,
+        # anti-joined token stream reassembled in order.
+        "substring_dedup": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+            "w AS (SELECT doc_id, u.i - 1 AS s, "
+            "md5(array_to_string(toks[u.i:u.i+7], ' ')) AS h "
+            "FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)), "
+            "dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1), "
+            "cov0 AS (SELECT w.doc_id, unnest(range(w.s, w.s + 8)) AS p "
+            "FROM w SEMI JOIN dup USING (h)), "
+            "cov AS (SELECT DISTINCT doc_id, p FROM cov0), "
+            "tok AS (SELECT doc_id, u.i - 1 AS p, toks[u.i] AS tk "
+            "FROM t, unnest(range(1, len(toks) + 1)) AS u(i)), "
+            "kept AS (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, p)), "
+            "re AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS ct "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(re.ct, '') AS clean_text "
+            "FROM documents d LEFT JOIN re USING (doc_id)"
+        ),
+        # DSIR importance weights: identical hashed unigram+bigram
+        # bucketing (md5_long32 % 256), add-1 smoothed target/raw
+        # distributions, mean per-gram log-likelihood ratio. The
+        # degenerate short-doc shingle (len < 2 → one truncated bigram)
+        # follows _SHINGLES2 on both engines.
+        "dsir_weights": (
+            f"WITH t AS (SELECT doc_id, source = 'src0' AS tgt, {_TOKS} AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, tgt, unnest(list_concat(toks, "
+            "list_transform(range(1, greatest(len(toks) - 1, 1) + 1), "
+            "i -> array_to_string(toks[i:i+1], ' ')))) AS gram FROM t), "
+            f"f AS (SELECT doc_id, tgt, ({_MD5_32.format(x='gram')} % 256) AS b FROM g), "
+            "c AS (SELECT d.b, coalesce(rc, 0) AS rc, coalesce(tc, 0) AS tc "
+            "FROM (SELECT unnest(range(0, 256)) AS b) d "
+            "LEFT JOIN (SELECT b, count(*) AS rc, count(*) FILTER (tgt) AS tc "
+            "FROM f GROUP BY b) x USING (b)), "
+            "tot AS (SELECT sum(rc) AS R, sum(tc) AS T FROM c), "
+            "lam AS (SELECT b, ln((tc + 1.0) / (T + 256.0)) "
+            "- ln((rc + 1.0) / (R + 256.0)) AS llr FROM c, tot), "
+            "s AS (SELECT doc_id, count(*) AS n_grams, avg(llr) AS w "
+            "FROM f JOIN lam USING (b) GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams, "
+            "round(coalesce(s.w, 0.0), 6) AS weight "
+            "FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        # BM25 (Lucene k1=1.2 b=0.75, +1-shifted IDF): scores rounded
+        # to 6dp BEFORE the (score desc, id asc) order on both engines,
+        # so the top-10 boundary is deterministic.
+        "bm25_search": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+            "l AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM t), "
+            "st AS (SELECT count(*)::DOUBLE AS N, avg(dl) AS avgdl FROM l), "
+            "p AS (SELECT doc_id, unnest(toks) AS tm FROM t), "
+            "tf AS (SELECT doc_id, tm, count(*)::DOUBLE AS tf FROM p "
+            "WHERE tm IN ('fast', 'merge', 'scan', 'table') GROUP BY doc_id, tm), "
+            "dfq AS (SELECT tm, count(DISTINCT doc_id)::DOUBLE AS df "
+            "FROM tf GROUP BY tm), "
+            "sc AS (SELECT tf.doc_id, "
+            "round(sum(ln(1.0 + (st.N - dfq.df + 0.5) / (dfq.df + 0.5)) "
+            "* (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl))"
+            "), 6) AS score "
+            "FROM tf JOIN dfq USING (tm) JOIN l USING (doc_id) CROSS JOIN st "
+            "GROUP BY tf.doc_id) "
+            "SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10"
+        ),
+        # SemDeDup: the topic_clusters k-means CTE chain (identical
+        # Lloyd unroll) + within-cluster pair comparison at cosine
+        # similarity >= 0.30; dominated (higher-id) rows anti-joined out.
+        "semantic_dedup": (
+            "WITH c0 AS ("
+            "  SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1 AS cid,"
+            "         embedding AS c"
+            "  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)"
+            "), a0 AS ("
+            "  SELECT vec_id, embedding, cl FROM ("
+            "    SELECT e.vec_id, e.embedding, c.cid AS cl,"
+            "           row_number() OVER (PARTITION BY e.vec_id ORDER BY"
+            "             list_sum(list_transform(range(1, 65),"
+            "               i -> (e.embedding[i]::DOUBLE - c.c[i]::DOUBLE)"
+            "                  * (e.embedding[i]::DOUBLE - c.c[i]::DOUBLE)"
+            "             )) ASC, c.cid ASC) AS rn"
+            "    FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1"
+            "), m1 AS ("
+            "  SELECT cl AS cid, i AS pos, avg(embedding[i]::DOUBLE) AS m"
+            "  FROM a0, range(1, 65) t(i) GROUP BY cl, i"
+            "), c1 AS ("
+            "  SELECT cid, list(m ORDER BY pos) AS c FROM m1 GROUP BY cid"
+            "), c1f AS ("
+            "  SELECT c0.cid,"
+            "         COALESCE(c1.c, list_transform(c0.c, x -> x::DOUBLE)) AS c"
+            "  FROM c0 LEFT JOIN c1 ON c0.cid = c1.cid"
+            "), asg AS (SELECT vec_id, cl AS cluster FROM ("
+            "    SELECT e.vec_id, c.cid AS cl,"
+            "           row_number() OVER (PARTITION BY e.vec_id ORDER BY"
+            "             list_sum(list_transform(range(1, 65),"
+            "               i -> (e.embedding[i]::DOUBLE - c.c[i])"
+            "                  * (e.embedding[i]::DOUBLE - c.c[i])"
+            "             )) ASC, c.cid ASC) AS rn"
+            "    FROM embeddings e CROSS JOIN c1f c) WHERE rn = 1"
+            "), lab AS (SELECT asg.vec_id, asg.cluster, e.embedding "
+            "FROM asg JOIN embeddings e USING (vec_id)), "
+            "dom AS (SELECT DISTINCT b.vec_id "
+            "FROM lab a JOIN lab b ON a.cluster = b.cluster "
+            "AND a.vec_id < b.vec_id "
+            "WHERE greatest(-1.0, least(1.0, "
+            "list_sum(list_transform(range(1, 65), "
+            "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) "
+            "/ sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) "
+            "/ sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+            ")) >= 0.30) "
+            "SELECT lab.vec_id, lab.cluster FROM lab ANTI JOIN dom USING (vec_id)"
         ),
         # Approximate operators, checked exactly: knn_lsh's probe budget
         # covers the true top-k (recall 1.0 → brute-force oracle);

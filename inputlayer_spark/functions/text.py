@@ -419,3 +419,77 @@ def top_keywords(df, id_col: str, text_col: str, k: int = 5):
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def bm25_search(
+    df,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 top-k retrieval over the document corpus (Robertson &
+    Zaragoza 2009, the Lucene `k1/b` variant with the +1-shifted IDF so
+    scores stay positive) — the retrieval primitive a curation pipeline
+    uses for targeted decontamination ("find the documents closest to
+    this eval prompt") and for building contrastive quality sets.
+
+    Scale shape: the query's term set is a LITERAL IN-filter applied at
+    the token explode, so the corpus pass keeps only |q|-term postings
+    (predicate pushdown straight into the scan projection — everything
+    else never leaves the map side); document length and N/avgdl are
+    one narrow aggregate each; the per-term document frequencies are at
+    most |q| rows (broadcast by construction); the final top-k is a
+    TakeOrdered, never a global sort. Scores are rounded to 6 dp BEFORE
+    ranking so the (score desc, id asc) order — and therefore the k-th
+    boundary — is reproducible across engines.
+
+    Output: (id_col, score) — the k highest-scoring documents.
+    """
+    import re
+
+    terms = sorted({t for t in re.split(r"[^a-z0-9']+", query.lower()) if t})
+    if not terms or k < 1:
+        return df.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    lengths = toked.select(
+        F.col(id_col), F.size("__toks").cast("double").alias("__dl")
+    )
+    stats = lengths.agg(
+        F.count(F.lit(1)).cast("double").alias("__N"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    postings = (
+        toked.select(F.col(id_col), F.explode("__toks").alias("__t"))
+        .filter(F.col("__t").isin(terms))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    dfreq = postings.groupBy("__t").agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("__df")
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "__t")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("__N") - F.col("__df") + 0.5)
+                    / (F.col("__df") + 0.5)
+                )
+                * (F.col("__tf") * (k1 + 1.0))
+                / (
+                    F.col("__tf")
+                    + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

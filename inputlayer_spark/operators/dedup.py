@@ -608,3 +608,153 @@ def keep_canonical(
         )
     )
     return labeled.join(winners.select(id_col), on=id_col, how="semi")
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    max_freq: int = 1,
+) -> DataFrame:
+    """Exact-substring deduplication at token-window granularity — the
+    "Deduplicating Training Data Makes Language Models Better" pass
+    (Lee et al. 2022, arXiv:2107.06499), re-expressed for Spark: any
+    `window`-token span whose exact token sequence occurs MORE than
+    `max_freq` times across the corpus (including twice inside one
+    document) is removed from every occurrence; the survivors of each
+    document are reassembled in order. The reference curates corpora
+    with line- and document-level dedup (BASELINE.json pipeline brief);
+    this is the finer span-level sibling.
+
+    Scale shape (the 100 TB story):
+    * window hashes are built ARRAY-SIDE per document (one transform
+      over the token array), then exploded as narrow (id, start, md5)
+      rows — the shuffle key is a fixed-width hash, never span text;
+    * the duplicated-window set is the head of the window-frequency
+      distribution (boilerplate-like), so it is small by nature:
+      localCheckpointed, measured, and broadcast into the semi-join
+      when under the cap, plain shuffle join otherwise (the
+      dedup_lines discipline);
+    * covered token positions explode ONLY duplicated windows (k× rows
+      on the duplicate minority, linear overall); reassembly is one
+      groupBy(doc) of (pos, token) structs.
+
+    Output: (id_col, text_col) with every duplicated span removed;
+    documents made entirely of duplicated spans come back empty (row
+    kept). Tokenization is TX.tokens (lowercase word stream), so the
+    output is a cleaned TOKEN stream — the operator contract is about
+    which tokens survive, not whitespace fidelity.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = TX.tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    win_structs = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda s: F.struct(
+                s.cast("int").alias("s"),
+                F.md5(
+                    F.array_join(F.slice(F.col("__toks"), s + 1, window), " ")
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<s:int,h:string>>"))
+    wins = base.select(
+        F.col(id_col), F.explode(win_structs).alias("__w")
+    ).select(F.col(id_col), F.col("__w.s").alias("__s"), F.col("__w.h").alias("__h"))
+    dup = (
+        wins.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_freq)
+        .select("__h")
+        .localCheckpoint(eager=True)
+    )
+    dup_small = dup.limit(2_000_001).count() <= 2_000_000
+    covered = (
+        wins.join(F.broadcast(dup) if dup_small else dup, "__h", "semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__s"), F.col("__s") + (window - 1))
+            ).alias("__p"),
+        )
+        .distinct()
+    )
+    tokpos = base.select(
+        F.col(id_col), F.posexplode("__toks").alias("__p", "__t")
+    )
+    kept = tokpos.join(covered, [id_col, "__p"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__t"))),
+                lambda s: s["__t"],
+            ),
+            " ",
+        ).alias(text_col)
+    )
+    return (
+        df.select(id_col)
+        .join(reassembled, id_col, "left")
+        .fillna({text_col: ""})
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus with deterministic
+    k-means (operators/clustering.kmeans_assign — no RNG, so the whole
+    pipeline is oracle-checkable), then compare pairs ONLY within a
+    cluster; a row whose cosine similarity to a LOWER-id row in the
+    same cluster reaches `threshold` is a semantic duplicate and is
+    dropped. Rows kmeans marked invalid (NULL cluster) cannot be
+    compared and are kept.
+
+    Scale shape: the all-pairs comparison is confined to clusters — at
+    100 TB you scale k with the corpus so per-cluster populations stay
+    bounded (the SemDeDup design point: k ≈ n/target_cluster_size),
+    making the self-join a per-cluster-key local product instead of a
+    corpus cartesian. The join shuffles on the cluster id; survivors
+    come from ONE anti-join against the dominated-id set.
+
+    Output: surviving (id_col, cluster) rows — the deduplicated corpus
+    membership a downstream sampler consumes.
+    """
+    from inputlayer_spark.operators.clustering import kmeans_assign
+
+    assigned = kmeans_assign(df, id_col, vec_col, k=k, iters=iters)
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    labeled = assigned.join(vecs, id_col)
+    a = labeled.select(
+        F.col("cluster").alias("__cl"),
+        F.col(id_col).alias("__id1"),
+        F.col(vec_col).alias("__v1"),
+    ).filter(F.col("__cl").isNotNull())
+    b = labeled.select(
+        F.col("cluster").alias("__cl"),
+        F.col(id_col).alias("__id2"),
+        F.col(vec_col).alias("__v2"),
+    ).filter(F.col("__cl").isNotNull())
+    # similarity = 1 - cosine distance; V.cosine's zero-norm rule
+    # ("zero vectors are identical", vector_ops.rs:158-160) makes two
+    # zero embeddings dedup together, which is the curation intent
+    sim = F.lit(1.0) - V.cosine(F.col("__v1"), F.col("__v2"))
+    dominated = (
+        a.join(b, "__cl")
+        .filter(F.col("__id1") < F.col("__id2"))
+        .filter(sim >= threshold)
+        .select(F.col("__id2").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dominated, id_col, "left_anti")

@@ -404,3 +404,107 @@ def filter_by_source_quality(
         & (F.col("dup_fraction") <= max_dup_fraction)
     ).select(source_col)
     return df.join(F.broadcast(good), source_col, "left_semi")
+
+
+def _doc_ngram_buckets(
+    df: DataFrame, id_col: str, text_col: str, buckets: int, extra=None
+) -> DataFrame:
+    """Bag of hashed unigram+bigram features per document: one row per
+    n-gram occurrence, reduced to its hash bucket (md5_long32 % B).
+    Narrow (id, bucket[, extras]) rows — the text never leaves the map
+    side; `extra` ({name: Column}) lets a caller carry tiny flags
+    (e.g. the DSIR target predicate) through the explode instead of
+    re-joining."""
+    extra = extra or {}
+    keep = [F.col(id_col)] + [c.alias(n) for n, c in extra.items()]
+    # materialize the token array BEFORE shingling — shingling off the
+    # tokens(text) expression tree re-tokenizes per shingle (O(len²),
+    # see shingles_from_tokens docstring)
+    toked = df.select(*keep, TX.tokens(F.col(text_col)).alias("__toks"))
+    grams = F.concat(
+        F.col("__toks"), TX.shingles_from_tokens(F.col("__toks"), 2)
+    )
+    return toked.select(
+        F.col(id_col), *[F.col(n) for n in extra], F.explode(grams).alias("__g")
+    ).select(
+        F.col(id_col),
+        *[F.col(n) for n in extra],
+        (TX.md5_long32(F.col("__g")) % buckets).cast("int").alias("__b"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred,
+    buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, arXiv:2302.03169 "Data Selection for Language Models via
+    Importance Resampling"): model the TARGET domain (rows matching
+    the `target_pred` boolean Column) and the RAW corpus as
+    bag-of-hashed-n-gram distributions over `buckets` buckets
+    (unigrams + bigrams, md5-hashed — cross-engine deterministic);
+    each document's weight is its mean per-gram log-likelihood ratio
+    log(p_target/q_raw) with add-`alpha` smoothing. Downstream,
+    `weighted_sample` over exp(weight) IS importance resampling.
+
+    Scale shape: the target flag rides the feature explode (no second
+    corpus pass, no id re-join), both distributions come from ONE
+    bucket-key aggregate, and the weight table is `buckets`-sized BY
+    CONSTRUCTION (a few hundred rows at any corpus size — contrast
+    tfidf's unbounded dfreq, which must never be hint-broadcast), so
+    its broadcast join is legitimate. One per-doc aggregate finishes.
+
+    Output: (id_col, n_grams, weight) — weight rounded to 6 dp for
+    cross-engine comparison; docs with no grams get weight 0.0.
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    flag = F.coalesce(target_pred.cast("boolean"), F.lit(False))
+    feats = _doc_ngram_buckets(
+        df, id_col, text_col, buckets, extra={"__tgt": flag}
+    )
+    counts = (
+        df.sparkSession.range(buckets)
+        .select(F.col("id").cast("int").alias("__b"))
+        .join(
+            feats.groupBy("__b").agg(
+                F.count(F.lit(1)).alias("__rc"),
+                F.count_if(F.col("__tgt")).alias("__tc"),
+            ),
+            "__b",
+            "left",
+        )
+        .fillna({"__rc": 0, "__tc": 0})
+    )
+    totals = counts.agg(F.sum("__rc").alias("__R"), F.sum("__tc").alias("__T"))
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log(
+                (F.col("__tc") + F.lit(float(alpha)))
+                / (F.col("__T") + F.lit(float(alpha * buckets)))
+            )
+            - F.log(
+                (F.col("__rc") + F.lit(float(alpha)))
+                / (F.col("__R") + F.lit(float(alpha * buckets)))
+            )
+        ).alias("__llr"),
+    )
+    scored = (
+        feats.join(F.broadcast(lam), "__b")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.avg("__llr").alias("__w"))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.round(F.coalesce(F.col("__w"), F.lit(0.0)), 6).alias("weight"),
+        )
+    )

@@ -2751,3 +2751,254 @@ def test_source_quality_filter(spark):
     # min_docs gate drops small sources wholesale
     kept2 = filter_by_source_quality(df, min_docs=3).collect()
     assert sorted(r["doc_id"] for r in kept2) == [3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# dedup_spans — exact-substring (token-window) dedup, Lee et al. 2022
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_spans_removes_repeated_window_everywhere(spark):
+    from inputlayer_spark.operators.dedup import dedup_spans
+
+    boiler = "alpha bravo charlie delta"  # 4-token span
+    rows = [
+        (1, f"one two {boiler} three"),
+        (2, f"{boiler} four five six"),
+        (3, "unique text with no duplicated span at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_spans(df, "doc_id", "text", window=4, max_freq=1).collect()
+    }
+    # the span occurs twice corpus-wide -> removed from BOTH docs
+    assert out[1] == "one two three"
+    assert out[2] == "four five six"
+    assert out[3] == "unique text with no duplicated span at all"
+
+
+def test_dedup_spans_catches_within_document_repeats(spark):
+    from inputlayer_spark.operators.dedup import dedup_spans
+
+    # the same 3-token window twice INSIDE one doc counts as duplicated
+    df = spark.createDataFrame(
+        [(1, "x y z pad1 pad2 x y z tail"), (2, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_spans(df, "doc_id", "text", window=3, max_freq=1).collect()
+    }
+    assert out[1] == "pad1 pad2 tail"
+    assert out[2] == "totally different words here"
+
+
+def test_dedup_spans_overlapping_windows_merge_into_one_span(spark):
+    from inputlayer_spark.operators.dedup import dedup_spans
+
+    # a 5-token duplicated run with window=3 -> three overlapping dup
+    # windows whose covered positions union to the full 5-token span
+    run = "a b c d e"
+    df = spark.createDataFrame(
+        [(1, f"keep1 {run} keep2"), (2, f"pre {run} post")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_spans(df, "doc_id", "text", window=3, max_freq=1).collect()
+    }
+    assert out[1] == "keep1 keep2"
+    assert out[2] == "pre post"
+
+
+def test_dedup_spans_fully_duplicated_doc_comes_back_empty(spark):
+    from inputlayer_spark.operators.dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [(1, "same four tokens here"), (2, "same four tokens here")],
+        ["doc_id", "text"],
+    )
+    out = dedup_spans(df, "doc_id", "text", window=4, max_freq=1)
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert rows == {1: "", 2: ""}  # rows kept, text emptied
+
+
+def test_dedup_spans_short_docs_have_no_windows(spark):
+    from inputlayer_spark.operators.dedup import dedup_spans
+
+    # both docs are shorter than the window -> nothing can be removed,
+    # even though they are identical (document-level dedup's job, not
+    # span dedup's)
+    df = spark.createDataFrame([(1, "tiny doc"), (2, "tiny doc")], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in dedup_spans(df, "doc_id", "text", window=8).collect()
+    }
+    assert rows == {1: "tiny doc", 2: "tiny doc"}
+
+
+def test_dedup_spans_max_freq_tolerates_allowed_repeats(spark):
+    from inputlayer_spark.operators.dedup import dedup_spans
+
+    boiler = "p q r s"
+    rows = [(i, f"doc{i} {boiler} end{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # max_freq=3 allows up to 3 occurrences -> kept everywhere
+    kept = dedup_spans(df, "doc_id", "text", window=4, max_freq=3).collect()
+    assert all(boiler in r["text"] for r in kept)
+    # max_freq=2 -> 3 occurrences exceed it -> removed everywhere
+    cut = dedup_spans(df, "doc_id", "text", window=4, max_freq=2).collect()
+    assert all(boiler not in r["text"] for r in cut)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup — SemDeDup (cluster-confined cosine pruning)
+# ---------------------------------------------------------------------------
+
+
+def _unit(i, dim=8, bump=0.0):
+    v = [0.0] * dim
+    v[i % dim] = 1.0
+    if bump:
+        v[(i + 1) % dim] = bump
+    return [float(x) for x in v]
+
+
+def test_semantic_dedup_drops_higher_id_near_duplicate(spark):
+    from inputlayer_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, _unit(0)),
+        (1, _unit(1)),
+        (2, _unit(0, bump=0.05)),  # near-dup of vec 0 -> same cluster, dropped
+        (3, _unit(1, bump=0.05)),  # near-dup of vec 1 -> same cluster, dropped
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(df, "vec_id", "embedding", k=2, iters=2, threshold=0.95)
+    assert sorted(r["vec_id"] for r in out.collect()) == [0, 1]
+
+
+def test_semantic_dedup_different_clusters_never_compared(spark):
+    from inputlayer_spark.operators.dedup import semantic_dedup
+
+    # orthogonal vectors -> k=4 puts them in distinct clusters; even a
+    # threshold of 0 cannot dedup across clusters
+    rows = [(i, _unit(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(df, "vec_id", "embedding", k=4, iters=2, threshold=0.0)
+    assert sorted(r["vec_id"] for r in out.collect()) == [0, 1, 2, 3]
+
+
+def test_semantic_dedup_invalid_vectors_kept_with_null_cluster(spark):
+    from pyspark.sql import types as T
+
+    from inputlayer_spark.operators.dedup import semantic_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rows = [(0, _unit(0)), (1, _unit(1)), (2, None), (3, _unit(0, bump=0.01))]
+    df = spark.createDataFrame(rows, schema)
+    out = {r["vec_id"]: r["cluster"] for r in
+           semantic_dedup(df, "vec_id", "embedding", k=2, iters=2,
+                          threshold=0.9).collect()}
+    assert 2 in out and out[2] is None  # NULL vector kept, cluster NULL
+    assert 3 not in out  # near-dup of 0 dropped
+    assert out[0] is not None and out[1] is not None
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights — hashed n-gram importance weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_favor_target_like_documents(spark):
+    from pyspark.sql import functions as F
+
+    from inputlayer_spark.operators.sampling import dsir_weights
+
+    target_text = "protein binding enzyme substrate kinase pathway"
+    rows = (
+        [(i, target_text, True) for i in range(5)]
+        + [(10 + i, "football match goal referee stadium crowd", False) for i in range(5)]
+        + [(20, target_text, False)]  # raw doc that LOOKS like target
+        + [(21, "football match goal referee stadium crowd", False)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_tgt"])
+    w = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_weights(df, "doc_id", "text", F.col("is_tgt"), buckets=64).collect()
+    }
+    # the target-like raw doc must outscore the football doc
+    assert w[20] > w[21]
+
+
+def test_dsir_weights_empty_text_gets_zero(spark):
+    from pyspark.sql import functions as F
+
+    from inputlayer_spark.operators.sampling import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "some words here", True), (2, "", False)], ["doc_id", "text", "t"]
+    )
+    out = {r["doc_id"]: (r["n_grams"], r["weight"]) for r in
+           dsir_weights(df, "doc_id", "text", F.col("t"), buckets=16).collect()}
+    # empty text still yields the degenerate empty shingle (parity with
+    # the SQL oracle's _SHINGLES semantics) but never NULL/NaN
+    assert out[2][1] is not None and out[1][1] is not None
+
+
+def test_dsir_weights_rejects_bad_buckets(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from inputlayer_spark.operators.sampling import dsir_weights
+
+    df = spark.createDataFrame([(1, "x", True)], ["doc_id", "text", "t"])
+    with _pytest.raises(ValueError):
+        dsir_weights(df, "doc_id", "text", F.col("t"), buckets=0)
+
+
+# ---------------------------------------------------------------------------
+# bm25_search
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    from inputlayer_spark.functions.text import bm25_search
+
+    rows = [
+        (1, "spark shuffle partition spark shuffle"),
+        (2, "spark appears once here"),
+        (3, "completely unrelated words only"),
+        (4, "shuffle shuffle shuffle but no s-word"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_search(df, "doc_id", "text", "spark shuffle", k=4).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[0] == 1  # both terms, repeated
+    assert 3 not in ids  # no query term -> no posting -> absent
+    assert all(out[i]["score"] >= out[i + 1]["score"] for i in range(len(out) - 1))
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    from inputlayer_spark.functions.text import bm25_search
+
+    # 'the' occurs in every doc, 'zebra' in one: the zebra doc must beat
+    # docs matching only the ubiquitous term
+    rows = [(i, "the filler text") for i in range(9)] + [(9, "the zebra")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_search(df, "doc_id", "text", "the zebra", k=3).collect()
+    assert out[0]["doc_id"] == 9
+
+
+def test_bm25_empty_query_returns_empty(spark):
+    from inputlayer_spark.functions.text import bm25_search
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    assert bm25_search(df, "doc_id", "text", "   ", k=5).count() == 0
+    assert bm25_search(df, "doc_id", "text", "a", k=0).count() == 0

@@ -295,3 +295,49 @@ def test_source_filter_broadcasts_the_source_table(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_substring_dedup_shuffles_hashes_not_spans(spark):
+    """dedup_spans' exploded window rows are (id, start, md5) — the
+    shuffle key is a fixed-width hash, never span text; the duplicated
+    set is boilerplate-small and broadcast into the semi-join (the
+    dedup_lines discipline). No cartesian, no Python in the path."""
+    plan = _plan(spark, "substring_dedup")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine on the dup count
+
+
+def test_dsir_weight_table_is_bucket_bounded_broadcast(spark):
+    """dsir_weights' log-likelihood-ratio table is `buckets`-sized BY
+    CONSTRUCTION (hash % B), so its broadcast is the intended plan —
+    the legitimate contrast to tfidf/lm_score's unbounded token-keyed
+    tables. The corpus-side gram stream must never be the broadcast
+    side."""
+    plan = _plan(spark, "dsir_weights")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bm25_query_terms_filter_before_aggregation(spark):
+    """bm25_search keeps only |q|-term postings: the isin() literal
+    filter must appear below the tf aggregate (the corpus never
+    shuffles non-query tokens), dfreq is broadcast, and the final
+    top-k is TakeOrdered, not a global sort."""
+    plan = _plan(spark, "bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_pairs_join_on_cluster_key(spark):
+    """semantic_dedup's pair comparison must be an equi-join on the
+    cluster id (per-cluster local product), NEVER a corpus cartesian;
+    the kmeans assignment itself stays a narrow scan against literal
+    centroids."""
+    plan = _plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
