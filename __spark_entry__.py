@@ -1762,15 +1762,22 @@ def q_bm25_search(spark, sf_dir):
 
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): deterministic
-    k-means (k=4, 2 rounds — the topic_clusters pipeline) confines the
+    k-means (2 rounds — the topic_clusters pipeline) confines the
     cosine comparison to within-cluster pairs; rows with a >= 0.30
     similar lower-id cluster-mate are dropped
-    (operators/dedup.semantic_dedup). Survivors keep their cluster id."""
+    (operators/dedup.semantic_dedup). Survivors keep their cluster id.
+
+    k follows the SemDeDup design point k ∝ n (target ~250 vectors per
+    cluster) so the pair join stays LINEAR in the corpus — at the
+    oracle scales (sf0.001/sf0.01: 500 vectors) the rule lands on k=4,
+    matching the fixed-k SQL oracle; sf0.1 (2000) gets k=8, the scale
+    sweep's sf1 (20k vectors) k=80."""
     from inputlayer_spark.operators.dedup import semantic_dedup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = max(4, emb.count() // 250)
     return semantic_dedup(
-        emb, "vec_id", "embedding", k=4, iters=2, threshold=0.30
+        emb, "vec_id", "embedding", k=k, iters=2, threshold=0.30
     )
 
 

@@ -94,6 +94,15 @@ def main() -> None:
         # semi-join (domain filtering)
         "source_filter",
         "topic_clusters",
+        # round-10 wave: exact-substring span dedup (window-hash shuffle
+        # + broadcast-anti + reassembly), DSIR importance weights (two
+        # bucket aggregates + bounded broadcast), BM25 retrieval
+        # (IN-filtered postings + TakeOrdered), SemDeDup (cluster-key
+        # pair join over the kmeans assignment)
+        "substring_dedup",
+        "dsir_weights",
+        "bm25_search",
+        "semantic_dedup",
     ]
 
     # warmup: JVM codegen + parquet file-listing/footer caches for every

@@ -454,25 +454,31 @@ def bm25_search(
     if not terms or k < 1:
         return df.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
     toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-    lengths = toked.select(
-        F.col(id_col), F.size("__toks").cast("double").alias("__dl")
-    )
-    stats = lengths.agg(
+    stats = toked.agg(
         F.count(F.lit(1)).cast("double").alias("__N"),
-        F.avg("__dl").alias("__avgdl"),
+        F.avg(F.size("__toks")).alias("__avgdl"),
     )
+    # ONE corpus pass for the postings: the doc length rides the
+    # explode of the ALREADY-FILTERED token array (query terms only),
+    # so non-matching docs contribute zero rows and no second scan /
+    # length join is needed
     postings = (
-        toked.select(F.col(id_col), F.explode("__toks").alias("__t"))
-        .filter(F.col("__t").isin(terms))
+        toked.select(
+            F.col(id_col),
+            F.size("__toks").cast("double").alias("__dl"),
+            F.explode(F.filter("__toks", lambda t: t.isin(terms))).alias("__t"),
+        )
         .groupBy(id_col, "__t")
-        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__tf"),
+            F.first("__dl").alias("__dl"),
+        )
     )
     dfreq = postings.groupBy("__t").agg(
         F.count_distinct(F.col(id_col)).cast("double").alias("__df")
     )
     scored = (
         postings.join(F.broadcast(dfreq), "__t")
-        .join(lengths, id_col)
         .crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),

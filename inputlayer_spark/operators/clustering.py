@@ -37,7 +37,11 @@ def _sq_dist(vec_col, centroid: List[float]):
     lit = F.array(*[F.lit(float(x)).cast("double") for x in centroid])
     # (a-b)*(a-b), NOT (a-b)**2: POWER lowers to Math.pow (1-ulp
     # guarantee only) while the SQL oracle multiplies — self-multiply
-    # keeps the arithmetic bit-identical across engines
+    # keeps the arithmetic bit-identical across engines.
+    # NOTE: a positionally-unrolled getItem sum was measured here and
+    # REVERTED — 512-term expression trees per centroid push analyzer/
+    # optimizer time far past what the interpreted fold costs
+    # (kmeans k=8 sf0.1: 3.5 s fold vs 12.4 s unrolled).
     return F.aggregate(
         F.zip_with(
             vec_col,

@@ -128,6 +128,17 @@ QUERIES = [
     "tfidf",
     "lm_score",
     "source_filter",
+    # round-10 wave: substring_dedup's window-hash shuffle should be
+    # token-volume-bound linear (vocabulary's class); dsir_weights is
+    # two bucket aggregates + a B-row broadcast (flat join cost);
+    # bm25_search prunes to |q|-term postings at the explode (the
+    # IN-filter is the scale story); semantic_dedup's pair join is
+    # cluster-key-confined (k fixed here, so the densest-cluster
+    # product grows — at 100 TB k scales with n, see the docstring)
+    "substring_dedup",
+    "dsir_weights",
+    "bm25_search",
+    "semantic_dedup",
 ]
 
 
