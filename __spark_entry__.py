@@ -1781,6 +1781,33 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/MassiveText composite rule battery (Rae et al. 2021
+    arXiv:2112.11446 §A.1.1; functions/text.gopher_quality_flags):
+    word-count window, mean-word-length window, symbol ratio, alphabetic
+    -word ratio, distinct-stopword coherence — per-gate booleans plus
+    the conjunction, all pure column expressions over one tokenization
+    (min_words=30 so the synthetic ~50-token corpus splits
+    non-trivially)."""
+    from inputlayer_spark.functions.text import gopher_quality_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_quality_flags(docs, "doc_id", "text", min_words=30)
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge training (Sennrich et al. 2016,
+    operators/bpe.bpe_merges): 6 merge rounds over the word-count
+    vocabulary — pair-count hash aggregate + 1-row argmax collect +
+    literal sentinel-string replace per round (the merge table is
+    driver-sized by definition). Deterministic (count desc, lhs, rhs)
+    tie-break; the DuckDB oracle unrolls the identical rounds."""
+    from inputlayer_spark.operators.bpe import bpe_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_merges(docs, "text", n_merges=6, min_pair_count=2)
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -1826,38 +1853,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "same_generation": q_same_generation,
         "curation_pipeline": q_curation_pipeline,
         "knn_cosine": q_knn_cosine,
-        "within_radius": q_within_radius,
-        # rotation wave 3 (r10): the four NEW pipeline operators take
-        # driver-window slots; the four §2.5 vector-function twins they
-        # displace (pairwise_cosine, vector_norms, quantize_roundtrip,
-        # int8_distances) stay below with full repo-side oracle parity
+        # rotation wave 3 (r10): the six NEW pipeline operators (plus
+        # lm_score/source_filter below) take driver-window slots; the
+        # displaced family twins (pairwise_cosine, vector_norms,
+        # quantize_roundtrip, int8_distances, within_radius — its IQL
+        # twin stays repo-oracled too — knn_join, temporal_arith,
+        # time_decay_sum) all keep full repo-side oracle parity
         "substring_dedup": q_substring_dedup,
         "dsir_weights": q_dsir_weights,
         "bm25_search": q_bm25_search,
         "semantic_dedup": q_semantic_dedup,
-        "knn_join": q_knn_join,
         "knn_lsh": q_knn_lsh,
         "dedup_survivors": q_dedup_survivors,
         "hnsw_knn": q_hnsw_knn,
         "hnsw_knn_sharded": q_hnsw_knn_sharded,
         "ivf_knn": q_ivf_knn,
         "recent_events": q_recent_events,
-        "temporal_arith": q_temporal_arith,
-        "time_decay_sum": q_time_decay_sum,
+        # rotation wave 3b: gopher_quality + bpe_merges take the
+        # temporal twins' slots (temporal_arith, time_decay_sum move
+        # below the window, repo-oracled like every displaced row)
+        "gopher_quality": q_gopher_quality,
+        "bpe_merges": q_bpe_merges,
         "contamination": q_contamination,
         "token_stats": q_token_stats,
         "quality_lang": q_quality_lang,
         "doc_fingerprint": q_doc_fingerprint,
         "tfidf": q_tfidf,
+        "lm_score": q_lm_score,
+        "source_filter": q_source_filter,
         "image_probe": q_image_probe,
         "topic_clusters": q_topic_clusters,
         "vocabulary": q_vocabulary,
         "compression_signal": q_compression_signal,
         "same_generation_bound": q_same_generation_bound,
+        "temporal_arith": q_temporal_arith,
+        "time_decay_sum": q_time_decay_sum,
         "pairwise_cosine": q_pairwise_cosine,
         "vector_norms": q_vector_norms,
         "quantize_roundtrip": q_quantize_roundtrip,
         "int8_distances": q_int8_distances,
+        "within_radius": q_within_radius,
+        "knn_join": q_knn_join,
         "hash_sample": q_hash_sample,
         "train_val_test_split": q_train_val_test_split,
         "weighted_sample": q_weighted_sample,
@@ -1879,8 +1915,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "interval_overlaps": q_interval_overlaps,
         "pii_scrub": q_pii_scrub,
-        "lm_score": q_lm_score,
-        "source_filter": q_source_filter,
         "media_features": q_media_features,
     }
 
@@ -1987,6 +2021,46 @@ def _simhash_sql() -> str:
         f"WITH shingled AS (SELECT doc_id, {_SHINGLES2} AS sh FROM documents) "
         f"SELECT doc_id, ({total}) AS simhash FROM shingled"
     )
+
+
+def _bpe_oracle_sql(n_merges: int = 6, min_pair: int = 2) -> str:
+    """Unrolled-CTE DuckDB replica of operators/bpe.bpe_merges: the
+    double-sentinel (chr(1)) symbol-string encoding makes each merge a
+    LITERAL left-to-right replace — identical semantics in DuckDB's
+    replace() and Java's — so every round is: pair-count aggregate,
+    (n DESC, a, b LIMIT 1) argmax as scalar subqueries, conditional
+    replace. After an early stop the vocab is unchanged, so later
+    rounds recompute the same sub-threshold pair and the WHERE filters
+    them — exactly the engine's break."""
+    s1 = "chr(1)"
+    s2 = "chr(1)||chr(1)"
+    ctes = [
+        "v0 AS MATERIALIZED (SELECT count(*) AS cnt, "
+        f"{s2}||regexp_replace(w, '(.)', '\\1'||{s2}, 'g') AS s "
+        f"FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w)"
+    ]
+    selects = []
+    for r in range(n_merges):
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT y[i] AS a, y[i+1] AS b, sum(cnt) AS n "
+            f"FROM (SELECT cnt, list_filter(string_split(s, {s1}), x -> x <> '') AS y "
+            f"FROM v{r}), unnest(range(1, greatest(len(y) - 1, 0) + 1)) AS t(i) "
+            "GROUP BY y[i], y[i+1])"
+        )
+        ctes.append(
+            f"t{r} AS MATERIALIZED (SELECT a, b, n FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"v{r + 1} AS MATERIALIZED (SELECT cnt, CASE WHEN (SELECT n FROM t{r}) >= {min_pair} "
+            f"THEN replace(s, {s1}||(SELECT a FROM t{r})||{s2}||(SELECT b FROM t{r})||{s1}, "
+            f"{s1}||(SELECT a FROM t{r})||(SELECT b FROM t{r})||{s1}) "
+            f"ELSE s END AS s FROM v{r})"
+        )
+        selects.append(
+            f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, a||b AS merged, "
+            f"n AS pair_count FROM t{r} WHERE n >= {min_pair}"
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2674,6 +2748,36 @@ def oracle_sql() -> dict[str, str]:
             "octet_length(encode(text)) AS n_bytes, "
             "sha256(text) AS content_sha FROM documents"
         ),
+        # Gopher rule battery: every gate replicated as the identical
+        # single-division rational arithmetic, so boolean boundaries
+        # agree bit-for-bit.
+        "gopher_quality": (
+            f"WITH t AS (SELECT doc_id, coalesce(text, '') AS text, "
+            f"coalesce({_TOKS}, []) AS toks FROM documents), "
+            "g AS (SELECT doc_id, len(toks) AS n, "
+            "CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+            "list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) "
+            "END AS ml, "
+            "(length(text) - length(regexp_replace(text, '#', '', 'g')) "
+            "+ (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3) AS sym, "
+            "len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha, "
+            f"len(list_filter(list_distinct(toks), x -> list_contains({_SW_LIST}, x))) AS sw "
+            "FROM t) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_words, "
+            "(n >= 30 AND n <= 100000) AS ok_words, "
+            "(ml >= 3.0 AND ml <= 10.0) AS ok_mean_len, "
+            "(CASE WHEN n = 0 THEN 0.0 ELSE sym::DOUBLE / n END < 0.1) AS ok_symbols, "
+            "(CASE WHEN n = 0 THEN 0.0 ELSE alpha::DOUBLE / n END >= 0.8) AS ok_alpha, "
+            "(sw >= 2) AS ok_stopwords, "
+            "((n >= 30 AND n <= 100000) AND (ml >= 3.0 AND ml <= 10.0) "
+            "AND (CASE WHEN n = 0 THEN 0.0 ELSE sym::DOUBLE / n END < 0.1) "
+            "AND (CASE WHEN n = 0 THEN 0.0 ELSE alpha::DOUBLE / n END >= 0.8) "
+            "AND (sw >= 2)) AS passes FROM g"
+        ),
+        # BPE merge training: generated unrolled rounds (see
+        # _bpe_oracle_sql) — the double-sentinel literal-replace
+        # encoding gives both engines identical merge semantics.
+        "bpe_merges": _bpe_oracle_sql(n_merges=6, min_pair=2),
         # Exact-substring dedup (Lee et al. 2022): identical window
         # hashing (md5 of the space-joined 8-token slice), duplicated
         # windows (count > 1 corpus-wide) expand to covered positions,

@@ -103,6 +103,10 @@ def main() -> None:
         "dsir_weights",
         "bm25_search",
         "semantic_dedup",
+        # Gopher rule battery (one Exchange-free scan) and BPE merge
+        # training (6 pair-count rounds over the vocabulary table)
+        "gopher_quality",
+        "bpe_merges",
     ]
 
     # warmup: JVM codegen + parquet file-listing/footer caches for every

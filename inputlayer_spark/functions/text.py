@@ -499,3 +499,92 @@ def bm25_search(
         .agg(F.round(F.sum("__s"), 6).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def gopher_quality_flags(
+    df,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+):
+    """Gopher/MassiveText composite quality gate (Rae et al. 2021,
+    arXiv:2112.11446 §A.1.1) — the rule battery production pipelines
+    run before any model-based scoring. Emits one row per document
+    with each gate's boolean plus the conjunction, so a curation
+    pipeline can both filter (`passes`) and audit WHICH rule fired
+    (the flags are the debugging surface at 100 TB — a rule that
+    suddenly drops 40% of a crawl is a bug signal, not a filter).
+
+    Gates (each a pure column expression over one tokenization —
+    whole-stage codegen, no shuffle, no UDF):
+    * word count within [min_words, max_words];
+    * mean word length within [min_mean_word_len, max_mean_word_len];
+    * symbol-to-word ratio (# and ... occurrences / words) below
+      max_symbol_ratio;
+    * fraction of words containing an alphabetic character at least
+      min_alpha_word_ratio;
+    * at least min_stopword_hits DISTINCT stopwords present (the
+      Gopher "stop word" coherence rule; EN_STOPWORDS is the engine's
+      SQL-replicable list).
+
+    Output: (id_col, n_words, flags..., passes).
+    """
+    toked = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__txt"),
+        # NULL text fails closed as an empty document (n_words=0, every
+        # gate false) instead of poisoning the flags to NULL
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("__toks"),
+    )
+    n = F.size("__toks")
+    mean_len = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.transform("__toks", lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / n
+    )
+    hash_count = F.length("__txt") - F.length(F.regexp_replace("__txt", r"#", ""))
+    ellipsis_count = (
+        F.length("__txt") - F.length(F.regexp_replace("__txt", r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        (hash_count + ellipsis_count).cast("double") / n
+    )
+    alpha_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter("__toks", lambda t: t.rlike("[a-z]"))).cast("double") / n
+    )
+    sw_hits = F.size(
+        F.array_intersect(
+            F.array_distinct("__toks"),
+            F.array(*[F.lit(w) for w in EN_STOPWORDS]),
+        )
+    )
+    flags = toked.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        ((n >= min_words) & (n <= max_words)).alias("ok_words"),
+        (
+            (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+        ).alias("ok_mean_len"),
+        (symbol_ratio < max_symbol_ratio).alias("ok_symbols"),
+        (alpha_ratio >= min_alpha_word_ratio).alias("ok_alpha"),
+        (sw_hits >= min_stopword_hits).alias("ok_stopwords"),
+    )
+    return flags.withColumn(
+        "passes",
+        F.col("ok_words")
+        & F.col("ok_mean_len")
+        & F.col("ok_symbols")
+        & F.col("ok_alpha")
+        & F.col("ok_stopwords"),
+    )

@@ -324,6 +324,23 @@ class QueryServer:
                     self.end_headers()
                     self.wfile.write(body)
                     return
+                if self.path == "/front" or self.path.startswith("/front/"):
+                    # public marketing/landing site (reference front/ +
+                    # content/): static server-rendered HTML, no auth —
+                    # like the console shell, it carries no data
+                    from inputlayer_spark.front import route as front_route
+
+                    page = front_route(self.path)
+                    if page is None:
+                        self._send(404, {"error": "no such page"})
+                        return
+                    body = page.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 if self.path == "/docs" or self.path.startswith("/docs/"):
                     # user documentation (reference gui/app/docs renders
                     # bundled markdown): public static assets like the

@@ -139,6 +139,12 @@ QUERIES = [
     "dsir_weights",
     "bm25_search",
     "semantic_dedup",
+    # gopher_quality is a single corpus scan (should track scan time);
+    # bpe_merges' round cost is vocabulary-bound — distinct words grow
+    # sublinearly in the corpus, and the suffixed sf1 copies add ~10
+    # new word types per original, so rounds stay cheap
+    "gopher_quality",
+    "bpe_merges",
 ]
 
 

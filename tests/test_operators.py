@@ -3002,3 +3002,140 @@ def test_bm25_empty_query_returns_empty(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     assert bm25_search(df, "doc_id", "text", "   ", k=5).count() == 0
     assert bm25_search(df, "doc_id", "text", "a", k=0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_flags — Gopher/MassiveText rule battery
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_gates_fire_individually(spark):
+    from inputlayer_spark.functions.text import gopher_quality_flags
+
+    good = "the quick brown fox jumps over the lazy dog and runs " * 5
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "too short for the gate"),               # word count
+        (3, "a " * 60),                              # mean word length < 3
+        (4, good + " ###### ##### ####"),            # symbol ratio
+        (5, ("12345 " * 60)),                        # no alphabetic words
+        (6, "zebra giraffe lion tiger elephant " * 12),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           gopher_quality_flags(df, "doc_id", "text", min_words=30).collect()}
+    assert out[1]["passes"]
+    assert not out[2]["ok_words"] and not out[2]["passes"]
+    assert not out[3]["ok_mean_len"]
+    assert not out[4]["ok_symbols"]
+    assert not out[5]["ok_alpha"]
+    assert not out[6]["ok_stopwords"]
+    # every failing doc fails ONLY through its target gate conjunction
+    assert all(not out[i]["passes"] for i in (2, 3, 4, 5, 6))
+
+
+def test_gopher_empty_text_fails_closed(spark):
+    from inputlayer_spark.functions.text import gopher_quality_flags
+
+    df = spark.createDataFrame([(1, ""), (2, None)], ["doc_id", "text"])
+    rows = gopher_quality_flags(df, "doc_id", "text", min_words=1).collect()
+    assert all(not r["passes"] for r in rows)
+    assert all(r["n_words"] == 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# bpe_merges / bpe_encode — distributed BPE training
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(word_counts, n_merges, min_pair=2):
+    """Pure-Python reference: Sennrich-style merge loop with the
+    engine's deterministic (count desc, a, b) tie-break."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair:
+            break
+        merges.append((rank, a, b, a + b, n))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_python_reference(spark):
+    import re
+
+    from inputlayer_spark.operators.bpe import bpe_merges
+
+    texts = [
+        "low lower lowest newer newest wider widest",
+        "the newer reader reads the wider paper",
+        "low low low newer newer widest",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    wc = {}
+    for t in texts:
+        for w in re.split(r"[^a-z0-9']+", t.lower()):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    expected = _py_bpe(wc, n_merges=8, min_pair=2)
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_merges(df, "text", n_merges=8, min_pair_count=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_merge_handles_chained_occurrences(spark):
+    from inputlayer_spark.operators.bpe import bpe_merges
+
+    # 'aaa' with pair (a,a): left-to-right non-overlap -> [aa, a],
+    # so (a,a) count is 2 per 'aaa' (overlapping count at tally time,
+    # the Sennrich counting), and one merge consumes only the first
+    df = spark.createDataFrame([("aaa aaa aaa aaa",)], ["text"])
+    out = bpe_merges(df, "text", n_merges=1, min_pair_count=2).collect()
+    assert len(out) == 1 and out[0]["lhs"] == "a" and out[0]["rhs"] == "a"
+    assert out[0]["pair_count"] == 8  # 2 overlapping pairs x 4 words
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    from inputlayer_spark.operators.bpe import bpe_encode, bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "lower lower lowest night night nights")], ["doc_id", "text"]
+    )
+    merges = bpe_merges(df, "text", n_merges=6, min_pair_count=2)
+    enc = bpe_encode(df, "doc_id", "text", merges)
+    pieces = {r["token"]: r["pieces"] for r in enc.collect()}
+    # every token's pieces re-concatenate to the token
+    assert all("".join(p) == t for t, p in pieces.items())
+    # with 6 merges on this corpus, frequent words compress below chars
+    assert len(pieces["lower"]) < len("lower")
+
+
+def test_bpe_empty_corpus_returns_empty_table(spark):
+    from inputlayer_spark.operators.bpe import bpe_merges
+
+    df = spark.createDataFrame([("",)], ["text"])
+    out = bpe_merges(df, "text", n_merges=4)
+    assert out.count() == 0
+    assert out.columns == ["merge_rank", "lhs", "rhs", "merged", "pair_count"]

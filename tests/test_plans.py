@@ -341,3 +341,14 @@ def test_semantic_dedup_pairs_join_on_cluster_key(spark):
     plan = _plan(spark, "semantic_dedup")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_gopher_quality_is_one_narrow_codegen_scan(spark):
+    """The Gopher rule battery is pure column arithmetic over one
+    tokenization: no shuffle (no Exchange), no join, no Python — one
+    scan-projection pass (the array-lambda gates are CodegenFallback
+    but still JVM-side), the cheapest possible 100 TB shape."""
+    plan = _plan(spark, "gopher_quality")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
