@@ -248,6 +248,8 @@ th { background: #21262d; color: var(--accent); font-weight: 600; }
 <header>
   <div id="dot" title="server status"></div>
   <h1>IQL Console <span>— inputlayer-spark</span></h1>
+  <a href="/front" class="ghost" style="color:var(--dim);font-size:12px;
+     text-decoration:none" title="project site">About</a>
   <div class="spacer"></div>
   <button id="docsbtn" class="ghost" title="language + server docs">🕮 Docs</button>
   <button id="dbbtn" class="ghost" title="knowledge-graph management">⛁ Database</button>

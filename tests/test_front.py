@@ -70,3 +70,9 @@ def test_front_served_over_http_without_auth(spark):
                 assert "InputLayer-Spark" in r.read().decode()
     finally:
         srv.stop()
+
+
+def test_console_links_to_front():
+    from inputlayer_spark.gui import render_console
+
+    assert 'href="/front"' in render_console()
