@@ -1808,6 +1808,24 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges(docs, "text", n_merges=6, min_pair_count=2)
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Cross-snapshot dedup — the daily-crawl pattern
+    (operators/dedup.incremental_dedup): every 5th document plays the
+    NEW batch, the rest the existing corpus; batch docs are dropped on
+    exact corpus/batch-rep duplication or verified near-duplication
+    (exact Jaccard >= 0.5 over MinHash-LSH candidates, the minhash_lsh
+    row's banding whose recall is 1.0 at these SFs, so the oracle is
+    the exact pair graph). Greedy-by-id within the batch."""
+    from inputlayer_spark.operators.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    return incremental_dedup(
+        batch, corpus, "doc_id", "text", num_perm=64, bands=16, shingle_n=2
+    )
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -1875,7 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "bpe_merges": q_bpe_merges,
         "contamination": q_contamination,
-        "token_stats": q_token_stats,
+        "incremental_dedup": q_incremental_dedup,
         "quality_lang": q_quality_lang,
         "doc_fingerprint": q_doc_fingerprint,
         "tfidf": q_tfidf,
@@ -1886,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "compression_signal": q_compression_signal,
         "same_generation_bound": q_same_generation_bound,
+        "token_stats": q_token_stats,
         "temporal_arith": q_temporal_arith,
         "time_decay_sum": q_time_decay_sum,
         "pairwise_cosine": q_pairwise_cosine,
@@ -2773,6 +2792,35 @@ def oracle_sql() -> dict[str, str]:
             "AND (CASE WHEN n = 0 THEN 0.0 ELSE sym::DOUBLE / n END < 0.1) "
             "AND (CASE WHEN n = 0 THEN 0.0 ELSE alpha::DOUBLE / n END >= 0.8) "
             "AND (sw >= 2)) AS passes FROM g"
+        ),
+        # Cross-snapshot dedup: exact stage = md5 anti-join + min-id
+        # reps; near stage = the exact 2-gram-Jaccard pair graph over
+        # corpus ∪ surviving batch (the LSH banding's recall is 1.0 at
+        # driver SFs, so candidates ⊇ true pairs and the engine equals
+        # this oracle); greedy-by-id kill rule mirrored in the CASE.
+        "incremental_dedup": (
+            "WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0), "
+            "c AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0), "
+            "bh AS (SELECT doc_id, text, md5(text) AS h FROM b), "
+            "ce AS (SELECT DISTINCT md5(text) AS h FROM c), "
+            "noce AS (SELECT bh.* FROM bh ANTI JOIN ce USING (h)), "
+            "reps AS (SELECT h, min(doc_id) AS doc_id FROM noce GROUP BY h), "
+            "surv0 AS (SELECT noce.doc_id, noce.text FROM noce "
+            "SEMI JOIN reps ON noce.doc_id = reps.doc_id), "
+            "ad AS (SELECT doc_id, text, FALSE AS isnew FROM c "
+            "UNION ALL SELECT doc_id, text, TRUE FROM surv0), "
+            f"sh AS (SELECT doc_id, isnew, unnest(list_distinct({_SHINGLES2})) AS s "
+            "FROM ad), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.isnew AS n1, "
+            "b.isnew AS n2, count(*) AS shared FROM sh a JOIN sh b "
+            "ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4), "
+            "vp AS (SELECT p.* FROM p JOIN sz s1 ON s1.doc_id = p.id1 "
+            "JOIN sz s2 ON s2.doc_id = p.id2 "
+            "WHERE p.shared::DOUBLE / (s1.n + s2.n - p.shared) >= 0.5), "
+            "dom AS (SELECT DISTINCT CASE WHEN n1 AND n2 THEN id2 "
+            "WHEN n1 THEN id1 ELSE id2 END AS doc_id FROM vp WHERE n1 OR n2) "
+            "SELECT s.doc_id, s.text FROM surv0 s ANTI JOIN dom USING (doc_id)"
         ),
         # BPE merge training: generated unrolled rounds (see
         # _bpe_oracle_sql) — the double-sentinel literal-replace

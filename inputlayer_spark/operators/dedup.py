@@ -794,3 +794,80 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dominated, id_col, "left_anti")
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-snapshot deduplication — the daily-crawl pattern: which
+    NEW documents survive against an EXISTING corpus? A batch row is
+    dropped when it exactly duplicates a corpus document (content
+    hash), exactly duplicates a smaller-id batch document, or is a
+    near-duplicate (exact Jaccard >= `threshold`, MinHash-LSH
+    candidates) of a corpus document or of a smaller-id batch document
+    (greedy-by-id, like SemDeDup — the smaller id wins regardless of
+    its own fate, so the rule is order-free and deterministic).
+    Requires ids unique across batch ∪ corpus.
+
+    Scale shape: the exact stage is a hash anti-join (fixed-width keys)
+    and removes mass BEFORE shingling; the near stage reuses the
+    minhash_lsh_pairs banding self-join over corpus ∪ surviving batch
+    (band keys only — the corpus side's signatures are recomputed here,
+    but a production deployment persists them as an index artifact and
+    unions the increment), then exact-Jaccard verifies candidates only.
+
+    Output: the surviving batch rows (id_col, text_col).
+    """
+    bh = batch.select(
+        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__h")
+    )
+    ch = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    ch_small = ch.localCheckpoint(eager=True)
+    use_bc = ch_small.limit(2_000_001).count() <= 2_000_000
+    no_corpus_exact = bh.join(
+        F.broadcast(ch_small) if use_bc else ch_small, "__h", "left_anti"
+    )
+    reps = no_corpus_exact.groupBy("__h").agg(F.min(F.col(id_col)).alias(id_col))
+    surv0 = no_corpus_exact.join(reps.select(id_col), id_col, "semi").drop("__h")
+
+    tagged = corpus.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("__new")
+    ).unionByName(
+        surv0.select(F.col(id_col), F.col(text_col), F.lit(True).alias("__new"))
+    )
+    sh = doc_shingle_arrays(tagged, id_col, text_col, shingle_n).localCheckpoint(
+        eager=True
+    )
+    cand = minhash_lsh_pairs(
+        tagged, id_col, text_col, num_perm, bands, shingle_n, shingle_arrays=sh
+    )
+    ver = jaccard_verify_pairs(cand, sh, threshold)
+    tags = tagged.select(F.col(id_col), F.col("__new"))
+    t1 = tags.toDF("id1", "__new1")
+    t2 = tags.toDF("id2", "__new2")
+    flagged = ver.join(F.broadcast(t1), "id1").join(F.broadcast(t2), "id2")
+    # pairs are (id1 < id2): a mixed pair kills its new side whichever
+    # side that is; a new-new pair kills the larger id
+    dominated = (
+        flagged.filter(F.col("__new1") & F.col("__new2"))
+        .select(F.col("id2").alias(id_col))
+        .unionByName(
+            flagged.filter(F.col("__new1") & ~F.col("__new2")).select(
+                F.col("id1").alias(id_col)
+            )
+        )
+        .unionByName(
+            flagged.filter(~F.col("__new1") & F.col("__new2")).select(
+                F.col("id2").alias(id_col)
+            )
+        )
+        .distinct()
+    )
+    return surv0.join(dominated, id_col, "left_anti")

@@ -3139,3 +3139,65 @@ def test_bpe_empty_corpus_returns_empty_table(spark):
     out = bpe_merges(df, "text", n_merges=4)
     assert out.count() == 0
     assert out.columns == ["merge_rank", "lhs", "rhs", "merged", "pair_count"]
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup — cross-snapshot (daily-crawl) dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_exact_and_near_stages(spark):
+    from inputlayer_spark.operators.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "an entirely different corpus document about spark plans")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),                                   # exact corpus dup
+            (11, base + " extra"),                        # near corpus dup
+            (12, "a brand new document with fresh words only here"),
+            (13, "a brand new document with fresh words only here"),  # exact batch dup of 12
+        ],
+        ["doc_id", "text"],
+    )
+    out = incremental_dedup(
+        batch, corpus, "doc_id", "text", num_perm=64, bands=16, shingle_n=2
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [12]
+
+
+def test_incremental_dedup_batch_near_dups_keep_smallest_id(spark):
+    from inputlayer_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "unrelated corpus text about completely other things entirely")],
+        ["doc_id", "text"],
+    )
+    t = "one two three four five six seven eight nine ten eleven twelve"
+    batch = spark.createDataFrame(
+        [(20, t), (21, t + " thirteen"), (22, t + " fourteen")],
+        ["doc_id", "text"],
+    )
+    out = incremental_dedup(
+        batch, corpus, "doc_id", "text", num_perm=64, bands=16, shingle_n=2
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [20]
+
+
+def test_incremental_dedup_mixed_pair_kills_new_side_regardless_of_id(spark):
+    from inputlayer_spark.operators.dedup import incremental_dedup
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # corpus id LARGER than batch id: the batch doc must still lose
+    corpus = spark.createDataFrame([(100, t)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(5, t + " lambda"), (6, "fresh independent content with no overlap at all")],
+        ["doc_id", "text"],
+    )
+    out = incremental_dedup(
+        batch, corpus, "doc_id", "text", num_perm=64, bands=16, shingle_n=2
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [6]
