@@ -1795,6 +1795,35 @@ def q_gopher_quality(spark, sf_dir):
     return gopher_quality_flags(docs, "doc_id", "text", min_words=30)
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher/MassiveText repetition battery (Rae et al. 2021
+    arXiv:2112.11446 §A.1.2; functions/text.gopher_repetition_flags):
+    duplicate line/paragraph fractions (count + character), top-{2,3,4}
+    -gram character fractions, duplicated-{5..10}-gram coverage
+    fractions, plus the Table-A1 threshold conjunction — one
+    Exchange-free scan of pure array expressions (plan-pinned).
+
+    The synthetic corpus is single-line, so every 3rd document gets its
+    own 60-char prefix repeated as two extra lines and its next 50
+    chars repeated as two extra paragraphs (deterministic, replicated
+    verbatim in the oracle) — exercising every segment metric and the
+    n-gram coverage path on real data, not just unit fixtures."""
+    from inputlayer_spark.functions.text import gopher_repetition_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seg = F.substring("text", 1, 60)
+    par = F.substring("text", 61, 50)
+    aug = F.concat(
+        F.col("text"), F.lit("\n"), seg, F.lit("\n"), seg,
+        F.lit("\n\n"), par, F.lit("\n\n"), par,
+    )
+    docs = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, aug).otherwise(F.col("text")).alias("text"),
+    )
+    return gopher_repetition_flags(docs, "doc_id", "text")
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE merge training (Sennrich et al. 2016,
     operators/bpe.bpe_merges): 6 merge rounds over the word-count
@@ -1884,7 +1913,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "dedup_survivors": q_dedup_survivors,
         "hnsw_knn": q_hnsw_knn,
-        "hnsw_knn_sharded": q_hnsw_knn_sharded,
+        # rotation wave 4 (r10, second session): gopher_repetition — the
+        # §A.1.2 companion to gopher_quality — takes hnsw_knn_sharded's
+        # slot (a direct twin of hnsw_knn, which stays in-window; the
+        # sharded variant moves below the window, repo-oracled)
+        "gopher_repetition": q_gopher_repetition,
         "ivf_knn": q_ivf_knn,
         "recent_events": q_recent_events,
         # rotation wave 3b: gopher_quality + bpe_merges take the
@@ -1935,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlaps": q_interval_overlaps,
         "pii_scrub": q_pii_scrub,
         "media_features": q_media_features,
+        "hnsw_knn_sharded": q_hnsw_knn_sharded,
     }
 
 
@@ -2080,6 +2114,113 @@ def _bpe_oracle_sql(n_merges: int = 6, min_pair: int = 2) -> str:
             f"n AS pair_count FROM t{r} WHERE n >= {min_pair}"
         )
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+def _gopher_repetition_oracle_sql() -> str:
+    """Gopher §A.1.2 repetition battery, list-native DuckDB twin of
+    functions/text.gopher_repetition_flags. Layered CTEs mirror the
+    engine's select stages (tokens/segments -> n-gram arrays ->
+    duplicated-value sets -> positional flags -> metrics); every
+    fraction is the identical single division rounded to 6dp BEFORE the
+    threshold comparison, so boolean boundaries agree bit-for-bit.
+    The oracle's per-doc lambda scans are O(len^2) where the engine's
+    sorted-adjacency pass is O(len log len) — fine at oracle SFs."""
+    toks_expr = (
+        "list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9'']+'), "
+        "x -> x <> '')"
+    )
+
+    def segs(sep_regex: str) -> str:
+        return (
+            "list_sort(list_filter(list_transform(string_split_regex(text, "
+            f"'{sep_regex}'), s -> trim(s)), s -> s <> ''))"
+        )
+
+    def seg_stats(col: str):
+        n = f"len({col})"
+        dup_occ = f"len(list_filter(range(2, {n} + 1), i -> {col}[i] = {col}[i-1]))"
+        dup_chars = (
+            f"coalesce(list_sum(list_transform(range(2, {n} + 1), "
+            f"i -> CASE WHEN {col}[i] = {col}[i-1] THEN length({col}[i]) "
+            "ELSE 0 END)), 0)"
+        )
+        total = f"coalesce(list_sum(list_transform({col}, x -> length(x))), 0)"
+        return n, dup_occ, dup_chars, total
+
+    def frac6(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN {den} = 0 THEN 0.0 "
+            f"ELSE round(({num})::DOUBLE / ({den})::DOUBLE, 6) END"
+        )
+
+    ns_top = ((2, 0.20), (3, 0.18), (4, 0.16))
+    ns_dup = ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10))
+    all_n = sorted({n for n, _ in ns_top} | {n for n, _ in ns_dup})
+    gram_defs = ", ".join(
+        f"CASE WHEN len(toks) >= {n} THEN list_transform("
+        f"range(1, len(toks) - {n} + 2), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' ')) ELSE [] END AS g{n}"
+        for n in all_n
+    )
+    dv_defs = ", ".join(
+        f"list_filter(list_distinct(g{n}), "
+        f"x -> len(list_filter(g{n}, y -> y = x)) >= 2) AS dv{n}"
+        for n, _ in ns_dup
+    )
+    f_defs = ", ".join(
+        f"list_transform(g{n}, x -> list_contains(dv{n}, x)) AS f{n}"
+        for n, _ in ns_dup
+    )
+    nl, lo, lc, lt = seg_stats("lines")
+    np_, po, pc, pt = seg_stats("paras")
+    tokchars = "coalesce(list_sum(list_transform(toks, x -> length(x))), 0)"
+    metrics = [
+        f"{frac6(lo, nl)} AS dup_line_frac",
+        f"{frac6(lc, lt)} AS dup_line_char_frac",
+        f"{frac6(po, np_)} AS dup_para_frac",
+        f"{frac6(pc, pt)} AS dup_para_char_frac",
+    ]
+    for n, _ in ns_top:
+        best = (
+            f"coalesce(list_max(list_transform(list_distinct(g{n}), "
+            f"x -> len(list_filter(g{n}, y -> y = x)) * (length(x) - {n - 1}))), 0)"
+        )
+        metrics.append(f"{frac6(best, 'tc')} AS top_{n}gram_char_frac")
+    for n, _ in ns_dup:
+        cov = (
+            "coalesce(list_sum(list_transform(range(1, len(toks) + 1), "
+            f"j -> CASE WHEN len(list_filter("
+            f"f{n}[greatest(j - {n - 1}, 1):least(j, len(f{n}))], b -> b)) > 0 "
+            "THEN length(toks[j]) ELSE 0 END)), 0)"
+        )
+        metrics.append(f"{frac6(cov, 'tc')} AS dup_{n}gram_char_frac")
+    gates = [
+        "dup_line_frac <= 0.30",
+        "dup_line_char_frac <= 0.20",
+        "dup_para_frac <= 0.30",
+        "dup_para_char_frac <= 0.20",
+    ]
+    gates += [f"top_{n}gram_char_frac <= {thr}" for n, thr in ns_top]
+    gates += [f"dup_{n}gram_char_frac <= {thr}" for n, thr in ns_dup]
+    # the driver query's deterministic repetition augmentation, verbatim
+    src = (
+        "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+        "text || chr(10) || substr(text,1,60) || chr(10) || substr(text,1,60) "
+        "|| chr(10) || chr(10) || substr(text,61,50) "
+        "|| chr(10) || chr(10) || substr(text,61,50) "
+        "ELSE text END AS text FROM documents)"
+    )
+    return (
+        f"WITH t0 AS (SELECT doc_id, coalesce(text, '') AS text FROM {src}), "
+        f"t AS (SELECT doc_id, coalesce({toks_expr}, []) AS toks, "
+        f"{segs(chr(92) + 'n')} AS lines, "
+        f"{segs(chr(92) + 'n' + chr(92) + 'n')} AS paras FROM t0), "
+        f"g AS (SELECT *, {gram_defs} FROM t), "
+        f"dv AS (SELECT *, {dv_defs} FROM g), "
+        f"fl AS (SELECT *, {f_defs}, {tokchars} AS tc FROM dv), "
+        f"m AS (SELECT doc_id, {', '.join(metrics)} FROM fl) "
+        f"SELECT *, ({' AND '.join(gates)}) AS passes FROM m"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2793,6 +2934,11 @@ def oracle_sql() -> dict[str, str]:
             "AND (CASE WHEN n = 0 THEN 0.0 ELSE alpha::DOUBLE / n END >= 0.8) "
             "AND (sw >= 2)) AS passes FROM g"
         ),
+        # Gopher repetition battery (§A.1.2): generated layered-CTE
+        # list-native twin (see _gopher_repetition_oracle_sql) — same
+        # 6dp-rounded fractions, same Table-A1 threshold conjunction,
+        # same deterministic repetition augmentation of every 3rd doc.
+        "gopher_repetition": _gopher_repetition_oracle_sql(),
         # Cross-snapshot dedup: exact stage = md5 anti-join + min-id
         # reps; near stage = the exact 2-gram-Jaccard pair graph over
         # corpus ∪ surviving batch (the LSH banding's recall is 1.0 at

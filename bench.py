@@ -107,6 +107,10 @@ def main() -> None:
         # training (6 pair-count rounds over the vocabulary table)
         "gopher_quality",
         "bpe_merges",
+        # §A.1.2 companion: thirteen per-doc repetition fractions, same
+        # Exchange-free one-scan shape (sorted-adjacency + window
+        # coverage array passes — per-doc-length-bounded map work)
+        "gopher_repetition",
     ]
 
     # warmup: JVM codegen + parquet file-listing/footer caches for every

@@ -588,3 +588,258 @@ def gopher_quality_flags(
         & F.col("ok_alpha")
         & F.col("ok_stopwords"),
     )
+
+
+def _sorted_nonempty_segments(text: Column, sep_regex: str) -> Column:
+    """Trimmed, non-empty segments of `text` split on `sep_regex`,
+    sorted. Only equality-adjacency is consumed downstream, so the sort
+    ORDER never has to match any other engine's collation — any total
+    order groups equal segments together."""
+    segs = F.filter(
+        F.transform(F.split(text, sep_regex), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    return F.array_sort(segs)
+
+
+def _adjacent_dup_stats(s: Column):
+    """(dup_occurrences, dup_chars, total_chars, n) over a SORTED string
+    array: occurrences after the first of each distinct value, and the
+    characters they carry. Single O(n) pass per row — no shuffle."""
+    n = F.size(s)
+    idx = F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    is_dup = lambda i: F.element_at(s, i) == F.element_at(s, i - 1)
+    dup_occ = F.size(F.filter(idx, is_dup))
+    dup_chars = F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda a, i: a
+        + F.when(is_dup(i), F.length(F.element_at(s, i))).otherwise(F.lit(0)),
+    )
+    total_chars = F.aggregate(
+        s, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    return dup_occ, dup_chars, total_chars, n
+
+
+def _frac6(num: Column, den: Column) -> Column:
+    """num/den rounded to 6dp, 0.0 when den is 0 — the engine/oracle
+    float-parity convention (same as bm25_search's score rounding)."""
+    return F.when(den == 0, F.lit(0.0)).otherwise(
+        F.round(num.cast("double") / den.cast("double"), 6)
+    )
+
+
+def gopher_repetition_flags(
+    df,
+    id_col: str,
+    text_col: str,
+    line_sep: str = r"\n",
+    para_sep: str = r"\n\n",
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    top_ngram_max: tuple = ((2, 0.20), (3, 0.18), (4, 0.16)),
+    dup_ngram_max: tuple = (
+        (5, 0.15),
+        (6, 0.14),
+        (7, 0.13),
+        (8, 0.12),
+        (9, 0.11),
+        (10, 0.10),
+    ),
+):
+    """Gopher/MassiveText repetition battery (Rae et al. 2021,
+    arXiv:2112.11446 §A.1.2) — the companion to `gopher_quality_flags`
+    (§A.1.1): documents dominated by repeated lines, paragraphs, or
+    n-grams are boilerplate/spam signals every production crawl filter
+    removes before training. Reference parity: the reference's text
+    pipeline exposes the same duplicate-line/top-n-gram signals as
+    builtins (see SURVEY §2.5 text functions); this battery composes
+    them into the published rule set.
+
+    Thirteen gates, each a per-document fraction plus one `passes`
+    conjunction (thresholds = the paper's Table A1 defaults):
+
+    * duplicate line / paragraph fraction — occurrences after the first
+      of each distinct trimmed segment over total segments;
+    * duplicate line / paragraph CHARACTER fraction — characters carried
+      by those repeat occurrences over total segment characters;
+    * top-{2,3,4}-gram character fraction — max over word n-grams of
+      occurrences x n-gram characters, over total token characters
+      (deterministic variant: ties on count resolve by taking the max
+      PRODUCT, so no tie-break ordering is needed on either engine;
+      overlapping occurrences double-count tokens, so degenerate docs
+      can score above 1.0 — faithful to the published definition, and
+      irrelevant to the gate since any value above the threshold fails);
+    * duplicated-{5..10}-gram character fraction — characters of tokens
+      covered by at least one n-gram window that occurs >= 2 times
+      (position-coverage counting, so overlapping duplicates are not
+      double-counted), over total token characters.
+
+    Everything is a pure column expression over one scan: per-row array
+    ops (split/sort/adjacency/window-coverage), NO shuffle, NO UDF —
+    the plan is Exchange-free like gopher_quality's (pinned in
+    tests/test_plans.py). Intermediate arrays are materialized as real
+    columns between select stages: Catalyst inlines lambda free
+    expressions per element, so nesting `transform` trees would go
+    O(len^2) (see shingles_from_tokens docstring for the measured
+    pitfall).
+
+    Character bases: segment metrics use trimmed segment lengths
+    (intra-segment spaces included); n-gram metrics use total TOKEN
+    characters (inter-token spaces excluded) — both replicated exactly
+    in the DuckDB oracle. Fractions are rounded to 6dp BEFORE the
+    threshold comparison so the boolean boundary agrees bit-for-bit
+    with the oracle. NULL text fails closed as an empty document
+    (every fraction 0.0, passes true).
+
+    Output: (id_col, dup_line_frac, dup_line_char_frac, dup_para_frac,
+    dup_para_char_frac, top_{n}gram_char_frac..., dup_{n}gram_char_frac...,
+    passes).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col),
+        _sorted_nonempty_segments(txt, line_sep).alias("__lines"),
+        _sorted_nonempty_segments(txt, para_sep).alias("__paras"),
+        F.coalesce(tokens(txt), F.array().cast("array<string>")).alias("__toks"),
+    )
+
+    # stage 1: n-gram arrays (positional + sorted), one materialized
+    # column per n so no lambda subtree is re-evaluated per element
+    gram_cols = []
+    ns_top = [n for n, _ in top_ngram_max]
+    ns_dup = [n for n, _ in dup_ngram_max]
+    for n in sorted(set(ns_top) | set(ns_dup)):
+        grams = F.when(
+            F.size("__toks") >= n, shingles_from_tokens(F.col("__toks"), n)
+        ).otherwise(F.array().cast("array<string>"))
+        gram_cols.append(grams.alias(f"__g{n}"))
+    staged = base.select("*", *gram_cols)
+    sorted_cols = [
+        F.array_sort(f"__g{n}").alias(f"__s{n}") for n in sorted(set(ns_top) | set(ns_dup))
+    ]
+    staged = staged.select("*", *sorted_cols)
+
+    # stage 2: duplicated n-gram value sets (adjacent dups of the sorted
+    # array) + positional duplicate flags, for the coverage metrics.
+    # NOTE: captures go through closure FACTORIES, never lambda default
+    # args — PySpark treats every Python lambda parameter (defaults
+    # included) as a higher-order-function variable.
+    def _dupvals_of(s):
+        idx = F.when(F.size(s) >= 2, F.sequence(F.lit(2), F.size(s))).otherwise(
+            F.array().cast("array<int>")
+        )
+
+        def adj(i):
+            return F.when(
+                F.element_at(s, i) == F.element_at(s, i - 1), F.element_at(s, i)
+            )
+
+        return F.array_distinct(
+            F.filter(F.transform(idx, adj), lambda x: x.isNotNull())
+        )
+
+    dupval_cols = [
+        _dupvals_of(F.col(f"__s{n}")).alias(f"__dv{n}") for n in ns_dup
+    ]
+    staged = staged.select("*", *dupval_cols)
+
+    def _flag_of(n):
+        return lambda g: F.array_contains(F.col(f"__dv{n}"), g)
+
+    flag_cols = [
+        F.transform(F.col(f"__g{n}"), _flag_of(n)).alias(f"__f{n}")
+        for n in ns_dup
+    ]
+    staged = staged.select("*", *flag_cols)
+
+    # stage 3: the scalar metrics
+    line_occ, line_chars, line_total, n_lines = _adjacent_dup_stats(F.col("__lines"))
+    para_occ, para_chars, para_total, n_paras = _adjacent_dup_stats(F.col("__paras"))
+    tok_chars = F.aggregate(
+        F.col("__toks"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+
+    metric_cols = [
+        _frac6(line_occ, n_lines).alias("dup_line_frac"),
+        _frac6(line_chars, line_total).alias("dup_line_char_frac"),
+        _frac6(para_occ, n_paras).alias("dup_para_frac"),
+        _frac6(para_chars, para_total).alias("dup_para_char_frac"),
+    ]
+    for n, _thr in top_ngram_max:
+        s = F.col(f"__s{n}")
+        # RLE fold over the sorted grams: best = max over values of
+        # occurrences x (gram chars minus the n-1 joining spaces);
+        # the running product peaks exactly at each run's last element
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+
+        def _merge_of(nn):
+            def _merge(acc, x):
+                run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                )
+                charlen = (F.length(x) - F.lit(nn - 1)).cast("long")
+                return F.struct(
+                    x.alias("prev"),
+                    run.alias("run"),
+                    F.greatest(acc["best"], run * charlen).alias("best"),
+                )
+
+            return _merge
+
+        best = F.aggregate(s, init, _merge_of(n), lambda acc: acc["best"])
+        metric_cols.append(_frac6(best, tok_chars).alias(f"top_{n}gram_char_frac"))
+    for n, _thr in dup_ngram_max:
+        flags, toks = F.col(f"__f{n}"), F.col("__toks")
+        m_g = F.size(flags)
+        # token j (1-based) is covered iff any n-gram window containing
+        # it is duplicated: flag positions [max(j-n+1,1), min(j, m_g)]
+        jdx = F.when(m_g >= 1, F.sequence(F.lit(1), F.size(toks))).otherwise(
+            F.array().cast("array<int>")
+        )
+        def _cover_of(nn, flags, toks, m_g):
+            def _step(a, j):
+                start = F.greatest(j - (nn - 1), F.lit(1))
+                return a + F.when(
+                    F.exists(
+                        F.slice(flags, start, F.least(j, m_g) - start + 1),
+                        lambda f: f,
+                    ),
+                    F.length(F.element_at(toks, j)),
+                ).otherwise(F.lit(0))
+
+            return _step
+
+        covered = F.aggregate(
+            jdx,
+            F.lit(0).cast("long"),
+            _cover_of(n, flags, toks, m_g),
+        )
+        metric_cols.append(_frac6(covered, tok_chars).alias(f"dup_{n}gram_char_frac"))
+
+    out = staged.select(F.col(id_col), *metric_cols)
+    gates = [
+        F.col("dup_line_frac") <= max_dup_line_frac,
+        F.col("dup_line_char_frac") <= max_dup_line_char_frac,
+        F.col("dup_para_frac") <= max_dup_para_frac,
+        F.col("dup_para_char_frac") <= max_dup_para_char_frac,
+    ]
+    gates += [
+        F.col(f"top_{n}gram_char_frac") <= thr for n, thr in top_ngram_max
+    ]
+    gates += [
+        F.col(f"dup_{n}gram_char_frac") <= thr for n, thr in dup_ngram_max
+    ]
+    passes = gates[0]
+    for g in gates[1:]:
+        passes = passes & g
+    return out.withColumn("passes", passes)

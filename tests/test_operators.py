@@ -3044,6 +3044,91 @@ def test_gopher_empty_text_fails_closed(spark):
 
 
 # ---------------------------------------------------------------------------
+# gopher_repetition_flags — Gopher/MassiveText repetition battery (§A.1.2)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_repetition_segment_metrics(spark):
+    from inputlayer_spark.functions.text import gopher_repetition_flags
+
+    rows = [
+        (1, "alpha beta\nalpha beta\ngamma delta"),           # dup line
+        (5, "p1 aa bb\n\np1 aa bb\n\nzz yy"),                 # dup paragraph
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           gopher_repetition_flags(df, "doc_id", "text").collect()}
+    # doc 1: 3 lines, 1 repeat occurrence; repeat carries 10 of 31 chars
+    assert out[1]["dup_line_frac"] == 0.333333
+    assert out[1]["dup_line_char_frac"] == 0.322581
+    assert out[1]["dup_para_frac"] == 0.0
+    # doc 5: dup line AND dup paragraph (paragraphs split on blank line)
+    assert out[5]["dup_para_frac"] == 0.333333
+    assert out[5]["dup_para_char_frac"] == 0.380952
+
+
+def test_gopher_repetition_top_ngram_product_definition(spark):
+    from inputlayer_spark.functions.text import gopher_repetition_flags
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta\nalpha beta\ngamma delta"),
+         (3, " ".join(["spam"] * 10)),
+         (7, "one two")],                       # shorter than n=3,4
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           gopher_repetition_flags(df, "doc_id", "text").collect()}
+    # doc 1: "alpha beta" occurs twice, 9 n-gram chars, 28 token chars
+    assert out[1]["top_2gram_char_frac"] == 0.642857  # 2*9/28
+    # doc 3: overlapping occurrences legitimately exceed 1.0
+    # ("spam spam" x9 * 8 chars / 40 token chars)
+    assert out[3]["top_2gram_char_frac"] == 1.8
+    assert not out[3]["passes"]
+    # fewer tokens than n -> 0.0, not a degenerate whole-doc gram
+    assert out[7]["top_3gram_char_frac"] == 0.0
+    assert out[7]["top_4gram_char_frac"] == 0.0
+
+
+def test_gopher_repetition_coverage_no_double_count(spark):
+    from inputlayer_spark.functions.text import gopher_repetition_flags
+
+    # one duplicated 5-gram covering tokens 1-5 and 6-10 of 15: exactly
+    # 10 of 15 single-char tokens covered (position counting — the
+    # overlap-safe definition), never 2*5*len/15
+    text = "a b c d e a b c d e f g h i j"
+    df = spark.createDataFrame([(1, text), (2, " ".join(["x"] * 10))],
+                               ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           gopher_repetition_flags(df, "doc_id", "text").collect()}
+    assert out[1]["dup_5gram_char_frac"] == 0.666667  # 10/15
+    # all-identical doc: every token covered for n<=9, but the single
+    # 10-gram of a 10-token doc has no duplicate
+    assert out[2]["dup_5gram_char_frac"] == 1.0
+    assert out[2]["dup_10gram_char_frac"] == 0.0
+
+
+def test_gopher_repetition_null_and_clean_docs(spark):
+    from inputlayer_spark.functions.text import gopher_repetition_flags
+
+    # all-distinct doc long enough that even the singleton top n-gram
+    # fraction sits under the thresholds (like Gopher, these gates run
+    # after the A.1.1 min-word gate — VERY short docs fail top_ngram
+    # through their singleton gram, by design)
+    clean = " ".join(f"w{i:02d}" for i in range(40))
+    df = spark.createDataFrame([(1, None), (2, clean)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           gopher_repetition_flags(df, "doc_id", "text").collect()}
+    # NULL text = empty document: every fraction 0, passes (the A.1.1
+    # battery is what rejects empty docs, via min_words)
+    assert all(out[1][c] == 0.0 for c in out[1].asDict()
+               if c.endswith("_frac"))
+    assert out[1]["passes"]
+    # distinct-token doc passes every repetition gate
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["passes"]
+
+
+# ---------------------------------------------------------------------------
 # bpe_merges / bpe_encode — distributed BPE training
 # ---------------------------------------------------------------------------
 

@@ -352,3 +352,16 @@ def test_gopher_quality_is_one_narrow_codegen_scan(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_gopher_repetition_is_one_narrow_codegen_scan(spark):
+    """The §A.1.2 repetition battery must keep gopher_quality's shape:
+    all thirteen per-document fractions are per-row array expressions
+    (split/sort/adjacency/window-coverage) over one scan — no Exchange,
+    no Join, no Python anywhere in the physical plan. At 100 TB this is
+    a map-only pass whose cost is bounded by per-document length, never
+    by corpus size."""
+    plan = _plan(spark, "gopher_repetition")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
