@@ -1137,6 +1137,58 @@ def q_quality_lang(spark, sf_dir):
     )
 
 
+# Messy-text suffixes injected by the normalize_text driver row so the
+# synthetic (pure-ASCII) corpus exercises every normalization step:
+# combining accent -> NFC compose, ANGSTROM/OHM singletons, C0 controls,
+# tab/space runs, CRLF, 4x newlines, edge whitespace. Replicated
+# codepoint-for-codepoint in the oracle via _duck_str.
+_MESS_EVEN = " cafe" + chr(0x301) + "  " + chr(0x212B) + "\tx" + chr(1) + "\n\n\n\nend  "
+_MESS_ODD = "  " + chr(0xFB01) + " " + chr(0x2126) + "  y" + chr(0x0B) + " z \r\n tail"
+
+
+def _duck_str(s: str) -> str:
+    """Render a Python string as a DuckDB expression (quoted runs of
+    printable ASCII, chr(cp) for everything else) so oracle literals
+    match the Spark literals codepoint-for-codepoint."""
+    parts, run = [], []
+    for ch in s:
+        if 32 <= ord(ch) < 127 and ch != "'":
+            run.append(ch)
+        else:
+            if run:
+                parts.append("'" + "".join(run) + "'")
+                run = []
+            parts.append(f"chr({ord(ch)})")
+    if run:
+        parts.append("'" + "".join(run) + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def q_normalize_text(spark, sf_dir):
+    """Text canonicalization (functions/text.normalize_text): Unicode
+    NFC (the one justified Arrow-batched Python step — Spark has no
+    JVM unicode-normalize builtin) + control-strip + line-ending and
+    whitespace canonicalization, the pass that makes exact-dedup
+    hashing honest on mixed-encoding crawls. Every doc gets a
+    parity-dependent messy suffix (combining accents, NFC singletons,
+    C0 controls, CRLF, whitespace runs) so the ASCII corpus exercises
+    each step; the oracle replicates the suffixes and the identical
+    regexp chain over DuckDB's nfc_normalize."""
+    from inputlayer_spark.functions.text import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_MESS_EVEN)).otherwise(
+                F.lit(_MESS_ODD)
+            ),
+        ).alias("text"),
+    )
+    return normalize_text(messy, "doc_id", "text")
+
+
 def q_doc_fingerprint(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", TX.doc_fingerprint(F.col("text")).alias("fp"))
@@ -1928,7 +1980,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "incremental_dedup": q_incremental_dedup,
         "quality_lang": q_quality_lang,
-        "doc_fingerprint": q_doc_fingerprint,
+        # rotation wave 4 (r10, second session): normalize_text — the
+        # pre-dedup canonicalization pass — takes doc_fingerprint's
+        # slot (a 1-perm MinHash twin of the quality_lang signal family;
+        # moves below the window, repo-oracled)
+        "normalize_text": q_normalize_text,
         "tfidf": q_tfidf,
         "lm_score": q_lm_score,
         "source_filter": q_source_filter,
@@ -1969,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "media_features": q_media_features,
         "hnsw_knn_sharded": q_hnsw_knn_sharded,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
@@ -2939,6 +2996,28 @@ def oracle_sql() -> dict[str, str]:
         # 6dp-rounded fractions, same Table-A1 threshold conjunction,
         # same deterministic repetition augmentation of every 3rd doc.
         "gopher_repetition": _gopher_repetition_oracle_sql(),
+        # Text canonicalization: identical regexp chain over DuckDB's
+        # nfc_normalize (utf8proc and CPython implement the same stable
+        # Unicode NFC); messy suffixes rendered codepoint-for-codepoint
+        # by _duck_str.
+        "normalize_text": (
+            "WITH t AS (SELECT doc_id, text || CASE WHEN doc_id % 2 = 0 "
+            f"THEN {_duck_str(_MESS_EVEN)} ELSE {_duck_str(_MESS_ODD)} END AS text "
+            "FROM documents), "
+            "n AS (SELECT doc_id, text, "
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace("
+            "nfc_normalize(coalesce(text, '')), "
+            "'\\r\\n|\\r', chr(10), 'g'), "
+            "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
+            "'[ \\t]+', ' ', 'g'), "
+            "' *\\n *', chr(10), 'g'), "
+            "'\\n{3,}', chr(10) || chr(10), 'g'), "
+            "'^\\s+|\\s+$', '', 'g') AS norm_text FROM t) "
+            "SELECT doc_id, norm_text, "
+            "CASE WHEN text IS NULL THEN TRUE ELSE norm_text <> text END AS changed "
+            "FROM n"
+        ),
         # Cross-snapshot dedup: exact stage = md5 anti-join + min-id
         # reps; near stage = the exact 2-gram-Jaccard pair graph over
         # corpus ∪ surviving batch (the LSH banding's recall is 1.0 at

@@ -111,6 +111,9 @@ def main() -> None:
         # Exchange-free one-scan shape (sorted-adjacency + window
         # coverage array passes — per-doc-length-bounded map work)
         "gopher_repetition",
+        # NFC + whitespace canonicalization: the Arrow-batched Python
+        # kernel row (tracks pandas_udf transfer cost over the corpus)
+        "normalize_text",
     ]
 
     # warmup: JVM codegen + parquet file-listing/footer caches for every

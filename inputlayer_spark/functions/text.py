@@ -843,3 +843,58 @@ def gopher_repetition_flags(
     for g in gates[1:]:
         passes = passes & g
     return out.withColumn("passes", passes)
+
+
+def normalize_text(df, id_col: str, text_col: str):
+    """Text canonicalization — the normalization pass every corpus gets
+    before dedup/tokenization (C4/CCNet/RefinedWeb all run one):
+    mixed NFC/NFD crawl encodings make byte-identical texts hash
+    differently, so exact dedup UNDER-deduplicates and token stats
+    drift unless the corpus is normalized first.
+
+    Steps, in order:
+    1. Unicode NFC (composed form: 'e'+U+0301 -> U+00E9, singleton
+       compatibility points like U+212B ANGSTROM -> U+00C5). Spark has
+       no JVM-side unicode-normalize builtin, so this is the one
+       justified Python step — an Arrow-batched pandas_udf over
+       stdlib `unicodedata` (same class as compression_ratio's zlib
+       kernel; never row-at-a-time).
+    2. Line-ending canonicalization: \\r\\n and bare \\r -> \\n.
+    3. Strip C0 control chars except tab/newline (+ DEL).
+    4. Collapse runs of spaces/tabs to one space.
+    5. Trim spaces around newlines (line-edge whitespace).
+    6. Collapse 3+ newlines to a paragraph break (two).
+    7. Trim outer whitespace.
+    Steps 2-7 are JVM-side codegen'd regexp_replace chains; the DuckDB
+    oracle replicates the identical chain over `nfc_normalize` (both
+    utf8proc and CPython implement the same stable Unicode NFC).
+
+    NULL text fails closed to '' with changed=true. Output:
+    (id_col, norm_text, changed). One scan, no shuffle; the pandas_udf
+    is the only non-codegen stage (ArrowEvalPython, plan-pinned).
+    """
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def _nfc(batch: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return batch.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    norm = _nfc(F.coalesce(F.col(text_col), F.lit("")))
+    norm = F.regexp_replace(norm, r"\r\n|\r", "\n")
+    norm = F.regexp_replace(norm, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    norm = F.regexp_replace(norm, r"[ \t]+", " ")
+    norm = F.regexp_replace(norm, r" *\n *", "\n")
+    norm = F.regexp_replace(norm, r"\n{3,}", "\n\n")
+    norm = F.regexp_replace(norm, r"^\s+|\s+$", "")
+    staged = df.select(F.col(id_col), F.col(text_col), norm.alias("norm_text"))
+    return staged.select(
+        F.col(id_col),
+        F.col("norm_text"),
+        F.when(F.col(text_col).isNull(), F.lit(True))
+        .otherwise(F.col("norm_text") != F.col(text_col))
+        .alias("changed"),
+    )

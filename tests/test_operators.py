@@ -3129,6 +3129,51 @@ def test_gopher_repetition_null_and_clean_docs(spark):
 
 
 # ---------------------------------------------------------------------------
+# normalize_text — NFC + control/whitespace canonicalization
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_nfc_and_whitespace(spark):
+    from inputlayer_spark.functions.text import normalize_text
+
+    mess = " cafe" + chr(0x301) + "  " + chr(0x212B) + "\tx" + chr(1) + "\n\n\n\nend  "
+    rows = [(0, "hello world" + mess),
+            (1, "a" + chr(0x0B) + "b \r\n c"),
+            (2, None),
+            (3, "clean text")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           normalize_text(df, "doc_id", "text").collect()}
+    # combining acute composes, ANGSTROM singleton maps to A-ring, the
+    # C0 control vanishes, tab+space runs collapse, 4 newlines -> 2,
+    # outer whitespace trimmed
+    assert out[0]["norm_text"] == "hello world caf\u00e9 \u00c5 x\n\nend"
+    assert out[0]["changed"]
+    # vertical-tab stripped, CRLF -> LF, line-edge spaces trimmed
+    assert out[1]["norm_text"] == "ab\nc"
+    # NULL fails closed to '' and reports changed
+    assert out[2]["norm_text"] == "" and out[2]["changed"]
+    # already-canonical text round-trips unchanged
+    assert out[3]["norm_text"] == "clean text" and not out[3]["changed"]
+
+
+def test_normalize_text_makes_exact_dedup_honest(spark):
+    from inputlayer_spark.functions.text import normalize_text
+    from inputlayer_spark.operators.dedup import exact_dedup_by_hash
+
+    # same logical text in NFD vs NFC spelling: exact dedup misses the
+    # pair on raw bytes, catches it after normalization — the reason
+    # the pass runs before dedup in every real pipeline
+    nfd = "cafe" + chr(0x301) + " menu"
+    nfc = "caf\u00e9 menu"
+    df = spark.createDataFrame([(1, nfd), (2, nfc)], "doc_id int, text string")
+    assert exact_dedup_by_hash(df, "text", "doc_id").count() == 2
+    normed = normalize_text(df, "doc_id", "text").withColumnRenamed(
+        "norm_text", "text")
+    assert exact_dedup_by_hash(normed, "text", "doc_id").count() == 1
+
+
+# ---------------------------------------------------------------------------
 # bpe_merges / bpe_encode — distributed BPE training
 # ---------------------------------------------------------------------------
 

@@ -365,3 +365,16 @@ def test_gopher_repetition_is_one_narrow_codegen_scan(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_normalize_text_is_arrow_batched_map_only(spark):
+    """normalize_text's NFC step is the one justified Python kernel
+    (Spark has no JVM unicode-normalize builtin): it must run as
+    Arrow-batched ArrowEvalPython — NEVER row-at-a-time BatchEvalPython
+    — and the operator stays a map-only pass: no Exchange, no Join.
+    The regexp chain around it is ordinary codegen."""
+    plan = _plan(spark, "normalize_text")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
