@@ -1847,6 +1847,34 @@ def q_gopher_quality(spark, sf_dir):
     return gopher_quality_flags(docs, "doc_id", "text", min_words=30)
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4 cleaning battery (Raffel et al. 2020 arXiv:1910.10683 §2.2;
+    functions/text.c4_clean): terminal-punctuation / min-words /
+    javascript line filters rejoined into clean_text, plus the
+    sentence-count, badword, lorem-ipsum, and curly-brace page gates.
+    The single-line synthetic corpus is pre-segmented deterministically
+    (' the ' -> sentence break, ' a ' -> plain break, terminal '.'),
+    and every 7th/11th doc gets a lorem-ipsum / brace injection so the
+    page gates fire on real data; badwords uses two corpus vocabulary
+    words. All replicated verbatim in the oracle."""
+    from inputlayer_spark.functions.text import c4_clean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seg = F.regexp_replace(
+        F.regexp_replace("text", " the ", ".\n"), " a ", "\n"
+    )
+    seg = F.concat(
+        seg,
+        F.lit("."),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" {x}")).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", seg.alias("text"))
+    return c4_clean(
+        pages, "doc_id", "text", min_sentences=3, badwords=("vector", "stream")
+    )
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Gopher/MassiveText repetition battery (Rae et al. 2021
     arXiv:2112.11446 §A.1.2; functions/text.gopher_repetition_flags):
@@ -1925,7 +1953,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_two_way": q_join_two_way,
         "threeway_join_arith": q_threeway_join_arith,
         "antijoin": q_antijoin,
-        "semijoin": q_semijoin,
+        # rotation wave 4 (r10, second session): c4_clean — the
+        # Raffel et al. cleaning battery — takes semijoin's slot
+        # (the direct dual of the retained antijoin, green since r2;
+        # moves below the window, repo-oracled)
+        "c4_clean": q_c4_clean,
         "agg_pricing_summary": q_agg_pricing_summary,
         "count_distinct": q_count_distinct,
         "topk_per_group": q_topk_per_group,
@@ -2026,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "hnsw_knn_sharded": q_hnsw_knn_sharded,
         "doc_fingerprint": q_doc_fingerprint,
+        "semijoin": q_semijoin,
     }
 
 
@@ -2996,6 +3029,43 @@ def oracle_sql() -> dict[str, str]:
         # 6dp-rounded fractions, same Table-A1 threshold conjunction,
         # same deterministic repetition augmentation of every 3rd doc.
         "gopher_repetition": _gopher_repetition_oracle_sql(),
+        # C4 cleaning battery: identical segmentation/injection
+        # preprocessing, line filters as list lambdas, page gates as
+        # the same boolean expressions; token badword check reuses the
+        # engine's tokenizer twin over clean_text.
+        "c4_clean": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_replace(regexp_replace(text, ' the ', '.' || chr(10), 'g'), "
+            "' a ', chr(10), 'g') || '.' "
+            "|| CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum' ELSE '' END "
+            "|| CASE WHEN doc_id % 11 = 0 THEN ' {x}' ELSE '' END AS text "
+            "FROM documents), "
+            "b AS (SELECT doc_id, coalesce(text, '') AS txt, "
+            "list_filter(list_transform(string_split_regex(coalesce(text, ''), "
+            "'\\n'), s -> trim(s)), s -> s <> '') AS lines FROM t), "
+            "k AS (SELECT doc_id, txt, list_filter(lines, s -> "
+            "regexp_matches(s, '[.!?]\"?$') "
+            "AND len(list_filter(string_split_regex(s, '\\s+'), w -> w <> '')) >= 3 "
+            "AND NOT regexp_matches(lower(s), "
+            "'(^|[^a-z0-9])javascript([^a-z0-9]|$)')) AS kept FROM b), "
+            # array_to_string([]) is NULL in DuckDB where Spark's
+            # concat_ws gives '' — coalesce to match
+            "c AS (SELECT doc_id, txt, kept, "
+            "coalesce(array_to_string(kept, chr(10)), '') AS clean_text FROM k), "
+            "m AS (SELECT doc_id, clean_text, "
+            "len(kept)::BIGINT AS n_lines_kept, "
+            "len(list_filter(list_transform(string_split_regex(clean_text, "
+            "'[.!?]'), s -> trim(s)), s -> s <> ''))::BIGINT AS n_sentences, "
+            "len(list_filter(list_distinct(list_filter(string_split_regex("
+            "lower(trim(clean_text)), '[^a-z0-9'']+'), x -> x <> '')), "
+            "x -> list_contains(['vector','stream'], x))) > 0 AS has_badword, "
+            "contains(lower(txt), 'lorem ipsum') AS has_lorem_ipsum, "
+            "(contains(txt, '{') OR contains(txt, '}')) AS has_brace FROM c) "
+            "SELECT doc_id, clean_text, n_lines_kept, n_sentences, has_badword, "
+            "has_lorem_ipsum, has_brace, "
+            "(n_sentences >= 3 AND NOT has_badword AND NOT has_lorem_ipsum "
+            "AND NOT has_brace) AS keep FROM m"
+        ),
         # Text canonicalization: identical regexp chain over DuckDB's
         # nfc_normalize (utf8proc and CPython implement the same stable
         # Unicode NFC); messy suffixes rendered codepoint-for-codepoint

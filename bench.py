@@ -114,6 +114,8 @@ def main() -> None:
         # NFC + whitespace canonicalization: the Arrow-batched Python
         # kernel row (tracks pandas_udf transfer cost over the corpus)
         "normalize_text",
+        # C4 cleaning battery: line filters + page gates, one scan
+        "c4_clean",
     ]
 
     # warmup: JVM codegen + parquet file-listing/footer caches for every

@@ -898,3 +898,107 @@ def normalize_text(df, id_col: str, text_col: str):
         .otherwise(F.col("norm_text") != F.col(text_col))
         .alias("changed"),
     )
+
+
+def c4_clean(
+    df,
+    id_col: str,
+    text_col: str,
+    line_sep: str = r"\n",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    badwords: tuple = (),
+):
+    """C4 cleaning battery (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+    — the line- and page-level heuristics that produced C4 from Common
+    Crawl, the most-replicated cleaning recipe in LLM data work:
+
+    Line filters (applied to `line_sep` segments, surviving lines are
+    re-joined into `clean_text`):
+    * keep only lines ending in terminal punctuation (. ! ? or a
+      closing double quote after one);
+    * drop lines with fewer than min_words_per_line words;
+    * drop lines containing the word "javascript" (case-insensitive).
+
+    Page filters (each a boolean column; `keep` is the conjunction
+    evaluated on the CLEANED text):
+    * at least min_sentences sentences (terminal-punct splits of the
+      cleaned text with a non-empty remainder);
+    * no word from `badwords` (token-level, lowercase; the published
+      pipeline uses the "List of Dirty, Naughty, Obscene..." list —
+      pass your deployment's list, the default is empty);
+    * no "lorem ipsum" substring (lowercase match, raw text);
+    * no curly brace (raw text — the code/markup signal).
+
+    Pure column expressions over one scan (split / filter / array ops
+    / regexp), no shuffle, no UDF — same Exchange-free plan class as
+    the Gopher batteries (plan-pinned). NULL text fails closed to an
+    empty page: clean_text '', every gate's signal false, keep false
+    (zero sentences).
+
+    Output: (id_col, clean_text, n_lines_kept, n_sentences,
+    has_badword, has_lorem_ipsum, has_brace, keep).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col),
+        txt.alias("__txt"),
+        F.filter(
+            F.transform(F.split(txt, line_sep), lambda s: F.trim(s)),
+            lambda s: s != "",
+        ).alias("__lines"),
+    )
+
+    def _line_ok(s):
+        ends_punct = s.rlike('[.!?]"?$')
+        enough_words = F.size(F.filter(F.split(s, r"\s+"), lambda w: w != "")) >= (
+            min_words_per_line
+        )
+        no_js = ~F.lower(s).rlike(r"(^|[^a-z0-9])javascript([^a-z0-9]|$)")
+        return ends_punct & enough_words & no_js
+
+    kept = base.select(
+        F.col(id_col),
+        F.col("__txt"),
+        F.filter(F.col("__lines"), _line_ok).alias("__kept"),
+    )
+    clean = F.concat_ws("\n", F.col("__kept"))
+    # sentences: terminal-punct splits of the cleaned text that leave a
+    # non-empty remainder (deterministic and engine-portable)
+    n_sentences = F.size(
+        F.filter(
+            F.transform(F.split(clean, r"[.!?]"), lambda s: F.trim(s)),
+            lambda s: s != "",
+        )
+    )
+    toks = F.coalesce(tokens(clean), F.array().cast("array<string>"))
+    if badwords:
+        has_bad = (
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(toks),
+                    F.array(*[F.lit(w.lower()) for w in badwords]),
+                )
+            )
+            > 0
+        )
+    else:
+        has_bad = F.lit(False)
+    has_lorem = F.lower(F.col("__txt")).contains("lorem ipsum")
+    has_brace = F.col("__txt").contains("{") | F.col("__txt").contains("}")
+    staged = kept.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size("__kept").cast("long").alias("n_lines_kept"),
+        n_sentences.cast("long").alias("n_sentences"),
+        has_bad.alias("has_badword"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+    )
+    return staged.withColumn(
+        "keep",
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_badword")
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_brace"),
+    )

@@ -3129,6 +3129,53 @@ def test_gopher_repetition_null_and_clean_docs(spark):
 
 
 # ---------------------------------------------------------------------------
+# c4_clean — C4 line/page cleaning battery (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+
+def test_c4_line_filters(spark):
+    from inputlayer_spark.functions.text import c4_clean
+
+    text = ("Good line one here.\n"
+            "short.\n"                        # < 3 words
+            "No punct line at all\n"          # no terminal punct
+            "Another good line stays!\n"
+            'Ends with quote."\n'              # punct + closing quote
+            "Has javascript enabled today.\n"  # javascript word
+            "Fifth good sentence here. Sixth one too. Seventh also.")
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    r = c4_clean(df, "doc_id", "text").collect()[0]
+    kept = r["clean_text"].split("\n")
+    assert r["n_lines_kept"] == 4
+    assert "short." not in kept
+    assert all("javascript" not in l for l in kept)
+    assert all(not l.endswith("all") for l in kept)
+    assert r["n_sentences"] == 6 and r["keep"]
+
+
+def test_c4_page_gates(spark):
+    from inputlayer_spark.functions.text import c4_clean
+
+    rows = [
+        (1, "This page mentions lorem ipsum dolor. Enough words here. One two three. Four five six. Seven eight nine."),
+        (2, "Code page { x } here. Sentence two here. Three four five. Six seven eight. Nine ten eleven."),
+        (3, "badword page here now. it repeats fine. one more two. two more three. three more sentences."),
+        (4, "Too few sentences here. Only two appear."),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           c4_clean(df, "doc_id", "text", badwords=("badword",)).collect()}
+    assert out[1]["has_lorem_ipsum"] and not out[1]["keep"]
+    assert out[2]["has_brace"] and not out[2]["keep"]
+    assert out[3]["has_badword"] and not out[3]["keep"]
+    assert out[4]["n_sentences"] == 2 and not out[4]["keep"]
+    # NULL fails closed: empty page, keep false, no gate NULL-poisoned
+    assert out[5]["clean_text"] == "" and not out[5]["keep"]
+    assert out[5]["has_badword"] is False
+
+
+# ---------------------------------------------------------------------------
 # normalize_text — NFC + control/whitespace canonicalization
 # ---------------------------------------------------------------------------
 

@@ -367,6 +367,16 @@ def test_gopher_repetition_is_one_narrow_codegen_scan(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_c4_clean_is_one_narrow_codegen_scan(spark):
+    """The C4 battery is line/page regex+array work over one scan —
+    no Exchange, no Join, no Python. Same map-only 100 TB shape as
+    the Gopher batteries."""
+    plan = _plan(spark, "c4_clean")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_normalize_text_is_arrow_batched_map_only(spark):
     """normalize_text's NFC step is the one justified Python kernel
     (Spark has no JVM unicode-normalize builtin): it must run as
