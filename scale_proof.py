@@ -145,6 +145,14 @@ QUERIES = [
     # new word types per original, so rounds stay cheap
     "gopher_quality",
     "bpe_merges",
+    # round-10 second wave: gopher_repetition and c4_clean are
+    # Exchange-free per-doc array passes (cost bounded by doc length x
+    # doc count — scan-class growth expected); normalize_text adds the
+    # Arrow transfer of the corpus through the NFC pandas_udf — its
+    # growth curve measures the Python-kernel tax at volume
+    "gopher_repetition",
+    "normalize_text",
+    "c4_clean",
 ]
 
 
