@@ -1301,6 +1301,84 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+def q_web_pipeline(spark, sf_dir):
+    """End-to-end WEB-CRAWL curation composition — the order a real
+    100 TB crawl pipeline runs, every stage the library operator:
+
+    1. messy-suffix injection (the normalize_text driver fixtures:
+       combining accents, NFC singletons, C0 controls, CRLF);
+    2. `normalize_text` — NFC + control/whitespace canonicalization;
+    3. deterministic sentence segmentation of the synthetic corpus
+       (' the ' -> '.\\n', ' a ' -> '\\n', terminal '.');
+    4. `c4_clean` line filters + page gates, keep pages only;
+    5. `gopher_quality_flags` over the CLEANED text, passes only;
+    6. exact-dup survivor selection (md5 of clean text, min doc_id);
+    7. per-source rollup (doc + token counts) joined back to the
+       source column — the shape a mixture-planning job consumes.
+
+    One declarative plan end-to-end; proves the cleaning trilogy
+    COMPOSES (filters stack, no stage poisons another's columns), not
+    just that each piece matches its oracle alone."""
+    from inputlayer_spark.functions.text import (
+        c4_clean,
+        gopher_quality_flags,
+        normalize_text,
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    messy = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_MESS_EVEN)).otherwise(
+                F.lit(_MESS_ODD)
+            ),
+        ).alias("text"),
+    )
+    norm = normalize_text(messy, "doc_id", "text").join(
+        messy.select("doc_id", "source"), "doc_id"
+    )
+    seg = norm.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.regexp_replace(
+                F.regexp_replace("norm_text", " the ", ".\n"), " a ", "\n"
+            ),
+            F.lit("."),
+        ).alias("text"),
+    )
+    cleaned = c4_clean(seg, "doc_id", "text", min_sentences=2).filter("keep")
+    pages = cleaned.join(seg.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source", "clean_text"
+    )
+    # min_stopword_hits=1: the segmentation consumed ' the '/' a ' as
+    # sentence separators, so the synthetic pages retain at most the
+    # edge-position stopwords — 1 keeps the gate discriminating (32 of
+    # 169 c4-kept pages at sf0.01) instead of all-false
+    quality = gopher_quality_flags(
+        pages, "doc_id", "clean_text", min_words=20, min_stopword_hits=1
+    ).filter("passes")
+    kept = pages.join(quality.select("doc_id"), "doc_id")
+    surv = (
+        kept.withColumn("h", F.md5(F.col("clean_text")))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            # survivor = the min-doc_id row: its source must ride along
+            # (identical clean_text can appear under different sources)
+            F.min_by("source", "doc_id").alias("source"),
+            F.min("clean_text").alias("clean_text"),
+        )
+    )
+    return surv.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("clean_text"))).alias("n_tokens"),
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic content-hash Bernoulli sample (10% of documents by
     seeded md5 bucket) — rand() is nondeterministic under task retries;
@@ -1982,7 +2060,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "shortest_path": q_shortest_path,
         "same_generation": q_same_generation,
-        "curation_pipeline": q_curation_pipeline,
+        # rotation wave 4 (r10, second session): web_pipeline — the
+        # cleaning-trilogy composition (normalize -> c4 -> gopher ->
+        # survivors -> per-source rollup) — upgrades the v1
+        # curation_pipeline slot (v1 moves below the window,
+        # repo-oracled; same composition-proof role, older stages)
+        "web_pipeline": q_web_pipeline,
         "knn_cosine": q_knn_cosine,
         # rotation wave 3 (r10): the six NEW pipeline operators (plus
         # lm_score/source_filter below) take driver-window slots; the
@@ -2059,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_knn_sharded": q_hnsw_knn_sharded,
         "doc_fingerprint": q_doc_fingerprint,
         "semijoin": q_semijoin,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -2310,6 +2394,75 @@ def _gopher_repetition_oracle_sql() -> str:
         f"fl AS (SELECT *, {f_defs}, {tokchars} AS tc FROM dv), "
         f"m AS (SELECT doc_id, {', '.join(metrics)} FROM fl) "
         f"SELECT *, ({' AND '.join(gates)}) AS passes FROM m"
+    )
+
+
+def _web_pipeline_oracle_sql() -> str:
+    """Cleaning-trilogy composition oracle: the validated sub-chains
+    (normalize_text's nfc+regexp chain, c4_clean's line/page filters,
+    gopher_quality's gates, md5 survivor selection) assembled into one
+    CTE pipeline in the exact stage order of q_web_pipeline."""
+    norm_chain = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(regexp_replace("
+        "nfc_normalize(coalesce(text, '')), "
+        "'\\r\\n|\\r', chr(10), 'g'), "
+        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
+        "'[ \\t]+', ' ', 'g'), "
+        "' *\\n *', chr(10), 'g'), "
+        "'\\n{3,}', chr(10) || chr(10), 'g'), "
+        "'^\\s+|\\s+$', '', 'g')"
+    )
+    toks_of = (
+        "list_filter(string_split_regex(lower(trim({x})), '[^a-z0-9'']+'), "
+        "t -> t <> '')"
+    )
+    return (
+        "WITH t0 AS (SELECT doc_id, source, text || CASE WHEN doc_id % 2 = 0 "
+        f"THEN {_duck_str(_MESS_EVEN)} ELSE {_duck_str(_MESS_ODD)} END AS text "
+        "FROM documents), "
+        f"nn AS (SELECT doc_id, source, {norm_chain} AS norm_text FROM t0), "
+        "sg AS (SELECT doc_id, source, "
+        "regexp_replace(regexp_replace(norm_text, ' the ', '.' || chr(10), 'g'), "
+        "' a ', chr(10), 'g') || '.' AS text FROM nn), "
+        "b AS (SELECT doc_id, source, coalesce(text, '') AS txt, "
+        "list_filter(list_transform(string_split_regex(coalesce(text, ''), "
+        "'\\n'), s -> trim(s)), s -> s <> '') AS lines FROM sg), "
+        "k AS (SELECT doc_id, source, txt, list_filter(lines, s -> "
+        "regexp_matches(s, '[.!?]\"?$') "
+        "AND len(list_filter(string_split_regex(s, '\\s+'), w -> w <> '')) >= 3 "
+        "AND NOT regexp_matches(lower(s), "
+        "'(^|[^a-z0-9])javascript([^a-z0-9]|$)')) AS kept FROM b), "
+        "c AS (SELECT doc_id, source, txt, "
+        "coalesce(array_to_string(kept, chr(10)), '') AS clean_text FROM k), "
+        "pg AS (SELECT doc_id, source, clean_text FROM c WHERE "
+        "len(list_filter(list_transform(string_split_regex(clean_text, "
+        "'[.!?]'), s -> trim(s)), s -> s <> '')) >= 2 "
+        "AND NOT contains(lower(txt), 'lorem ipsum') "
+        "AND NOT (contains(txt, '{') OR contains(txt, '}'))), "
+        f"gt AS (SELECT doc_id, source, clean_text, "
+        f"coalesce({toks_of.format(x='clean_text')}, []) AS toks FROM pg), "
+        "gq AS (SELECT doc_id, source, clean_text, toks, len(toks) AS n, "
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+        "list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) "
+        "END AS ml, "
+        "(length(clean_text) - length(regexp_replace(clean_text, '#', '', 'g')) "
+        "+ (length(clean_text) - length(regexp_replace(clean_text, "
+        "'\\.\\.\\.', '', 'g'))) / 3) AS sym, "
+        "len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha, "
+        f"len(list_filter(list_distinct(toks), x -> list_contains({_SW_LIST}, x))) "
+        "AS sw FROM gt), "
+        "kk AS (SELECT doc_id, source, clean_text, toks FROM gq WHERE "
+        "n >= 20 AND n <= 100000 AND ml >= 3.0 AND ml <= 10.0 "
+        "AND (CASE WHEN n = 0 THEN 0.0 ELSE sym::DOUBLE / n END < 0.1) "
+        "AND (CASE WHEN n = 0 THEN 0.0 ELSE alpha::DOUBLE / n END >= 0.8) "
+        "AND sw >= 1), "
+        "surv AS (SELECT md5(clean_text) AS h, min(doc_id) AS doc_id, "
+        "arg_min(source, doc_id) AS source, min(clean_text) AS clean_text "
+        "FROM kk GROUP BY 1) "
+        "SELECT source, count(*)::BIGINT AS n_docs, "
+        f"sum(len({toks_of.format(x='clean_text')}))::BIGINT AS n_tokens "
+        "FROM surv GROUP BY source"
     )
 
 
@@ -3029,6 +3182,10 @@ def oracle_sql() -> dict[str, str]:
         # 6dp-rounded fractions, same Table-A1 threshold conjunction,
         # same deterministic repetition augmentation of every 3rd doc.
         "gopher_repetition": _gopher_repetition_oracle_sql(),
+        # Cleaning-trilogy composition: the validated normalize/c4/
+        # gopher sub-chains assembled in q_web_pipeline's stage order
+        # (see _web_pipeline_oracle_sql).
+        "web_pipeline": _web_pipeline_oracle_sql(),
         # C4 cleaning battery: identical segmentation/injection
         # preprocessing, line filters as list lambdas, page gates as
         # the same boolean expressions; token badword check reuses the

@@ -116,6 +116,9 @@ def main() -> None:
         "normalize_text",
         # C4 cleaning battery: line filters + page gates, one scan
         "c4_clean",
+        # cleaning-trilogy composition: normalize -> c4 -> gopher ->
+        # md5 survivors -> per-source rollup in one declarative plan
+        "web_pipeline",
     ]
 
     # warmup: JVM codegen + parquet file-listing/footer caches for every

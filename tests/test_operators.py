@@ -3129,6 +3129,28 @@ def test_gopher_repetition_null_and_clean_docs(spark):
 
 
 # ---------------------------------------------------------------------------
+# web_pipeline — cleaning-trilogy composition (driver row)
+# ---------------------------------------------------------------------------
+
+
+def test_web_pipeline_funnel_is_active(spark):
+    """The composition row must actually FILTER at every stage: the
+    per-source rollup covers some-but-not-all documents (c4 keeps a
+    strict subset, gopher passes a strict subset of those), and token
+    counts are positive — an all-pass or all-fail pipeline would make
+    the oracle row a trivial hash match."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["web_pipeline"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "pipeline must keep survivors"
+    total = sum(r["n_docs"] for r in rows)
+    assert 0 < total < 500
+    assert all(r["n_tokens"] > 0 for r in rows)
+    assert sorted(out.columns) == ["n_docs", "n_tokens", "source"]
+
+
+# ---------------------------------------------------------------------------
 # c4_clean — C4 line/page cleaning battery (Raffel et al. 2020 §2.2)
 # ---------------------------------------------------------------------------
 
