@@ -1323,7 +1323,6 @@ def q_web_pipeline(spark, sf_dir):
         c4_clean,
         gopher_quality_flags,
         normalize_text,
-        token_count,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1337,9 +1336,12 @@ def q_web_pipeline(spark, sf_dir):
             ),
         ).alias("text"),
     )
-    norm = normalize_text(messy, "doc_id", "text").join(
-        messy.select("doc_id", "source"), "doc_id"
-    )
+    # STRAIGHT-LINE plan: metadata rides the operators' `carry`
+    # passthrough. The v1 join-back formulation (join each stage's
+    # output back to its input for the source column) re-evaluated the
+    # upstream subtree once per branch — measured 8.0x growth at 100x;
+    # this plan is one linear chain and scales with the scan.
+    norm = normalize_text(messy, "doc_id", "text", carry=("source",))
     seg = norm.select(
         "doc_id",
         "source",
@@ -1350,32 +1352,46 @@ def q_web_pipeline(spark, sf_dir):
             F.lit("."),
         ).alias("text"),
     )
-    cleaned = c4_clean(seg, "doc_id", "text", min_sentences=2).filter("keep")
-    pages = cleaned.join(seg.select("doc_id", "source"), "doc_id").select(
-        "doc_id", "source", "clean_text"
+    pages = (
+        c4_clean(seg, "doc_id", "text", min_sentences=2, carry=("source",))
+        .filter("keep")
+        .select("doc_id", "source", "clean_text")
     )
     # min_stopword_hits=1: the segmentation consumed ' the '/' a ' as
     # sentence separators, so the synthetic pages retain at most the
     # edge-position stopwords — 1 keeps the gate discriminating (32 of
     # 169 c4-kept pages at sf0.01) instead of all-false
-    quality = gopher_quality_flags(
-        pages, "doc_id", "clean_text", min_words=20, min_stopword_hits=1
+    kept = gopher_quality_flags(
+        pages,
+        "doc_id",
+        "clean_text",
+        min_words=20,
+        min_stopword_hits=1,
+        carry=("source", "clean_text"),
     ).filter("passes")
-    kept = pages.join(quality.select("doc_id"), "doc_id")
+    # survivor shuffle carries FIXED-WIDTH columns only (the repo's
+    # scale discipline: never shuffle document text): the md5 is
+    # computed map-side, and gopher's n_words IS token_count(clean) —
+    # reuse it instead of carrying text through the exchange. Within an
+    # md5 group every clean_text (hence n_words) is identical, so
+    # min() is exact; the survivor's source is min_by over doc_id.
     surv = (
-        kept.withColumn("h", F.md5(F.col("clean_text")))
+        kept.select(
+            F.md5(F.col("clean_text")).alias("h"),
+            "doc_id",
+            "source",
+            "n_words",
+        )
         .groupBy("h")
         .agg(
             F.min("doc_id").alias("doc_id"),
-            # survivor = the min-doc_id row: its source must ride along
-            # (identical clean_text can appear under different sources)
             F.min_by("source", "doc_id").alias("source"),
-            F.min("clean_text").alias("clean_text"),
+            F.min("n_words").alias("n_tok"),
         )
     )
     return surv.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum(token_count(F.col("clean_text"))).alias("n_tokens"),
+        F.sum("n_tok").alias("n_tokens"),
     )
 
 
@@ -2458,10 +2474,10 @@ def _web_pipeline_oracle_sql() -> str:
         "AND (CASE WHEN n = 0 THEN 0.0 ELSE alpha::DOUBLE / n END >= 0.8) "
         "AND sw >= 1), "
         "surv AS (SELECT md5(clean_text) AS h, min(doc_id) AS doc_id, "
-        "arg_min(source, doc_id) AS source, min(clean_text) AS clean_text "
+        "arg_min(source, doc_id) AS source, min(len(toks)) AS n_tok "
         "FROM kk GROUP BY 1) "
         "SELECT source, count(*)::BIGINT AS n_docs, "
-        f"sum(len({toks_of.format(x='clean_text')}))::BIGINT AS n_tokens "
+        "sum(n_tok)::BIGINT AS n_tokens "
         "FROM surv GROUP BY source"
     )
 

@@ -512,6 +512,7 @@ def gopher_quality_flags(
     max_symbol_ratio: float = 0.1,
     min_alpha_word_ratio: float = 0.8,
     min_stopword_hits: int = 2,
+    carry: tuple = (),
 ):
     """Gopher/MassiveText composite quality gate (Rae et al. 2021,
     arXiv:2112.11446 §A.1.1) — the rule battery production pipelines
@@ -533,10 +534,13 @@ def gopher_quality_flags(
       Gopher "stop word" coherence rule; EN_STOPWORDS is the engine's
       SQL-replicable list).
 
-    Output: (id_col, n_words, flags..., passes).
+    Output: (id_col, *carry, n_words, flags..., passes). `carry`
+    passes metadata columns through so composed pipelines never join
+    back to the input (see normalize_text's docstring).
     """
     toked = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.coalesce(F.col(text_col), F.lit("")).alias("__txt"),
         # NULL text fails closed as an empty document (n_words=0, every
         # gate false) instead of poisoning the flags to NULL
@@ -571,6 +575,7 @@ def gopher_quality_flags(
     )
     flags = toked.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         n.cast("long").alias("n_words"),
         ((n >= min_words) & (n <= max_words)).alias("ok_words"),
         (
@@ -845,7 +850,7 @@ def gopher_repetition_flags(
     return out.withColumn("passes", passes)
 
 
-def normalize_text(df, id_col: str, text_col: str):
+def normalize_text(df, id_col: str, text_col: str, carry: tuple = ()):
     """Text canonicalization — the normalization pass every corpus gets
     before dedup/tokenization (C4/CCNet/RefinedWeb all run one):
     mixed NFC/NFD crawl encodings make byte-identical texts hash
@@ -870,8 +875,13 @@ def normalize_text(df, id_col: str, text_col: str):
     utf8proc and CPython implement the same stable Unicode NFC).
 
     NULL text fails closed to '' with changed=true. Output:
-    (id_col, norm_text, changed). One scan, no shuffle; the pandas_udf
-    is the only non-codegen stage (ArrowEvalPython, plan-pinned).
+    (id_col, *carry, norm_text, changed). One scan, no shuffle; the
+    pandas_udf is the only non-codegen stage (ArrowEvalPython,
+    plan-pinned). `carry` names metadata columns to pass through —
+    composing pipelines MUST carry metadata here instead of joining
+    back to the input (a join-back re-evaluates the whole upstream
+    subtree per branch: the v1 web_pipeline's join-back plan measured
+    8x growth at 100x; the carry version is scan-flat).
     """
     import pandas as pd
 
@@ -883,6 +893,14 @@ def normalize_text(df, id_col: str, text_col: str):
             lambda x: unicodedata.normalize("NFC", x) if x is not None else None
         )
 
+    # The kernel IS deterministic; the flag pins it to ONE evaluation
+    # site. Without it, Catalyst's filter-pushdown substitutes the
+    # whole expression tree into downstream filter conditions — a
+    # composed pipeline (e.g. web_pipeline's .filter("keep")) then runs
+    # the Arrow transfer + NFC once per consuming operator (measured: 2
+    # stacked ArrowEvalPython nodes over one scan).
+    _nfc = _nfc.asNondeterministic()
+
     norm = _nfc(F.coalesce(F.col(text_col), F.lit("")))
     norm = F.regexp_replace(norm, r"\r\n|\r", "\n")
     norm = F.regexp_replace(norm, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
@@ -890,9 +908,15 @@ def normalize_text(df, id_col: str, text_col: str):
     norm = F.regexp_replace(norm, r" *\n *", "\n")
     norm = F.regexp_replace(norm, r"\n{3,}", "\n\n")
     norm = F.regexp_replace(norm, r"^\s+|\s+$", "")
-    staged = df.select(F.col(id_col), F.col(text_col), norm.alias("norm_text"))
+    staged = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.col(text_col),
+        norm.alias("norm_text"),
+    )
     return staged.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.col("norm_text"),
         F.when(F.col(text_col).isNull(), F.lit(True))
         .otherwise(F.col("norm_text") != F.col(text_col))
@@ -908,6 +932,7 @@ def c4_clean(
     min_words_per_line: int = 3,
     min_sentences: int = 5,
     badwords: tuple = (),
+    carry: tuple = (),
 ):
     """C4 cleaning battery (Raffel et al. 2020, arXiv:1910.10683 §2.2)
     — the line- and page-level heuristics that produced C4 from Common
@@ -936,12 +961,16 @@ def c4_clean(
     empty page: clean_text '', every gate's signal false, keep false
     (zero sentences).
 
-    Output: (id_col, clean_text, n_lines_kept, n_sentences,
-    has_badword, has_lorem_ipsum, has_brace, keep).
+    Output: (id_col, *carry, clean_text, n_lines_kept, n_sentences,
+    has_badword, has_lorem_ipsum, has_brace, keep). `carry` passes
+    metadata columns through — compose with carry, never join back to
+    the input (a join-back re-evaluates the upstream subtree per
+    branch; see normalize_text's docstring for the measured cost).
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
     base = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         txt.alias("__txt"),
         F.filter(
             F.transform(F.split(txt, line_sep), lambda s: F.trim(s)),
@@ -959,6 +988,7 @@ def c4_clean(
 
     kept = base.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.col("__txt"),
         F.filter(F.col("__lines"), _line_ok).alias("__kept"),
     )
@@ -988,6 +1018,7 @@ def c4_clean(
     has_brace = F.col("__txt").contains("{") | F.col("__txt").contains("}")
     staged = kept.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         clean.alias("clean_text"),
         F.size("__kept").cast("long").alias("n_lines_kept"),
         n_sentences.cast("long").alias("n_sentences"),

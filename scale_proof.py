@@ -153,6 +153,10 @@ QUERIES = [
     "gopher_repetition",
     "normalize_text",
     "c4_clean",
+    # the trilogy composition: normalize's Arrow pass + c4/gopher
+    # filters + one md5-key shuffle for survivors + a |sources|-row
+    # aggregate — growth should track the corpus scan like its stages
+    "web_pipeline",
 ]
 
 

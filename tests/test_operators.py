@@ -3133,6 +3133,33 @@ def test_gopher_repetition_null_and_clean_docs(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_carry_passthrough_keeps_metadata(spark):
+    """The carry API on normalize_text / c4_clean /
+    gopher_quality_flags passes metadata columns through unchanged —
+    the composition primitive that keeps pipelines straight-line."""
+    from inputlayer_spark.functions.text import (
+        c4_clean,
+        gopher_quality_flags,
+        normalize_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "good solid line one here. and a second sentence too. "
+             "and the third is for it.", "web")],
+        "doc_id int, text string, src string",
+    )
+    n = normalize_text(df, "doc_id", "text", carry=("src",))
+    assert n.columns == ["doc_id", "src", "norm_text", "changed"]
+    assert n.collect()[0]["src"] == "web"
+    c = c4_clean(df, "doc_id", "text", min_sentences=1, carry=("src",))
+    assert c.columns[:2] == ["doc_id", "src"]
+    assert c.collect()[0]["src"] == "web"
+    g = gopher_quality_flags(df, "doc_id", "text", min_words=1,
+                             carry=("src", "text"))
+    assert g.columns[:3] == ["doc_id", "src", "text"]
+    assert g.collect()[0]["src"] == "web"
+
+
 def test_web_pipeline_funnel_is_active(spark):
     """The composition row must actually FILTER at every stage: the
     per-source rollup covers some-but-not-all documents (c4 keeps a

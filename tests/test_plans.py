@@ -377,6 +377,24 @@ def test_c4_clean_is_one_narrow_codegen_scan(spark):
     assert "EvalPython" not in plan
 
 
+def test_web_pipeline_is_straight_line(spark):
+    """The trilogy composition must stay a LINEAR chain: metadata rides
+    the operators' `carry` passthrough, never a join-back to the input.
+    A join-back re-evaluates the upstream subtree once per branch — the
+    v1 formulation ran the NFC pandas_udf (and the whole c4/gopher
+    chain above it) multiple times and measured 8.0x growth at 100x
+    where every individual stage is <=0.9x. Pin: exactly ONE
+    ArrowEvalPython in the physical plan (the NFC kernel), and no Join
+    anywhere before the survivor aggregation."""
+    plan = _plan(spark, "web_pipeline")
+    # formatted explain lists every node twice (tree + detail): one
+    # physical ArrowEvalPython node == exactly one tree-form occurrence
+    assert plan.count("ArrowEvalPython (") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_normalize_text_is_arrow_batched_map_only(spark):
     """normalize_text's NFC step is the one justified Python kernel
     (Spark has no JVM unicode-normalize builtin): it must run as
