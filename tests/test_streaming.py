@@ -906,3 +906,57 @@ def test_stream_enrich_latest_null_rows_do_not_crash_or_poison(spark, tmp_path):
     run_phase()
     got2 = {r.event_id: (r.value, r.matched_ts) for r in out_rows}
     assert got2 == {300: (1.0, ts(10))}
+
+
+def test_cleaning_operators_run_on_streams(spark, tmp_path):
+    """The cleaning trilogy is stateless map-only work, so the SAME
+    operator calls run unchanged on a readStream source — the shape a
+    continuous-crawl ingest uses (clean at ingest, before anything
+    stateful). Covers normalize_text (whose Arrow NFC kernel must work
+    inside a streaming microbatch) piped into c4_clean via the carry
+    passthrough."""
+    from inputlayer_spark.functions.text import c4_clean, normalize_text
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = tmp_path / "src"
+    sch = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        (1, "A café line that stays fine.\nshort.\nAnother good line here!"),
+        (2, None),
+        (3, "No terminal punctuation on this line at all"),
+    ]
+    spark.createDataFrame(rows, sch).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    stream = spark.readStream.schema(sch).parquet(str(src))
+    norm = normalize_text(stream, "doc_id", "text")
+    cleaned = c4_clean(
+        norm.withColumnRenamed("norm_text", "text"),
+        "doc_id",
+        "text",
+        min_sentences=1,
+        carry=("changed",),
+    )
+    q = (
+        cleaned.writeStream.format("memory")
+        .queryName("clean_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql("select * from clean_sink").collect()
+    }
+    q.stop()
+    assert got[1]["clean_text"] == "A café line that stays fine.\nAnother good line here!"
+    assert got[1]["keep"] and got[1]["changed"]
+    assert got[2]["clean_text"] == "" and not got[2]["keep"]
+    assert got[3]["n_lines_kept"] == 0 and not got[3]["keep"]
