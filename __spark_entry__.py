@@ -2321,9 +2321,11 @@ def _gopher_repetition_oracle_sql() -> str:
     )
 
     def segs(sep_regex: str) -> str:
+        # full-whitespace edge-trim, mirroring _sorted_nonempty_segments
         return (
             "list_sort(list_filter(list_transform(string_split_regex(text, "
-            f"'{sep_regex}'), s -> trim(s)), s -> s <> ''))"
+            f"'{sep_regex}'), s -> regexp_replace(s, '^\\s+|\\s+$', '', 'g')), "
+            "s -> s <> ''))"
         )
 
     def seg_stats(col: str):

@@ -597,11 +597,18 @@ def gopher_quality_flags(
 
 def _sorted_nonempty_segments(text: Column, sep_regex: str) -> Column:
     """Trimmed, non-empty segments of `text` split on `sep_regex`,
-    sorted. Only equality-adjacency is consumed downstream, so the sort
-    ORDER never has to match any other engine's collation — any total
-    order groups equal segments together."""
+    sorted. Edge-trim is FULL whitespace (regex \\s, not just spaces):
+    splitting 3+ newlines on a two-newline paragraph separator leaves a
+    stray leading newline on the next segment, and a paragraph that
+    differs only by that stray IS a duplicate. Only equality-adjacency
+    is consumed downstream, so the sort ORDER never has to match any
+    other engine's collation — any total order groups equal segments
+    together."""
     segs = F.filter(
-        F.transform(F.split(text, sep_regex), lambda s: F.trim(s)),
+        F.transform(
+            F.split(text, sep_regex),
+            lambda s: F.regexp_replace(s, r"^\s+|\s+$", ""),
+        ),
         lambda s: s != "",
     )
     return F.array_sort(segs)

@@ -3224,6 +3224,111 @@ def test_c4_page_gates(spark):
     assert out[5]["has_badword"] is False
 
 
+def _py_gopher_repetition(text):
+    """Pure-Python third implementation of the repetition battery —
+    independent of both the Spark expressions and the DuckDB oracle."""
+    import re as _re
+
+    text = text or ""
+
+    def frac6(num, den):
+        # HALF_UP on the exact binary value of the double — what Spark's
+        # round() and DuckDB's round() both do; Python's round() is
+        # half-to-even and diverges on exact halves like 25/128
+        import decimal
+
+        if den == 0:
+            return 0.0
+        return float(
+            decimal.Decimal(num / den).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    def seg_stats(sep):
+        segs = [_re.sub(r"^\s+|\s+$", "", s) for s in _re.split(sep, text)]
+        segs = [s for s in segs if s]
+        n = len(segs)
+        seen, dup_occ, dup_chars = set(), 0, 0
+        for s in segs:
+            if s in seen:
+                dup_occ += 1
+                dup_chars += len(s)
+            seen.add(s)
+        total = sum(len(s) for s in segs)
+        return frac6(dup_occ, n), frac6(dup_chars, total)
+
+    toks = [t for t in _re.split(r"[^a-z0-9']+", text.strip().lower()) if t]
+    tok_chars = sum(len(t) for t in toks)
+    out = {}
+    out["dup_line_frac"], out["dup_line_char_frac"] = seg_stats(r"\n")
+    out["dup_para_frac"], out["dup_para_char_frac"] = seg_stats(r"\n\n")
+    for n in (2, 3, 4):
+        if len(toks) < n:
+            out[f"top_{n}gram_char_frac"] = 0.0
+            continue
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        counts = {}
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+        best = max(c * (len(g) - (n - 1)) for g, c in counts.items())
+        out[f"top_{n}gram_char_frac"] = frac6(best, tok_chars)
+    for n in (5, 6, 7, 8, 9, 10):
+        if len(toks) < n:
+            out[f"dup_{n}gram_char_frac"] = 0.0
+            continue
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        counts = {}
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+        dup_positions = [i for i, g in enumerate(grams) if counts[g] >= 2]
+        covered = set()
+        for i in dup_positions:
+            covered.update(range(i, i + n))
+        out[f"dup_{n}gram_char_frac"] = frac6(
+            sum(len(toks[j]) for j in covered), tok_chars
+        )
+    return out
+
+
+def test_gopher_repetition_random_differential(spark):
+    """Seeded random-text differential against the pure-Python
+    reference above — a THIRD implementation, independent of the Spark
+    expressions and the DuckDB oracle, over texts with apostrophes,
+    punctuation, blank lines, and planted line/paragraph/n-gram
+    repeats (shapes the synthetic corpus never produces)."""
+    import random
+
+    from inputlayer_spark.functions.text import gopher_repetition_flags
+
+    rng = random.Random(20260816)
+    vocab = ["ab", "cd'e", "fgh", "ij", "klmno", "p", "q-r", "s.t", "uv"]
+    rows = []
+    for i in range(60):
+        n_lines = rng.randint(0, 6)
+        lines = []
+        for _ in range(n_lines):
+            k = rng.randint(0, 12)
+            lines.append(" ".join(rng.choice(vocab) for _ in range(k)))
+        # plant repeats: duplicate a line, a paragraph, and a token run
+        if lines and rng.random() < 0.5:
+            lines.append(rng.choice(lines))
+        txt = "\n".join(lines)
+        if rng.random() < 0.4 and lines:
+            txt += "\n\n" + lines[0] + "\n\n" + lines[0]
+        if rng.random() < 0.5:
+            run = " ".join(rng.choice(vocab[:3]) for _ in range(rng.randint(3, 7)))
+            txt += " " + run + " " + run
+        rows.append((i, txt if txt else None))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           gopher_repetition_flags(df, "doc_id", "text").collect()}
+    for i, txt in rows:
+        want = _py_gopher_repetition(txt)
+        for k, v in want.items():
+            assert got[i][k] == v, (i, k, got[i][k], v, repr(txt))
+
+
 # ---------------------------------------------------------------------------
 # normalize_text — NFC + control/whitespace canonicalization
 # ---------------------------------------------------------------------------
