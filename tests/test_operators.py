@@ -3128,6 +3128,72 @@ def test_gopher_repetition_null_and_clean_docs(spark):
     assert out[2]["passes"]
 
 
+def _py_c4_clean(text, min_words_per_line=3, min_sentences=5, badwords=()):
+    """Pure-Python third implementation of the C4 battery."""
+    import re as _re
+
+    raw = text or ""
+    lines = [s.strip() for s in raw.split("\n") if s.strip()]
+
+    def line_ok(s):
+        if not _re.search(r'[.!?]"?$', s):
+            return False
+        if len([w for w in _re.split(r"\s+", s) if w]) < min_words_per_line:
+            return False
+        if _re.search(r"(^|[^a-z0-9])javascript([^a-z0-9]|$)", s.lower()):
+            return False
+        return True
+
+    kept = [s for s in lines if line_ok(s)]
+    clean = "\n".join(kept)
+    n_sent = len([s for s in _re.split(r"[.!?]", clean) if s.strip()])
+    toks = [t for t in _re.split(r"[^a-z0-9']+", clean.strip().lower()) if t]
+    has_bad = bool(set(toks) & {w.lower() for w in badwords})
+    has_lorem = "lorem ipsum" in raw.lower()
+    has_brace = "{" in raw or "}" in raw
+    return {
+        "clean_text": clean,
+        "n_lines_kept": len(kept),
+        "n_sentences": n_sent,
+        "has_badword": has_bad,
+        "has_lorem_ipsum": has_lorem,
+        "has_brace": has_brace,
+        "keep": n_sent >= min_sentences
+        and not has_bad and not has_lorem and not has_brace,
+    }
+
+
+def test_c4_clean_random_differential(spark):
+    """Seeded random-text differential vs the pure-Python reference:
+    punctuation-ended and bare lines, quotes after punctuation,
+    javascript mentions, braces, lorem ipsum, short lines — mixed
+    freely, including whitespace-only lines and None."""
+    import random
+
+    from inputlayer_spark.functions.text import c4_clean
+
+    rng = random.Random(4041)
+    frag = ["the quick fox", "x", "see the docs", "enable javascript now",
+            "one two three four", "ok fine", "lorem ipsum dolor", "code { y }"]
+    tail = [".", "!", "?", '."', "", " ", ""]
+    rows = []
+    for i in range(60):
+        n_lines = rng.randint(0, 7)
+        lines = [rng.choice(frag) + rng.choice(tail) for _ in range(n_lines)]
+        if rng.random() < 0.2:
+            lines.append("   ")
+        txt = "\n".join(lines) if lines else (None if rng.random() < 0.5 else "")
+        rows.append((i, txt))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           c4_clean(df, "doc_id", "text", min_sentences=2,
+                    badwords=("fox",)).collect()}
+    for i, txt in rows:
+        want = _py_c4_clean(txt, min_sentences=2, badwords=("fox",))
+        for k, v in want.items():
+            assert got[i][k] == v, (i, k, got[i][k], v, repr(txt))
+
+
 # ---------------------------------------------------------------------------
 # web_pipeline — cleaning-trilogy composition (driver row)
 # ---------------------------------------------------------------------------
