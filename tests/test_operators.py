@@ -3243,6 +3243,35 @@ def test_web_pipeline_funnel_is_active(spark):
     assert sorted(out.columns) == ["n_docs", "n_tokens", "source"]
 
 
+def test_normalize_text_is_idempotent(spark):
+    """A canonicalizer must be a fixpoint: normalize(normalize(x)) ==
+    normalize(x), and changed==False on the second pass — over random
+    unicode soup (combining marks, NFC singletons, C0 controls, CRLF,
+    whitespace runs, newline stacks)."""
+    import random
+
+    from inputlayer_spark.functions.text import normalize_text
+
+    rng = random.Random(99)
+    atoms = ["a", "e", chr(0x301), chr(0x212B), chr(0x2126), " ", "  ",
+             "\t", "\r\n", "\n", "\n\n\n", chr(1), chr(0x0B), "word",
+             chr(0xFB01), "."]
+    rows = [(i, "".join(rng.choice(atoms) for _ in range(rng.randint(0, 30))))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    once = normalize_text(df, "doc_id", "text")
+    twice = normalize_text(
+        once.withColumnRenamed("norm_text", "text").select("doc_id", "text"),
+        "doc_id",
+        "text",
+    )
+    a = {r["doc_id"]: r["norm_text"] for r in once.collect()}
+    b = {r["doc_id"]: r for r in twice.collect()}
+    for i in a:
+        assert b[i]["norm_text"] == a[i], (i, repr(a[i]), repr(b[i]["norm_text"]))
+        assert not b[i]["changed"], (i, repr(a[i]))
+
+
 # ---------------------------------------------------------------------------
 # c4_clean — C4 line/page cleaning battery (Raffel et al. 2020 §2.2)
 # ---------------------------------------------------------------------------
