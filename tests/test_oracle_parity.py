@@ -95,6 +95,24 @@ def test_oracle_parity(spark, name):
     assert ok, f"{name}: {why}\nspark[:3]={srows[:3]}\nduck[:3]={drows[:3]}"
 
 
+def test_no_decimal_typed_oracle_columns():
+    """VERDICT r10 #1 class-guard: DuckDB sum()/arithmetic silently
+    yields HUGEINT (arrow decimal128), which the engine never emits
+    (Spark sums are LongType) — and the driver's value hash is
+    type-sensitive, so a decimal column is a guaranteed red row even
+    with byte-identical values (the r10 `bpe_merges` artifact). Assert
+    every oracle's arrow schema is decimal-free; fix sites with
+    `::BIGINT` casts."""
+    con = _duck()
+    offenders = []
+    for name, sql in sorted(ORACLES.items()):
+        tb = con.execute(sql).fetch_arrow_table()
+        for f in tb.schema:
+            if str(f.type).startswith("decimal"):
+                offenders.append((name, f.name, str(f.type)))
+    assert not offenders, f"decimal-typed oracle columns: {offenders}"
+
+
 def test_rows_only_queries_run(spark):
     for name in sorted(set(QUERIES) - set(ORACLES)):
         df = QUERIES[name](spark, SF_DIR)
