@@ -392,18 +392,29 @@ def filter_by_source_quality(
     max_dup_fraction: float = 1.0,
 ) -> DataFrame:
     """Drop ENTIRE sources that fail the aggregate gates, documents and
-    all. The surviving-source table is bounded by the domain count
-    (millions at web scale, never corpus-sized), so broadcasting it is
-    legitimate — the corpus pays one map-side semi-join, no shuffle.
-    Contrast with token-keyed tables (tfidf's dfreq, lm_score's bigram
-    counts), which are unbounded and must never be hint-broadcast."""
+    all. The surviving-source table is bounded by the domain count —
+    usually small enough that the corpus pays one map-side semi-join
+    with no shuffle — but web-scale domain sets reach tens of millions
+    of strings, so the broadcast hint is cap-guarded with the same 2M
+    discipline as dedup's adaptive sites (VERDICT r10 #5); past the cap
+    the semi-join shuffles on the source key and AQE picks the build
+    side. Contrast with token-keyed tables (tfidf's dfreq, lm_score's
+    bigram counts), which are unbounded and must never be
+    hint-broadcast."""
+    from inputlayer_spark.operators.dedup import _fits_broadcast
+
     stats = source_quality_stats(df, source_col, text_col)
     good = stats.filter(
         (F.col("n_docs") >= min_docs)
         & (F.col("avg_quality") >= min_avg_quality)
         & (F.col("dup_fraction") <= max_dup_fraction)
     ).select(source_col)
-    return df.join(F.broadcast(good), source_col, "left_semi")
+    # |sources| rows — checkpoint once so the probe and the join don't
+    # each re-run the corpus-wide stats aggregate
+    good = good.localCheckpoint(eager=True)
+    if _fits_broadcast(good):
+        good = F.broadcast(good)
+    return df.join(good, source_col, "left_semi")
 
 
 def _doc_ngram_buckets(

@@ -406,3 +406,57 @@ def test_normalize_text_is_arrow_batched_map_only(spark):
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_incremental_dedup_tags_broadcast_is_cap_guarded(spark, monkeypatch):
+    """VERDICT r10 #2: the (id, __new) tags frame in incremental_dedup
+    is corpus ∪ batch — corpus-sized by construction — so its broadcast
+    hint must be cap-guarded like every other adaptive site in dedup.py.
+    Above the cap the analyzed plan must carry NO broadcast hint
+    anywhere in the DAG (the verify-candidate hint is cap-guarded too);
+    under the cap the hints come back. AQE may still choose a physical
+    broadcast from size estimates — the pin is about the unconditional
+    HINT, which overrides size estimation at any scale."""
+    from inputlayer_spark.operators import dedup
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    batch = docs.filter("doc_id % 5 = 0")
+    corpus = docs.filter("doc_id % 5 != 0")
+
+    monkeypatch.setattr(dedup, "BROADCAST_CAP", 0)
+    out = dedup.incremental_dedup(batch, corpus, "doc_id", "text", num_perm=8, bands=4)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+    monkeypatch.setattr(dedup, "BROADCAST_CAP", 2_000_000)
+    out2 = dedup.incremental_dedup(batch, corpus, "doc_id", "text", num_perm=8, bands=4)
+    analyzed2 = out2._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in analyzed2
+
+
+def test_source_filter_broadcast_is_cap_guarded(spark, monkeypatch):
+    """VERDICT r10 #5: filter_by_source_quality's surviving-source set
+    is bounded by the domain count, but web-scale domain sets reach
+    tens of millions — the broadcast hint must disappear past the cap
+    (the dedup_lines discipline) and the semi-join fall back to a
+    shuffle AQE can re-plan."""
+    from inputlayer_spark.operators import dedup, sampling
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .limit(40)
+    )
+    monkeypatch.setattr(dedup, "BROADCAST_CAP", 0)
+    out = sampling.filter_by_source_quality(docs, "source", "text", min_docs=1)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+    monkeypatch.setattr(dedup, "BROADCAST_CAP", 2_000_000)
+    out2 = sampling.filter_by_source_quality(docs, "source", "text", min_docs=1)
+    analyzed2 = out2._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in analyzed2
