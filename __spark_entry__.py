@@ -2471,22 +2471,32 @@ def _gopher_repetition_oracle_sql() -> str:
     )
 
 
-def _web_pipeline_oracle_sql() -> str:
-    """Cleaning-trilogy composition oracle: the validated sub-chains
-    (normalize_text's nfc+regexp chain, c4_clean's line/page filters,
-    gopher_quality's gates, md5 survivor selection) assembled into one
-    CTE pipeline in the exact stage order of q_web_pipeline."""
-    norm_chain = (
+def _norm_chain_sql(col: str = "text") -> str:
+    """normalize_text's exact chain in DuckDB: line-ending + C0 strip
+    BEFORE nfc_normalize (mirroring the engine's ADVICE-r10 reorder — a
+    control char between base and combining mark blocks composition),
+    then the whitespace canonicalization regexps."""
+    return (
         "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "nfc_normalize("
         "regexp_replace(regexp_replace("
-        "nfc_normalize(coalesce(text, '')), "
+        f"coalesce({col}, ''), "
         "'\\r\\n|\\r', chr(10), 'g'), "
-        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
+        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')"
+        "), "
         "'[ \\t]+', ' ', 'g'), "
         "' *\\n *', chr(10), 'g'), "
         "'\\n{3,}', chr(10) || chr(10), 'g'), "
         "'^\\s+|\\s+$', '', 'g')"
     )
+
+
+def _web_pipeline_oracle_sql() -> str:
+    """Cleaning-trilogy composition oracle: the validated sub-chains
+    (normalize_text's nfc+regexp chain, c4_clean's line/page filters,
+    gopher_quality's gates, md5 survivor selection) assembled into one
+    CTE pipeline in the exact stage order of q_web_pipeline."""
+    norm_chain = _norm_chain_sql("text")
     toks_of = (
         "list_filter(string_split_regex(lower(trim({x})), '[^a-z0-9'']+'), "
         "t -> t <> '')"
@@ -2501,7 +2511,7 @@ def _web_pipeline_oracle_sql() -> str:
         "' a ', chr(10), 'g') || '.' AS text FROM nn), "
         "b AS (SELECT doc_id, source, coalesce(text, '') AS txt, "
         "list_filter(list_transform(string_split_regex(coalesce(text, ''), "
-        "'\\n'), s -> trim(s)), s -> s <> '') AS lines FROM sg), "
+        "'\\n'), s -> regexp_replace(s, '^\\s+|\\s+$', '', 'g')), s -> s <> '') AS lines FROM sg), "
         "k AS (SELECT doc_id, source, txt, list_filter(lines, s -> "
         "regexp_matches(s, '[.!?]\"?$') "
         "AND len(list_filter(string_split_regex(s, '\\s+'), w -> w <> '')) >= 3 "
@@ -2511,7 +2521,7 @@ def _web_pipeline_oracle_sql() -> str:
         "coalesce(array_to_string(kept, chr(10)), '') AS clean_text FROM k), "
         "pg AS (SELECT doc_id, source, clean_text FROM c WHERE "
         "len(list_filter(list_transform(string_split_regex(clean_text, "
-        "'[.!?]'), s -> trim(s)), s -> s <> '')) >= 2 "
+        "'[.!?]'), s -> regexp_replace(s, '^\\s+|\\s+$', '', 'g')), s -> s <> '')) >= 2 "
         "AND NOT contains(lower(txt), 'lorem ipsum') "
         "AND NOT (contains(txt, '{') OR contains(txt, '}'))), "
         f"gt AS (SELECT doc_id, source, clean_text, "
@@ -3273,7 +3283,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents), "
             "b AS (SELECT doc_id, coalesce(text, '') AS txt, "
             "list_filter(list_transform(string_split_regex(coalesce(text, ''), "
-            "'\\n'), s -> trim(s)), s -> s <> '') AS lines FROM t), "
+            "'\\n'), s -> regexp_replace(s, '^\\s+|\\s+$', '', 'g')), s -> s <> '') AS lines FROM t), "
             "k AS (SELECT doc_id, txt, list_filter(lines, s -> "
             "regexp_matches(s, '[.!?]\"?$') "
             "AND len(list_filter(string_split_regex(s, '\\s+'), w -> w <> '')) >= 3 "
@@ -3286,7 +3296,7 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT doc_id, clean_text, "
             "len(kept)::BIGINT AS n_lines_kept, "
             "len(list_filter(list_transform(string_split_regex(clean_text, "
-            "'[.!?]'), s -> trim(s)), s -> s <> ''))::BIGINT AS n_sentences, "
+            "'[.!?]'), s -> regexp_replace(s, '^\\s+|\\s+$', '', 'g')), s -> s <> ''))::BIGINT AS n_sentences, "
             "len(list_filter(list_distinct(list_filter(string_split_regex("
             "lower(trim(clean_text)), '[^a-z0-9'']+'), x -> x <> '')), "
             "x -> list_contains(['vector','stream'], x))) > 0 AS has_badword, "
@@ -3306,15 +3316,8 @@ def oracle_sql() -> dict[str, str]:
             f"THEN {_duck_str(_MESS_EVEN)} ELSE {_duck_str(_MESS_ODD)} END AS text "
             "FROM documents), "
             "n AS (SELECT doc_id, text, "
-            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-            "regexp_replace(regexp_replace("
-            "nfc_normalize(coalesce(text, '')), "
-            "'\\r\\n|\\r', chr(10), 'g'), "
-            "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
-            "'[ \\t]+', ' ', 'g'), "
-            "' *\\n *', chr(10), 'g'), "
-            "'\\n{3,}', chr(10) || chr(10), 'g'), "
-            "'^\\s+|\\s+$', '', 'g') AS norm_text FROM t) "
+            + _norm_chain_sql("text")
+            + " AS norm_text FROM t) "
             "SELECT doc_id, norm_text, "
             "CASE WHEN text IS NULL THEN TRUE ELSE norm_text <> text END AS changed "
             "FROM n"

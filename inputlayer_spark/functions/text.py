@@ -865,20 +865,28 @@ def normalize_text(df, id_col: str, text_col: str, carry: tuple = ()):
     drift unless the corpus is normalized first.
 
     Steps, in order:
-    1. Unicode NFC (composed form: 'e'+U+0301 -> U+00E9, singleton
+    1. Line-ending canonicalization: \\r\\n and bare \\r -> \\n.
+    2. Strip C0 control chars except tab/newline (+ DEL).
+    3. Unicode NFC (composed form: 'e'+U+0301 -> U+00E9, singleton
        compatibility points like U+212B ANGSTROM -> U+00C5). Spark has
        no JVM-side unicode-normalize builtin, so this is the one
        justified Python step — an Arrow-batched pandas_udf over
        stdlib `unicodedata` (same class as compression_ratio's zlib
        kernel; never row-at-a-time).
-    2. Line-ending canonicalization: \\r\\n and bare \\r -> \\n.
-    3. Strip C0 control chars except tab/newline (+ DEL).
     4. Collapse runs of spaces/tabs to one space.
     5. Trim spaces around newlines (line-edge whitespace).
     6. Collapse 3+ newlines to a paragraph break (two).
     7. Trim outer whitespace.
-    Steps 2-7 are JVM-side codegen'd regexp_replace chains; the DuckDB
-    oracle replicates the identical chain over `nfc_normalize` (both
+    The C0 strip runs BEFORE the NFC kernel (ADVICE r10): a control
+    char between a base and a combining mark blocks canonical
+    composition, so stripping it afterwards left non-NFC output and
+    broke normalize(normalize(x)) == normalize(x) — the exact property
+    exact-dedup relies on. Steps 4-7 can't break NFC-ness: they only
+    delete/collapse ASCII whitespace and never create a new
+    base+combining-mark adjacency (runs collapse to one char, trims
+    happen at string edges or around a surviving newline). Steps 1-2
+    and 4-7 are JVM-side codegen'd regexp_replace chains; the DuckDB
+    oracle replicates the identical chain around `nfc_normalize` (both
     utf8proc and CPython implement the same stable Unicode NFC).
 
     NULL text fails closed to '' with changed=true. Output:
@@ -908,9 +916,10 @@ def normalize_text(df, id_col: str, text_col: str, carry: tuple = ()):
     # stacked ArrowEvalPython nodes over one scan).
     _nfc = _nfc.asNondeterministic()
 
-    norm = _nfc(F.coalesce(F.col(text_col), F.lit("")))
-    norm = F.regexp_replace(norm, r"\r\n|\r", "\n")
-    norm = F.regexp_replace(norm, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    pre = F.coalesce(F.col(text_col), F.lit(""))
+    pre = F.regexp_replace(pre, r"\r\n|\r", "\n")
+    pre = F.regexp_replace(pre, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    norm = _nfc(pre)
     norm = F.regexp_replace(norm, r"[ \t]+", " ")
     norm = F.regexp_replace(norm, r" *\n *", "\n")
     norm = F.regexp_replace(norm, r"\n{3,}", "\n\n")
@@ -975,12 +984,20 @@ def c4_clean(
     branch; see normalize_text's docstring for the measured cost).
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
+    # edge-trim is FULL whitespace (regex \s), like
+    # _sorted_nonempty_segments: F.trim strips only ASCII spaces, so raw
+    # CRLF/tab-edged lines kept '\r'/'\t' and the terminal-punctuation
+    # gate silently dropped them (ADVICE r10); the pure-Python
+    # differential reference has always used .strip()
     base = df.select(
         F.col(id_col),
         *[F.col(c) for c in carry],
         txt.alias("__txt"),
         F.filter(
-            F.transform(F.split(txt, line_sep), lambda s: F.trim(s)),
+            F.transform(
+                F.split(txt, line_sep),
+                lambda s: F.regexp_replace(s, r"^\s+|\s+$", ""),
+            ),
             lambda s: s != "",
         ).alias("__lines"),
     )
@@ -1004,7 +1021,10 @@ def c4_clean(
     # non-empty remainder (deterministic and engine-portable)
     n_sentences = F.size(
         F.filter(
-            F.transform(F.split(clean, r"[.!?]"), lambda s: F.trim(s)),
+            F.transform(
+                F.split(clean, r"[.!?]"),
+                lambda s: F.regexp_replace(s, r"^\s+|\s+$", ""),
+            ),
             lambda s: s != "",
         )
     )

@@ -3195,15 +3195,19 @@ def test_c4_clean_random_differential(spark):
     """Seeded random-text differential vs the pure-Python reference:
     punctuation-ended and bare lines, quotes after punctuation,
     javascript mentions, braces, lorem ipsum, short lines — mixed
-    freely, including whitespace-only lines and None."""
+    freely, including whitespace-only lines, None, and tab/CR-edged
+    lines (ADVICE r10: the edge-trim must strip FULL whitespace like
+    the reference's .strip(), not just ASCII spaces — '.\\t' and '.\\r'
+    endings exercise exactly that divergence)."""
     import random
 
     from inputlayer_spark.functions.text import c4_clean
 
     rng = random.Random(4041)
     frag = ["the quick fox", "x", "see the docs", "enable javascript now",
-            "one two three four", "ok fine", "lorem ipsum dolor", "code { y }"]
-    tail = [".", "!", "?", '."', "", " ", ""]
+            "one two three four", "ok fine", "lorem ipsum dolor", "code { y }",
+            "\ttabbed lead here"]
+    tail = [".", "!", "?", '."', "", " ", "", ".\t", ".\r", "\t"]
     rows = []
     for i in range(60):
         n_lines = rng.randint(0, 7)
@@ -3286,6 +3290,11 @@ def test_normalize_text_is_idempotent(spark):
              chr(0xFB01), "."]
     rows = [(i, "".join(rng.choice(atoms) for _ in range(rng.randint(0, 30))))
             for i in range(50)]
+    # explicit edge fixtures (ADVICE r10): a C0 control between base and
+    # combining mark blocks NFC composition unless the strip runs FIRST
+    # — pinned here so the property never depends on seed luck
+    rows.append((100, "e" + chr(1) + chr(0x301)))
+    rows.append((101, "e" + chr(0x0B) + chr(0x301) + " x\r\n" + chr(2) + chr(0x301)))
     df = spark.createDataFrame(rows, "doc_id int, text string")
     once = normalize_text(df, "doc_id", "text")
     twice = normalize_text(
@@ -3298,6 +3307,9 @@ def test_normalize_text_is_idempotent(spark):
     for i in a:
         assert b[i]["norm_text"] == a[i], (i, repr(a[i]), repr(b[i]["norm_text"]))
         assert not b[i]["changed"], (i, repr(a[i]))
+    # and the fixture's output must be the COMPOSED form: stripping the
+    # control first exposes the base+mark adjacency to NFC
+    assert a[100] == chr(0xE9), repr(a[100])  # U+00E9, not 'e'+U+0301
 
 
 # ---------------------------------------------------------------------------
