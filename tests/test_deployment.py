@@ -1,0 +1,160 @@
+"""Deployment-packaging validation (VERDICT r10 #7): the Dockerfile /
+compose / Caddyfile / Makefile / pyproject surface must parse and stay
+consistent with the server's real contract, and the container
+entrypoint script must boot the server against a temp config. The
+docker build itself is environment-gated (needs network + a daemon),
+like the node-backed GUI tests."""
+
+import os
+import socket
+import subprocess
+import sys
+import time
+import urllib.request
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _read(name):
+    with open(os.path.join(REPO, name)) as f:
+        return f.read()
+
+
+# ---------------------------------------------------------------- files
+
+
+def test_dockerfile_contract():
+    df = _read("Dockerfile")
+    # JVM for Spark, non-root runtime, health endpoint, config env
+    assert "default-jre-headless" in df
+    assert "USER inputlayer" in df
+    assert "EXPOSE 8080" in df
+    assert "HEALTHCHECK" in df and "/health" in df
+    assert "SPARK_GRAFT_CONFIG" in df
+    assert 'ENTRYPOINT ["entrypoint.sh"]' in df
+    # every COPY source must exist in the build context
+    for line in df.splitlines():
+        if line.startswith("COPY "):
+            srcs = line.split()[1:-1]
+            for s in srcs:
+                assert os.path.exists(os.path.join(REPO, s)), s
+
+
+def test_compose_files_parse_and_bind_real_config_keys():
+    yaml = pytest.importorskip("yaml")
+    from inputlayer_spark.config import Config
+
+    for name in ("docker-compose.yml", "docker-compose-no-tls.yml"):
+        doc = yaml.safe_load(_read(name))
+        svc = doc["services"]["inputlayer"]
+        assert svc["image"] == "inputlayer-spark:latest"
+        assert any("/var/lib/inputlayer/data" in v for v in svc["volumes"])
+        # every INPUTLAYER_* env var must resolve to a real config key
+        # via the same SECTION__KEY walk the server uses
+        cfg = Config.load(config_dir=os.path.join(REPO, "docker"), env={})
+        for key in svc["environment"]:
+            path = key[len("INPUTLAYER_"):].lower().split("__")
+            node = cfg
+            for part in path:
+                assert hasattr(node, part), f"{name}: {key} ({part})"
+                node = getattr(node, part)
+    # TLS variant: caddy fronts the server; server port NOT published
+    tls = yaml.safe_load(_read("docker-compose.yml"))
+    assert "caddy" in tls["services"]
+    assert "ports" not in tls["services"]["inputlayer"]
+    assert _read("Caddyfile").strip().startswith("{$DOMAIN:localhost}")
+
+
+def test_pyproject_parses_and_scripts_resolve():
+    import importlib
+    import tomllib
+
+    meta = tomllib.loads(_read("pyproject.toml"))
+    proj = meta["project"]
+    assert proj["name"] == "inputlayer-spark"
+    assert any(d.startswith("pyspark") for d in proj["dependencies"])
+    for target in proj["scripts"].values():
+        mod, fn = target.split(":")
+        assert callable(getattr(importlib.import_module(mod), fn))
+
+
+def test_makefile_verbs_dry_run():
+    """The reference's verb surface must exist and expand: `make -n`
+    proves each target parses and resolves without running anything."""
+    for verb in ("test", "test-fast", "bench", "conformance", "serve",
+                 "check", "docker", "docker-deploy"):
+        out = subprocess.run(
+            ["make", "-n", verb], cwd=REPO, capture_output=True, text=True
+        )
+        assert out.returncode == 0, (verb, out.stderr)
+        assert out.stdout.strip(), verb
+
+
+# ----------------------------------------------------------- entrypoint
+
+
+def test_entrypoint_boots_server_against_temp_config(tmp_path):
+    """docker/entrypoint.sh with SPARK_GRAFT_CONFIG pointing at a temp
+    config must bring up the real HTTP server: /health answers ok.
+    Same boot path as the container, minus the image."""
+    port = _free_port()
+    data_dir = tmp_path / "data"
+    cfg = tmp_path / "config.toml"
+    cfg.write_text(
+        "[storage]\n"
+        f'data_dir = "{data_dir}"\n'
+        "auto_create_knowledge_graphs = true\n"
+        "[http]\n"
+        "enabled = true\n"
+        'host = "127.0.0.1"\n'
+        f"port = {port}\n"
+        "[performance]\n"
+        "num_threads = 2\n"
+        "shuffle_partitions = 4\n"
+        "[logging]\n"
+        'level = "error"\n'
+    )
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CONFIG"] = str(cfg)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        ["sh", os.path.join(REPO, "docker", "entrypoint.sh")],
+        cwd=str(tmp_path),  # NOT the repo root: config must come from env
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        deadline = time.time() + 120
+        last_err = None
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                out = proc.stdout.read()
+                raise AssertionError(f"server exited early:\n{out}")
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/health", timeout=2
+                ) as r:
+                    assert b"ok" in r.read()
+                    return
+            except Exception as e:  # noqa: BLE001 — retry until deadline
+                last_err = e
+                time.sleep(1.0)
+        raise AssertionError(f"/health never came up: {last_err}")
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
