@@ -1840,6 +1840,26 @@ def q_lm_score(spark, sf_dir):
     return lm_score(docs, "doc_id", "text")
 
 
+def q_lm_score_skewed(spark, sf_dir):
+    """Planted-skew twin of lm_score (VERDICT r10 stretch #8): every
+    document gets the hot token 'zq' appended at one third of its own
+    token count, so 'zq' carries ~25% of the whole corpus's token mass
+    — the stopword-skew shape real web text puts on the token-keyed
+    shuffles. The operator is unchanged; this row exists so the scale
+    sweep measures the skewed key distribution (AQE skew-split is the
+    mitigation; partial aggregation absorbs the agg side)."""
+    from inputlayer_spark.functions.text import lm_score
+    from inputlayer_spark.functions.text import tokens as _tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_hot = F.floor(F.size(_tokens(F.col("text"))) / F.lit(3)).cast("int")
+    hot = F.array_join(F.array_repeat(F.lit("zq"), n_hot), " ")
+    skewed = docs.select(
+        "doc_id", F.concat_ws(" ", F.col("text"), hot).alias("text")
+    )
+    return lm_score(skewed, "doc_id", "text")
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary columns + mapInPandas feature kernel.
     These payloads are UTF-8 text (not decodable images), so the kernel
@@ -2186,6 +2206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11: bpe_encode closes the train/apply oracle gap (VERDICT
         # r10 #1 — below the driver window, full repo oracle parity)
         "bpe_encode": q_bpe_encode,
+        # r11: planted-skew lm_score twin for the scale sweep's
+        # token-key skew evidence (VERDICT r10 stretch #8)
+        "lm_score_skewed": q_lm_score_skewed,
     }
 
 
@@ -3214,6 +3237,32 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT doc_id, list_filter(regexp_split_to_array("
             "    lower(trim(text)), '[^a-z0-9'']+'), x -> x <> '') AS a"
             "  FROM documents"
+            "), bg AS ("
+            "  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2"
+            "  FROM arr2, unnest(generate_series(1, len(a) - 1)) AS g(i)"
+            "  WHERE len(a) >= 2"
+            "), big AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),"
+            " uni AS (SELECT w1, sum(cb) AS cu FROM big GROUP BY w1),"
+            " v AS (SELECT count(DISTINCT t.tok)::DOUBLE AS v FROM ("
+            "   SELECT unnest(a) AS tok FROM arr2) t WHERE t.tok <> '')"
+            " SELECT bg.doc_id, count(*) AS n_bigrams,"
+            "        round(avg(ln((big.cb::DOUBLE + 0.5)"
+            "                     / (uni.cu::DOUBLE + 0.5 * v.v))), 6)"
+            "          AS avg_logprob"
+            " FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1), v"
+            " GROUP BY bg.doc_id"
+        ),
+        # planted-skew lm_score twin: identical pipeline over documents
+        # with 'zq' appended at len(toks)//3 copies per doc (~25% of
+        # corpus token mass on one key)
+        "lm_score_skewed": (
+            "WITH skew AS ("
+            f"  SELECT doc_id, text || ' ' || repeat('zq ', "
+            f"    greatest(len({_TOKS}) // 3, 0)) AS text FROM documents"
+            "), arr2 AS ("
+            "  SELECT doc_id, list_filter(regexp_split_to_array("
+            "    lower(trim(text)), '[^a-z0-9'']+'), x -> x <> '') AS a"
+            "  FROM skew"
             "), bg AS ("
             "  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2"
             "  FROM arr2, unnest(generate_series(1, len(a) - 1)) AS g(i)"

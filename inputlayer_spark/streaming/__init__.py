@@ -1,3 +1,6 @@
-from inputlayer_spark.streaming.maintainer import IncrementalMaintainer
+from inputlayer_spark.streaming.maintainer import (
+    IncrementalMaintainer,
+    StreamingCorpusDeduper,
+)
 
-__all__ = ["IncrementalMaintainer"]
+__all__ = ["IncrementalMaintainer", "StreamingCorpusDeduper"]

@@ -159,3 +159,151 @@ class IncrementalMaintainer:
 
             unregister_job_source(self.engine.spark, self._job_source)
             self._job_source = None
+
+
+class StreamingCorpusDeduper:
+    """The production shape of `operators.dedup.incremental_dedup`
+    (VERDICT r10 stretch #9): a readStream of NEW documents (the daily
+    crawl) dedups every micro-batch against the persisted corpus, and
+    survivors append to the corpus for the next batch to dedup against.
+
+    All state lives ON DISK, so restart recovery is by construction:
+
+    - `corpus_dir` — the existing corpus (parquet, read-only here),
+    - `survivors_dir` — accepted batch rows, written one
+      `batch=<id>` partition per micro-batch with mode("overwrite") so
+      a foreachBatch RETRY after a crash rewrites the same partition
+      instead of duplicating it (idempotent at-least-once → effective
+      exactly-once),
+    - `checkpoint_dir` — Structured Streaming's file-source ledger: a
+      restarted instance skips already-committed input files.
+
+    Each batch's reference corpus is corpus_dir ∪ survivors_dir
+    re-read from parquet — self-consistent across restarts with no
+    in-memory state to rebuild. Scale: the per-batch work is
+    incremental_dedup's (md5 anti-join + banding self-join over corpus
+    ∪ batch with cap-guarded broadcasts); a production deployment
+    persists the corpus-side MinHash signatures as an index artifact
+    instead of recomputing them (see incremental_dedup's docstring) —
+    the seam is the same.
+    """
+
+    def __init__(
+        self,
+        spark,
+        id_col: str,
+        text_col: str,
+        corpus_dir: str,
+        source_dir: str,
+        schema: T.StructType,
+        checkpoint_dir: str,
+        survivors_dir: str,
+        num_perm: int = 64,
+        bands: int = 16,
+        shingle_n: int = 2,
+        threshold: float = 0.5,
+    ):
+        self.spark = spark
+        self.id_col = id_col
+        self.text_col = text_col
+        self.corpus_dir = corpus_dir
+        self.source_dir = source_dir
+        self.schema = schema
+        self.checkpoint_dir = checkpoint_dir
+        self.survivors_dir = survivors_dir
+        self.num_perm = num_perm
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.threshold = threshold
+        self.batches_seen = 0
+        self._query = None
+        self._lock = threading.Lock()
+
+    # -------------------------------------------------------------- state
+
+    def corpus(self):
+        """corpus_dir ∪ accepted survivors so far — the dedup reference
+        for the next batch, and the user-facing deduplicated corpus."""
+        cols = [self.id_col, self.text_col]
+        base = self.spark.read.parquet(self.corpus_dir).select(*cols)
+        import os
+
+        if os.path.isdir(self.survivors_dir) and any(
+            e.startswith("batch=") for e in os.listdir(self.survivors_dir)
+        ):
+            surv = self.spark.read.parquet(self.survivors_dir).select(*cols)
+            base = base.unionByName(surv)
+        return base
+
+    # -------------------------------------------------------------- batch
+
+    def _on_batch(self, batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from inputlayer_spark.operators.dedup import incremental_dedup
+
+        with self._lock:
+            cols = [self.id_col, self.text_col]
+            surv = incremental_dedup(
+                batch_df.select(*cols),
+                self.corpus(),
+                self.id_col,
+                self.text_col,
+                num_perm=self.num_perm,
+                bands=self.bands,
+                shingle_n=self.shingle_n,
+                threshold=self.threshold,
+            )
+            surv.write.mode("overwrite").parquet(
+                f"{self.survivors_dir}/batch={batch_id}"
+            )
+            self.batches_seen += 1
+
+    # -------------------------------------------------------------- control
+
+    def start(self, processing_interval: Optional[str] = None):
+        reader = (
+            self.spark.readStream.schema(self.schema)
+            .format("parquet")
+            .load(self.source_dir)
+        )
+        writer = reader.writeStream.foreachBatch(self._on_batch).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if processing_interval is None:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_interval)
+        from inputlayer_spark.session import (
+            register_job_source,
+            unregister_job_source,
+        )
+
+        if getattr(self, "_job_source", None) is not None:
+            unregister_job_source(self.spark, self._job_source)
+        self._job_source = register_job_source(self.spark, "streaming-deduper")
+        try:
+            self._query = writer.start()
+        except Exception:
+            unregister_job_source(self.spark, self._job_source)
+            self._job_source = None
+            raise
+        return self._query
+
+    def process_available(self) -> None:
+        """Drain all currently-available batch files and return."""
+        q = self.start(processing_interval=None)
+        try:
+            q.awaitTermination()
+        finally:
+            self.stop()
+
+    def stop(self) -> None:
+        if self._query is not None:
+            self._query.stop()
+            self._query = None
+        if getattr(self, "_job_source", None) is not None:
+            from inputlayer_spark.session import unregister_job_source
+
+            unregister_job_source(self.spark, self._job_source)
+            self._job_source = None

@@ -127,6 +127,12 @@ QUERIES = [
     "vocabulary",
     "tfidf",
     "lm_score",
+    # planted-skew twin: 'zq' appended at ~25% of corpus token mass —
+    # the stopword-skew shape of real web text on the token-keyed
+    # shuffles; partial aggregation absorbs the agg side and AQE
+    # skew-split rebalances the join side, so growth should stay in
+    # lm_score's linear-work class (VERDICT r10 stretch #8)
+    "lm_score_skewed",
     "source_filter",
     # round-10 wave: substring_dedup's window-hash shuffle should be
     # token-volume-bound linear (vocabulary's class); dsir_weights is
@@ -139,6 +145,12 @@ QUERIES = [
     "dsir_weights",
     "bm25_search",
     "semantic_dedup",
+    # cross-snapshot dedup (VERDICT r10 #2: bench+correctness rows but
+    # no 100x evidence until now): exact stage is an md5-key anti-join,
+    # near stage rides the minhash_lsh banding self-join — with the
+    # corpus-sized tags broadcast now cap-guarded, growth should sit in
+    # minhash_lsh's class
+    "incremental_dedup",
     # gopher_quality is a single corpus scan (should track scan time);
     # bpe_merges' round cost is vocabulary-bound — distinct words grow
     # sublinearly in the corpus, and the suffixed sf1 copies add ~10

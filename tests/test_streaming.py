@@ -960,3 +960,61 @@ def test_cleaning_operators_run_on_streams(spark, tmp_path):
     assert got[1]["keep"] and got[1]["changed"]
     assert got[2]["clean_text"] == "" and not got[2]["keep"]
     assert got[3]["n_lines_kept"] == 0 and not got[3]["keep"]
+
+
+def test_streaming_corpus_dedup_checkpointed_restart(spark, tmp_path):
+    """VERDICT r10 stretch #9: incremental_dedup's production shape —
+    a readStream of new documents dedups each micro-batch against
+    corpus ∪ accepted-survivors, all state on disk. Phase 2 uses a
+    FRESH instance over the same checkpoint: already-committed input
+    files are skipped, earlier survivors are not duplicated, and new
+    batches dedup against survivors accepted before the restart."""
+    from inputlayer_spark.streaming import StreamingCorpusDeduper
+
+    DOC = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    corpus_dir = tmp_path / "corpus"
+    src_dir = tmp_path / "incoming"
+    ckpt = tmp_path / "ckpt"
+    surv_dir = tmp_path / "survivors"
+    src_dir.mkdir()
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    fresh = "totally new unique content appears here today for the first time now"
+    spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten")],
+        DOC,
+    ).coalesce(1).write.parquet(str(corpus_dir))
+
+    def deduper():
+        return StreamingCorpusDeduper(
+            spark, "doc_id", "text", str(corpus_dir), str(src_dir), DOC,
+            str(ckpt), str(surv_dir), num_perm=64, bands=32, shingle_n=2,
+        )
+
+    # batch 1: exact corpus dup, near corpus dup (1 token changed),
+    # one fresh doc, and its exact batch-internal dup
+    spark.createDataFrame(
+        [(10, base), (11, base.replace("theta", "xx")), (12, fresh), (13, fresh)],
+        DOC,
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    d1 = deduper()
+    d1.process_available()
+    assert d1.batches_seen == 1
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(str(surv_dir)).collect()) == [12]
+
+    # restart: NEW instance, same checkpoint; batch 2 dups a PRE-restart
+    # survivor and brings one genuinely new doc
+    other = "completely different words appear in this line of text my friends"
+    spark.createDataFrame([(20, fresh), (21, other)], DOC).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src_dir))
+    d2 = deduper()
+    d2.process_available()
+    assert d2.batches_seen == 1  # only the NEW file: batch 1 checkpointed away
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(str(surv_dir)).collect()) == [12, 21]
+    # the running corpus view is base ∪ survivors
+    assert sorted(r["doc_id"] for r in d2.corpus().collect()) == [1, 2, 12, 21]
