@@ -22,6 +22,8 @@ COPY pyproject.toml README.md ./
 COPY inputlayer_spark/ ./inputlayer_spark/
 RUN pip install --no-cache-dir .
 
+COPY docs/ /opt/inputlayer/docs/
+ENV SPARK_GRAFT_DOCS_DIR=/opt/inputlayer/docs
 COPY config.example.toml /etc/inputlayer/config.toml
 COPY docker/entrypoint.sh /usr/local/bin/entrypoint.sh
 RUN chmod +x /usr/local/bin/entrypoint.sh && \

@@ -64,6 +64,12 @@ def _js_rules() -> list:
 def _docs_dir() -> str:
     import os
 
+    # SPARK_GRAFT_DOCS_DIR lets an installed package (site-packages,
+    # container image) point at its docs checkout; the default is the
+    # repo layout (package parent / docs)
+    env = os.environ.get("SPARK_GRAFT_DOCS_DIR")
+    if env:
+        return env
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs"
     )

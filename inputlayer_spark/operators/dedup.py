@@ -98,6 +98,57 @@ def doc_shingle_arrays(
     )
 
 
+def minhash_band_rows(
+    shingle_arrays: DataFrame, num_perm: int, bands: int
+) -> DataFrame:
+    """(__id, band, key) LSH band rows from per-doc shingle arrays —
+    the persistable heart of the MinHash pipeline (a band row is a pure
+    deterministic function of the doc text, so rows computed at index
+    build time and rows computed for a new batch are interchangeable).
+
+    Per-permutation hash = xxhash64(seed_i, base_hash): a true
+    re-ordering per seed (a monotonic a*h+b mix would make every
+    permutation share one argmin shingle and collapse the signature).
+    The shingle STRING is hashed once into a long; the num_perm
+    per-seed hashes then run over the long — ~64 string hashes per
+    shingle become 1 string hash + 64 word-sized mixes. The signature
+    is computed as explode → Tungsten hash-aggregate of num_perm mins:
+    primitive aggregation buffers, no per-element array allocation
+    (an array-fold formulation allocates a num_perm-long array per
+    shingle — measured GC-erratic 2-4× slower at sf0.1 — and a
+    column-per-seed projection gets inlined by Catalyst's project
+    collapse, re-hashing every shingle num_perm times)."""
+    rows_per_band = num_perm // bands
+    hashed = shingle_arrays.select(
+        "__id", F.explode("__sh_arr").alias("__sh")
+    ).withColumn("__h0", F.xxhash64(F.col("__sh")))
+    sig_cols = [
+        F.min(F.xxhash64(F.lit(i), F.col("__h0"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    banded = hashed.groupBy("__id").agg(*sig_cols)
+    return banded.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "bk.band", "bk.key")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -122,49 +173,9 @@ def minhash_lsh_pairs(
     shingling runs once for the whole pipeline.
     Output columns: id1, id2.
     """
-    rows_per_band = num_perm // bands
     if shingle_arrays is None:
         shingle_arrays = doc_shingle_arrays(df, id_col, text_col, shingle_n)
-    # per-permutation hash = xxhash64(seed_i, base_hash): a true
-    # re-ordering per seed (a monotonic a*h+b mix would make every
-    # permutation share one argmin shingle and collapse the signature).
-    # The shingle STRING is hashed once into a long; the num_perm
-    # per-seed hashes then run over the long — ~64 string hashes per
-    # shingle become 1 string hash + 64 word-sized mixes. The signature
-    # is computed as explode → Tungsten hash-aggregate of num_perm mins:
-    # primitive aggregation buffers, no per-element array allocation
-    # (an array-fold formulation allocates a num_perm-long array per
-    # shingle — measured GC-erratic 2-4× slower at sf0.1 — and a
-    # column-per-seed projection gets inlined by Catalyst's project
-    # collapse, re-hashing every shingle num_perm times).
-    hashed = shingle_arrays.select(
-        "__id", F.explode("__sh_arr").alias("__sh")
-    ).withColumn("__h0", F.xxhash64(F.col("__sh")))
-    sig_cols = [
-        F.min(F.xxhash64(F.lit(i), F.col("__h0"))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
-    banded = hashed.groupBy("__id").agg(*sig_cols)
-    band_rows = banded.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"h{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("__id", "bk.band", "bk.key")
+    band_rows = minhash_band_rows(shingle_arrays, num_perm, bands)
     left = band_rows.toDF("id1", "band", "key")
     right = band_rows.toDF("id2", "band", "key")
     return (
@@ -916,3 +927,130 @@ def incremental_dedup(
         .distinct()
     )
     return surv0.join(dominated, id_col, "left_anti")
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 2,
+):
+    """One-time index artifacts for `incremental_dedup_indexed`: the
+    three deterministic per-doc derivations the batch path would
+    otherwise recompute over the WHOLE corpus on every micro-batch
+    (the reference persists its LSH/HNSW artifacts the same way —
+    index build is `.index create`-time work, probes pay only their
+    own cost):
+
+    - hashes  (__id, __h)            — md5 content hash (exact stage)
+    - bands   (__id, band, key)      — MinHash-LSH band rows
+    - arrays  (__id, __sh_arr)       — distinct shingle arrays (verify)
+
+    Returns the three DataFrames; persist them as parquet and union
+    per-batch survivor deltas (every row is a pure function of one
+    document, so incremental append IS maintenance). Parameters
+    (num_perm/bands/shingle_n) are part of the artifact's identity —
+    mixing rows built with different parameters is meaningless.
+    """
+    hashes = corpus.select(
+        F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__h")
+    )
+    arrays = doc_shingle_arrays(corpus, id_col, text_col, shingle_n)
+    band_rows = minhash_band_rows(arrays, num_perm, bands)
+    return hashes, band_rows, arrays
+
+
+def incremental_dedup_indexed(
+    batch: DataFrame,
+    index_hashes: DataFrame,
+    index_bands: DataFrame,
+    index_arrays: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+):
+    """`incremental_dedup` against a PERSISTED corpus index instead of
+    the corpus itself — the production shape: per-batch work is
+    O(batch + candidates), never O(corpus). The corpus text is not an
+    input at all; the exact stage anti-joins the batch's md5 hashes
+    against the hash artifact, the near stage joins the batch's band
+    rows against the band artifact (corpus-corpus pairs are skipped BY
+    CONSTRUCTION — they can never dominate a batch row, so results are
+    identical to incremental_dedup; equivalence is test-pinned), and
+    exact-Jaccard verification fetches shingle arrays for candidate
+    ids only.
+
+    Returns (survivors, delta_hashes, delta_bands, delta_arrays): the
+    surviving batch rows plus their index rows — append the deltas to
+    the artifacts and the index is current for the next batch.
+    """
+    bh = batch.select(
+        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__h")
+    )
+    hset = index_hashes.select("__h").distinct()
+    no_corpus_exact = bh.join(
+        F.broadcast(hset) if _fits_broadcast(hset) else hset, "__h", "left_anti"
+    )
+    reps = no_corpus_exact.groupBy("__h").agg(F.min(F.col(id_col)).alias(id_col))
+    surv0 = no_corpus_exact.join(reps.select(id_col), id_col, "semi").drop("__h")
+
+    arr_b = doc_shingle_arrays(surv0, id_col, text_col, shingle_n).localCheckpoint(
+        eager=True
+    )
+    bands_b = minhash_band_rows(arr_b, num_perm, bands).localCheckpoint(eager=True)
+    all_bands = index_bands.unionByName(bands_b)
+    # candidates = batch-side band rows against ALL band rows: exactly
+    # the pairs with >= 1 new member (the only ones the kill rule can
+    # act on). Batch-batch pairs match twice before the distinct.
+    a = bands_b.toDF("ida", "band", "key")
+    b = all_bands.toDF("idb", "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("ida") != F.col("idb"))
+        .select(
+            F.least("ida", "idb").alias("id1"),
+            F.greatest("ida", "idb").alias("id2"),
+        )
+        .distinct()
+    )
+    ver = jaccard_verify_pairs(cand, index_arrays.unionByName(arr_b), threshold)
+    # new-side flags come from the batch id set (batch-sized, never
+    # corpus-sized — the whole point of the indexed path), cap-guarded
+    # all the same
+    new_ids = surv0.select(F.col(id_col)).localCheckpoint(eager=True)
+    small = _fits_broadcast(new_ids)
+    n1 = new_ids.toDF("id1").withColumn("__new1", F.lit(True))
+    n2 = new_ids.toDF("id2").withColumn("__new2", F.lit(True))
+    flagged = (
+        ver.join(F.broadcast(n1) if small else n1, "id1", "left")
+        .join(F.broadcast(n2) if small else n2, "id2", "left")
+        .fillna({"__new1": False, "__new2": False})
+    )
+    dominated = (
+        flagged.filter(F.col("__new1") & F.col("__new2"))
+        .select(F.col("id2").alias(id_col))
+        .unionByName(
+            flagged.filter(F.col("__new1") & ~F.col("__new2")).select(
+                F.col("id1").alias(id_col)
+            )
+        )
+        .unionByName(
+            flagged.filter(~F.col("__new1") & F.col("__new2")).select(
+                F.col("id2").alias(id_col)
+            )
+        )
+        .distinct()
+    )
+    surv = surv0.join(dominated, id_col, "left_anti").localCheckpoint(eager=True)
+    sid = surv.select(F.col(id_col).alias("__id"))
+    delta_hashes = surv.select(
+        F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__h")
+    )
+    delta_bands = bands_b.join(sid, "__id", "semi")
+    delta_arrays = arr_b.join(sid, "__id", "semi")
+    return surv, delta_hashes, delta_bands, delta_arrays

@@ -177,15 +177,18 @@ class StreamingCorpusDeduper:
       exactly-once),
     - `checkpoint_dir` — Structured Streaming's file-source ledger: a
       restarted instance skips already-committed input files.
+    - `index_dir` — the persisted dedup index (md5 hashes, MinHash-LSH
+      band rows, shingle arrays; `operators.dedup.build_dedup_index`),
+      built ONCE from corpus_dir on first use, extended with one
+      `batch=<id>` delta partition per accepted micro-batch.
 
-    Each batch's reference corpus is corpus_dir ∪ survivors_dir
-    re-read from parquet — self-consistent across restarts with no
-    in-memory state to rebuild. Scale: the per-batch work is
-    incremental_dedup's (md5 anti-join + banding self-join over corpus
-    ∪ batch with cap-guarded broadcasts); a production deployment
-    persists the corpus-side MinHash signatures as an index artifact
-    instead of recomputing them (see incremental_dedup's docstring) —
-    the seam is the same.
+    Per-batch cost is `incremental_dedup_indexed`'s: O(batch +
+    candidates) — the corpus text is never re-read and its signatures
+    never recomputed (the v1 formulation re-ran shingling + 64-way
+    minhashing over the WHOLE corpus every micro-batch: O(corpus) per
+    batch, unusable at 100 TB). All index deltas are written
+    mode("overwrite") into their batch partition, so a foreachBatch
+    retry is idempotent, exactly like the survivors themselves.
     """
 
     def __init__(
@@ -198,6 +201,7 @@ class StreamingCorpusDeduper:
         schema: T.StructType,
         checkpoint_dir: str,
         survivors_dir: str,
+        index_dir: Optional[str] = None,
         num_perm: int = 64,
         bands: int = 16,
         shingle_n: int = 2,
@@ -211,6 +215,7 @@ class StreamingCorpusDeduper:
         self.schema = schema
         self.checkpoint_dir = checkpoint_dir
         self.survivors_dir = survivors_dir
+        self.index_dir = index_dir or survivors_dir.rstrip("/") + ".index"
         self.num_perm = num_perm
         self.bands = bands
         self.shingle_n = shingle_n
@@ -235,18 +240,61 @@ class StreamingCorpusDeduper:
             base = base.unionByName(surv)
         return base
 
+    _INDEX_COLS = {
+        "hashes": ("__id", "__h"),
+        "bands": ("__id", "band", "key"),
+        "arrays": ("__id", "__sh_arr"),
+    }
+
+    def _index_part(self, part: str):
+        """base (batch=-1) ∪ batch deltas of one index artifact; the
+        `batch` partition column is dropped — every dir level is
+        key=value so Spark's partition discovery stays consistent."""
+        return self.spark.read.parquet(f"{self.index_dir}/{part}").select(
+            *self._INDEX_COLS[part]
+        )
+
+    def _ensure_index(self) -> None:
+        """Build the base index from corpus_dir once (idempotent: the
+        base/ dirs are the marker; a crash mid-build rebuilds)."""
+        import os
+
+        from inputlayer_spark.operators.dedup import build_dedup_index
+
+        done = os.path.join(self.index_dir, "_BASE_DONE")
+        if os.path.exists(done):
+            return
+        corpus = self.spark.read.parquet(self.corpus_dir).select(
+            self.id_col, self.text_col
+        )
+        hashes, band_rows, arrays = build_dedup_index(
+            corpus, self.id_col, self.text_col,
+            self.num_perm, self.bands, self.shingle_n,
+        )
+        hashes.write.mode("overwrite").parquet(f"{self.index_dir}/hashes/batch=-1")
+        band_rows.write.mode("overwrite").parquet(f"{self.index_dir}/bands/batch=-1")
+        arrays.write.mode("overwrite").parquet(f"{self.index_dir}/arrays/batch=-1")
+        with open(done, "w") as f:
+            f.write(
+                f"num_perm={self.num_perm} bands={self.bands} "
+                f"shingle_n={self.shingle_n}\n"
+            )
+
     # -------------------------------------------------------------- batch
 
     def _on_batch(self, batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        from inputlayer_spark.operators.dedup import incremental_dedup
+        from inputlayer_spark.operators.dedup import incremental_dedup_indexed
 
         with self._lock:
+            self._ensure_index()
             cols = [self.id_col, self.text_col]
-            surv = incremental_dedup(
+            surv, d_hashes, d_bands, d_arrays = incremental_dedup_indexed(
                 batch_df.select(*cols),
-                self.corpus(),
+                self._index_part("hashes"),
+                self._index_part("bands"),
+                self._index_part("arrays"),
                 self.id_col,
                 self.text_col,
                 num_perm=self.num_perm,
@@ -257,6 +305,12 @@ class StreamingCorpusDeduper:
             surv.write.mode("overwrite").parquet(
                 f"{self.survivors_dir}/batch={batch_id}"
             )
+            for part, df in (
+                ("hashes", d_hashes), ("bands", d_bands), ("arrays", d_arrays)
+            ):
+                df.write.mode("overwrite").parquet(
+                    f"{self.index_dir}/{part}/batch={batch_id}"
+                )
             self.batches_seen += 1
 
     # -------------------------------------------------------------- control

@@ -3667,3 +3667,38 @@ def test_incremental_dedup_mixed_pair_kills_new_side_regardless_of_id(spark):
         batch, corpus, "doc_id", "text", num_perm=64, bands=16, shingle_n=2
     )
     assert sorted(r["doc_id"] for r in out.collect()) == [6]
+
+
+def test_incremental_dedup_indexed_matches_direct(spark):
+    """The persisted-index path (build_dedup_index +
+    incremental_dedup_indexed) must produce EXACTLY the survivors of
+    the direct incremental_dedup on the same split — corpus-corpus
+    candidate pairs are skipped by construction, and they can never
+    dominate a batch row, so the two formulations are equivalent.
+    Delta artifacts must cover exactly the surviving ids."""
+    from inputlayer_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+        incremental_dedup_indexed,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    batch = docs.filter("doc_id % 5 = 0")
+    corpus = docs.filter("doc_id % 5 != 0")
+    direct = incremental_dedup(
+        batch, corpus, "doc_id", "text", num_perm=64, bands=16, shingle_n=2
+    )
+    h, b, a = build_dedup_index(corpus, "doc_id", "text", 64, 16, 2)
+    surv, dh, db, da = incremental_dedup_indexed(
+        batch, h, b, a, "doc_id", "text", num_perm=64, bands=16, shingle_n=2
+    )
+    sids = sorted(r["doc_id"] for r in surv.collect())
+    assert sids == sorted(r["doc_id"] for r in direct.collect())
+    assert sids  # non-trivial: some rows survive at this SF
+    assert sorted(r["__id"] for r in dh.collect()) == sids
+    assert sorted(r["__id"] for r in da.collect()) == sids
+    band_ids = sorted(set(r["__id"] for r in db.collect()))
+    assert set(band_ids) <= set(sids)  # docs w/o shingles emit no bands
