@@ -2073,6 +2073,29 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
+def q_incremental_dedup_indexed(spark, sf_dir):
+    """The persisted-index formulation of the same cross-snapshot
+    dedup (operators/dedup.incremental_dedup_indexed): the corpus side
+    enters ONLY through its index artifacts (md5 hashes, MinHash band
+    rows, shingle arrays — build_dedup_index), so per-batch work is
+    O(batch + candidates). Same split, same parameters, same oracle as
+    `incremental_dedup` — the two formulations are equivalent by
+    construction (corpus-corpus pairs can't dominate a batch row)."""
+    from inputlayer_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_indexed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    h, b, a = build_dedup_index(corpus, "doc_id", "text", 64, 16, 2)
+    surv, _, _, _ = incremental_dedup_indexed(
+        batch, h, b, a, "doc_id", "text", num_perm=64, bands=16, shingle_n=2
+    )
+    return surv
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -2209,6 +2232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11: planted-skew lm_score twin for the scale sweep's
         # token-key skew evidence (VERDICT r10 stretch #8)
         "lm_score_skewed": q_lm_score_skewed,
+        # r11: the persisted-index incremental dedup (same oracle as
+        # incremental_dedup — equivalent by construction, test-pinned)
+        "incremental_dedup_indexed": q_incremental_dedup_indexed,
     }
 
 
@@ -2577,7 +2603,7 @@ def oracle_sql() -> dict[str, str]:
     # literal query vector as a CTE column — DuckDB forbids subqueries
     # inside list lambdas
     qv_cte = "WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) "
-    return {
+    out = {
         "scan_filter": (
             "SELECT DISTINCT l_orderkey, l_linenumber, l_quantity AS qty "
             "FROM lineitem WHERE l_quantity > 45.0"
@@ -3610,3 +3636,8 @@ def oracle_sql() -> dict[str, str]:
             "WHERE p.shared::DOUBLE / (s1.n + s2.n - p.shared) >= 0.5"
         ),
     }
+    # the persisted-index formulation is equivalent by construction
+    # (corpus-corpus pairs can't dominate a batch row; equivalence is
+    # test-pinned), so it shares incremental_dedup's oracle verbatim
+    out["incremental_dedup_indexed"] = out["incremental_dedup"]
+    return out
