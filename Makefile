@@ -8,7 +8,7 @@ SF_DIR ?= /root/testdata/sf0.1
 PORT ?= 8080
 PYTEST_ARGS ?= -q
 
-.PHONY: all test test-fast bench conformance ann-recall scale-proof \
+.PHONY: all test test-affected test-fast bench conformance ann-recall scale-proof \
         serve repl demo check clean \
         docker docker-run docker-deploy docker-deploy-no-tls \
         docker-logs docker-stop
@@ -18,6 +18,10 @@ all: test
 # Full suite (the CI gate).
 test:
 	$(PYTHON) -m pytest tests/ -x $(PYTEST_ARGS)
+
+# Only the tests affected by uncommitted changes (scripts/test-affected.sh).
+test-affected:
+	sh scripts/test-affected.sh
 
 # Quick iteration loop: skip the slow end-to-end suites.
 test-fast:
