@@ -60,11 +60,14 @@ def test_compose_files_parse_and_bind_real_config_keys():
             for part in path:
                 assert hasattr(node, part), f"{name}: {key} ({part})"
                 node = getattr(node, part)
-    # TLS variant: caddy fronts the server; server port NOT published
+    # TLS variant: the edge proxy fronts the server; server port NOT
+    # published directly
     tls = yaml.safe_load(_read("docker-compose.yml"))
-    assert "caddy" in tls["services"]
+    assert "edge" in tls["services"]
     assert "ports" not in tls["services"]["inputlayer"]
-    assert _read("Caddyfile").strip().startswith("{$DOMAIN:localhost}")
+    caddy = _read("Caddyfile")
+    assert "{$DOMAIN:localhost}" in caddy
+    assert "reverse_proxy inputlayer:8080" in caddy
 
 
 def test_pyproject_parses_and_scripts_resolve():
