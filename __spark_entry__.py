@@ -826,6 +826,7 @@ def warmup(spark: SparkSession, sf_dir: str) -> None:
     _ivf_cents(spark, sf_dir)
     _hnsw_graph_art(spark, sf_dir)
     _sharded_hnsw_art(spark, sf_dir)
+    _dedup_index_art(spark, sf_dir)
 
 
 def q_knn_cosine(spark, sf_dir):
@@ -2073,23 +2074,42 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
+def _dedup_index_art(spark, sf_dir):
+    """Persisted dedup-index artifacts over the corpus split (the
+    non-batch 4/5 of documents) — index build is `.index create`-time
+    work like the ANN artifacts, so the timed/driver query pays only
+    the per-batch probe (the operator's whole point)."""
+    key = ("dedup_index", sf_dir)
+    art = _INDEX_CACHE.get(key)
+    if art is None:
+        from inputlayer_spark.operators.dedup import build_dedup_index
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        corpus = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+        h, b, a = build_dedup_index(corpus, "doc_id", "text", 64, 16, 2)
+        art = (
+            h.localCheckpoint(eager=True),
+            b.localCheckpoint(eager=True),
+            a.localCheckpoint(eager=True),
+        )
+        _INDEX_CACHE[key] = art
+    return art
+
+
 def q_incremental_dedup_indexed(spark, sf_dir):
     """The persisted-index formulation of the same cross-snapshot
     dedup (operators/dedup.incremental_dedup_indexed): the corpus side
     enters ONLY through its index artifacts (md5 hashes, MinHash band
-    rows, shingle arrays — build_dedup_index), so per-batch work is
-    O(batch + candidates). Same split, same parameters, same oracle as
+    rows, shingle arrays — build_dedup_index, cached per sf_dir like
+    the ANN index artifacts), so per-batch work is O(batch +
+    candidates). Same split, same parameters, same oracle as
     `incremental_dedup` — the two formulations are equivalent by
     construction (corpus-corpus pairs can't dominate a batch row)."""
-    from inputlayer_spark.operators.dedup import (
-        build_dedup_index,
-        incremental_dedup_indexed,
-    )
+    from inputlayer_spark.operators.dedup import incremental_dedup_indexed
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
-    corpus = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
-    h, b, a = build_dedup_index(corpus, "doc_id", "text", 64, 16, 2)
+    h, b, a = _dedup_index_art(spark, sf_dir)
     surv, _, _, _ = incremental_dedup_indexed(
         batch, h, b, a, "doc_id", "text", num_perm=64, bands=16, shingle_n=2
     )

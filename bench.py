@@ -119,6 +119,12 @@ def main() -> None:
         # cleaning-trilogy composition: normalize -> c4 -> gopher ->
         # md5 survivors -> per-source rollup in one declarative plan
         "web_pipeline",
+        # cross-snapshot dedup (r11): the direct formulation (corpus
+        # re-shingled per batch) vs the persisted-index formulation
+        # (corpus enters only through md5/band/array artifacts) — the
+        # gap between the two rows is the index's per-batch win
+        "incremental_dedup",
+        "incremental_dedup_indexed",
     ]
 
     # warmup: JVM codegen + parquet file-listing/footer caches for every

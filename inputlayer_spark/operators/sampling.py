@@ -398,9 +398,15 @@ def filter_by_source_quality(
     of strings, so the broadcast hint is cap-guarded with the same 2M
     discipline as dedup's adaptive sites (VERDICT r10 #5); past the cap
     the semi-join shuffles on the source key and AQE picks the build
-    side. Contrast with token-keyed tables (tfidf's dfreq, lm_score's
-    bigram counts), which are unbounded and must never be
-    hint-broadcast."""
+    side. The probe counts DISTINCT SOURCES (a count-only pass, ~0.5 s
+    at the sweep's sf1), never the stats aggregate itself: `good` stays
+    LAZY inside one composed plan — an eager checkpoint of the filtered
+    stats was measured at 11-13 s per call at sf1 because each fresh
+    plan instance re-pays whole-stage-codegen compilation of the
+    quality_score expression tree (exprIds differ per instance, so the
+    generated source never hits the JVM compile cache). Contrast with
+    token-keyed tables (tfidf's dfreq, lm_score's bigram counts), which
+    are unbounded and must never be hint-broadcast."""
     from inputlayer_spark.operators.dedup import _fits_broadcast
 
     stats = source_quality_stats(df, source_col, text_col)
@@ -409,10 +415,7 @@ def filter_by_source_quality(
         & (F.col("avg_quality") >= min_avg_quality)
         & (F.col("dup_fraction") <= max_dup_fraction)
     ).select(source_col)
-    # |sources| rows — checkpoint once so the probe and the join don't
-    # each re-run the corpus-wide stats aggregate
-    good = good.localCheckpoint(eager=True)
-    if _fits_broadcast(good):
+    if _fits_broadcast(df.select(source_col).distinct()):
         good = F.broadcast(good)
     return df.join(good, source_col, "left_semi")
 
