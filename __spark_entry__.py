@@ -1853,11 +1853,13 @@ def q_lm_score_skewed(spark, sf_dir):
     from inputlayer_spark.functions.text import tokens as _tokens
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_hot = F.floor(F.size(_tokens(F.col("text"))) / F.lit(3)).cast("int")
+    # coalesce BEFORE the skew injection (ADVICE r11): Spark's concat_ws
+    # skips NULLs where the oracle's `||` propagates them — on NULL text
+    # the two sides would diverge (hot-tokens-only vs empty)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    n_hot = F.floor(F.size(_tokens(txt)) / F.lit(3)).cast("int")
     hot = F.array_join(F.array_repeat(F.lit("zq"), n_hot), " ")
-    skewed = docs.select(
-        "doc_id", F.concat_ws(" ", F.col("text"), hot).alias("text")
-    )
+    skewed = docs.select("doc_id", F.concat_ws(" ", txt, hot).alias("text"))
     return lm_score(skewed, "doc_id", "text")
 
 
@@ -2145,10 +2147,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_clauses": q_union_clauses,
         "shared_subplan": q_shared_subplan,
         "theta_join": q_theta_join,
-        "order_limit_offset": q_order_limit_offset,
-        "string_funcs": q_string_funcs,
+        # rotation wave 5 (r12, VERDICT r11 #1): the three r11 rows move
+        # INTO the driver's 50-row correctness window so the round's new
+        # work faces the independent oracle harness; the displaced rows
+        # (order_limit_offset, string_funcs, type_conversion — unchanged
+        # for 5+ rounds, full repo-side oracle parity) move below.
+        "bpe_encode": q_bpe_encode,
+        "lm_score_skewed": q_lm_score_skewed,
         "math_funcs": q_math_funcs,
-        "type_conversion": q_type_conversion,
+        "incremental_dedup_indexed": q_incremental_dedup_indexed,
         "minhash_lsh": q_minhash_lsh,
         "asof_join": q_asof_join,
         "embedding_dedup": q_embedding_dedup,
@@ -2246,15 +2253,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "semijoin": q_semijoin,
         "curation_pipeline": q_curation_pipeline,
-        # r11: bpe_encode closes the train/apply oracle gap (VERDICT
-        # r10 #1 — below the driver window, full repo oracle parity)
-        "bpe_encode": q_bpe_encode,
-        # r11: planted-skew lm_score twin for the scale sweep's
-        # token-key skew evidence (VERDICT r10 stretch #8)
-        "lm_score_skewed": q_lm_score_skewed,
-        # r11: the persisted-index incremental dedup (same oracle as
-        # incremental_dedup — equivalent by construction, test-pinned)
-        "incremental_dedup_indexed": q_incremental_dedup_indexed,
+        # rotation wave 5 (r12): displaced by the r11 rows now in-window
+        # (all three unchanged for 5+ rounds, repo-oracled like every
+        # displaced row)
+        "order_limit_offset": q_order_limit_offset,
+        "string_funcs": q_string_funcs,
+        "type_conversion": q_type_conversion,
     }
 
 
@@ -2578,19 +2582,23 @@ def _web_pipeline_oracle_sql() -> str:
         "sg AS (SELECT doc_id, source, "
         "regexp_replace(regexp_replace(norm_text, ' the ', '.' || chr(10), 'g'), "
         "' a ', chr(10), 'g') || '.' AS text FROM nn), "
+        # c4 stage whitespace: the explicit ASCII class shared with
+        # functions/text.c4_clean (ADVICE r11) — \x0B can't survive the
+        # upstream norm chain's C0 strip, but keeping the class literal
+        # identical at every c4 site is the contract
         "b AS (SELECT doc_id, source, coalesce(text, '') AS txt, "
         "list_filter(list_transform(string_split_regex(coalesce(text, ''), "
-        "'\\n'), s -> regexp_replace(s, '^\\s+|\\s+$', '', 'g')), s -> s <> '') AS lines FROM sg), "
+        "'\\n'), s -> regexp_replace(s, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')), s -> s <> '') AS lines FROM sg), "
         "k AS (SELECT doc_id, source, txt, list_filter(lines, s -> "
         "regexp_matches(s, '[.!?]\"?$') "
-        "AND len(list_filter(string_split_regex(s, '\\s+'), w -> w <> '')) >= 3 "
+        "AND len(list_filter(string_split_regex(s, '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '')) >= 3 "
         "AND NOT regexp_matches(lower(s), "
         "'(^|[^a-z0-9])javascript([^a-z0-9]|$)')) AS kept FROM b), "
         "c AS (SELECT doc_id, source, txt, "
         "coalesce(array_to_string(kept, chr(10)), '') AS clean_text FROM k), "
         "pg AS (SELECT doc_id, source, clean_text FROM c WHERE "
         "len(list_filter(list_transform(string_split_regex(clean_text, "
-        "'[.!?]'), s -> regexp_replace(s, '^\\s+|\\s+$', '', 'g')), s -> s <> '')) >= 2 "
+        "'[.!?]'), s -> regexp_replace(s, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')), s -> s <> '')) >= 2 "
         "AND NOT contains(lower(txt), 'lorem ipsum') "
         "AND NOT (contains(txt, '{') OR contains(txt, '}'))), "
         f"gt AS (SELECT doc_id, source, clean_text, "
@@ -3302,9 +3310,14 @@ def oracle_sql() -> dict[str, str]:
         # with 'zq' appended at len(toks)//3 copies per doc (~25% of
         # corpus token mass on one key)
         "lm_score_skewed": (
-            "WITH skew AS ("
+            # d0 coalesces text to '' (ADVICE r11): `||` propagates NULL
+            # where Spark's concat_ws skips it — coalescing FIRST keeps
+            # both sides identical on NULL-text rows
+            "WITH d0 AS ("
+            "  SELECT doc_id, coalesce(text, '') AS text FROM documents"
+            "), skew AS ("
             f"  SELECT doc_id, text || ' ' || repeat('zq ', "
-            f"    greatest(len({_TOKS}) // 3, 0)) AS text FROM documents"
+            f"    greatest(len({_TOKS}) // 3, 0)) AS text FROM d0"
             "), arr2 AS ("
             "  SELECT doc_id, list_filter(regexp_split_to_array("
             "    lower(trim(text)), '[^a-z0-9'']+'), x -> x <> '') AS a"
@@ -3376,12 +3389,16 @@ def oracle_sql() -> dict[str, str]:
             "|| CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum' ELSE '' END "
             "|| CASE WHEN doc_id % 11 = 0 THEN ' {x}' ELSE '' END AS text "
             "FROM documents), "
+            # c4_clean's whitespace contract is the explicit ASCII class
+            # [ \t\n\x0b\f\r] (ADVICE r11): RE2's \s excludes \x0B, Java's
+            # includes it — the shared literal class makes all three
+            # implementations agree on \x0B/NBSP-edged lines
             "b AS (SELECT doc_id, coalesce(text, '') AS txt, "
             "list_filter(list_transform(string_split_regex(coalesce(text, ''), "
-            "'\\n'), s -> regexp_replace(s, '^\\s+|\\s+$', '', 'g')), s -> s <> '') AS lines FROM t), "
+            "'\\n'), s -> regexp_replace(s, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')), s -> s <> '') AS lines FROM t), "
             "k AS (SELECT doc_id, txt, list_filter(lines, s -> "
             "regexp_matches(s, '[.!?]\"?$') "
-            "AND len(list_filter(string_split_regex(s, '\\s+'), w -> w <> '')) >= 3 "
+            "AND len(list_filter(string_split_regex(s, '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '')) >= 3 "
             "AND NOT regexp_matches(lower(s), "
             "'(^|[^a-z0-9])javascript([^a-z0-9]|$)')) AS kept FROM b), "
             # array_to_string([]) is NULL in DuckDB where Spark's
@@ -3391,7 +3408,7 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT doc_id, clean_text, "
             "len(kept)::BIGINT AS n_lines_kept, "
             "len(list_filter(list_transform(string_split_regex(clean_text, "
-            "'[.!?]'), s -> regexp_replace(s, '^\\s+|\\s+$', '', 'g')), s -> s <> ''))::BIGINT AS n_sentences, "
+            "'[.!?]'), s -> regexp_replace(s, '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')), s -> s <> ''))::BIGINT AS n_sentences, "
             "len(list_filter(list_distinct(list_filter(string_split_regex("
             "lower(trim(clean_text)), '[^a-z0-9'']+'), x -> x <> '')), "
             "x -> list_contains(['vector','stream'], x))) > 0 AS has_badword, "

@@ -984,11 +984,15 @@ def c4_clean(
     branch; see normalize_text's docstring for the measured cost).
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    # edge-trim is FULL whitespace (regex \s), like
-    # _sorted_nonempty_segments: F.trim strips only ASCII spaces, so raw
-    # CRLF/tab-edged lines kept '\r'/'\t' and the terminal-punctuation
-    # gate silently dropped them (ADVICE r10); the pure-Python
-    # differential reference has always used .strip()
+    # Whitespace contract (ADVICE r11): the edge-trim / word-split class
+    # is the EXPLICIT ASCII set [ \t\n\x0B\f\r] — written out rather
+    # than `\s` because the three implementations disagree on `\s`
+    # (Java \s = this set; DuckDB's RE2 \s excludes \x0B; Python
+    # .strip() is full Unicode, e.g. NBSP/U+2028). All three sites
+    # (here, the DuckDB oracle, the pure-Python differential reference)
+    # share this class verbatim, so NBSP-edged lines behave identically
+    # everywhere: NBSP is NOT whitespace to this operator.
+    _ws = r"[ \t\n\x0B\f\r]"
     base = df.select(
         F.col(id_col),
         *[F.col(c) for c in carry],
@@ -996,7 +1000,7 @@ def c4_clean(
         F.filter(
             F.transform(
                 F.split(txt, line_sep),
-                lambda s: F.regexp_replace(s, r"^\s+|\s+$", ""),
+                lambda s: F.regexp_replace(s, f"^{_ws}+|{_ws}+$", ""),
             ),
             lambda s: s != "",
         ).alias("__lines"),
@@ -1004,7 +1008,7 @@ def c4_clean(
 
     def _line_ok(s):
         ends_punct = s.rlike('[.!?]"?$')
-        enough_words = F.size(F.filter(F.split(s, r"\s+"), lambda w: w != "")) >= (
+        enough_words = F.size(F.filter(F.split(s, f"{_ws}+"), lambda w: w != "")) >= (
             min_words_per_line
         )
         no_js = ~F.lower(s).rlike(r"(^|[^a-z0-9])javascript([^a-z0-9]|$)")
@@ -1023,7 +1027,7 @@ def c4_clean(
         F.filter(
             F.transform(
                 F.split(clean, r"[.!?]"),
-                lambda s: F.regexp_replace(s, r"^\s+|\s+$", ""),
+                lambda s: F.regexp_replace(s, f"^{_ws}+|{_ws}+$", ""),
             ),
             lambda s: s != "",
         )

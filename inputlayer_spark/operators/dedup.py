@@ -202,17 +202,21 @@ def jaccard_verify_pairs(
     common case: banding prunes candidates to a sliver of the corpus)
     both joins broadcast the pair side, so the verify adds ZERO
     shuffles. The candidate set still scales with corpus duplication,
-    so the default is "auto": a cap-guarded probe (BROADCAST_CAP rows,
-    checkpointed when it fits so the probe isn't paid twice) decides;
-    past the cap the joins shuffle on the id keys and AQE picks build
-    sides. Pass True/False to override.
+    so the default is "auto": the candidate frame is checkpointed ONCE
+    and a cap-guarded probe (BROADCAST_CAP rows) over the checkpoint
+    decides; past the cap the joins shuffle on the id keys and AQE
+    picks build sides. Pass True/False to override.
     Output: id1, id2, jaccard (>= threshold).
     """
     if broadcast_candidates == "auto":
+        # checkpoint BEFORE the probe so the candidate join is computed
+        # exactly once in both branches: the probe reads the checkpoint,
+        # and so do both downstream array-fetch joins (ADVICE r11: the
+        # old probe-then-checkpoint order paid the candidate join twice
+        # when it fit, and left it unmaterialized — recomputed by BOTH
+        # joins — when it didn't)
+        cand = cand.localCheckpoint(eager=True)
         broadcast_candidates = _fits_broadcast(cand)
-        if broadcast_candidates:
-            # checkpoint so the downstream joins reuse the probe's work
-            cand = cand.localCheckpoint(eager=True)
     a1 = shingle_arrays.toDF("id1", "__arr1")
     a2 = shingle_arrays.toDF("id2", "__arr2")
     left = (F.broadcast(cand) if broadcast_candidates else cand).join(a1, on="id1")

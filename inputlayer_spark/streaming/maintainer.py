@@ -34,7 +34,77 @@ from __future__ import annotations
 import threading
 from typing import List, Optional
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------- fs helpers
+#
+# All StreamingCorpusDeduper state probes go through Hadoop's FileSystem
+# API, not os.* (ADVICE r11): the state dirs are plain paths handed to
+# spark.read/write, so they may live on HDFS/S3A/ABFS where os.listdir
+# and open() silently see nothing. The JVM FileSystem resolves the
+# scheme per-path, so local-fs tests and object-store production use
+# the same code.
+
+
+def _fs_for(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _fs_exists(spark, path: str) -> bool:
+    fs, hpath, _ = _fs_for(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def _fs_list_names(spark, path: str) -> List[str]:
+    """Child names of a directory ([] if missing)."""
+    fs, hpath, _ = _fs_for(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
+def _fs_read_text(spark, path: str) -> Optional[str]:
+    fs, hpath, _ = _fs_for(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        out = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            out.append(b)
+        return out.decode("utf-8")
+    finally:
+        stream.close()
+
+
+def _fs_write_text(spark, path: str, text: str) -> None:
+    """Write-temp-then-rename so readers never observe a torn marker
+    (atomic on HDFS/local; S3A rename is copy+delete but still yields
+    only whole objects)."""
+    fs, hpath, jvm = _fs_for(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    fs.rename(tmp, hpath)
+
+
+def _fs_delete(spark, path: str) -> None:
+    fs, hpath, _ = _fs_for(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
 
 
 class IncrementalMaintainer:
@@ -231,10 +301,9 @@ class StreamingCorpusDeduper:
         for the next batch, and the user-facing deduplicated corpus."""
         cols = [self.id_col, self.text_col]
         base = self.spark.read.parquet(self.corpus_dir).select(*cols)
-        import os
-
-        if os.path.isdir(self.survivors_dir) and any(
-            e.startswith("batch=") for e in os.listdir(self.survivors_dir)
+        if any(
+            e.startswith("batch=")
+            for e in _fs_list_names(self.spark, self.survivors_dir)
         ):
             surv = self.spark.read.parquet(self.survivors_dir).select(*cols)
             base = base.unionByName(surv)
@@ -246,23 +315,50 @@ class StreamingCorpusDeduper:
         "arrays": ("__id", "__sh_arr"),
     }
 
-    def _index_part(self, part: str):
-        """base (batch=-1) ∪ batch deltas of one index artifact; the
-        `batch` partition column is dropped — every dir level is
-        key=value so Spark's partition discovery stays consistent."""
-        return self.spark.read.parquet(f"{self.index_dir}/{part}").select(
-            *self._INDEX_COLS[part]
-        )
+    def _generation(self) -> int:
+        """Current index generation. Generation 0 lives at the legacy
+        layout `{index_dir}/{part}/batch=*`; `compact_index` writes each
+        successor under `{index_dir}/g<N>/` and flips the `_GEN` pointer
+        file last, so the switch is a single atomic rename."""
+        txt = _fs_read_text(self.spark, f"{self.index_dir}/_GEN")
+        return int(txt.strip()) if txt else 0
+
+    def _part_root(self, part: str, gen: Optional[int] = None) -> str:
+        g = self._generation() if gen is None else gen
+        if g == 0:
+            return f"{self.index_dir}/{part}"
+        return f"{self.index_dir}/g{g}/{part}"
+
+    def _index_part(self, part: str, before_batch: Optional[int] = None):
+        """base (batch=-1) ∪ batch deltas of one index artifact.
+
+        `before_batch` keeps only partitions with batch < that id —
+        _on_batch passes the CURRENT batch id so a foreachBatch RETRY
+        (crash between the delta writes and the streaming checkpoint
+        commit) never dedups the replayed batch against its own
+        just-written hashes (ADVICE r11 HIGH: without the filter a
+        replay saw every batch row as an exact self-duplicate and
+        overwrote the survivors partition with an empty frame — silent
+        permanent loss). The filter also excludes any partially-written
+        delta partition a mid-write crash left behind, since that
+        partition carries the replayed batch's own id. Compaction
+        preserves the invariant: it folds only batches the streaming
+        checkpoint has COMMITTED into batch=-1, and a replayed batch is
+        by definition uncommitted, so its rows can never hide in the
+        folded base."""
+        df = self.spark.read.parquet(self._part_root(part))
+        if before_batch is not None:
+            df = df.where(F.col("batch") < F.lit(before_batch))
+        return df.select(*self._INDEX_COLS[part])
 
     def _ensure_index(self) -> None:
         """Build the base index from corpus_dir once (idempotent: the
-        base/ dirs are the marker; a crash mid-build rebuilds)."""
-        import os
-
+        _BASE_DONE marker commits the build; a crash mid-build
+        rebuilds)."""
         from inputlayer_spark.operators.dedup import build_dedup_index
 
-        done = os.path.join(self.index_dir, "_BASE_DONE")
-        if os.path.exists(done):
+        done = f"{self.index_dir}/_BASE_DONE"
+        if _fs_exists(self.spark, done):
             return
         corpus = self.spark.read.parquet(self.corpus_dir).select(
             self.id_col, self.text_col
@@ -274,11 +370,12 @@ class StreamingCorpusDeduper:
         hashes.write.mode("overwrite").parquet(f"{self.index_dir}/hashes/batch=-1")
         band_rows.write.mode("overwrite").parquet(f"{self.index_dir}/bands/batch=-1")
         arrays.write.mode("overwrite").parquet(f"{self.index_dir}/arrays/batch=-1")
-        with open(done, "w") as f:
-            f.write(
-                f"num_perm={self.num_perm} bands={self.bands} "
-                f"shingle_n={self.shingle_n}\n"
-            )
+        _fs_write_text(
+            self.spark,
+            done,
+            f"num_perm={self.num_perm} bands={self.bands} "
+            f"shingle_n={self.shingle_n}\n",
+        )
 
     # -------------------------------------------------------------- batch
 
@@ -292,9 +389,9 @@ class StreamingCorpusDeduper:
             cols = [self.id_col, self.text_col]
             surv, d_hashes, d_bands, d_arrays = incremental_dedup_indexed(
                 batch_df.select(*cols),
-                self._index_part("hashes"),
-                self._index_part("bands"),
-                self._index_part("arrays"),
+                self._index_part("hashes", before_batch=batch_id),
+                self._index_part("bands", before_batch=batch_id),
+                self._index_part("arrays", before_batch=batch_id),
                 self.id_col,
                 self.text_col,
                 num_perm=self.num_perm,
@@ -305,13 +402,91 @@ class StreamingCorpusDeduper:
             surv.write.mode("overwrite").parquet(
                 f"{self.survivors_dir}/batch={batch_id}"
             )
+            gen = self._generation()
             for part, df in (
                 ("hashes", d_hashes), ("bands", d_bands), ("arrays", d_arrays)
             ):
                 df.write.mode("overwrite").parquet(
-                    f"{self.index_dir}/{part}/batch={batch_id}"
+                    f"{self._part_root(part, gen)}/batch={batch_id}"
                 )
             self.batches_seen += 1
+
+    # -------------------------------------------------------------- compact
+
+    def _committed_batches(self) -> List[int]:
+        """Batch ids the streaming checkpoint has COMMITTED — the
+        `commits/` ledger Structured Streaming writes one integer-named
+        file per finished micro-batch. Only these may be folded into the
+        compacted base: a batch that wrote deltas but crashed before its
+        commit will be REPLAYED, and its partial partition must stay
+        batch-addressable so the replay's `batch < batch_id` filter can
+        exclude it."""
+        out = []
+        for name in _fs_list_names(self.spark, f"{self.checkpoint_dir}/commits"):
+            try:
+                out.append(int(name))
+            except ValueError:
+                continue  # .tmp / metadata / compact ledger files
+        return out
+
+    def compact_index(self) -> int:
+        """Fold committed `batch=<id>` index deltas into the base
+        (VERDICT r11 #3: without compaction every accepted micro-batch
+        adds three delta partitions FOREVER — after thousands of daily
+        batches the per-batch index read degrades into a small-files
+        scan and partition discovery dominates). Call between batches
+        (it takes the same lock as _on_batch; safe while the stream is
+        running — a concurrent micro-batch simply waits).
+
+        Crash-atomic by generation, the engine `.compact` discipline:
+        the folded artifacts are fully written under `g<N+1>/` (base
+        `batch=-1` plus rewritten partitions for any UNcommitted batch
+        ids, normally none), and only then does the `_GEN` pointer flip
+        via write-temp-and-rename. A crash at any earlier point leaves
+        the pointer on the old generation with every old partition
+        intact; the orphaned half-written generation dir is ignored and
+        overwritten by the next attempt. Returns the number of delta
+        partitions folded (0 = nothing to do)."""
+        with self._lock:
+            gen = self._generation()
+            committed = set(self._committed_batches())
+            new_gen = gen + 1
+            plan = {}
+            folded = 0
+            for part in self._INDEX_COLS:
+                root = self._part_root(part, gen)
+                ids = []
+                for name in _fs_list_names(self.spark, root):
+                    if name.startswith("batch="):
+                        ids.append(int(name.split("=", 1)[1]))
+                fold = [i for i in ids if i == -1 or i in committed]
+                carry = [i for i in ids if i != -1 and i not in committed]
+                plan[part] = (root, fold, carry)
+                folded += max(len(fold) - 1, 0)
+            if folded == 0:
+                return 0
+            # every part is rewritten into the new generation, even one
+            # that happens to hold only its base — the pointer flip is
+            # all-or-nothing across the three artifacts
+            for part, (root, fold, carry) in plan.items():
+                df = self.spark.read.parquet(root)
+                cols = list(self._INDEX_COLS[part])
+                dst = self._part_root(part, new_gen)
+                df.where(F.col("batch").isin(fold)).select(*cols).write.mode(
+                    "overwrite"
+                ).parquet(f"{dst}/batch=-1")
+                for i in carry:
+                    df.where(F.col("batch") == i).select(*cols).write.mode(
+                        "overwrite"
+                    ).parquet(f"{dst}/batch={i}")
+            _fs_write_text(self.spark, f"{self.index_dir}/_GEN", str(new_gen))
+            # best-effort cleanup of the superseded generation (crash
+            # here costs disk, never correctness)
+            for part in self._INDEX_COLS:
+                _fs_delete(self.spark, self._part_root(part, gen))
+            if gen > 0:
+                _fs_delete(self.spark, f"{self.index_dir}/g{gen}")
+            return folded
 
     # -------------------------------------------------------------- control
 

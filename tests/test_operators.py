@@ -3156,17 +3156,24 @@ def test_gopher_repetition_null_and_clean_docs(spark):
     assert out[2]["passes"]
 
 
+# c4_clean's whitespace contract: the explicit ASCII class shared by all
+# three implementations (Spark Java regex, DuckDB RE2 oracle, this
+# reference) — ADVICE r11: Python's .strip()/\s are Unicode (NBSP,
+# U+2028), RE2's \s excludes \x0B, Java's \s is exactly this set.
+_C4_WS = " \t\n\x0b\f\r"
+
+
 def _py_c4_clean(text, min_words_per_line=3, min_sentences=5, badwords=()):
     """Pure-Python third implementation of the C4 battery."""
     import re as _re
 
     raw = text or ""
-    lines = [s.strip() for s in raw.split("\n") if s.strip()]
+    lines = [s.strip(_C4_WS) for s in raw.split("\n") if s.strip(_C4_WS)]
 
     def line_ok(s):
         if not _re.search(r'[.!?]"?$', s):
             return False
-        if len([w for w in _re.split(r"\s+", s) if w]) < min_words_per_line:
+        if len([w for w in _re.split(f"[{_C4_WS}]+", s) if w]) < min_words_per_line:
             return False
         if _re.search(r"(^|[^a-z0-9])javascript([^a-z0-9]|$)", s.lower()):
             return False
@@ -3174,7 +3181,7 @@ def _py_c4_clean(text, min_words_per_line=3, min_sentences=5, badwords=()):
 
     kept = [s for s in lines if line_ok(s)]
     clean = "\n".join(kept)
-    n_sent = len([s for s in _re.split(r"[.!?]", clean) if s.strip()])
+    n_sent = len([s for s in _re.split(r"[.!?]", clean) if s.strip(_C4_WS)])
     toks = [t for t in _re.split(r"[^a-z0-9']+", clean.strip().lower()) if t]
     has_bad = bool(set(toks) & {w.lower() for w in badwords})
     has_lorem = "lorem ipsum" in raw.lower()
@@ -3196,9 +3203,14 @@ def test_c4_clean_random_differential(spark):
     punctuation-ended and bare lines, quotes after punctuation,
     javascript mentions, braces, lorem ipsum, short lines — mixed
     freely, including whitespace-only lines, None, and tab/CR-edged
-    lines (ADVICE r10: the edge-trim must strip FULL whitespace like
-    the reference's .strip(), not just ASCII spaces — '.\\t' and '.\\r'
-    endings exercise exactly that divergence)."""
+    lines (ADVICE r10: the edge-trim must strip FULL ASCII whitespace,
+    not just spaces — '.\\t' and '.\\r' endings exercise exactly that
+    divergence). ADVICE r11 fixtures: '.\\x0b' (vertical tab — in Java's
+    \\s but NOT RE2's; the explicit shared class must treat it as
+    whitespace everywhere) and '.\\xa0' (NBSP — Unicode whitespace to
+    Python's bare .strip() but NOT in the ASCII contract: an NBSP-edged
+    line keeps its NBSP, so the terminal-punct gate must FAIL it
+    identically in all three implementations)."""
     import random
 
     from inputlayer_spark.functions.text import c4_clean
@@ -3207,7 +3219,8 @@ def test_c4_clean_random_differential(spark):
     frag = ["the quick fox", "x", "see the docs", "enable javascript now",
             "one two three four", "ok fine", "lorem ipsum dolor", "code { y }",
             "\ttabbed lead here"]
-    tail = [".", "!", "?", '."', "", " ", "", ".\t", ".\r", "\t"]
+    tail = [".", "!", "?", '."', "", " ", "", ".\t", ".\r", "\t",
+            ".\x0b", ".\xa0", "\xa0here.", ".\x0b\xa0"]
     rows = []
     for i in range(60):
         n_lines = rng.randint(0, 7)

@@ -1018,3 +1018,213 @@ def test_streaming_corpus_dedup_checkpointed_restart(spark, tmp_path):
                   spark.read.parquet(str(surv_dir)).collect()) == [12, 21]
     # the running corpus view is base ∪ survivors
     assert sorted(r["doc_id"] for r in d2.corpus().collect()) == [1, 2, 12, 21]
+
+
+def test_streaming_corpus_dedup_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r11 HIGH: a foreachBatch RETRY (crash between the delta
+    writes and the streaming checkpoint commit) replays the batch with
+    the SAME batch_id — the replay must NOT dedup the batch against its
+    own just-written index deltas. Without the `batch < batch_id` read
+    filter, every replayed row was an exact self-duplicate: survivors
+    and deltas were overwritten with EMPTY frames (silent permanent
+    loss) and the dropped hashes let future duplicates through."""
+    from inputlayer_spark.streaming import StreamingCorpusDeduper
+
+    DOC = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    corpus_dir = tmp_path / "corpus"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")], DOC
+    ).coalesce(1).write.parquet(str(corpus_dir))
+    d = StreamingCorpusDeduper(
+        spark, "doc_id", "text", str(corpus_dir), str(tmp_path / "in"), DOC,
+        str(tmp_path / "ckpt"), str(tmp_path / "surv"), num_perm=64, bands=32,
+    )
+    fresh = "totally new unique content appears here today for the first time"
+    other = "completely different words arrive in this line of text my friends"
+    b0 = spark.createDataFrame([(10, fresh), (11, fresh), (12, other)], DOC)
+    d._on_batch(b0, 0)
+    surv_path = str(tmp_path / "surv")
+    first = sorted(r["doc_id"] for r in spark.read.parquet(surv_path).collect())
+    assert first == [10, 12]
+    # the crash-replay: same frame, same batch_id
+    d._on_batch(b0, 0)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(surv_path).collect()
+    ) == first
+    # and the index accepted exactly the survivors, once
+    hashes = d._index_part("hashes")
+    assert sorted(r["__id"] for r in hashes.collect()) == [1, 10, 12]
+    # a later batch still dedups against the replayed batch's survivors
+    b1 = spark.createDataFrame(
+        [(20, fresh), (21, "yet another genuinely novel document body here now")], DOC
+    )
+    d._on_batch(b1, 1)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(surv_path).collect()
+    ) == [10, 12, 21]
+
+
+def test_streaming_corpus_dedup_index_compaction(spark, tmp_path):
+    """VERDICT r11 #3: compact_index folds committed batch=<id> index
+    deltas into a batch=-1 base in a NEW generation and flips the _GEN
+    pointer last (crash-atomic). After compaction: the partition count
+    collapses, nothing is lost (a post-compaction batch still dedups
+    against pre-compaction survivors), and the stream resumes over the
+    same checkpoint."""
+    from inputlayer_spark.streaming import StreamingCorpusDeduper
+
+    DOC = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    corpus_dir = tmp_path / "corpus"
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")], DOC
+    ).coalesce(1).write.parquet(str(corpus_dir))
+
+    def deduper():
+        return StreamingCorpusDeduper(
+            spark, "doc_id", "text", str(corpus_dir), str(src_dir), DOC,
+            str(tmp_path / "ckpt"), str(tmp_path / "surv"),
+            num_perm=64, bands=32,
+        )
+
+    fresh = "totally new unique content appears here today for the first time"
+    other = "completely different words arrive in this line of text my friends"
+    spark.createDataFrame([(10, fresh)], DOC).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src_dir))
+    deduper().process_available()
+    spark.createDataFrame([(11, other)], DOC).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src_dir))
+    d = deduper()
+    d.process_available()
+
+    import os
+
+    legacy_bands = str(tmp_path / "surv.index" / "bands")
+    assert sorted(os.listdir(legacy_bands)) == ["batch=-1", "batch=0", "batch=1"]
+    folded = d.compact_index()
+    assert folded > 0
+    assert d._generation() == 1
+    g1_bands = str(tmp_path / "surv.index" / "g1" / "bands")
+    assert os.listdir(g1_bands) == ["batch=-1"]
+    assert not os.path.isdir(legacy_bands)  # superseded generation removed
+    # nothing lost: the compacted base carries corpus + both survivors
+    assert sorted(r["__id"] for r in d._index_part("hashes").collect()) == [1, 10, 11]
+    # idempotent no-op on an already-compacted index
+    assert d.compact_index() == 0
+
+    # the stream continues over the same checkpoint: a dup of a
+    # PRE-compaction survivor dies, a new doc lands in the NEW generation
+    spark.createDataFrame(
+        [(20, fresh), (21, "one more body of text never seen anywhere before")], DOC
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    d2 = deduper()
+    d2.process_available()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "surv")).collect()
+    ) == [10, 11, 21]
+    assert "batch=2" in os.listdir(g1_bands)
+
+
+def test_incremental_dedup_three_formulations_differential(spark, tmp_path):
+    """VERDICT r11 stretch #7: the direct (incremental_dedup), indexed
+    (incremental_dedup_indexed), and streaming (StreamingCorpusDeduper)
+    formulations share semantics — fuzz them together over 3 sequential
+    randomized batches with planted exact/near/intra-batch duplicates
+    and assert identical survivor sets after every batch."""
+    import random
+
+    from inputlayer_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+        incremental_dedup_indexed,
+    )
+    from inputlayer_spark.streaming import StreamingCorpusDeduper
+
+    rng = random.Random(20261)
+    pool = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+            "nu xi omicron pi rho sigma tau upsilon phi chi psi omega").split()
+
+    def doc():
+        return " ".join(rng.choice(pool) for _ in range(12))
+
+    DOC = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    corpus_rows = [(i, doc()) for i in range(6)]
+    nxt = 100
+    batches = []
+    seen_texts = [t for _, t in corpus_rows]
+    for _ in range(3):
+        rows = []
+        for _ in range(4):
+            r = rng.random()
+            if r < 0.3 and seen_texts:  # exact dup of anything seen
+                t = rng.choice(seen_texts)
+            elif r < 0.6 and seen_texts:  # near dup: one token changed
+                ws = rng.choice(seen_texts).split()
+                ws[rng.randrange(len(ws))] = "zzq"
+                t = " ".join(ws)
+            else:
+                t = doc()
+            rows.append((nxt, t))
+            nxt += 1
+        seen_texts.extend(t for _, t in rows)
+        batches.append(rows)
+
+    KW = dict(num_perm=64, bands=32, shingle_n=2, threshold=0.5)
+
+    # --- direct: corpus grows by each batch's survivors
+    corpus = spark.createDataFrame(corpus_rows, DOC)
+    direct_surv = []
+    for rows in batches:
+        b = spark.createDataFrame(rows, DOC)
+        s = incremental_dedup(b, corpus, "doc_id", "text", **KW).localCheckpoint()
+        direct_surv.append(sorted(r["doc_id"] for r in s.collect()))
+        corpus = corpus.unionByName(s.select("doc_id", "text")).localCheckpoint()
+
+    # --- indexed: artifacts grow by each batch's deltas
+    base = spark.createDataFrame(corpus_rows, DOC)
+    h, bnd, arr = (
+        x.localCheckpoint() for x in build_dedup_index(base, "doc_id", "text", 64, 32, 2)
+    )
+    indexed_surv = []
+    for rows in batches:
+        b = spark.createDataFrame(rows, DOC)
+        s, dh, db, da = incremental_dedup_indexed(b, h, bnd, arr, "doc_id", "text", **KW)
+        indexed_surv.append(sorted(r["doc_id"] for r in s.collect()))
+        h = h.unionByName(dh).localCheckpoint()
+        bnd = bnd.unionByName(db).localCheckpoint()
+        arr = arr.unionByName(da).localCheckpoint()
+
+    # --- streaming: one file + one availableNow drain per batch
+    corpus_dir = tmp_path / "corpus"
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    spark.createDataFrame(corpus_rows, DOC).coalesce(1).write.parquet(str(corpus_dir))
+    stream_surv = []
+    prev = set()
+    for rows in batches:
+        spark.createDataFrame(rows, DOC).coalesce(1).write.mode("append").parquet(
+            str(src_dir)
+        )
+        d = StreamingCorpusDeduper(
+            spark, "doc_id", "text", str(corpus_dir), str(src_dir), DOC,
+            str(tmp_path / "ckpt"), str(tmp_path / "surv"),
+            num_perm=64, bands=32, shingle_n=2, threshold=0.5,
+        )
+        d.process_available()
+        now = {r["doc_id"] for r in
+               spark.read.parquet(str(tmp_path / "surv")).collect()}
+        stream_surv.append(sorted(now - prev))
+        prev = now
+
+    assert direct_surv == indexed_surv == stream_surv, (
+        direct_surv, indexed_surv, stream_surv, batches
+    )
