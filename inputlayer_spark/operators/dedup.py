@@ -977,6 +977,8 @@ def incremental_dedup_indexed(
     bands: int = 16,
     shingle_n: int = 2,
     threshold: float = 0.5,
+    key_pushdown="auto",
+    pushdown_cap: int = 1_024,
 ):
     """`incremental_dedup` against a PERSISTED corpus index instead of
     the corpus itself — the production shape: per-batch work is
@@ -988,6 +990,28 @@ def incremental_dedup_indexed(
     identical to incremental_dedup; equivalence is test-pinned), and
     exact-Jaccard verification fetches shingle arrays for candidate
     ids only.
+
+    `key_pushdown` (VERDICT r11 #2: the candidate join scans the FULL
+    band artifact per batch) narrows the artifact scan to the batch's
+    own band keys before the join: the batch's distinct `key` strings —
+    bounded by bands × batch docs, NEVER corpus-sized — become an
+    `IN (...)` filter on the artifact, which Spark pushes into the
+    parquet scan (row-group min/max + dictionary pruning; a
+    key-range-clustered artifact layout, e.g.
+    `repartitionByRange("key").sortWithinPartitions("key")` at index
+    build time, makes whole row groups skip). Filtered rows can never
+    equi-join a batch band row, so survivors are identical (the
+    differential fuzz covers this path). "auto" applies it while the
+    distinct key count fits `pushdown_cap`; True forces, False disables.
+
+    The cap is a LITERAL-PLAN bound, not a correctness bound, and is
+    deliberately micro-batch-sized: a 16k-literal IN measured +22 s on
+    the sf0.1 bench row (the literal-count-proportional plan/pushdown
+    machinery swamps any scan saving), while sub-1k literal sets plan
+    in milliseconds. Past the cap the artifact scan stays full and the
+    (band, key) equi-join — batch side broadcast — does the filtering;
+    for BULK batches the engine-level mitigation is AQE stat broadcasts
+    / bloom joins, never a literal list.
 
     Returns (survivors, delta_hashes, delta_bands, delta_arrays): the
     surviving batch rows plus their index rows — append the deltas to
@@ -1007,6 +1031,21 @@ def incremental_dedup_indexed(
         eager=True
     )
     bands_b = minhash_band_rows(arr_b, num_perm, bands).localCheckpoint(eager=True)
+    if key_pushdown:
+        keys = [
+            r["key"]
+            for r in bands_b.select("key").distinct().limit(pushdown_cap + 1).collect()
+        ]
+        if len(keys) <= pushdown_cap:
+            # key strings collide across bands only by hash accident —
+            # the IN filter is a superset of the joinable rows, the
+            # (band, key) equi-join below stays the arbiter
+            index_bands = index_bands.where(F.col("key").isin(keys))
+        elif key_pushdown is True:
+            raise ValueError(
+                f"key_pushdown=True but the batch carries more than "
+                f"pushdown_cap={pushdown_cap} distinct band keys"
+            )
     all_bands = index_bands.unionByName(bands_b)
     # candidates = batch-side band rows against ALL band rows: exactly
     # the pairs with >= 1 new member (the only ones the kill rule can

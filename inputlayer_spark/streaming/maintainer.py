@@ -368,7 +368,12 @@ class StreamingCorpusDeduper:
             self.num_perm, self.bands, self.shingle_n,
         )
         hashes.write.mode("overwrite").parquet(f"{self.index_dir}/hashes/batch=-1")
-        band_rows.write.mode("overwrite").parquet(f"{self.index_dir}/bands/batch=-1")
+        # key-range-clustered layout so incremental_dedup_indexed's
+        # per-batch `key IN (...)` pushdown skips whole row groups —
+        # one create-time shuffle buys every future batch a pruned scan
+        band_rows.repartitionByRange(F.col("key")).sortWithinPartitions(
+            "key"
+        ).write.mode("overwrite").parquet(f"{self.index_dir}/bands/batch=-1")
         arrays.write.mode("overwrite").parquet(f"{self.index_dir}/arrays/batch=-1")
         _fs_write_text(
             self.spark,
@@ -472,9 +477,14 @@ class StreamingCorpusDeduper:
                 df = self.spark.read.parquet(root)
                 cols = list(self._INDEX_COLS[part])
                 dst = self._part_root(part, new_gen)
-                df.where(F.col("batch").isin(fold)).select(*cols).write.mode(
-                    "overwrite"
-                ).parquet(f"{dst}/batch=-1")
+                base = df.where(F.col("batch").isin(fold)).select(*cols)
+                if part == "bands":
+                    # restore the key-clustered layout the per-batch
+                    # pushdown prunes against (deltas arrive unsorted)
+                    base = base.repartitionByRange(
+                        F.col("key")
+                    ).sortWithinPartitions("key")
+                base.write.mode("overwrite").parquet(f"{dst}/batch=-1")
                 for i in carry:
                     df.where(F.col("batch") == i).select(*cols).write.mode(
                         "overwrite"

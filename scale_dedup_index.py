@@ -1,0 +1,226 @@
+"""SCALE_r12 experiment: persisted dedup index — FIXED batch, GROWING corpus.
+
+The indexed incremental-dedup path's entire value proposition
+(VERDICT r11 #2) is that per-batch cost is O(batch + candidates), never
+O(corpus): the corpus text is not re-shingled and its signatures are
+never recomputed. SCALE_r11 measured only the DIRECT path's growth;
+this sweep holds one batch constant (~500 docs derived from sf0.01)
+while the corpus index grows 1x / 10x / 100x (sf0.01 / sf0.1 / derived
+sf1) and times, per corpus:
+
+- direct          — incremental_dedup(batch, corpus): re-shingles +
+                    re-minhashes the WHOLE corpus per batch (the v1
+                    formulation). Expected to grow with the corpus.
+- build (create)  — build_dedup_index + artifact persist. One-time
+                    `.index create`-class work; grows with the corpus
+                    BY DESIGN and is paid once, not per batch.
+- indexed         — incremental_dedup_indexed from the persisted
+                    artifacts, key_pushdown=False: per-batch cost =
+                    batch derivations + a full band-artifact scan for
+                    the candidate join. The artifact scan is the only
+                    corpus-sized term.
+- indexed_push    — key_pushdown=True over the key-range-clustered
+                    artifact: the batch's own band keys become an
+                    IN (...) parquet pushdown, so the candidate probe
+                    reads only matching row groups. Expected near-flat.
+- indexed_bucket  — band artifact as a bucketBy(64, key) TABLE
+                    (VERDICT r11 #2 asked for this measurement): bucket
+                    layout alone, no key pushdown. Bucketing co-locates
+                    join keys but cannot prune a broadcast-side probe,
+                    so this isolates whether the layout itself helps at
+                    these scales.
+
+The batch is the same frame everywhere: ~50 sf0.01 docs (doc_id % 100
+= 0, a streaming-micro-batch shape whose ~800 band keys sit under the
+key-pushdown literal cap) with ids offset by 1e9 and one appended
+token — near-duplicates of their sf0.01 originals in shingle space, so
+the candidate/verify stages do real work instead of short-circuiting
+empty.
+
+Protocol: --min3 orchestrates 3 sequential fresh-JVM runs (quiet box),
+min per cell, per-run results embedded — the BENCH_r08_min3 discipline.
+
+Usage:
+    python scale_dedup_index.py            # one run -> $SPARK_GRAFT_SCALE_OUT
+    python scale_dedup_index.py --min3     # 3 fresh JVMs -> SCALE_r12_dedup_index.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1")
+WORK = "/tmp/scale_dedup_index"
+KW = dict(num_perm=64, bands=16, shingle_n=2, threshold=0.5)
+
+CORPORA = [
+    ("sf0.01 (1x)", "/root/testdata/sf0.01/documents.parquet"),
+    ("sf0.1 (10x)", "/root/testdata/sf0.1/documents.parquet"),
+    ("sf1 (100x)", os.path.join(SF1_DIR, "documents.parquet")),
+]
+
+
+def _batch(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter("doc_id % 100 = 0")
+        .select(
+            (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" b12tok")).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def one_run() -> None:
+    from inputlayer_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+        incremental_dedup_indexed,
+    )
+    from inputlayer_spark.session import get_spark
+
+    spark = get_spark("scale-dedup-index")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.isdir(SF1_DIR):
+        from scale_proof import build_sf1
+
+        build_sf1(spark)
+
+    batch = _batch(spark)
+    batch.count()  # materialize before any clock starts
+
+    results: dict = {}
+    survivors: dict = {}
+    for label, path in CORPORA:
+        slug = label.split()[0].replace(".", "_")
+        corpus = spark.read.parquet(path).select("doc_id", "text")
+
+        t0 = time.perf_counter()
+        n_direct = incremental_dedup(batch, corpus, "doc_id", "text", **KW).count()
+        t_direct = time.perf_counter() - t0
+
+        art = f"{WORK}/{slug}"
+        shutil.rmtree(art, ignore_errors=True)
+        t0 = time.perf_counter()
+        h, b, a = build_dedup_index(
+            corpus, "doc_id", "text", KW["num_perm"], KW["bands"], KW["shingle_n"]
+        )
+        h.write.mode("overwrite").parquet(f"{art}/hashes")
+        b.repartitionByRange(F.col("key")).sortWithinPartitions("key").write.mode(
+            "overwrite"
+        ).parquet(f"{art}/bands")
+        a.write.mode("overwrite").parquet(f"{art}/arrays")
+        t_build = time.perf_counter() - t0
+
+        hd = spark.read.parquet(f"{art}/hashes")
+        bd = spark.read.parquet(f"{art}/bands")
+        ad = spark.read.parquet(f"{art}/arrays")
+
+        t0 = time.perf_counter()
+        n_idx = incremental_dedup_indexed(
+            batch, hd, bd, ad, "doc_id", "text", key_pushdown=False, **KW
+        )[0].count()
+        t_indexed = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_push = incremental_dedup_indexed(
+            batch, hd, bd, ad, "doc_id", "text", key_pushdown=True, **KW
+        )[0].count()
+        t_push = time.perf_counter() - t0
+
+        tbl = f"scale_band_idx_{slug}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        b.write.bucketBy(64, "key").sortBy("key").mode("overwrite").saveAsTable(tbl)
+        bt = spark.table(tbl)
+        t0 = time.perf_counter()
+        n_bkt = incremental_dedup_indexed(
+            batch, hd, bt, ad, "doc_id", "text", key_pushdown=False, **KW
+        )[0].count()
+        t_bucket = time.perf_counter() - t0
+
+        assert n_direct == n_idx == n_push == n_bkt, (label, n_direct, n_idx, n_push, n_bkt)
+        survivors[label] = n_direct
+        for variant, t in (
+            ("direct", t_direct),
+            ("build (create-time)", t_build),
+            ("indexed", t_indexed),
+            ("indexed_push", t_push),
+            ("indexed_bucket", t_bucket),
+        ):
+            results.setdefault(variant, {})[label] = round(t, 3)
+        print(f"# {label}: " + ", ".join(
+            f"{v}={results[v][label]}s" for v in results
+        ), file=sys.stderr)
+
+    payload = {
+        "metric": "scale_dedup_index",
+        "unit": "sec",
+        "batch_rows": batch.count(),
+        "survivors": survivors,
+        "results": results,
+    }
+    out = os.environ.get("SPARK_GRAFT_SCALE_OUT", "SCALE_r12_dedup_index.run.json")
+    with open(out, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps({"metric": payload["metric"], "results": results}))
+
+
+def min3_orchestrate() -> None:
+    import subprocess
+
+    out_path = os.environ.get(
+        "SPARK_GRAFT_SCALE_OUT", "SCALE_r12_dedup_index.json"
+    )
+    runs = []
+    for i in range(3):
+        run_out = f"{out_path}.run{i + 1}"
+        env = dict(os.environ, SPARK_GRAFT_SCALE_OUT=run_out)
+        print(f"# min3 pass {i + 1}/3 ...", file=sys.stderr)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], check=True, env=env
+        )
+        with open(run_out) as fh:
+            runs.append(json.load(fh))
+        os.remove(run_out)
+    variants = list(runs[0]["results"])
+    labels = list(runs[0]["results"][variants[0]])
+    results = {
+        v: {lbl: min(r["results"][v][lbl] for r in runs) for lbl in labels}
+        for v in variants
+    }
+    payload = {
+        "metric": "scale_dedup_index_min3",
+        "unit": "sec",
+        "protocol": (
+            "fixed ~50-doc batch vs 1x/10x/100x corpus; 3 sequential "
+            "fresh-JVM runs on a quiet box; min per (variant, corpus) "
+            "cell; per-run results embedded"
+        ),
+        "batch_rows": runs[0]["batch_rows"],
+        "survivors": runs[0]["survivors"],
+        "results": results,
+        "growth_100x": {
+            v: round(results[v][labels[-1]] / max(results[v][labels[0]], 1e-9), 2)
+            for v in variants
+        },
+        "per_run_results": [r["results"] for r in runs],
+    }
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps({k: payload[k] for k in ("metric", "growth_100x")}))
+
+
+if __name__ == "__main__":
+    if "--min3" in sys.argv:
+        min3_orchestrate()
+    else:
+        one_run()

@@ -3715,3 +3715,23 @@ def test_incremental_dedup_indexed_matches_direct(spark):
     assert sorted(r["__id"] for r in da.collect()) == sids
     band_ids = sorted(set(r["__id"] for r in db.collect()))
     assert set(band_ids) <= set(sids)  # docs w/o shingles emit no bands
+    # the key-pushdown narrowed artifact scan (r12) filters only rows
+    # that can never equi-join a batch band row — survivors identical
+    # with the pushdown forced on and forced off
+    for mode in (True, False):
+        s2, _, _, _ = incremental_dedup_indexed(
+            batch, h, b, a, "doc_id", "text",
+            num_perm=64, bands=16, shingle_n=2, key_pushdown=mode,
+            pushdown_cap=100_000,
+        )
+        assert sorted(r["doc_id"] for r in s2.collect()) == sids, mode
+    # forcing the pushdown past the literal cap is a loud error, never
+    # a silent mega-literal plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        incremental_dedup_indexed(
+            batch, h, b, a, "doc_id", "text",
+            num_perm=64, bands=16, shingle_n=2,
+            key_pushdown=True, pushdown_cap=8,
+        )

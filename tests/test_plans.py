@@ -8,6 +8,7 @@ here is a scale regression even when small-SF results stay correct.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entry
 
@@ -460,3 +461,69 @@ def test_source_filter_broadcast_is_cap_guarded(spark, monkeypatch):
     out2 = sampling.filter_by_source_quality(docs, "source", "text", min_docs=1)
     analyzed2 = out2._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in analyzed2
+
+
+def test_indexed_dedup_key_pushdown_reaches_parquet_scan(
+    spark, tmp_path, monkeypatch
+):
+    """r12: incremental_dedup_indexed's batch-key pushdown, pinned in
+    two halves (the operator localCheckpoints its output, so the final
+    DF's lineage can't show the scan):
+
+    1. the operator really injects a `key IN (...)` filter on the band
+       artifact in auto mode under the cap (spied via DataFrame.where —
+       the operator's only .where call is the pushdown site);
+    2. that exact filter shape on the artifact's on-disk layout reaches
+       the PARQUET SCAN as PushedFilters — not a post-scan Filter only
+       — which is what turns the per-batch candidate probe into
+       row-group skips on a key-clustered artifact."""
+    # pyspark 4: pyspark.sql.DataFrame is the ABC; the sessions here
+    # build classic (non-Connect) frames, so spy on the concrete class
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from inputlayer_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_indexed,
+        minhash_band_rows,
+        doc_shingle_arrays,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    batch = docs.filter("doc_id % 17 = 0")
+    corpus = docs.filter("doc_id % 17 != 0")
+    h, b, a = build_dedup_index(corpus, "doc_id", "text", 16, 8, 2)
+    bdir = str(tmp_path / "bands")
+    b.repartitionByRange(F.col("key")).sortWithinPartitions("key").write.parquet(bdir)
+    b_disk = spark.read.parquet(bdir)
+
+    where_conds = []
+    orig_where = DataFrame.where
+
+    def spy(self, cond):
+        where_conds.append(str(cond))
+        return orig_where(self, cond)
+
+    monkeypatch.setattr(DataFrame, "where", spy)
+    surv, _, _, _ = incremental_dedup_indexed(
+        batch, h, b_disk, a, "doc_id", "text", num_perm=16, bands=8, shingle_n=2
+    )
+    assert surv.count() > 0
+    assert any("in(key" in c.lower().replace(" ", "")
+               or "keyin" in c.lower().replace(" ", "")
+               for c in where_conds), where_conds
+    monkeypatch.undo()
+
+    # the same filter shape, pushed into the artifact scan
+    keys = [
+        r["key"]
+        for r in minhash_band_rows(
+            doc_shingle_arrays(batch, "doc_id", "text", 2), 16, 8
+        ).select("key").distinct().collect()
+    ]
+    filtered = b_disk.where(F.col("key").isin(keys))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(key" in plan, plan[:4000]
+    assert filtered.count() > 0  # the pruned probe still finds its rows
