@@ -4,7 +4,7 @@ The indexed incremental-dedup path's entire value proposition
 (VERDICT r11 #2) is that per-batch cost is O(batch + candidates), never
 O(corpus): the corpus text is not re-shingled and its signatures are
 never recomputed. SCALE_r11 measured only the DIRECT path's growth;
-this sweep holds one batch constant (~500 docs derived from sf0.01)
+this sweep holds one batch constant (~50 docs derived from sf0.01)
 while the corpus index grows 1x / 10x / 100x (sf0.01 / sf0.1 / derived
 sf1) and times, per corpus:
 
@@ -30,7 +30,7 @@ sf1) and times, per corpus:
                     so this isolates whether the layout itself helps at
                     these scales.
 
-The batch is the same frame everywhere: ~50 sf0.01 docs (doc_id % 100
+The batch is the same frame everywhere: ~50 sf0.01 docs (doc_id % 10
 = 0, a streaming-micro-batch shape whose ~800 band keys sit under the
 key-pushdown literal cap) with ids offset by 1e9 and one appended
 token — near-duplicates of their sf0.01 originals in shingle space, so
@@ -71,7 +71,7 @@ CORPORA = [
 def _batch(spark):
     return (
         spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-        .filter("doc_id % 100 = 0")
+        .filter("doc_id % 10 = 0")
         .select(
             (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" b12tok")).alias("text"),
@@ -139,6 +139,17 @@ def one_run() -> None:
 
         tbl = f"scale_band_idx_{slug}"
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # a fresh JVM has a fresh in-memory catalog, but the managed
+        # table's warehouse dir persists on disk — clear it or
+        # saveAsTable fails with LOCATION_ALREADY_EXISTS
+        shutil.rmtree(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "spark-warehouse",
+                tbl,
+            ),
+            ignore_errors=True,
+        )
         b.write.bucketBy(64, "key").sortBy("key").mode("overwrite").saveAsTable(tbl)
         bt = spark.table(tbl)
         t0 = time.perf_counter()
