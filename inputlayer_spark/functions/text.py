@@ -299,7 +299,8 @@ def vocabulary(df, text_col: str, top_n: int = 1000, min_count: int = 1):
     )
 
 
-def tfidf(df, id_col: str, text_col: str, min_tf: int = 2):
+def tfidf(df, id_col: str, text_col: str, min_tf: int = 2, hot_keys=None,
+          salt: int = 16):
     """Per-document TF-IDF term scores: tf = in-document token count
     (standard `tokens()` tokenizer), idf = ln(N / df) over distinct
     containing documents, score = tf * idf. `min_tf` is an INTEGER
@@ -312,7 +313,17 @@ def tfidf(df, id_col: str, text_col: str, min_tf: int = 2):
     dfreq side is NEVER hint-broadcast: both sides already pay the
     token-key shuffle, and the join stays a shuffle join unless
     Catalyst/AQE *measures* the side under the broadcast threshold.
-    Plan pinned in tests/test_plans.py (no ResolvedHint on dfreq)."""
+    Plan pinned in tests/test_plans.py (no ResolvedHint on dfreq).
+
+    `hot_keys` (VERDICT r11 #3): known EXTREME-mass tokens (a stopword
+    list — the operator can't know your corpus's hot keys, you do).
+    The tf⋈dfreq join is salted on those keys only
+    (operators/skew.salted_join): a hot token's per-doc tf rows spread
+    over `salt` shuffle sub-keys instead of one straggler partition.
+    SKEW_r12.json records why this is operator-level and explicit: at
+    locally-achievable volumes a 25%-mass key stays under AQE's
+    skew-split thresholds (shuffle compression absorbs most of the byte
+    skew), so the salt is the tool that works at every scale."""
     from pyspark.sql import functions as F
 
     n_docs = df.count()
@@ -327,7 +338,16 @@ def tfidf(df, id_col: str, text_col: str, min_tf: int = 2):
     dfreq = tok.distinct().groupBy("token").agg(
         F.count(F.lit(1)).alias("df")
     )
-    return tf.join(dfreq, "token").select(
+    if hot_keys:
+        from inputlayer_spark.operators.skew import salted_join
+
+        hot_df = df.sparkSession.createDataFrame(
+            [(t,) for t in hot_keys], "token string"
+        )
+        joined = salted_join(tf, dfreq, "token", salt=salt, hot_keys=hot_df)
+    else:
+        joined = tf.join(dfreq, "token")
+    return joined.select(
         F.col(id_col),
         F.col("token"),
         F.col("tf"),
@@ -338,7 +358,8 @@ def tfidf(df, id_col: str, text_col: str, min_tf: int = 2):
     )
 
 
-def lm_score(df, id_col: str, text_col: str, alpha: float = 0.5):
+def lm_score(df, id_col: str, text_col: str, alpha: float = 0.5,
+             hot_keys=None, salt: int = 16):
     """Corpus-trained bigram language-model score per document — the
     classic curation gate for gibberish / boilerplate outliers (docs
     whose token transitions are improbable under the corpus's own
@@ -359,7 +380,14 @@ def lm_score(df, id_col: str, text_col: str, alpha: float = 0.5):
     heavy-tailed and is NEVER hint-broadcast — Catalyst/AQE may still
     stat-broadcast a measured-small side. C(w1) is derived from the
     bigram counts (sum over w2), so prefix counts and pair counts are
-    consistent by construction."""
+    consistent by construction.
+
+    `hot_keys` (VERDICT r11 #3): known extreme-mass tokens. Only the
+    C(w1) join is salted — its shuffle keys on w1 ALONE, so a 25%-mass
+    stopword lands one partition; the (w1, w2) pair join's keys
+    self-spread over the hot token's successors and stay unsalted.
+    See tfidf's docstring + SKEW_r12.json for why this is an explicit
+    operator option rather than trust in AQE skew-split."""
     from pyspark.sql import functions as F
 
     toks = df.select(
@@ -385,7 +413,16 @@ def lm_score(df, id_col: str, text_col: str, alpha: float = 0.5):
     ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     uni = big.groupBy("w1").agg(F.sum("cb").alias("cu"))
-    scored = pairs.join(big, ["w1", "w2"]).join(uni, ["w1"])
+    paired = pairs.join(big, ["w1", "w2"])
+    if hot_keys:
+        from inputlayer_spark.operators.skew import salted_join
+
+        hot_df = df.sparkSession.createDataFrame(
+            [(t,) for t in hot_keys], "w1 string"
+        )
+        scored = salted_join(paired, uni, "w1", salt=salt, hot_keys=hot_df)
+    else:
+        scored = paired.join(uni, ["w1"])
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(

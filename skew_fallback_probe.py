@@ -30,7 +30,7 @@ Writes SKEW_r12.json. Run on a quiet box, nothing else on the JVM.
 
 Usage:
     python skew_fallback_probe.py             # orchestrates both configs
-    python skew_fallback_probe.py --child on|off   # (internal) one config
+    python skew_fallback_probe.py --child on|off|salted  # (internal) one config
 """
 
 from __future__ import annotations
@@ -54,7 +54,8 @@ def _rest(app_path: str):
         return json.loads(r.read().decode())
 
 
-def child(skew_on: bool) -> None:
+def child(mode: str) -> None:
+    skew_on = mode != "off"
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -97,7 +98,12 @@ def child(skew_on: bool) -> None:
     hot = F.array_join(F.array_repeat(F.lit("zq"), n_hot), " ")
     skewed = docs.select("doc_id", F.concat_ws(" ", txt, hot).alias("text"))
 
-    out = lm_score(skewed, "doc_id", "text")
+    # mode "salted": the operator-level mitigation — hot_keys= wires
+    # operators/skew.salted_join into the C(w1) join (VERDICT r11 #3)
+    out = lm_score(
+        skewed, "doc_id", "text",
+        hot_keys=["zq"] if mode == "salted" else None,
+    )
     t0 = time.perf_counter()
     n = out.count()
     wall = time.perf_counter() - t0
@@ -136,13 +142,16 @@ def child(skew_on: bool) -> None:
             }
         )
     payload = {
-        "config": "skew_split_on" if skew_on else "skew_split_off",
+        "config": {
+            "on": "skew_split_on",
+            "off": "skew_split_off",
+            "salted": "salted_hot_keys",
+        }[mode],
         "rows": n,
         "wall_sec": round(wall, 2),
         "sort_merge_join_in_plan": "SortMergeJoin" in plan,
         "broadcast_in_plan": "BroadcastHashJoin" in plan,
-        "skew_marker_in_plan": "skewed=true" in plan or "isSkew" in plan
-        or "skew=true" in plan,
+        "skew_marker_in_plan": "skew" in plan.lower(),
         "worst_shuffle_stages": worst,
     }
     with open(os.environ["SKEW_PROBE_OUT"], "w") as fh:
@@ -154,7 +163,7 @@ def orchestrate() -> None:
     import subprocess
 
     results = []
-    for mode in ("on", "off"):
+    for mode in ("on", "off", "salted"):
         out = f"/tmp/skew_probe_{mode}.json"
         env = dict(os.environ, SKEW_PROBE_OUT=out)
         print(f"# skew probe: split {mode} ...", file=sys.stderr)
@@ -194,6 +203,6 @@ def orchestrate() -> None:
 
 if __name__ == "__main__":
     if "--child" in sys.argv:
-        child(sys.argv[sys.argv.index("--child") + 1] == "on")
+        child(sys.argv[sys.argv.index("--child") + 1])
     else:
         orchestrate()

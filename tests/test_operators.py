@@ -3735,3 +3735,45 @@ def test_incremental_dedup_indexed_matches_direct(spark):
             num_perm=64, bands=16, shingle_n=2,
             key_pushdown=True, pushdown_cap=8,
         )
+
+
+def test_lm_score_and_tfidf_hot_key_salting_is_result_identical(spark):
+    """VERDICT r11 #3: the hot_keys= salted-join option on
+    lm_score/tfidf (operators/skew.salted_join wired into the w1 /
+    token join) must be RESULT-identical to the unsalted path — the
+    salt only re-shards the hot key's shuffle rows. Verified on a
+    planted 'zq' hot token carrying ~25% of token mass."""
+    from pyspark.sql import functions as F
+
+    from inputlayer_spark.functions.text import lm_score, tfidf
+    from inputlayer_spark.functions.text import tokens as _tokens
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    n_hot = F.floor(F.size(_tokens(txt)) / F.lit(3)).cast("int")
+    hot = F.array_join(F.array_repeat(F.lit("zq"), n_hot), " ")
+    skewed = docs.select("doc_id", F.concat_ws(" ", txt, hot).alias("text"))
+
+    plain = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+             for r in lm_score(skewed, "doc_id", "text").collect()}
+    salted = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+              for r in lm_score(skewed, "doc_id", "text",
+                                hot_keys=["zq"], salt=8).collect()}
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        assert plain[k][0] == salted[k][0]
+        assert abs(plain[k][1] - salted[k][1]) < 1e-9, k
+
+    t_plain = {(r["doc_id"], r["token"]): (r["tf"], r["score"])
+               for r in tfidf(skewed, "doc_id", "text", min_tf=2).collect()}
+    t_salt = {(r["doc_id"], r["token"]): (r["tf"], r["score"])
+              for r in tfidf(skewed, "doc_id", "text", min_tf=2,
+                             hot_keys=["zq"], salt=8).collect()}
+    assert t_plain.keys() == t_salt.keys()
+    for k in t_plain:
+        assert t_plain[k][0] == t_salt[k][0]
+        assert abs(t_plain[k][1] - t_salt[k][1]) < 1e-9, k
