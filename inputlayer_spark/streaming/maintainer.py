@@ -276,6 +276,7 @@ class StreamingCorpusDeduper:
         bands: int = 16,
         shingle_n: int = 2,
         threshold: float = 0.5,
+        auto_compact_every: Optional[int] = None,
     ):
         self.spark = spark
         self.id_col = id_col
@@ -290,7 +291,13 @@ class StreamingCorpusDeduper:
         self.bands = bands
         self.shingle_n = shingle_n
         self.threshold = threshold
+        # fold index deltas into the base every N accepted batches
+        # (None = manual compact_index() only). The operational loop
+        # for long-lived streams: without it, thousands of daily
+        # batches degrade the index read into a small-files scan.
+        self.auto_compact_every = auto_compact_every
         self.batches_seen = 0
+        self.compactions = 0
         self._query = None
         self._lock = threading.Lock()
 
@@ -415,6 +422,17 @@ class StreamingCorpusDeduper:
                     f"{self._part_root(part, gen)}/batch={batch_id}"
                 )
             self.batches_seen += 1
+            if (
+                self.auto_compact_every
+                and self.batches_seen % self.auto_compact_every == 0
+            ):
+                # the current batch is NOT yet in the commits ledger
+                # (foreachBatch hasn't returned), so its partitions are
+                # carried as deltas into the new generation, never
+                # folded — a replay after a crash here still excludes
+                # them via the batch < batch_id read filter
+                if self._compact_locked() > 0:
+                    self.compactions += 1
 
     # -------------------------------------------------------------- compact
 
@@ -453,50 +471,55 @@ class StreamingCorpusDeduper:
         overwritten by the next attempt. Returns the number of delta
         partitions folded (0 = nothing to do)."""
         with self._lock:
-            gen = self._generation()
-            committed = set(self._committed_batches())
-            new_gen = gen + 1
-            plan = {}
-            folded = 0
-            for part in self._INDEX_COLS:
-                root = self._part_root(part, gen)
-                ids = []
-                for name in _fs_list_names(self.spark, root):
-                    if name.startswith("batch="):
-                        ids.append(int(name.split("=", 1)[1]))
-                fold = [i for i in ids if i == -1 or i in committed]
-                carry = [i for i in ids if i != -1 and i not in committed]
-                plan[part] = (root, fold, carry)
-                folded += max(len(fold) - 1, 0)
-            if folded == 0:
-                return 0
-            # every part is rewritten into the new generation, even one
-            # that happens to hold only its base — the pointer flip is
-            # all-or-nothing across the three artifacts
-            for part, (root, fold, carry) in plan.items():
-                df = self.spark.read.parquet(root)
-                cols = list(self._INDEX_COLS[part])
-                dst = self._part_root(part, new_gen)
-                base = df.where(F.col("batch").isin(fold)).select(*cols)
-                if part == "bands":
-                    # restore the key-clustered layout the per-batch
-                    # pushdown prunes against (deltas arrive unsorted)
-                    base = base.repartitionByRange(
-                        F.col("key")
-                    ).sortWithinPartitions("key")
-                base.write.mode("overwrite").parquet(f"{dst}/batch=-1")
-                for i in carry:
-                    df.where(F.col("batch") == i).select(*cols).write.mode(
-                        "overwrite"
-                    ).parquet(f"{dst}/batch={i}")
-            _fs_write_text(self.spark, f"{self.index_dir}/_GEN", str(new_gen))
-            # best-effort cleanup of the superseded generation (crash
-            # here costs disk, never correctness)
-            for part in self._INDEX_COLS:
-                _fs_delete(self.spark, self._part_root(part, gen))
-            if gen > 0:
-                _fs_delete(self.spark, f"{self.index_dir}/g{gen}")
-            return folded
+            return self._compact_locked()
+
+    def _compact_locked(self) -> int:
+        """compact_index body; caller holds self._lock (the auto-compact
+        hook runs inside _on_batch's critical section)."""
+        gen = self._generation()
+        committed = set(self._committed_batches())
+        new_gen = gen + 1
+        plan = {}
+        folded = 0
+        for part in self._INDEX_COLS:
+            root = self._part_root(part, gen)
+            ids = []
+            for name in _fs_list_names(self.spark, root):
+                if name.startswith("batch="):
+                    ids.append(int(name.split("=", 1)[1]))
+            fold = [i for i in ids if i == -1 or i in committed]
+            carry = [i for i in ids if i != -1 and i not in committed]
+            plan[part] = (root, fold, carry)
+            folded += max(len(fold) - 1, 0)
+        if folded == 0:
+            return 0
+        # every part is rewritten into the new generation, even one
+        # that happens to hold only its base — the pointer flip is
+        # all-or-nothing across the three artifacts
+        for part, (root, fold, carry) in plan.items():
+            df = self.spark.read.parquet(root)
+            cols = list(self._INDEX_COLS[part])
+            dst = self._part_root(part, new_gen)
+            base = df.where(F.col("batch").isin(fold)).select(*cols)
+            if part == "bands":
+                # restore the key-clustered layout the per-batch
+                # pushdown prunes against (deltas arrive unsorted)
+                base = base.repartitionByRange(
+                    F.col("key")
+                ).sortWithinPartitions("key")
+            base.write.mode("overwrite").parquet(f"{dst}/batch=-1")
+            for i in carry:
+                df.where(F.col("batch") == i).select(*cols).write.mode(
+                    "overwrite"
+                ).parquet(f"{dst}/batch={i}")
+        _fs_write_text(self.spark, f"{self.index_dir}/_GEN", str(new_gen))
+        # best-effort cleanup of the superseded generation (crash
+        # here costs disk, never correctness)
+        for part in self._INDEX_COLS:
+            _fs_delete(self.spark, self._part_root(part, gen))
+        if gen > 0:
+            _fs_delete(self.spark, f"{self.index_dir}/g{gen}")
+        return folded
 
     # -------------------------------------------------------------- control
 

@@ -1228,3 +1228,78 @@ def test_incremental_dedup_three_formulations_differential(spark, tmp_path):
     assert direct_surv == indexed_surv == stream_surv, (
         direct_surv, indexed_surv, stream_surv, batches
     )
+
+
+def test_streaming_corpus_dedup_auto_compaction(spark, tmp_path):
+    """auto_compact_every=N folds the index inside _on_batch's critical
+    section every N accepted batches; the CURRENT batch is not yet in
+    the checkpoint's commits ledger, so its deltas are carried (not
+    folded) and the replay guard keeps working across the flip."""
+    from inputlayer_spark.streaming import StreamingCorpusDeduper
+
+    DOC = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    corpus_dir = tmp_path / "corpus"
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")], DOC
+    ).coalesce(1).write.parquet(str(corpus_dir))
+
+    def deduper():
+        return StreamingCorpusDeduper(
+            spark, "doc_id", "text", str(corpus_dir), str(src_dir), DOC,
+            str(tmp_path / "ckpt"), str(tmp_path / "surv"),
+            num_perm=64, bands=32, auto_compact_every=2,
+        )
+
+    texts = [
+        "totally new unique content appears here today for the first time",
+        "completely different words arrive in this line of text my friends",
+        "one more body of text never seen anywhere before in this corpus",
+    ]
+    d = None
+    for i, t in enumerate(texts):
+        spark.createDataFrame([(10 + i, t)], DOC).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src_dir))
+        d = deduper()
+        d.process_available()
+    # batch ids 0,1,2: the hook fired mid-batch-1 (batches_seen hits 2
+    # there only on a single long-lived instance; with per-batch fresh
+    # instances batches_seen is 1 each time, so force one compaction
+    # now and verify the policy path too)
+    import os
+
+    gen_before = d._generation()
+    folded = d.compact_index()
+    assert d._generation() == gen_before + (1 if folded else 0)
+    # everything still present post-fold: corpus + three survivors
+    assert sorted(r["__id"] for r in d._index_part("hashes").collect()) == [
+        1, 10, 11, 12,
+    ]
+    # a long-lived instance triggers the hook by itself — driven
+    # through the REAL stream (the hook folds only checkpoint-committed
+    # batches, so direct _on_batch calls that never reach the commits
+    # ledger must NOT fold; that refusal is the crash-safety property)
+    fresh2 = [
+        "quantum penguins orchestrate midnight symphonies under frozen auroras",
+        "seventeen copper kettles whistle merrily across the village square today",
+        "ancient map margins hide cryptic doodles of impossible sea monsters",
+    ]
+    long_lived = deduper()
+    for i, t in enumerate(fresh2):
+        spark.createDataFrame([(20 + i, t)], DOC).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src_dir))
+        long_lived.process_available()
+    assert long_lived.compactions >= 1
+    ids = sorted(r["__id"] for r in long_lived._index_part("hashes").collect())
+    assert ids == [1, 10, 11, 12, 20, 21, 22]
+    # dedup against the compacted state still works
+    dup = spark.createDataFrame([(30, texts[0]), (31, "fresh words beyond all")], DOC)
+    long_lived._on_batch(dup, 200)
+    surv = spark.read.parquet(str(tmp_path / "surv"))
+    got = sorted(r["doc_id"] for r in surv.where("doc_id >= 30").collect())
+    assert got == [31]
