@@ -258,7 +258,20 @@ class StreamingCorpusDeduper:
     minhashing over the WHOLE corpus every micro-batch: O(corpus) per
     batch, unusable at 100 TB). All index deltas are written
     mode("overwrite") into their batch partition, so a foreachBatch
-    retry is idempotent, exactly like the survivors themselves.
+    retry is idempotent, exactly like the survivors themselves — AND
+    the per-batch index read filters `batch < batch_id`, so a replay
+    never dedups a batch against its own partially-committed deltas
+    (ADVICE r11 HIGH).
+
+    Index deltas accumulate one partition per accepted batch;
+    `compact_index()` (or `auto_compact_every=N`) folds
+    checkpoint-COMMITTED batches into a generational base so the
+    per-batch read never degrades into a small-files scan. The
+    SURVIVORS directory accumulates the same way but is user-facing
+    contract (`corpus()` unions it, external readers scan it), so it is
+    not folded in place — at daily-batch cadence rewrite it offline
+    (read → repartition → write elsewhere → swap) during a stream stop,
+    or point downstream consumers at periodic corpus() snapshots.
     """
 
     def __init__(
