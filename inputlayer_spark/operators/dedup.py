@@ -977,7 +977,7 @@ def incremental_dedup_indexed(
     bands: int = 16,
     shingle_n: int = 2,
     threshold: float = 0.5,
-    key_pushdown="auto",
+    key_pushdown=False,
     pushdown_cap: int = 1_024,
 ):
     """`incremental_dedup` against a PERSISTED corpus index instead of
@@ -1004,14 +1004,21 @@ def incremental_dedup_indexed(
     differential fuzz covers this path). "auto" applies it while the
     distinct key count fits `pushdown_cap`; True forces, False disables.
 
-    The cap is a LITERAL-PLAN bound, not a correctness bound, and is
-    deliberately micro-batch-sized: a 16k-literal IN measured +22 s on
-    the sf0.1 bench row (the literal-count-proportional plan/pushdown
-    machinery swamps any scan saving), while sub-1k literal sets plan
-    in milliseconds. Past the cap the artifact scan stays full and the
-    (band, key) equi-join — batch side broadcast — does the filtering;
-    for BULK batches the engine-level mitigation is AQE stat broadcasts
-    / bloom joins, never a literal list.
+    The default is False — measurement-driven: SCALE_r12_dedup_index
+    shows the pushdown LOSING at every locally measurable artifact size
+    (5.50 vs 4.77 s at an 8M-row artifact with 800 keys: the probe's
+    extra action + per-row InSet eval exceed the ~1 s scan it saves),
+    with the win an extrapolation to TB-scale artifacts where the
+    full-scan term is minutes and row-group skips dominate — enable it
+    there. The cap is a LITERAL-PLAN bound, not a correctness bound,
+    and is deliberately micro-batch-sized: a 16k-literal IN measured
+    +22 s on the sf0.1 bench row (the literal-count-proportional
+    plan/pushdown machinery swamps any saving), while sub-1k literal
+    sets plan in milliseconds. Past the cap the artifact scan stays
+    full and the (band, key) equi-join — batch side broadcast — does
+    the filtering; for BULK batches the engine-level mitigation is AQE
+    stat broadcasts / bloom joins (runtime bloom injection is on by
+    default in this Spark), never a literal list.
 
     Returns (survivors, delta_hashes, delta_bands, delta_arrays): the
     surviving batch rows plus their index rows — append the deltas to

@@ -290,6 +290,7 @@ class StreamingCorpusDeduper:
         shingle_n: int = 2,
         threshold: float = 0.5,
         auto_compact_every: Optional[int] = None,
+        key_pushdown=False,
     ):
         self.spark = spark
         self.id_col = id_col
@@ -309,6 +310,11 @@ class StreamingCorpusDeduper:
         # for long-lived streams: without it, thousands of daily
         # batches degrade the index read into a small-files scan.
         self.auto_compact_every = auto_compact_every
+        # opt-in band-key parquet pushdown for TB-scale index artifacts
+        # (see incremental_dedup_indexed's docstring for the measured
+        # crossover; the base artifact is written key-range-clustered
+        # precisely so this knob has row groups to skip)
+        self.key_pushdown = key_pushdown
         self.batches_seen = 0
         self.compactions = 0
         self._query = None
@@ -423,6 +429,7 @@ class StreamingCorpusDeduper:
                 bands=self.bands,
                 shingle_n=self.shingle_n,
                 threshold=self.threshold,
+                key_pushdown=self.key_pushdown,
             )
             surv.write.mode("overwrite").parquet(
                 f"{self.survivors_dir}/batch={batch_id}"

@@ -508,7 +508,8 @@ def test_indexed_dedup_key_pushdown_reaches_parquet_scan(
 
     monkeypatch.setattr(DataFrame, "where", spy)
     surv, _, _, _ = incremental_dedup_indexed(
-        batch, h, b_disk, a, "doc_id", "text", num_perm=16, bands=8, shingle_n=2
+        batch, h, b_disk, a, "doc_id", "text", num_perm=16, bands=8, shingle_n=2,
+        key_pushdown="auto",
     )
     assert surv.count() > 0
     assert any("in(key" in c.lower().replace(" ", "")

@@ -1197,7 +1197,11 @@ def test_incremental_dedup_three_formulations_differential(spark, tmp_path):
     indexed_surv = []
     for rows in batches:
         b = spark.createDataFrame(rows, DOC)
-        s, dh, db, da = incremental_dedup_indexed(b, h, bnd, arr, "doc_id", "text", **KW)
+        # "auto" here vs the streaming leg's default-False: the fuzz
+        # doubles as a cross-MODE equivalence check for the pushdown
+        s, dh, db, da = incremental_dedup_indexed(
+            b, h, bnd, arr, "doc_id", "text", key_pushdown="auto", **KW
+        )
         indexed_surv.append(sorted(r["doc_id"] for r in s.collect()))
         h = h.unionByName(dh).localCheckpoint()
         bnd = bnd.unionByName(db).localCheckpoint()
