@@ -335,6 +335,18 @@ class StreamingCorpusDeduper:
             base = base.unionByName(surv)
         return base
 
+    def snapshot_corpus(self, dest_dir: str, partitions: int = 32) -> int:
+        """Write corpus() as a clean `partitions`-file parquet snapshot
+        at `dest_dir` and return its row count — the operational answer
+        to survivors-partition accumulation: downstream consumers read
+        periodic snapshots instead of the ever-growing `batch=<id>`
+        layout (which stays authoritative for the deduper itself; see
+        the class docstring). Safe while the stream runs: corpus() is a
+        read-only union and new survivors only ever append."""
+        df = self.corpus().repartition(partitions)
+        df.write.mode("overwrite").parquet(dest_dir)
+        return self.spark.read.parquet(dest_dir).count()
+
     _INDEX_COLS = {
         "hashes": ("__id", "__h"),
         "bands": ("__id", "band", "key"),

@@ -1307,3 +1307,41 @@ def test_streaming_corpus_dedup_auto_compaction(spark, tmp_path):
     surv = spark.read.parquet(str(tmp_path / "surv"))
     got = sorted(r["doc_id"] for r in surv.where("doc_id >= 30").collect())
     assert got == [31]
+
+
+def test_streaming_corpus_dedup_snapshot_corpus(spark, tmp_path):
+    """snapshot_corpus writes corpus() (base ∪ survivors) as a clean
+    fixed-partition parquet copy — the documented answer to survivors
+    small-file accumulation for downstream consumers."""
+    import os
+
+    from inputlayer_spark.streaming import StreamingCorpusDeduper
+
+    DOC = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    corpus_dir = tmp_path / "corpus"
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")], DOC
+    ).coalesce(1).write.parquet(str(corpus_dir))
+    d = StreamingCorpusDeduper(
+        spark, "doc_id", "text", str(corpus_dir), str(src_dir), DOC,
+        str(tmp_path / "ckpt"), str(tmp_path / "surv"), num_perm=64, bands=32,
+    )
+    spark.createDataFrame(
+        [(10, "totally new unique content appears here today for the first time")],
+        DOC,
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    d.process_available()
+    dest = str(tmp_path / "snap")
+    n = d.snapshot_corpus(dest, partitions=4)
+    assert n == 2
+    snap = spark.read.parquet(dest)
+    assert sorted(r["doc_id"] for r in snap.collect()) == [1, 10]
+    # empty partitions write no files (2 rows can't fill 4), and AQE
+    # may coalesce — the pin is "a handful of clean files", not an
+    # exact count
+    files = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    assert 1 <= len(files) <= 4
