@@ -357,9 +357,26 @@ class StreamingCorpusDeduper:
         """Current index generation. Generation 0 lives at the legacy
         layout `{index_dir}/{part}/batch=*`; `compact_index` writes each
         successor under `{index_dir}/g<N>/` and flips the `_GEN` pointer
-        file last, so the switch is a single atomic rename."""
+        file last, so the switch is a single atomic rename.
+
+        Recovery fallbacks, in order: the flip's delete-then-rename has
+        a window where `_GEN` is briefly absent but `_GEN.tmp` (always
+        fully written first) holds the new value — read it. If neither
+        marker exists but `g<N>` dirs do (marker manually deleted), the
+        highest complete generation on disk is authoritative: data dirs
+        are only ever deleted AFTER a successful flip, so the max g<N>
+        present is a committed generation."""
         txt = _fs_read_text(self.spark, f"{self.index_dir}/_GEN")
-        return int(txt.strip()) if txt else 0
+        if not txt:
+            txt = _fs_read_text(self.spark, f"{self.index_dir}/_GEN.tmp")
+        if txt:
+            return int(txt.strip())
+        gens = [
+            int(name[1:])
+            for name in _fs_list_names(self.spark, self.index_dir)
+            if name.startswith("g") and name[1:].isdigit()
+        ]
+        return max(gens) if gens else 0
 
     def _part_root(self, part: str, gen: Optional[int] = None) -> str:
         g = self._generation() if gen is None else gen

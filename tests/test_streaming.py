@@ -1345,3 +1345,43 @@ def test_streaming_corpus_dedup_snapshot_corpus(spark, tmp_path):
     # exact count
     files = [f for f in os.listdir(dest) if f.endswith(".parquet")]
     assert 1 <= len(files) <= 4
+
+
+def test_streaming_corpus_dedup_generation_pointer_recovery(spark, tmp_path):
+    """The _GEN flip is delete-then-rename; a crash in that window
+    leaves only _GEN.tmp (written first, complete) — _generation() must
+    recover from it, and from marker loss via the highest g<N> dir
+    (data dirs are deleted only after a successful flip)."""
+    import os
+
+    from inputlayer_spark.streaming import StreamingCorpusDeduper
+
+    DOC = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    corpus_dir = tmp_path / "corpus"
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")], DOC
+    ).coalesce(1).write.parquet(str(corpus_dir))
+    d = StreamingCorpusDeduper(
+        spark, "doc_id", "text", str(corpus_dir), str(src_dir), DOC,
+        str(tmp_path / "ckpt"), str(tmp_path / "surv"), num_perm=64, bands=32,
+    )
+    spark.createDataFrame(
+        [(10, "totally new unique content appears here today for the first time")],
+        DOC,
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    d.process_available()
+    assert d.compact_index() > 0 and d._generation() == 1
+
+    idx = str(tmp_path / "surv.index")
+    # crash window: _GEN deleted, tmp present
+    os.rename(f"{idx}/_GEN", f"{idx}/_GEN.tmp")
+    assert d._generation() == 1
+    assert sorted(r["__id"] for r in d._index_part("hashes").collect()) == [1, 10]
+    # both markers gone: highest complete g<N> dir wins
+    os.remove(f"{idx}/_GEN.tmp")
+    assert d._generation() == 1
+    assert sorted(r["__id"] for r in d._index_part("hashes").collect()) == [1, 10]
