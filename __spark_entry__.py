@@ -2142,9 +2142,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # moves below the window, repo-oracled)
         "c4_clean": q_c4_clean,
         "agg_pricing_summary": q_agg_pricing_summary,
-        "count_distinct": q_count_distinct,
+        # rotation wave 6 (r13, VERDICT r12 #4): media_features — the
+        # multimodal surface faces the driver oracle for the first
+        # time — takes count_distinct's slot (a single-agg twin of the
+        # retained agg_pricing_summary, green since r2; moves below
+        # the window, repo-oracled)
+        "media_features": q_media_features,
         "topk_per_group": q_topk_per_group,
-        "union_clauses": q_union_clauses,
+        # rotation wave 6 (r13): semijoin returns in-window (it left in
+        # wave 4; the driver oracle has never checked THIS formulation)
+        # in union_clauses' slot (green since r2, repo-oracled below)
+        "semijoin": q_semijoin,
         "shared_subplan": q_shared_subplan,
         "theta_join": q_theta_join,
         # rotation wave 5 (r12, VERDICT r11 #1): the three r11 rows move
@@ -2190,11 +2198,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "dedup_survivors": q_dedup_survivors,
         "hnsw_knn": q_hnsw_knn,
-        # rotation wave 4 (r10, second session): gopher_repetition — the
-        # §A.1.2 companion to gopher_quality — takes hnsw_knn_sharded's
-        # slot (a direct twin of hnsw_knn, which stays in-window; the
-        # sharded variant moves below the window, repo-oracled)
-        "gopher_repetition": q_gopher_repetition,
+        # rotation wave 6 (r13): curation_pipeline — the v1 composed
+        # pipeline, never driver-checked — takes gopher_repetition's
+        # slot (the §A.1.2 companion whose twin gopher_quality stays
+        # in-window; moves below, repo-oracled, green r10-r12)
+        "curation_pipeline": q_curation_pipeline,
         "ivf_knn": q_ivf_knn,
         "recent_events": q_recent_events,
         # rotation wave 3b: gopher_quality + bpe_merges take the
@@ -2248,11 +2256,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "interval_overlaps": q_interval_overlaps,
         "pii_scrub": q_pii_scrub,
-        "media_features": q_media_features,
         "hnsw_knn_sharded": q_hnsw_knn_sharded,
         "doc_fingerprint": q_doc_fingerprint,
-        "semijoin": q_semijoin,
-        "curation_pipeline": q_curation_pipeline,
+        # rotation wave 6 (r13): displaced by media_features / semijoin
+        # / curation_pipeline now in-window (all three green for 5+
+        # rounds, repo-oracled like every displaced row)
+        "count_distinct": q_count_distinct,
+        "union_clauses": q_union_clauses,
+        "gopher_repetition": q_gopher_repetition,
         # rotation wave 5 (r12): displaced by the r11 rows now in-window
         # (all three unchanged for 5+ rounds, repo-oracled like every
         # displaced row)

@@ -202,20 +202,28 @@ def jaccard_verify_pairs(
     common case: banding prunes candidates to a sliver of the corpus)
     both joins broadcast the pair side, so the verify adds ZERO
     shuffles. The candidate set still scales with corpus duplication,
-    so the default is "auto": the candidate frame is checkpointed ONCE
-    and a cap-guarded probe (BROADCAST_CAP rows) over the checkpoint
-    decides; past the cap the joins shuffle on the id keys and AQE
-    picks build sides. Pass True/False to override.
+    so the default is "auto": the candidate frame is persisted ONCE
+    and a cap-guarded probe (BROADCAST_CAP rows) over it decides; past
+    the cap the joins shuffle on the id keys and AQE picks build
+    sides. Pass True/False to override.
     Output: id1, id2, jaccard (>= threshold).
     """
     if broadcast_candidates == "auto":
-        # checkpoint BEFORE the probe so the candidate join is computed
-        # exactly once in both branches: the probe reads the checkpoint,
-        # and so do both downstream array-fetch joins (ADVICE r11: the
-        # old probe-then-checkpoint order paid the candidate join twice
-        # when it fit, and left it unmaterialized — recomputed by BOTH
-        # joins — when it didn't)
-        cand = cand.localCheckpoint(eager=True)
+        # persist BEFORE the probe so the candidate join is computed
+        # exactly once in both branches: the probe materializes the
+        # persisted frame, and both downstream array-fetch joins reuse
+        # it (ADVICE r11: the old probe-then-materialize order paid
+        # the candidate join twice when it fit, and recomputed it in
+        # BOTH joins when it didn't). DISK_ONLY persist, not
+        # localCheckpoint (ADVICE r12): on a pathologically duplicated
+        # corpus the candidate frame is corpus-scale, and an eager
+        # checkpoint would pin it in executor block storage with its
+        # lineage truncated — unrecomputable after executor loss;
+        # persist spills to local disk and keeps the lineage as the
+        # recovery path.
+        from pyspark import StorageLevel
+
+        cand = cand.persist(StorageLevel.DISK_ONLY)
         broadcast_candidates = _fits_broadcast(cand)
     a1 = shingle_arrays.toDF("id1", "__arr1")
     a2 = shingle_arrays.toDF("id2", "__arr2")
@@ -978,6 +986,7 @@ def incremental_dedup_indexed(
     shingle_n: int = 2,
     threshold: float = 0.5,
     key_pushdown=False,
+    hash_pushdown=False,
     pushdown_cap: int = 1_024,
 ):
     """`incremental_dedup` against a PERSISTED corpus index instead of
@@ -1020,6 +1029,14 @@ def incremental_dedup_indexed(
     stat broadcasts / bloom joins (runtime bloom injection is on by
     default in this Spark), never a literal list.
 
+    `hash_pushdown` is the same machinery for the EXACT stage's hash
+    artifact (VERDICT r12 #5): the batch's distinct md5 set becomes an
+    `IN (...)` pushdown over the `__h`-clustered artifact. The filter
+    is exact (an artifact hash outside the batch set can never match
+    the anti-join), same cap, same True/"auto"/False semantics, and
+    the same measurement-driven default — see SCALE_r13's
+    `indexed_hpush` column for where it wins.
+
     Returns (survivors, delta_hashes, delta_bands, delta_arrays): the
     surviving batch rows plus their index rows — append the deltas to
     the artifacts and the index is current for the next batch.
@@ -1027,6 +1044,29 @@ def incremental_dedup_indexed(
     bh = batch.select(
         F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__h")
     )
+    if hash_pushdown:
+        # VERDICT r12 #5: the exact stage otherwise scans the FULL
+        # O(corpus) hash artifact every batch — the last per-batch
+        # corpus-proportional term in the indexed path. The batch's
+        # own md5 set (bounded by batch size, NEVER corpus-sized)
+        # becomes an `IN (...)` parquet pushdown; over the
+        # __h-clustered artifact layout (maintainer._cluster_hashes)
+        # only row groups whose min/max straddle a batch hash are
+        # read. Unlike key_pushdown this filter is EXACT, not a
+        # superset: artifact rows outside the batch's hash set can
+        # never witness the anti-join, so survivors are identical
+        # (covered by the three-formulation differential fuzz).
+        hs = [
+            r["__h"]
+            for r in bh.select("__h").distinct().limit(pushdown_cap + 1).collect()
+        ]
+        if len(hs) <= pushdown_cap:
+            index_hashes = index_hashes.where(F.col("__h").isin(hs))
+        elif hash_pushdown is True:
+            raise ValueError(
+                f"hash_pushdown=True but the batch carries more than "
+                f"pushdown_cap={pushdown_cap} distinct content hashes"
+            )
     hset = index_hashes.select("__h").distinct()
     no_corpus_exact = bh.join(
         F.broadcast(hset) if _fits_broadcast(hset) else hset, "__h", "left_anti"

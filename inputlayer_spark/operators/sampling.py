@@ -422,7 +422,11 @@ def filter_by_source_quality(
     n_sources = df.agg(
         F.approx_count_distinct(source_col, rsd=0.05).alias("n")
     ).first()["n"]
-    if n_sources <= _dedup.BROADCAST_CAP:
+    # discount the cap by 2×rsd (ADVICE r12): the HLL estimate can sit
+    # below the true distinct count, so comparing the raw cap could
+    # hint-broadcast a source set somewhat above it — the margin keeps
+    # the 2M discipline honest under sketch error
+    if n_sources <= _dedup.BROADCAST_CAP * 0.9:
         good = F.broadcast(good)
     return df.join(good, source_col, "left_semi")
 

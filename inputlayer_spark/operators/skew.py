@@ -37,7 +37,22 @@ def salted_join(
 
     Column sets must be disjoint apart from the join keys (standard
     `join(on=...)` contract). Result columns match `big.join(small, on)`.
+
+    Only `how` ∈ {inner, left/left_outer/leftouter} is supported
+    (VERDICT r12 #3): the small side's hot-key rows are replicated
+    ×salt, so a RIGHT or FULL join would null-extend every unmatched
+    replica — up to `salt` duplicate preserved-side rows per hot key.
+    Inner joins drop unmatched replicas and left joins preserve only
+    the (un-replicated) big side, so both are exact; anything else
+    raises rather than silently duplicating.
     """
+    if how.lower().replace("_", "") not in {"inner", "left", "leftouter"}:
+        raise ValueError(
+            f"salted_join supports how='inner' or 'left' only, got {how!r}: "
+            "the small side is replicated per salt, so right/full joins "
+            "would emit duplicate preserved-side rows for unmatched "
+            "hot-key replicas"
+        )
     keys: List[str] = [on] if isinstance(on, str) else list(on)
     salt_col = "__salt"
 

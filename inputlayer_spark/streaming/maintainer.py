@@ -88,7 +88,14 @@ def _fs_read_text(spark, path: str) -> Optional[str]:
 def _fs_write_text(spark, path: str, text: str) -> None:
     """Write-temp-then-rename so readers never observe a torn marker
     (atomic on HDFS/local; S3A rename is copy+delete but still yields
-    only whole objects)."""
+    only whole objects).
+
+    FileSystem.delete/rename signal failure by RETURNING false, not by
+    raising (ADVICE r12 MED) — a swallowed false here would let a
+    caller (the `_GEN` flip) believe the pointer moved and then delete
+    the data dirs the stale pointer still references. Raise instead:
+    the tmp file (fully written) survives for recovery, and callers
+    ordered as write-then-cleanup never reach the cleanup."""
     fs, hpath, jvm = _fs_for(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
     stream = fs.create(tmp, True)
@@ -96,15 +103,34 @@ def _fs_write_text(spark, path: str, text: str) -> None:
         stream.write(bytearray(text.encode("utf-8")))
     finally:
         stream.close()
-    if fs.exists(hpath):
-        fs.delete(hpath, False)
-    fs.rename(tmp, hpath)
+    if fs.exists(hpath) and not fs.delete(hpath, False):
+        raise IOError(f"could not delete {path} before marker rename")
+    if not fs.rename(tmp, hpath):
+        raise IOError(f"marker rename {path}.tmp -> {path} failed")
 
 
 def _fs_delete(spark, path: str) -> None:
     fs, hpath, _ = _fs_for(spark, path)
     if fs.exists(hpath):
         fs.delete(hpath, True)
+
+
+def _cluster_bands(df):
+    """Physical layout of the persisted band artifact's base: key-range
+    clustered + sorted files, so the per-batch `key IN (...)` pushdown
+    (incremental_dedup_indexed) skips whole row groups. One create- or
+    compact-time shuffle buys every future batch a pruned scan."""
+    return df.repartitionByRange(F.col("key")).sortWithinPartitions("key")
+
+
+def _cluster_hashes(df):
+    """Physical layout of the persisted hash artifact's base: clustered
+    + sorted by `__h`, so the exact-dedup stage's batch-hash `IN (...)`
+    pushdown (VERDICT r12 #5: the anti-join otherwise scans the FULL
+    O(corpus) hash artifact every batch) prunes to the row groups whose
+    min/max straddle a batch hash — md5 is uniform, so a B-row-group
+    artifact serves a b-hash batch from ~min(b, B) row groups."""
+    return df.repartitionByRange(F.col("__h")).sortWithinPartitions("__h")
 
 
 class IncrementalMaintainer:
@@ -267,11 +293,12 @@ class StreamingCorpusDeduper:
     `compact_index()` (or `auto_compact_every=N`) folds
     checkpoint-COMMITTED batches into a generational base so the
     per-batch read never degrades into a small-files scan. The
-    SURVIVORS directory accumulates the same way but is user-facing
-    contract (`corpus()` unions it, external readers scan it), so it is
-    not folded in place — at daily-batch cadence rewrite it offline
-    (read → repartition → write elsewhere → swap) during a stream stop,
-    or point downstream consumers at periodic corpus() snapshots.
+    SURVIVORS directory accumulates the same way and
+    `compact_survivors()` folds it under the same commits-ledger +
+    generational-pointer discipline (the auto-compact hook runs both);
+    `corpus()` always reads the current survivors generation, so
+    downstream consumers go through corpus() / `snapshot_corpus()`
+    rather than scanning survivors_dir themselves.
     """
 
     def __init__(
@@ -290,7 +317,9 @@ class StreamingCorpusDeduper:
         shingle_n: int = 2,
         threshold: float = 0.5,
         auto_compact_every: Optional[int] = None,
+        compact_async: bool = False,
         key_pushdown=False,
+        hash_pushdown=False,
     ):
         self.spark = spark
         self.id_col = id_col
@@ -310,11 +339,19 @@ class StreamingCorpusDeduper:
         # for long-lived streams: without it, thousands of daily
         # batches degrade the index read into a small-files scan.
         self.auto_compact_every = auto_compact_every
+        # run the auto-compact fold on a daemon thread between batches
+        # instead of inside the triggering batch's critical section
+        # (VERDICT r12 #6; see _spawn_compact_thread)
+        self.compact_async = compact_async
         # opt-in band-key parquet pushdown for TB-scale index artifacts
         # (see incremental_dedup_indexed's docstring for the measured
         # crossover; the base artifact is written key-range-clustered
         # precisely so this knob has row groups to skip)
         self.key_pushdown = key_pushdown
+        # batch-hash `IN (...)` pushdown on the __h-clustered hash
+        # artifact (VERDICT r12 #5) — same literal-cap machinery as
+        # key_pushdown; see incremental_dedup_indexed
+        self.hash_pushdown = hash_pushdown
         self.batches_seen = 0
         self.compactions = 0
         self._query = None
@@ -324,14 +361,18 @@ class StreamingCorpusDeduper:
 
     def corpus(self):
         """corpus_dir ∪ accepted survivors so far — the dedup reference
-        for the next batch, and the user-facing deduplicated corpus."""
+        for the next batch, and the user-facing deduplicated corpus.
+        Reads the CURRENT survivors generation (bounded partition count
+        once `compact_survivors` has run), never the raw directory —
+        external consumers should go through corpus() or
+        `snapshot_corpus`, not scan survivors_dir themselves."""
         cols = [self.id_col, self.text_col]
         base = self.spark.read.parquet(self.corpus_dir).select(*cols)
+        root = self._surv_root()
         if any(
-            e.startswith("batch=")
-            for e in _fs_list_names(self.spark, self.survivors_dir)
+            e.startswith("batch=") for e in _fs_list_names(self.spark, root)
         ):
-            surv = self.spark.read.parquet(self.survivors_dir).select(*cols)
+            surv = self.spark.read.parquet(root).select(*cols)
             base = base.unionByName(surv)
         return base
 
@@ -353,36 +394,66 @@ class StreamingCorpusDeduper:
         "arrays": ("__id", "__sh_arr"),
     }
 
-    def _generation(self) -> int:
-        """Current index generation. Generation 0 lives at the legacy
-        layout `{index_dir}/{part}/batch=*`; `compact_index` writes each
-        successor under `{index_dir}/g<N>/` and flips the `_GEN` pointer
-        file last, so the switch is a single atomic rename.
+    def _read_generation(self, root: str, marker: str, gen_prefix: str) -> int:
+        """Current generation under `root`: the `marker` pointer file,
+        falling back to `marker.tmp` (the flip's delete-then-rename has
+        a window where the pointer is briefly absent but the tmp —
+        always fully written first — holds the new value), falling back
+        to the highest COMPLETE `<gen_prefix><N>` dir on disk (marker
+        manually deleted).
 
-        Recovery fallbacks, in order: the flip's delete-then-rename has
-        a window where `_GEN` is briefly absent but `_GEN.tmp` (always
-        fully written first) holds the new value — read it. If neither
-        marker exists but `g<N>` dirs do (marker manually deleted), the
-        highest complete generation on disk is authoritative: data dirs
-        are only ever deleted AFTER a successful flip, so the max g<N>
-        present is a committed generation."""
-        txt = _fs_read_text(self.spark, f"{self.index_dir}/_GEN")
+        The dir fallback trusts only generations carrying a
+        `_COMPLETE` file, written after every data dir of the
+        generation has finished (ADVICE r12 HIGH: without the gate, a
+        crash while the FIRST compaction's dirs were mid-write — no
+        pointer file exists yet at that point in an index created
+        before the pointer-at-create fix — resolved the half-written
+        generation as committed and silently read a partial index).
+        Belt-and-braces: `_ensure_index` now also writes the pointer at
+        create time, so the fallback chain is exercised only by manual
+        marker deletion."""
+        txt = _fs_read_text(self.spark, f"{root}/{marker}")
         if not txt:
-            txt = _fs_read_text(self.spark, f"{self.index_dir}/_GEN.tmp")
+            txt = _fs_read_text(self.spark, f"{root}/{marker}.tmp")
         if txt:
             return int(txt.strip())
         gens = [
-            int(name[1:])
-            for name in _fs_list_names(self.spark, self.index_dir)
-            if name.startswith("g") and name[1:].isdigit()
+            int(name[len(gen_prefix):])
+            for name in _fs_list_names(self.spark, root)
+            if name.startswith(gen_prefix)
+            and name[len(gen_prefix):].isdigit()
+            and _fs_exists(self.spark, f"{root}/{name}/_COMPLETE")
         ]
         return max(gens) if gens else 0
+
+    def _generation(self) -> int:
+        """Index generation. Generation 0 lives at the legacy layout
+        `{index_dir}/{part}/batch=*`; `compact_index` writes each
+        successor under `{index_dir}/g<N>/` and flips the `_GEN`
+        pointer file last, so the switch is a single atomic rename."""
+        return self._read_generation(self.index_dir, "_GEN", "g")
+
+    def _surv_generation(self) -> int:
+        """Survivors generation. Generation 0 is the legacy flat
+        `{survivors_dir}/batch=*` layout; `compact_survivors` writes
+        successors under `{survivors_dir}/_g<N>/` — the underscore
+        keeps folded generations and the `_SGEN` pointer invisible to
+        Spark's hidden-path filter, so a plain
+        `spark.read.parquet(survivors_dir)` of a never-compacted gen-0
+        directory keeps working."""
+        return self._read_generation(self.survivors_dir, "_SGEN", "_g")
 
     def _part_root(self, part: str, gen: Optional[int] = None) -> str:
         g = self._generation() if gen is None else gen
         if g == 0:
             return f"{self.index_dir}/{part}"
         return f"{self.index_dir}/g{g}/{part}"
+
+    def _surv_root(self, gen: Optional[int] = None) -> str:
+        g = self._surv_generation() if gen is None else gen
+        if g == 0:
+            return self.survivors_dir
+        return f"{self.survivors_dir}/_g{g}"
 
     def _index_part(self, part: str, before_batch: Optional[int] = None):
         """base (batch=-1) ∪ batch deltas of one index artifact.
@@ -413,6 +484,27 @@ class StreamingCorpusDeduper:
         from inputlayer_spark.operators.dedup import build_dedup_index
 
         done = f"{self.index_dir}/_BASE_DONE"
+        # the generation pointer exists from the very first write
+        # (ADVICE r12 HIGH): recovery never needs to guess a
+        # generation from directory listings unless BOTH pointer files
+        # are later deleted by hand
+        if not _fs_exists(self.spark, f"{self.index_dir}/_GEN") and not _fs_exists(
+            self.spark, f"{self.index_dir}/_GEN.tmp"
+        ):
+            # re-persist whatever recovery resolves (0 on a fresh
+            # index) rather than a literal 0, so a hand-deleted marker
+            # over a compacted index is restored, not regressed
+            _fs_write_text(
+                self.spark, f"{self.index_dir}/_GEN", str(self._generation())
+            )
+        if not _fs_exists(
+            self.spark, f"{self.survivors_dir}/_SGEN"
+        ) and not _fs_exists(self.spark, f"{self.survivors_dir}/_SGEN.tmp"):
+            _fs_write_text(
+                self.spark,
+                f"{self.survivors_dir}/_SGEN",
+                str(self._surv_generation()),
+            )
         if _fs_exists(self.spark, done):
             return
         corpus = self.spark.read.parquet(self.corpus_dir).select(
@@ -422,13 +514,12 @@ class StreamingCorpusDeduper:
             corpus, self.id_col, self.text_col,
             self.num_perm, self.bands, self.shingle_n,
         )
-        hashes.write.mode("overwrite").parquet(f"{self.index_dir}/hashes/batch=-1")
-        # key-range-clustered layout so incremental_dedup_indexed's
-        # per-batch `key IN (...)` pushdown skips whole row groups —
-        # one create-time shuffle buys every future batch a pruned scan
-        band_rows.repartitionByRange(F.col("key")).sortWithinPartitions(
-            "key"
-        ).write.mode("overwrite").parquet(f"{self.index_dir}/bands/batch=-1")
+        _cluster_hashes(hashes).write.mode("overwrite").parquet(
+            f"{self.index_dir}/hashes/batch=-1"
+        )
+        _cluster_bands(band_rows).write.mode("overwrite").parquet(
+            f"{self.index_dir}/bands/batch=-1"
+        )
         arrays.write.mode("overwrite").parquet(f"{self.index_dir}/arrays/batch=-1")
         _fs_write_text(
             self.spark,
@@ -459,9 +550,10 @@ class StreamingCorpusDeduper:
                 shingle_n=self.shingle_n,
                 threshold=self.threshold,
                 key_pushdown=self.key_pushdown,
+                hash_pushdown=self.hash_pushdown,
             )
             surv.write.mode("overwrite").parquet(
-                f"{self.survivors_dir}/batch={batch_id}"
+                f"{self._surv_root()}/batch={batch_id}"
             )
             gen = self._generation()
             for part, df in (
@@ -480,26 +572,76 @@ class StreamingCorpusDeduper:
                 # carried as deltas into the new generation, never
                 # folded — a replay after a crash here still excludes
                 # them via the batch < batch_id read filter
+                if self.compact_async:
+                    self._spawn_compact_thread()
+                else:
+                    if self._compact_locked() > 0:
+                        self.compactions += 1
+                    self._compact_survivors_locked()
+
+    def _spawn_compact_thread(self) -> None:
+        """Run the fold on a daemon thread that re-acquires the
+        deduper lock, so it executes BETWEEN micro-batches instead of
+        inside the triggering batch's foreachBatch critical section
+        (VERDICT r12 #6: at production index sizes the inline fold is a
+        minutes-scale p99 stall on the unlucky batch — measured 8.6 s
+        on a mere 8M-row sf0.1 index, see `COMPACT_STALL_r13.json`).
+        The NEXT batch still waits if it arrives mid-fold — the lock is
+        the correctness boundary — but the common case (fold finishes
+        within the trigger interval) takes compaction off every batch's
+        latency path. At most one thread is outstanding; a fold already
+        running absorbs the new request (it will fold the batches
+        committed by then)."""
+        t = getattr(self, "_compact_thread", None)
+        if t is not None and t.is_alive():
+            return
+
+        def _run():
+            with self._lock:
                 if self._compact_locked() > 0:
                     self.compactions += 1
+                self._compact_survivors_locked()
+
+        t = threading.Thread(target=_run, name="deduper-compact", daemon=True)
+        self._compact_thread = t
+        t.start()
 
     # -------------------------------------------------------------- compact
 
-    def _committed_batches(self) -> List[int]:
-        """Batch ids the streaming checkpoint has COMMITTED — the
-        `commits/` ledger Structured Streaming writes one integer-named
-        file per finished micro-batch. Only these may be folded into the
-        compacted base: a batch that wrote deltas but crashed before its
-        commit will be REPLAYED, and its partial partition must stay
-        batch-addressable so the replay's `batch < batch_id` filter can
-        exclude it."""
+    def _committed_batches(self):
+        """(committed ids, oldest retained id) from the streaming
+        checkpoint's `commits/` ledger — one integer-named file per
+        finished micro-batch. Only committed batches may be folded into
+        the compacted base: a batch that wrote deltas but crashed
+        before its commit will be REPLAYED, and its partial partition
+        must stay batch-addressable so the replay's `batch < batch_id`
+        filter can exclude it.
+
+        Spark PURGES the ledger to the last `minBatchesToRetain`
+        (default 100) entries, so membership alone misclassifies aged-
+        out committed batches as uncommitted — carried and rewritten on
+        every compaction forever (ADVICE r12). Batches are committed in
+        order, so any id strictly BELOW the oldest retained entry is
+        committed by construction; callers fold those too."""
         out = []
         for name in _fs_list_names(self.spark, f"{self.checkpoint_dir}/commits"):
             try:
                 out.append(int(name))
             except ValueError:
                 continue  # .tmp / metadata / compact ledger files
-        return out
+        return set(out), (min(out) if out else None)
+
+    def _foldable(self, ids: List[int]):
+        """Split partition batch ids into (fold, carry) under the
+        commits-ledger rule (base batch=-1 always folds)."""
+        committed, oldest = self._committed_batches()
+        fold = [
+            i
+            for i in ids
+            if i == -1 or i in committed or (oldest is not None and i < oldest)
+        ]
+        carry = [i for i in ids if i not in fold]
+        return fold, carry
 
     def compact_index(self) -> int:
         """Fold committed `batch=<id>` index deltas into the base
@@ -526,7 +668,6 @@ class StreamingCorpusDeduper:
         """compact_index body; caller holds self._lock (the auto-compact
         hook runs inside _on_batch's critical section)."""
         gen = self._generation()
-        committed = set(self._committed_batches())
         new_gen = gen + 1
         plan = {}
         folded = 0
@@ -536,8 +677,7 @@ class StreamingCorpusDeduper:
             for name in _fs_list_names(self.spark, root):
                 if name.startswith("batch="):
                     ids.append(int(name.split("=", 1)[1]))
-            fold = [i for i in ids if i == -1 or i in committed]
-            carry = [i for i in ids if i != -1 and i not in committed]
+            fold, carry = self._foldable(ids)
             plan[part] = (root, fold, carry)
             folded += max(len(fold) - 1, 0)
         if folded == 0:
@@ -553,21 +693,83 @@ class StreamingCorpusDeduper:
             if part == "bands":
                 # restore the key-clustered layout the per-batch
                 # pushdown prunes against (deltas arrive unsorted)
-                base = base.repartitionByRange(
-                    F.col("key")
-                ).sortWithinPartitions("key")
+                base = _cluster_bands(base)
+            elif part == "hashes":
+                base = _cluster_hashes(base)
             base.write.mode("overwrite").parquet(f"{dst}/batch=-1")
             for i in carry:
                 df.where(F.col("batch") == i).select(*cols).write.mode(
                     "overwrite"
                 ).parquet(f"{dst}/batch={i}")
+        # completion marker BEFORE the pointer flip: the dir-scan
+        # recovery fallback in _read_generation trusts only marked
+        # generations (ADVICE r12 HIGH)
+        _fs_write_text(self.spark, f"{self.index_dir}/g{new_gen}/_COMPLETE", "1")
         _fs_write_text(self.spark, f"{self.index_dir}/_GEN", str(new_gen))
-        # best-effort cleanup of the superseded generation (crash
-        # here costs disk, never correctness)
+        # cleanup of the superseded generation, only reached after the
+        # flip write-then-rename CONFIRMED (it raises on a false
+        # FileSystem.rename — ADVICE r12 MED); a crash here costs
+        # disk, never correctness
         for part in self._INDEX_COLS:
             _fs_delete(self.spark, self._part_root(part, gen))
         if gen > 0:
             _fs_delete(self.spark, f"{self.index_dir}/g{gen}")
+        return folded
+
+    def compact_survivors(self) -> int:
+        """Fold committed `batch=<id>` SURVIVOR partitions into a
+        `batch=-1` base in a new survivors generation (VERDICT r12 #1:
+        compact_index bounded the three index artifacts, but the
+        survivors directory still grew one parquet partition per
+        accepted micro-batch forever, and `corpus()` + every downstream
+        reader paid the listing). Same crash-atomicity discipline as
+        the index: the new generation is fully written under
+        `{survivors_dir}/_g<N>/` (hidden from plain parquet reads of
+        the gen-0 layout), its `_COMPLETE` marker lands, and only then
+        does the `_SGEN` pointer flip. Uncommitted batches are carried
+        batch-addressable so a foreachBatch replay overwrites its own
+        partition in the new generation instead of duplicating rows.
+        Returns the number of partitions folded away (0 = no-op)."""
+        with self._lock:
+            return self._compact_survivors_locked()
+
+    def _compact_survivors_locked(self) -> int:
+        gen = self._surv_generation()
+        root = self._surv_root(gen)
+        ids = [
+            int(name.split("=", 1)[1])
+            for name in _fs_list_names(self.spark, root)
+            if name.startswith("batch=")
+        ]
+        fold, carry = self._foldable(ids)
+        folded = max(len(fold) - 1, 0)
+        if folded == 0:
+            return 0
+        new_gen = gen + 1
+        dst = self._surv_root(new_gen)
+        df = self.spark.read.parquet(root)
+        cols = [self.id_col, self.text_col]
+        # the folded base is a bounded-file rewrite: survivors are
+        # corpus-scale over time, so spread the base across the
+        # session shuffle parallelism instead of per-batch slivers
+        df.where(F.col("batch").isin(fold)).select(*cols).repartition(
+            int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        ).write.mode("overwrite").parquet(f"{dst}/batch=-1")
+        for i in carry:
+            df.where(F.col("batch") == i).select(*cols).write.mode(
+                "overwrite"
+            ).parquet(f"{dst}/batch={i}")
+        _fs_write_text(self.spark, f"{dst}/_COMPLETE", "1")
+        _fs_write_text(self.spark, f"{self.survivors_dir}/_SGEN", str(new_gen))
+        # cleanup only after the confirmed flip; gen 0's partitions
+        # live flat in survivors_dir next to _SGEN and _g<N>, so
+        # delete the batch children individually
+        if gen == 0:
+            for name in _fs_list_names(self.spark, self.survivors_dir):
+                if name.startswith("batch="):
+                    _fs_delete(self.spark, f"{self.survivors_dir}/{name}")
+        else:
+            _fs_delete(self.spark, self._surv_root(gen))
         return folded
 
     # -------------------------------------------------------------- control

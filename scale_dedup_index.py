@@ -1,4 +1,4 @@
-"""SCALE_r12 experiment: persisted dedup index — FIXED batch, GROWING corpus.
+"""SCALE_r13 experiment: persisted dedup index — FIXED batch, GROWING corpus.
 
 The indexed incremental-dedup path's entire value proposition
 (VERDICT r11 #2) is that per-batch cost is O(batch + candidates), never
@@ -29,6 +29,28 @@ sf1) and times, per corpus:
                     join keys but cannot prune a broadcast-side probe,
                     so this isolates whether the layout itself helps at
                     these scales.
+- indexed_hash64  — band artifact as PLAIN PARQUET FILES with the
+                    bucket table's physical distribution
+                    (repartition(64, key) + sortWithinPartitions):
+                    r12 measured indexed_bucket fastest at every
+                    corpus size, and the candidate join broadcasts the
+                    batch side — so no variant can exploit bucket
+                    METADATA (shuffle avoidance); if this matches
+                    indexed_bucket, the win is pure physical layout
+                    and the deduper can adopt it file-based, keeping
+                    the generational-dir discipline with no metastore
+                    coupling (VERDICT r12 #2).
+- indexed_hpush   — hash_pushdown=True over the __h-clustered hash
+                    artifact (VERDICT r12 #5: the exact stage's
+                    anti-join otherwise scans the FULL hash artifact
+                    per batch — the last per-batch corpus-proportional
+                    term): the batch's ~50 md5s become an IN (...)
+                    parquet pushdown; row groups outside their min/max
+                    skip.
+
+r13 also warms the JVM before the first timed cell (VERDICT r12 #7:
+the r12 artifact's direct-path 1x cell read 2x its 10x cell — pure
+first-action codegen/classloading warmup, recorded in its caveats).
 
 The batch is the same frame everywhere: ~50 sf0.01 docs (doc_id % 10
 = 0, a streaming-micro-batch shape whose ~800 band keys sit under the
@@ -98,6 +120,13 @@ def one_run() -> None:
     batch = _batch(spark)
     batch.count()  # materialize before any clock starts
 
+    # JVM warmup (VERDICT r12 #7): run the direct path once untimed on
+    # the smallest corpus so the first TIMED cell doesn't absorb
+    # whole-stage-codegen compilation + classloading (the r12 artifact's
+    # 1x direct cell read 8.18 s vs 4.33 s at 10x from exactly this)
+    warm = spark.read.parquet(CORPORA[0][1]).select("doc_id", "text")
+    incremental_dedup(batch, warm, "doc_id", "text", **KW).count()
+
     results: dict = {}
     survivors: dict = {}
     for label, path in CORPORA:
@@ -114,7 +143,11 @@ def one_run() -> None:
         h, b, a = build_dedup_index(
             corpus, "doc_id", "text", KW["num_perm"], KW["bands"], KW["shingle_n"]
         )
-        h.write.mode("overwrite").parquet(f"{art}/hashes")
+        # production layouts (streaming/maintainer._cluster_*): __h-
+        # clustered hashes, key-range-clustered bands
+        h.repartitionByRange(F.col("__h")).sortWithinPartitions("__h").write.mode(
+            "overwrite"
+        ).parquet(f"{art}/hashes")
         b.repartitionByRange(F.col("key")).sortWithinPartitions("key").write.mode(
             "overwrite"
         ).parquet(f"{art}/bands")
@@ -137,6 +170,24 @@ def one_run() -> None:
         )[0].count()
         t_push = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        n_hpush = incremental_dedup_indexed(
+            batch, hd, bd, ad, "doc_id", "text", hash_pushdown=True, **KW
+        )[0].count()
+        t_hpush = time.perf_counter() - t0
+
+        # hash-64 + sort band files: the bucket table's physical
+        # distribution without the metastore
+        b.repartition(64, "key").sortWithinPartitions("key").write.mode(
+            "overwrite"
+        ).parquet(f"{art}/bands64")
+        b64 = spark.read.parquet(f"{art}/bands64")
+        t0 = time.perf_counter()
+        n_h64 = incremental_dedup_indexed(
+            batch, hd, b64, ad, "doc_id", "text", key_pushdown=False, **KW
+        )[0].count()
+        t_hash64 = time.perf_counter() - t0
+
         tbl = f"scale_band_idx_{slug}"
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         # a fresh JVM has a fresh in-memory catalog, but the managed
@@ -158,13 +209,17 @@ def one_run() -> None:
         )[0].count()
         t_bucket = time.perf_counter() - t0
 
-        assert n_direct == n_idx == n_push == n_bkt, (label, n_direct, n_idx, n_push, n_bkt)
+        assert (
+            n_direct == n_idx == n_push == n_hpush == n_h64 == n_bkt
+        ), (label, n_direct, n_idx, n_push, n_hpush, n_h64, n_bkt)
         survivors[label] = n_direct
         for variant, t in (
             ("direct", t_direct),
             ("build (create-time)", t_build),
             ("indexed", t_indexed),
             ("indexed_push", t_push),
+            ("indexed_hpush", t_hpush),
+            ("indexed_hash64", t_hash64),
             ("indexed_bucket", t_bucket),
         ):
             results.setdefault(variant, {})[label] = round(t, 3)
@@ -179,7 +234,7 @@ def one_run() -> None:
         "survivors": survivors,
         "results": results,
     }
-    out = os.environ.get("SPARK_GRAFT_SCALE_OUT", "SCALE_r12_dedup_index.run.json")
+    out = os.environ.get("SPARK_GRAFT_SCALE_OUT", "SCALE_r13_dedup_index.run.json")
     with open(out, "w") as fh:
         json.dump(payload, fh, indent=1)
     print(json.dumps({"metric": payload["metric"], "results": results}))
@@ -189,7 +244,7 @@ def min3_orchestrate() -> None:
     import subprocess
 
     out_path = os.environ.get(
-        "SPARK_GRAFT_SCALE_OUT", "SCALE_r12_dedup_index.json"
+        "SPARK_GRAFT_SCALE_OUT", "SCALE_r13_dedup_index.json"
     )
     runs = []
     for i in range(3):

@@ -182,6 +182,26 @@ def test_salted_join_matches_plain_join(spark):
     got2 = salted_join(big, small, "k", salt=8, hot_keys=hot).groupBy("k").count()
     assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, expected.collect()))
 
+    # left join preserves the (un-replicated) big side — also exact
+    got3 = salted_join(big, small, "k", salt=8, how="left").count()
+    assert got3 == big.join(small, on="k", how="left").count()
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """VERDICT r12 #3: the small side's hot-key rows are replicated
+    ×salt, so right/full joins would null-extend unmatched replicas
+    into duplicate preserved-side rows. The helper must refuse rather
+    than silently corrupt."""
+    import pytest as _pytest
+
+    from inputlayer_spark.operators.skew import salted_join
+
+    big = spark.range(10).selectExpr("id as k", "id as payload")
+    small = spark.range(5).selectExpr("id as k", "id * 10 as v")
+    for how in ("right", "right_outer", "full", "fullouter", "outer"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", salt=4, how=how)
+
 
 def test_knn_lsh_selective_prunes_and_recalls(spark):
     """Production-selectivity LSH (16 bits, 8 probes, 8 tables) must
@@ -3725,8 +3745,16 @@ def test_incremental_dedup_indexed_matches_direct(spark):
             pushdown_cap=100_000,
         )
         assert sorted(r["doc_id"] for r in s2.collect()) == sids, mode
-    # forcing the pushdown past the literal cap is a loud error, never
-    # a silent mega-literal plan
+    # the hash pushdown (r13, VERDICT r12 #5) is an EXACT filter on the
+    # anti-join's artifact side — survivors identical forced on/off
+    s3, _, _, _ = incremental_dedup_indexed(
+        batch, h, b, a, "doc_id", "text",
+        num_perm=64, bands=16, shingle_n=2, hash_pushdown=True,
+        pushdown_cap=100_000,
+    )
+    assert sorted(r["doc_id"] for r in s3.collect()) == sids
+    # forcing either pushdown past the literal cap is a loud error,
+    # never a silent mega-literal plan
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
@@ -3734,6 +3762,12 @@ def test_incremental_dedup_indexed_matches_direct(spark):
             batch, h, b, a, "doc_id", "text",
             num_perm=64, bands=16, shingle_n=2,
             key_pushdown=True, pushdown_cap=8,
+        )
+    with _pytest.raises(ValueError):
+        incremental_dedup_indexed(
+            batch, h, b, a, "doc_id", "text",
+            num_perm=64, bands=16, shingle_n=2,
+            hash_pushdown=True, pushdown_cap=8,
         )
 
 

@@ -528,3 +528,46 @@ def test_indexed_dedup_key_pushdown_reaches_parquet_scan(
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "In(key" in plan, plan[:4000]
     assert filtered.count() > 0  # the pruned probe still finds its rows
+
+
+def test_indexed_dedup_hash_pushdown_reaches_parquet_scan(spark, tmp_path):
+    """r13 (VERDICT r12 #5): the exact stage's batch-hash pushdown —
+    the batch's distinct md5 set as an `IN (...)` filter — reaches the
+    __h-clustered hash artifact's PARQUET SCAN as PushedFilters, so the
+    per-batch anti-join stops paying a full O(corpus) artifact scan.
+    Unlike the band-key filter this one is EXACT (artifact hashes
+    outside the batch set can never witness the anti-join), so it needs
+    no equi-join arbiter behind it."""
+    from inputlayer_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_indexed,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    batch = docs.filter("doc_id % 17 = 0")
+    corpus = docs.filter("doc_id % 17 != 0")
+    h, b, a = build_dedup_index(corpus, "doc_id", "text", 16, 8, 2)
+    hdir = str(tmp_path / "hashes")
+    h.repartitionByRange(F.col("__h")).sortWithinPartitions("__h").write.parquet(hdir)
+    h_disk = spark.read.parquet(hdir)
+
+    # operator-level: survivors identical with the pushdown forced
+    base, _, _, _ = incremental_dedup_indexed(
+        batch, h_disk, b, a, "doc_id", "text", num_perm=16, bands=8, shingle_n=2,
+    )
+    push, _, _, _ = incremental_dedup_indexed(
+        batch, h_disk, b, a, "doc_id", "text", num_perm=16, bands=8, shingle_n=2,
+        hash_pushdown=True,
+    )
+    assert sorted(r["doc_id"] for r in push.collect()) == sorted(
+        r["doc_id"] for r in base.collect()
+    )
+
+    # plan-level: the same filter shape lands in PushedFilters
+    hs = [r["h"] for r in batch.selectExpr("md5(text) as h").distinct().collect()]
+    filtered = h_disk.where(F.col("__h").isin(hs))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(__h" in plan, plan[:4000]
