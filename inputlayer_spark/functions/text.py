@@ -326,7 +326,11 @@ def tfidf(df, id_col: str, text_col: str, min_tf: int = 2, hot_keys=None,
     skew), so the salt is the tool that works at every scale."""
     from pyspark.sql import functions as F
 
-    n_docs = df.count()
+    # corpus doc count as a 1-row broadcast cross join instead of a
+    # driver-side .count() action (r13, guide §2.4): same exact value,
+    # one less serialized job before the main query (see lm_score's
+    # __vsize for the same rewrite).
+    nd_df = df.agg(F.count(F.lit(1)).cast("double").alias("__ndocs"))
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     )
@@ -347,13 +351,16 @@ def tfidf(df, id_col: str, text_col: str, min_tf: int = 2, hot_keys=None,
         joined = salted_join(tf, dfreq, "token", salt=salt, hot_keys=hot_df)
     else:
         joined = tf.join(dfreq, "token")
+    # no broadcast() hint (plan pin: tfidf carries NO hint anywhere) —
+    # the 1-row global aggregate broadcasts on its size estimate alone
+    joined = joined.join(nd_df)
     return joined.select(
         F.col(id_col),
         F.col("token"),
         F.col("tf"),
         (
             F.col("tf").cast("double")
-            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+            * F.log(F.col("__ndocs") / F.col("df").cast("double"))
         ).alias("score"),
     )
 
@@ -393,9 +400,16 @@ def lm_score(df, id_col: str, text_col: str, alpha: float = 0.5,
     toks = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
-    # corpus vocabulary size: one scalar to the driver
-    v_size = (
-        toks.select(F.explode("__toks").alias("t")).distinct().count()
+    # corpus vocabulary size — as a 1-row broadcast cross join instead
+    # of a driver-side .count() action (r13, guide §2.4): the old
+    # scalar collect serialized a full tokenize+distinct pass BEFORE
+    # the main query could even be submitted; as a subtree of the one
+    # plan it runs in the same job (its stages overlap the bigram
+    # stages) and no separate action/job is paid. Same exact
+    # count-distinct value, same double arithmetic downstream.
+    vs_df = (
+        toks.select(F.explode("__toks").alias("t"))
+        .agg(F.count_distinct("t").cast("double").alias("__vsize"))
     )
     # ordered bigram pairs; sequence(1, n-1) guarded so one-token docs
     # don't generate a DESCENDING sequence
@@ -423,6 +437,11 @@ def lm_score(df, id_col: str, text_col: str, alpha: float = 0.5,
         scored = salted_join(paired, uni, "w1", salt=salt, hot_keys=hot_df)
     else:
         scored = paired.join(uni, ["w1"])
+    # no broadcast() hint (plan pin: lm_score carries NO hint anywhere)
+    # — a global aggregate is estimated at 1 row, so JoinSelection
+    # plans the no-condition join as a BroadcastNestedLoopJoin on its
+    # own (plan-pinned below the hint check)
+    scored = scored.join(vs_df)
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(
@@ -431,7 +450,7 @@ def lm_score(df, id_col: str, text_col: str, alpha: float = 0.5,
                     (F.col("cb").cast("double") + F.lit(float(alpha)))
                     / (
                         F.col("cu").cast("double")
-                        + F.lit(float(alpha)) * F.lit(float(v_size))
+                        + F.lit(float(alpha)) * F.col("__vsize")
                     )
                 )
             ),

@@ -106,7 +106,17 @@ def bpe_merges(
         pat, rep = merge_pattern(a, b)
         vocab = vocab.select(
             "cnt", F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s")
-        ).localCheckpoint(eager=True)
+        )
+        # pin only every 8th round (r13): the per-round eager
+        # localCheckpoint was one extra job per merge on a vocab-sized
+        # (distinct-words, never corpus-sized) frame — half of each
+        # round's job count for data that a lazy replace chain over the
+        # pinned base recomputes in microseconds. The periodic pin
+        # keeps the chain depth bounded for real tokenizer-sized merge
+        # counts (32k merges would otherwise build a 32k-deep plan and
+        # pay O(n²) replace work).
+        if (rank + 1) % 8 == 0:
+            vocab = vocab.localCheckpoint(eager=True)
 
     schema = (
         "merge_rank int, lhs string, rhs string, merged string, pair_count long"

@@ -15,6 +15,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from inputlayer_spark.functions import text as TX
 from inputlayer_spark.functions import vector as V
@@ -817,38 +818,61 @@ def semantic_dedup(
         .otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double") / norm))
         .alias("__nv"),
     ).filter(F.col("cluster").isNotNull())
-    a = labeled.select(
-        F.col("cluster").alias("__cl"),
-        F.col(id_col).alias("__id1"),
-        F.col("__z").alias("__z1"),
-        F.col("__nv").alias("__nv1"),
+
+    # Per-cluster pair comparison as a grouped Arrow kernel (r13, guide
+    # §4.2): the old formulation self-joined `labeled` on the cluster id
+    # and ran one interpreted zip_with/aggregate fold PER PAIR — at
+    # sf0.1 that single job (250k pairs × 64-dim lambda folds) was 3.7 s
+    # of the row's 6.8 s, and it shuffled the normalized vectors TWICE
+    # (both join sides). Now the vectors shuffle ONCE (groupBy cluster)
+    # and each cluster's Gram block runs through numpy's matmul —
+    # vectorized native code over Arrow batches. Work and memory stay
+    # cluster-confined: the blocked matmul materializes B×c sims at a
+    # time (B=4096), so per-task transient memory is O(c·dim + B·c) —
+    # the same c² compute bound as the pair join, minus the pair-row
+    # materialization. Result identity: dominated(j) ⟺ ∃ i<j in-cluster
+    # with sim ≥ threshold — the same greedy-by-id rule; numpy's
+    # blocked double-precision summation differs from the sequential
+    # fold only by ~1 ulp-scale rounding, and the measured decision
+    # margin min|sim − threshold| on the oracle-checked corpora is
+    # 5.9e-7 (sf0.1, tighter SFs larger) — eleven orders above the
+    # reordering error, so no pair can flip across the threshold
+    # (verified empirically; see OPTIMIZATION_r13.md).
+    import numpy as np
+    import pandas as pd
+
+    id_field = labeled.schema[id_col]
+    out_schema = T.StructType([id_field])
+    thr = float(threshold)
+
+    def _dominated_in_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # ascending id order = the greedy-by-id domination order; for
+        # non-numeric ids pandas compares Python strings code-point-wise,
+        # matching Spark's binary (UTF8_BINARY) ordering
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        c = len(pdf)
+        if c < 2:
+            return pd.DataFrame({id_col: pdf[id_col][:0]})
+        X = np.vstack(pdf["__nv"].to_numpy())
+        z = pdf["__z"].to_numpy(dtype=bool)
+        dom = np.zeros(c, dtype=bool)
+        B = 4096
+        for s in range(1, c, B):
+            e = min(s + B, c)
+            # sims of candidate rows j∈[s,e) against ALL i<e, then mask
+            # i ≥ j (strictly-lower-id comparisons only)
+            G = np.clip(X[s:e] @ X[:e].T, -1.0, 1.0)
+            if z.any():
+                zb = z[s:e, None] & z[None, :e]
+                G[zb] = 1.0  # zero vectors are identical (V.cosine rule)
+            mask = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            dom[s:e] = ((G >= thr) & mask).any(axis=1)
+        return pd.DataFrame({id_col: pdf[id_col].to_numpy()[dom]})
+
+    grouped = labeled.groupBy("cluster").applyInPandas(
+        _dominated_in_cluster, schema=out_schema
     )
-    b = labeled.select(
-        F.col("cluster").alias("__cl"),
-        F.col(id_col).alias("__id2"),
-        F.col("__z").alias("__z2"),
-        F.col("__nv").alias("__nv2"),
-    )
-    # single dot-product fold per pair (the norms were hoisted to the
-    # per-row pre-normalization above). A positionally-unrolled getItem
-    # sum was measured and REVERTED — 64-term trees inflate analyzer
-    # time past the interpreted fold's cost (sf0.1: 31 s vs 7 s).
-    dot = F.aggregate(
-        F.zip_with(F.col("__nv1"), F.col("__nv2"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    sim = F.when(F.col("__z1") & F.col("__z2"), F.lit(1.0)).otherwise(
-        F.least(F.greatest(dot, F.lit(-1.0)), F.lit(1.0))
-    )
-    # id1 < id2 rides the join condition, so the cluster-local product
-    # materializes C(c,2) rows, never c^2
-    dominated = (
-        a.join(b, (a["__cl"] == b["__cl"]) & (a["__id1"] < b["__id2"]))
-        .filter(sim >= threshold)
-        .select(F.col("__id2").alias(id_col))
-        .distinct()
-    )
+    dominated = grouped.distinct()
     return assigned.join(dominated, id_col, "left_anti")
 
 

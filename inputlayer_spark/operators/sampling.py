@@ -187,14 +187,27 @@ def _with_prefix_sum(
     for pid in range(max(totals, default=-1) + 1):
         offsets.append((pid, acc))
         acc += totals.get(pid, 0) or 0
-    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
     w = (
         Window.partitionBy("__pid")
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # attach the per-partition offset as a pure map-side CASE over
+    # __pid instead of broadcast-joining a driver-built P-row frame:
+    # the P offsets are already on the driver (the collect above is the
+    # two-phase scan's inherent sync point), and a createDataFrame
+    # LocalRelation re-pays py4j serialization + planning on every
+    # downstream action while the broadcast join adds a build + an AQE
+    # stage. P is the shuffle-partition count (bounded, not data-
+    # scaled), so the expression stays small at any data size.
+    off_expr = F.lit(0).cast("long")
+    if offsets:
+        off_expr = F.element_at(
+            F.array(*[F.lit(o).cast("long") for _, o in offsets]),
+            F.col("__pid") + 1,
+        )
     return (
-        ranged.join(F.broadcast(off_df), "__pid")
+        ranged.withColumn("__off", off_expr)
         .withColumn(
             out_col, (F.sum("__v").over(w) + F.col("__off") - F.col("__v"))
         )

@@ -23,6 +23,26 @@ from inputlayer_spark.compiler import CompileError, compile_body, compile_head
 Resolver = Callable[[str], DataFrame]
 
 
+def _pin_count(df: DataFrame) -> Tuple[DataFrame, int]:
+    """Materialize `df` as a lineage-severed LogicalRDD leaf AND return
+    its row count in ONE Spark job.
+
+    Every fixpoint iteration pins its delta (localCheckpoint: severs
+    lineage so plan analysis stays O(1) and self-joins stay unambiguous)
+    and then counts it (emptiness = termination). `localCheckpoint(
+    eager=True)` internally runs a count-shaped job to materialize, so
+    the explicit `.count()` after it was a SECOND job per iteration —
+    pure scheduler/py4j overhead on plans that run 10-80 jobs per query
+    (guide §1/§2: the anchor-TC profile showed 15 standalone count jobs
+    ≈ 1.1 s of its 13.5 s wall). The lazy checkpoint marks the RDD for
+    persistence and returns the same LogicalRDD-leaf plan; the count()
+    then materializes blocks and counts in one pass. Local-checkpoint
+    semantics (doCheckpoint computes any missing partitions) make the
+    result identical to the eager form."""
+    df = df.localCheckpoint(eager=False)
+    return df, df.count()
+
+
 class StratificationError(ValueError):
     pass
 
@@ -403,12 +423,10 @@ def _try_path_doubling(
     seed = seed_parts[0]
     for p in seed_parts[1:]:
         seed = seed.unionByName(p)
-    seed = seed.distinct().localCheckpoint(eager=True)
-    n_seed = seed.count()
+    seed, n_seed = _pin_count(seed.distinct())
     if n_seed == 0:
         return {}
-    step = step.localCheckpoint(eager=True)
-    n_step = step.count()
+    step, n_step = _pin_count(step)
     if n_step == 0:
         return {head_rel: seed}
     # tiny seed over a big step graph: seeded semi-naive is
@@ -433,15 +451,28 @@ def _try_path_doubling(
         if local is not None:
             return {head_rel: local}
 
+    compose_seq = [0]
+
     def compose_r(rdf: DataFrame, sdf: DataFrame) -> DataFrame:
-        cond = [rdf[upd_c[i]] == sdf[s_cols[i]] for i in range(k)]
+        # unique aliases per call: the super-sweep chains TWO compose
+        # joins against the same step frame in one plan, so attribute
+        # references must be qualified to stay unambiguous
+        compose_seq[0] += 1
+        la, ra = f"__cr_l{compose_seq[0]}", f"__cr_r{compose_seq[0]}"
+        rdf, sdf = rdf.alias(la), sdf.alias(ra)
+        cond = None
+        for i in range(k):
+            c = F.col(f"{la}.{upd_c[i]}") == F.col(f"{ra}.{s_cols[i]}")
+            cond = c if cond is None else (cond & c)
         out = rdf.join(sdf, cond, "inner")
         proj = []
         for i in range(arity):
             if i in updated:
-                proj.append(sdf[t_cols[updated.index(i)]].alias(rcols[i]))
+                proj.append(
+                    F.col(f"{ra}.{t_cols[updated.index(i)]}").alias(rcols[i])
+                )
             else:
-                proj.append(rdf[rcols[i]])
+                proj.append(F.col(f"{la}.{rcols[i]}"))
         return out.select(*proj)
 
     def compose_s(sdf: DataFrame) -> DataFrame:
@@ -487,12 +518,9 @@ def _try_path_doubling(
     growth_cap = 8
     widened, n_widened = step, n_step
     for _ in range(6):  # ≤ 64-hop widening
-        s2 = (
-            widened.unionByName(compose_s(widened))
-            .distinct()
-            .localCheckpoint(eager=True)
+        s2, n2 = _pin_count(
+            widened.unionByName(compose_s(widened)).distinct()
         )
-        n2 = s2.count()
         if n2 == n_widened:
             break  # step relation closed — S* reached
         if n2 > 3 * n_widened or n2 > growth_cap * n_step:
@@ -518,37 +546,54 @@ def _try_path_doubling(
     result = seed
     n_result = n_seed
     delta = seed
+
+    def anti_result(composed: DataFrame, res: DataFrame) -> DataFrame:
+        """Null-safe broadcast anti-join: drop already-derived tuples
+        MAP-SIDE before any shuffle — on dense graphs a late sweep's
+        composition is dominated by rederivations of known pairs
+        (measured ~38M rows vs a ~1M-pair closure), so this cuts the
+        per-sweep shuffle volume to the surviving new derivations."""
+        left, right = composed.alias("__sw_l"), res.alias("__sw_r")
+        cond = None
+        for c in rcols:
+            e = F.col(f"__sw_l.{c}").eqNullSafe(F.col(f"__sw_r.{c}"))
+            cond = e if cond is None else (cond & e)
+        return left.join(F.broadcast(right), cond, "left_anti")
+
     for _ in range(1_000_000):  # depth/2^k sweeps; exits on empty delta
-        composed = compose_r(delta, sweep_step)
         if n_result <= 3_000_000:
-            # broadcast null-safe anti-join + distinct ≡ EXCEPT DISTINCT,
-            # but already-derived tuples are dropped MAP-SIDE before any
-            # shuffle — on dense graphs a late sweep's composition is
-            # dominated by rederivations of known pairs (measured ~38M
-            # rows vs a ~1M-pair closure), so this cuts the per-sweep
-            # shuffle volume to the surviving new derivations only
-            left, right = composed.alias("__sw_l"), result.alias("__sw_r")
-            cond = None
-            for c in rcols:
-                e = F.col(f"__sw_l.{c}").eqNullSafe(F.col(f"__sw_r.{c}"))
-                cond = e if cond is None else (cond & e)
-            new = left.join(
-                F.broadcast(right), cond, "left_anti"
-            ).distinct()
+            # broadcast null-safe anti-join + distinct ≡ EXCEPT
+            # DISTINCT, but already-derived tuples are dropped MAP-SIDE
+            # before any shuffle (see anti_result). A two-sweep fusion
+            # (both hops in one action sharing the result broadcast via
+            # ReuseExchange) was built and A/B-measured this round:
+            # anchor-TC mins 10.7-11.9 s fused vs 10.5-10.6 s classic —
+            # the second hop's duplicated d1 aggregate and the wider
+            # fused plan cost more than the saved broadcast build, so
+            # it was REVERTED (OPTIMIZATION_r13.md).
+            new, n_new = _pin_count(
+                anti_result(compose_r(delta, sweep_step), result).distinct()
+            )
+            # _pin_count severs lineage (localCheckpoint), so the next
+            # sweep's delta⋈step join doesn't alias two frames sharing
+            # the step's lineage (ambiguous self-join)
+            if n_new == 0:
+                return {head_rel: result}
+            result = result.unionByName(new)
+            n_result += n_new
+            delta = new
         else:
             # result too big to broadcast: EXCEPT DISTINCT (dedups the
-            # composition AND removes derived tuples in one shuffle)
-            new = composed.subtract(result)
-        # localCheckpoint (not persist) is load-bearing: it SEVERS
-        # lineage, so the next sweep's delta⋈step join doesn't alias two
-        # frames sharing the step's lineage (ambiguous self-join)
-        new = new.localCheckpoint(eager=True)
-        n_new = new.count()
-        if n_new == 0:
-            return {head_rel: result}
-        result = result.unionByName(new)
-        n_result += n_new
-        delta = new
+            # composition AND removes derived tuples in one shuffle);
+            # single-hop sweeps — there is no shared broadcast build to
+            # amortize on this branch
+            composed = compose_r(delta, sweep_step)
+            new, n_new = _pin_count(composed.subtract(result))
+            if n_new == 0:
+                return {head_rel: result}
+            result = result.unionByName(new)
+            n_result += n_new
+            delta = new
     raise CompileError(
         "path-doubling fixpoint did not stabilize within the sweep backstop"
     )
@@ -668,8 +713,7 @@ def _seminaive_fixpoint(
     pinned: List[DataFrame] = []
 
     def pin(df: DataFrame) -> Tuple[DataFrame, int]:
-        df = df.localCheckpoint(eager=True)
-        return df, df.count()
+        return _pin_count(df)
 
     # initialize from exit rules + base extents (explicit facts / magic seeds)
     for r in exit_rules:
@@ -940,9 +984,8 @@ def dred_retract(
     members_set = set(members)
 
     def pin(df: DataFrame) -> Tuple[DataFrame, int]:
-        df = df.localCheckpoint(eager=True)
         n_pins[0] += 1
-        return df, df.count()
+        return _pin_count(df)
 
     def union_into(acc: Dict[str, Optional[DataFrame]], head: str, df):
         if df is None:
@@ -1210,8 +1253,7 @@ def seminaive_insert(
     members_set = set(members)
 
     def pin(df: DataFrame) -> Tuple[DataFrame, int]:
-        df = df.localCheckpoint(eager=True)
-        return df, df.count()
+        return _pin_count(df)
 
     def union_into(acc: Dict[str, Optional[DataFrame]], head: str, df):
         if df is None:

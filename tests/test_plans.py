@@ -194,15 +194,20 @@ def test_asof_join_single_shuffle_no_cartesian(spark):
 def test_pack_sequences_no_global_single_partition_window(spark):
     """Packing's prefix sum must stay distributed: the window is
     partitioned by the range-partition id (SinglePartition would be
-    the 100 TB bottleneck), the per-partition offsets arrive via a
-    broadcast join, and range partitioning does the global ordering."""
+    the 100 TB bottleneck), the per-partition offsets attach as a pure
+    map-side element_at over __pid (r13 — previously a broadcast join
+    of a driver-built P-row frame), and range partitioning does the
+    global ordering."""
     plan = _plan(spark, "pack_sequences")
     # the running sum windows over the range-partition id, never over
     # an empty (global) partition spec; the range exchange itself sits
     # behind the pinning localCheckpoint so it is not in this plan text
     assert "windowspecdefinition(__pid" in plan
     assert "SinglePartition" not in plan
-    assert "BroadcastHashJoin" in plan  # tiny offset table joins broadcast
+    # offsets are an expression, not a join: no join operator at all
+    # may appear in the packing plan
+    assert "element_at" in plan
+    assert "Join" not in plan
     assert "BatchEvalPython" not in plan
 
 
