@@ -493,15 +493,17 @@ def dedup_clusters(
     doc ids (singletons become their own cluster). Output: (doc_id,
     cluster_id).
     """
+    # lazy pins (r13): round 1's jobs materialize the blocks; the eager
+    # form paid two standalone jobs before the loop even started
     sym = (
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
         .unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(32):  # backstop; converges in O(log diameter)
         # neighbor minimum: the smallest label among me and my neighbors
         nbr = (
@@ -532,7 +534,9 @@ def dedup_clusters(
                 ).alias("label"),
             )
         )
-        new_labels = shortcut.localCheckpoint(eager=True)
+        # lazy pin (r13): the `changed` probe below materializes the
+        # round's label blocks in ITS job — one job per round, not two
+        new_labels = shortcut.localCheckpoint(eager=False)
         changed = (
             new_labels.toDF("node", "new")
             .join(labels, on="node")
@@ -584,14 +588,17 @@ def dedup_lines(
             F.split(F.col(text_col), _re.escape(sep), -1)
         ).alias("__pos", "__line"),
     ).withColumn("__h", F.md5(F.col("__line")))
+    # lazy pin + count in ONE job (r13 _pin_count pattern): the frame
+    # is materialized either way for the anti-join, so the full count
+    # over its blocks replaces the eager-checkpoint + limit-probe pair
     blk = (
         lines.groupBy("__h")
         .agg(F.count_distinct(F.col(id_col)).alias("__df"))
         .filter(F.col("__df") > max_doc_freq)
         .select("__h")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    blk_small = _fits_broadcast(blk)
+    blk_small = blk.count() <= BROADCAST_CAP
     kept = lines.join(
         F.broadcast(blk) if blk_small else blk, "__h", "left_anti"
     )
@@ -714,14 +721,16 @@ def dedup_spans(
     wins = base.select(
         F.col(id_col), F.explode(win_structs).alias("__w")
     ).select(F.col(id_col), F.col("__w.s").alias("__s"), F.col("__w.h").alias("__h"))
+    # lazy pin + count in ONE job (r13 _pin_count pattern, see
+    # dedup_lines' blk)
     dup = (
         wins.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > max_freq)
         .select("__h")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    dup_small = _fits_broadcast(dup)
+    dup_small = dup.count() <= BROADCAST_CAP
     covered = (
         wins.join(F.broadcast(dup) if dup_small else dup, "__h", "semi")
         .select(
@@ -794,8 +803,11 @@ def semantic_dedup(
     # branches of the dedup DAG (both pair sides + the final anti-join)
     # would otherwise each re-run the k-fold assignment scan; the
     # checkpoint is 2 columns x n rows, the cheapest frame in the plan
+    # lazy pin (r13): still materialized exactly once (the kernel's
+    # groupBy is the first consumer; the final anti-join reuses the
+    # blocks) without the eager form's standalone job.
     assigned = kmeans_assign(df, id_col, vec_col, k=k, iters=iters).localCheckpoint(
-        eager=True
+        eager=False
     )
     # PRE-NORMALIZE once per row (O(n) folds), so each of the O(pairs)
     # comparisons is a single dot-product fold instead of V.cosine's
@@ -909,8 +921,13 @@ def incremental_dedup(
         F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__h")
     )
     ch = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
-    ch_small = ch.localCheckpoint(eager=True)
-    use_bc = _fits_broadcast(ch_small)
+    # lazy pin + count in ONE job (the r13 _pin_count pattern): the old
+    # eager checkpoint ran a materialization job and the cap probe a
+    # second one; the frame is materialized either way (it feeds the
+    # anti-join), so the full count over checkpoint blocks replaces the
+    # limit probe for free.
+    ch_small = ch.localCheckpoint(eager=False)
+    use_bc = ch_small.count() <= BROADCAST_CAP
     no_corpus_exact = bh.join(
         F.broadcast(ch_small) if use_bc else ch_small, "__h", "left_anti"
     )
@@ -922,8 +939,11 @@ def incremental_dedup(
     ).unionByName(
         surv0.select(F.col(id_col), F.col(text_col), F.lit(True).alias("__new"))
     )
+    # lazy pin (r13): the shingle frame is still computed exactly once
+    # (first consumer materializes the checkpoint blocks, later joins
+    # reuse them) but no standalone materialization job is paid.
     sh = doc_shingle_arrays(tagged, id_col, text_col, shingle_n).localCheckpoint(
-        eager=True
+        eager=False
     )
     cand = minhash_lsh_pairs(
         tagged, id_col, text_col, num_perm, bands, shingle_n, shingle_arrays=sh
@@ -938,7 +958,11 @@ def incremental_dedup(
     # the build side at runtime.
     tags = tagged.select(F.col(id_col), F.col("__new"))
     if _fits_broadcast(tags):
-        tags = tags.localCheckpoint(eager=True)
+        # lazy pin (r13): blocks materialize inside the broadcast
+        # build instead of a standalone checkpoint job. The limit
+        # probe above stays a probe — fusing it into a full count
+        # would scan the corpus-sized frame when it does NOT fit.
+        tags = tags.localCheckpoint(eager=False)
         t1 = F.broadcast(tags.toDF("id1", "__new1"))
         t2 = F.broadcast(tags.toDF("id2", "__new2"))
     else:
@@ -1098,10 +1122,14 @@ def incremental_dedup_indexed(
     reps = no_corpus_exact.groupBy("__h").agg(F.min(F.col(id_col)).alias(id_col))
     surv0 = no_corpus_exact.join(reps.select(id_col), id_col, "semi").drop("__h")
 
+    # lazy pins (r13): both frames are still computed exactly once
+    # (checkpoint blocks materialize in the first consuming job, later
+    # consumers reuse them) but the two standalone materialization
+    # jobs the eager form paid are gone.
     arr_b = doc_shingle_arrays(surv0, id_col, text_col, shingle_n).localCheckpoint(
-        eager=True
+        eager=False
     )
-    bands_b = minhash_band_rows(arr_b, num_perm, bands).localCheckpoint(eager=True)
+    bands_b = minhash_band_rows(arr_b, num_perm, bands).localCheckpoint(eager=False)
     if key_pushdown:
         keys = [
             r["key"]
@@ -1136,8 +1164,10 @@ def incremental_dedup_indexed(
     # new-side flags come from the batch id set (batch-sized, never
     # corpus-sized — the whole point of the indexed path), cap-guarded
     # all the same
-    new_ids = surv0.select(F.col(id_col)).localCheckpoint(eager=True)
-    small = _fits_broadcast(new_ids)
+    # lazy pin + count in ONE job (r13 _pin_count pattern; the id set
+    # is batch-sized by construction, so a full count is safe)
+    new_ids = surv0.select(F.col(id_col)).localCheckpoint(eager=False)
+    small = new_ids.count() <= BROADCAST_CAP
     n1 = new_ids.toDF("id1").withColumn("__new1", F.lit(True))
     n2 = new_ids.toDF("id2").withColumn("__new2", F.lit(True))
     flagged = (
@@ -1160,7 +1190,11 @@ def incremental_dedup_indexed(
         )
         .distinct()
     )
-    surv = surv0.join(dominated, id_col, "left_anti").localCheckpoint(eager=True)
+    # lazy pin (r13): the four returned frames all derive from surv —
+    # the first action (the caller's count or survivors write)
+    # materializes the blocks, the other three reuse them; the eager
+    # form paid a dedicated materialization job up front.
+    surv = surv0.join(dominated, id_col, "left_anti").localCheckpoint(eager=False)
     sid = surv.select(F.col(id_col).alias("__id"))
     delta_hashes = surv.select(
         F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__h")
