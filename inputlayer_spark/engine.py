@@ -1640,7 +1640,10 @@ class IQLEngine:
             # current epoch here could mark a frame built before a
             # racing write as valid after it
             stamp = self._cache_epoch.get(head, 0)
-            old = old.localCheckpoint(eager=True)
+            # lazy pin (r13): same LogicalRDD leaf + persistence, but
+            # the blocks materialize inside the merge's own first
+            # action instead of a standalone job here
+            old = old.localCheckpoint(eager=False)
             self._cache_view(head, old, epoch=stamp)
         return old
 
@@ -1735,7 +1738,12 @@ class IQLEngine:
         )
         # restore positional column order
         merged = merged.select(*[f"c{i}" for i in range(len(r.head.terms))])
-        return merged.localCheckpoint(eager=True)
+        # lazy pin (r13): the caller caches this as the maintained
+        # view; the next query's action materializes the blocks (one
+        # job total instead of a merge job + a query job). All plan
+        # inputs are immutable checkpoint leaves, so later base-table
+        # swaps cannot change what materializes.
+        return merged.localCheckpoint(eager=False)
 
     def try_delta_retract(
         self, head: str, delta_rel: str, deleted_df: DataFrame, new_base: DataFrame
@@ -1888,7 +1896,12 @@ class IQLEngine:
                 F.broadcast(touched_keys), on=gcols, how="left_anti"
             ).unionByName(recomputed)
         merged = merged.select(*[f"c{i}" for i in range(len(r.head.terms))])
-        return merged.localCheckpoint(eager=True)
+        # lazy pin (r13): the caller caches this as the maintained
+        # view; the next query's action materializes the blocks (one
+        # job total instead of a merge job + a query job). All plan
+        # inputs are immutable checkpoint leaves, so later base-table
+        # swaps cannot change what materializes.
+        return merged.localCheckpoint(eager=False)
 
     def _retract_maintain(
         self,

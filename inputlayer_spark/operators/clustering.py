@@ -79,17 +79,28 @@ def kmeans_assign(
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
     clean = ~F.exists(F.col(vec_col), lambda x: x.isNull())
-    dim_row = (
+    # ONE TakeOrdered action fetches dim AND (in the common
+    # homogeneous-corpus case) the seed vectors (r13, guide §1.2): the
+    # old shape ran a `.first()` for the corpus dim and a second
+    # `.limit(k).collect()` for the seeds — two full TakeOrdered scans.
+    # dim = size of the null-free vector with the smallest id = the
+    # first collected row; if the first k clean rows all share that
+    # dim, they ARE the k smallest valid ids (any clean row with a
+    # smaller id is in the prefix), so the seeds come for free. A
+    # wrong-dim row inside the prefix is the rare dirty-corpus case —
+    # only then does the old dedicated seed scan run.
+    head_rows = (
         df.filter(F.col(vec_col).isNotNull() & clean)
+        .select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())
-        .select(F.size(F.col(vec_col)).alias("d"))
-        .first()
+        .limit(k)
+        .collect()
     )
-    if dim_row is None:
+    if not head_rows:
         return df.select(
             F.col(id_col), F.lit(None).cast("int").alias("cluster")
         )
-    dim = dim_row["d"]
+    dim = len(head_rows[0][vec_col])
     valid_pred = (
         F.col(vec_col).isNotNull() & clean & (F.size(F.col(vec_col)) == dim)
     )
@@ -98,10 +109,18 @@ def kmeans_assign(
     )
     df = df.filter(valid_pred)
 
-    # deterministic init: vectors of the k smallest ids
-    seed_rows = (
-        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
-    )
+    # deterministic init: vectors of the k smallest VALID ids
+    if len(head_rows) == k and all(
+        len(r[vec_col]) == dim for r in head_rows
+    ):
+        seed_rows = head_rows
+    else:
+        seed_rows = (
+            df.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(k)
+            .collect()
+        )
     centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
 
     def assign(frame: DataFrame) -> DataFrame:

@@ -40,6 +40,95 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (1, 2) in pairs  # near dup: 8/9 shingles shared
 
 
+def test_minhash_numpy_mix_matches_spark_xxhash64(docs):
+    """The r13 vectorized signature kernel must stay BIT-EXACT with
+    Spark's xxhash64(lit(i): int, h0: long) seed-mix — index artifacts
+    persisted by the streaming deduper before the kernel landed must
+    remain interchangeable with rows computed after it. Pins both the
+    scalar per-permutation seed derivation and the band-row output
+    against a from-first-principles Spark-expression formulation."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from inputlayer_spark.operators.dedup import (
+        _xxh64_seed_of_perm,
+        doc_shingle_arrays,
+        minhash_band_rows,
+    )
+
+    spark = docs.sparkSession
+    random.seed(13)
+    vals = [random.randint(-(2**63), 2**63 - 1) for _ in range(500)] + [
+        0, 1, -1, 42, 2**63 - 1, -(2**63)
+    ]
+    hdf = spark.createDataFrame([(v,) for v in vals], "h long")
+
+    M = (1 << 64) - 1
+
+    def hash_long(x: int, seed: int) -> int:
+        # pure-python XXH64 hashLong, the reference for the kernel
+        P1, P2, P3, P4, P5 = (
+            0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+            0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5,
+        )
+        x &= M
+        h = (seed + P5 + 8) & M
+        k = (x * P2) & M
+        k = ((k << 31) | (k >> 33)) & M
+        h ^= (k * P1) & M
+        h = ((((h << 27) | (h >> 37)) & M) * P1 + P4) & M
+        h ^= h >> 33
+        h = (h * P2) & M
+        h ^= h >> 29
+        h = (h * P3) & M
+        h ^= h >> 32
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    for i in (0, 3, 17, 63):
+        expected = [
+            r[0] for r in hdf.select(F.xxhash64(F.lit(i), F.col("h"))).collect()
+        ]
+        seed = _xxh64_seed_of_perm(i)
+        got = [hash_long(v, seed) for v in vals]
+        assert got == expected
+    # band rows: kernel output vs the pre-r13 explode + min-aggregate
+    # formulation, bit-for-bit
+    arr = doc_shingle_arrays(docs, "doc_id", "text", 2)
+    new = minhash_band_rows(arr, 16, 4)
+    rows_per_band = 4
+    hashed = arr.select("__id", F.explode("__sh_arr").alias("__sh")).withColumn(
+        "__h0", F.xxhash64(F.col("__sh"))
+    )
+    sig_cols = [
+        F.min(F.xxhash64(F.lit(i), F.col("__h0"))).alias(f"h{i}")
+        for i in range(16)
+    ]
+    banded = hashed.groupBy("__id").agg(*sig_cols)
+    old = banded.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "bk.band", "bk.key")
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
 def test_ngram_jaccard(docs):
     from inputlayer_spark.operators.dedup import ngram_jaccard_pairs
 
