@@ -774,7 +774,7 @@ def q_hnsw_knn_sharded(spark, sf_dir):
     # _augmented_emb plus bucket columns) — an in-memory scan instead of
     # re-reading parquet and recomputing the planted copies per query
     emb = _lsh_sel_indexed(spark, sf_dir).filter(F.col("vec_id").isin(cand_ids))
-    qcol = F.array(*[F.lit(float(x)) for x in q])
+    qcol = V.lit_vec(q, "double")
     return (
         emb.select(
             "vec_id", V.cosine(F.col("embedding"), qcol).alias("cos_dist")
@@ -1014,7 +1014,7 @@ def q_hnsw_knn(spark, sf_dir):
     q = _query_vec(spark, sf_dir)
     cand_ids = [int(i) for i, _ in g.search(q, 20, ef=128)]
     emb = _augmented_emb(spark, sf_dir).filter(F.col("vec_id").isin(cand_ids))
-    qcol = F.array(*[F.lit(float(x)) for x in q])
+    qcol = V.lit_vec(q, "double")
     return (
         emb.select(
             "vec_id", V.cosine(F.col("embedding"), qcol).alias("cos_dist")
@@ -1287,7 +1287,7 @@ def q_curation_pipeline(spark, sf_dir):
     from inputlayer_spark.operators.sampling import assign_splits
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    kept = docs.filter(TX.quality_score(F.col("text")) >= 0.6)
+    kept = docs.filter(TX.quality_score("text") >= 0.6)
     surv = (
         kept.withColumn("h", F.md5(F.col("text")))
         .groupBy("h")
@@ -1513,7 +1513,7 @@ def q_quality_percentiles(spark, sf_dir):
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    q = docs.withColumn("quality", TX.quality_score(F.col("text")))
+    q = docs.withColumn("quality", TX.quality_score("text"))
     out = group_percentile_thresholds(q, "lang", "quality")
     return out.select("lang", "p25", "p50", "p75")
 
@@ -1813,8 +1813,11 @@ def q_source_filter(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     stats = source_quality_stats(docs)
+    # pass the stats frame in (r13): building quality_score's expression
+    # tree costs ~0.5 s of py4j round-trips — this query consumed it
+    # twice (once here, once inside the filter)
     kept = (
-        filter_by_source_quality(docs, min_avg_quality=0.85)
+        filter_by_source_quality(docs, min_avg_quality=0.85, stats=stats)
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("kept"))
     )

@@ -38,9 +38,15 @@ def seeded_md5_long32(s: Column, seed: int) -> Column:
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace/punct tokenization to lowercase word array."""
+    """Whitespace/punct tokenization to lowercase word array.
+
+    array_remove(arr, '') ≡ filter(arr, t -> t != '') here — split
+    never yields NULL elements, the only case where the two differ —
+    and skips the lambda-HOF construction path (r13: each F.filter
+    lambda costs ~10-30 py4j round-trips at build time; tokens() is on
+    nearly every text query's construction path)."""
     arr = F.split(F.lower(F.trim(text)), r"[^a-z0-9']+")
-    return F.filter(arr, lambda t: t != "")
+    return F.array_remove(arr, "")
 
 
 def token_count(text: Column) -> Column:
@@ -103,10 +109,46 @@ def mean_word_length(text: Column) -> Column:
     )
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text) -> Column:
     """Composite [0,1] quality heuristic: reasonable length, low punct
     noise, natural stopword density, plausible word lengths. Deterministic
-    and SQL-replicable (each component is)."""
+    and SQL-replicable (each component is).
+
+    Accepts a Column, or a COLUMN NAME for the fast construction path
+    (r13): the Column form builds ~6 lambda higher-order expressions
+    (~0.4 s of py4j round-trips per call site — source_filter paid it
+    on every query build); the name form is ONE F.expr with the
+    identical expression semantics (all float literals D-suffixed so
+    they parse as double, matching F.lit(float))."""
+    if isinstance(text, str):
+        t = f"`{text}`"
+        toks = f"array_remove(split(lower(trim({t})), '[^a-z0-9\\']+'), '')"
+        sw_list = ",".join(f"'{w}'" for w in EN_STOPWORDS)
+        sw_ratio = (
+            f"CASE WHEN size({toks}) = 0 THEN 0.0D ELSE"
+            f" cast(size(filter({toks}, w -> w IN ({sw_list}))) as double)"
+            f" / cast(size({toks}) as double) END"
+        )
+        mwl = (
+            f"CASE WHEN size({toks}) = 0 THEN 0.0D ELSE"
+            f" cast(aggregate({toks}, cast(0 as bigint),"
+            f" (acc, w) -> acc + length(w)) as double)"
+            f" / cast(size({toks}) as double) END"
+        )
+        punct = (
+            f"CASE WHEN length({t}) = 0 THEN 0.0D ELSE"
+            f" cast(length({t}) - length(regexp_replace({t},"
+            f" '[^\\\\w\\\\s]', '')) as double)"
+            f" / cast(length({t}) as double) END"
+        )
+        return F.expr(
+            f"(least(cast(cast(size({toks}) as bigint) as double) / 50.0D, 1.0D)"
+            f" + (1.0D - least(({punct}) * 4.0D, 1.0D))"
+            f" + (CASE WHEN ({sw_ratio}) >= 0.1D AND ({sw_ratio}) <= 0.6D"
+            f" THEN 1.0D ELSE 0.5D END)"
+            f" + (CASE WHEN ({mwl}) >= 3.0D AND ({mwl}) <= 10.0D"
+            f" THEN 1.0D ELSE 0.5D END)) / 4.0D"
+        )
     n_tok = token_count(text)
     len_score = F.least(n_tok.cast("double") / 50.0, F.lit(1.0))
     punct_score = F.lit(1.0) - F.least(punct_ratio(text) * 4.0, F.lit(1.0))
@@ -769,12 +811,38 @@ def gopher_repetition_flags(
     dup_para_char_frac, top_{n}gram_char_frac..., dup_{n}gram_char_frac...,
     passes).
     """
-    txt = F.coalesce(F.col(text_col), F.lit(""))
+    # r13: every higher-order expression here is built as ONE
+    # F.expr(SQL) instead of the F.transform/F.aggregate lambda API —
+    # semantics are IDENTICAL (same Spark functions, same lambda
+    # bodies), but the lambda API costs ~10-30 py4j round-trips per
+    # call and this battery has ~54 of them: cProfile measured 4.2 s of
+    # the query's 4.7 s CONSTRUCTION inside py4j socket reads (7,892
+    # round-trips), while execution is 0.18 s. The expr form builds in
+    # ~60 round-trips. Oracle parity and the old/new differential pin
+    # the equivalence.
+    def _sql_str(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    _ws_re = _sql_str(r"^\s+|\s+$")
+
+    def _segments_sql(txt_sql: str, sep: str) -> str:
+        # _sorted_nonempty_segments in SQL form
+        return (
+            f"array_sort(filter(transform(split({txt_sql}, {_sql_str(sep)}),"
+            f" s -> regexp_replace(s, {_ws_re}, '')), s -> s != ''))"
+        )
+
+    txt_sql = f"coalesce(`{text_col}`, '')"
+    toks_sql = (
+        f"filter(split(lower(trim({txt_sql})), '[^a-z0-9\\']+'), t -> t != '')"
+    )
     base = df.select(
         F.col(id_col),
-        _sorted_nonempty_segments(txt, line_sep).alias("__lines"),
-        _sorted_nonempty_segments(txt, para_sep).alias("__paras"),
-        F.coalesce(tokens(txt), F.array().cast("array<string>")).alias("__toks"),
+        F.expr(_segments_sql(txt_sql, line_sep)).alias("__lines"),
+        F.expr(_segments_sql(txt_sql, para_sep)).alias("__paras"),
+        F.expr(
+            f"coalesce({toks_sql}, cast(array() as array<string>))"
+        ).alias("__toks"),
     )
 
     # stage 1: n-gram arrays (positional + sorted), one materialized
@@ -783,10 +851,14 @@ def gopher_repetition_flags(
     ns_top = [n for n, _ in top_ngram_max]
     ns_dup = [n for n, _ in dup_ngram_max]
     for n in sorted(set(ns_top) | set(ns_dup)):
-        grams = F.when(
-            F.size("__toks") >= n, shingles_from_tokens(F.col("__toks"), n)
-        ).otherwise(F.array().cast("array<string>"))
-        gram_cols.append(grams.alias(f"__g{n}"))
+        gram_cols.append(
+            F.expr(
+                f"IF(size(__toks) >= {n},"
+                f" transform(sequence(0, greatest(size(__toks) - {n - 1}, 1) - 1),"
+                f" i -> concat_ws(' ', slice(__toks, i + 1, {n}))),"
+                f" cast(array() as array<string>))"
+            ).alias(f"__g{n}")
+        )
     staged = base.select("*", *gram_cols)
     sorted_cols = [
         F.array_sort(f"__g{n}").alias(f"__s{n}") for n in sorted(set(ns_top) | set(ns_dup))
@@ -794,43 +866,48 @@ def gopher_repetition_flags(
     staged = staged.select("*", *sorted_cols)
 
     # stage 2: duplicated n-gram value sets (adjacent dups of the sorted
-    # array) + positional duplicate flags, for the coverage metrics.
-    # NOTE: captures go through closure FACTORIES, never lambda default
-    # args — PySpark treats every Python lambda parameter (defaults
-    # included) as a higher-order-function variable.
-    def _dupvals_of(s):
-        idx = F.when(F.size(s) >= 2, F.sequence(F.lit(2), F.size(s))).otherwise(
-            F.array().cast("array<int>")
-        )
-
-        def adj(i):
-            return F.when(
-                F.element_at(s, i) == F.element_at(s, i - 1), F.element_at(s, i)
-            )
-
-        return F.array_distinct(
-            F.filter(F.transform(idx, adj), lambda x: x.isNotNull())
-        )
-
+    # array) + positional duplicate flags, for the coverage metrics
     dupval_cols = [
-        _dupvals_of(F.col(f"__s{n}")).alias(f"__dv{n}") for n in ns_dup
+        F.expr(
+            f"array_distinct(filter(transform("
+            f"IF(size(__s{n}) >= 2, sequence(2, size(__s{n})),"
+            f" cast(array() as array<int>)),"
+            f" i -> IF(element_at(__s{n}, i) = element_at(__s{n}, i - 1),"
+            f" element_at(__s{n}, i), NULL)), x -> x is not null))"
+        ).alias(f"__dv{n}")
+        for n in ns_dup
     ]
     staged = staged.select("*", *dupval_cols)
 
-    def _flag_of(n):
-        return lambda g: F.array_contains(F.col(f"__dv{n}"), g)
-
     flag_cols = [
-        F.transform(F.col(f"__g{n}"), _flag_of(n)).alias(f"__f{n}")
+        F.expr(
+            f"transform(__g{n}, g -> array_contains(__dv{n}, g))"
+        ).alias(f"__f{n}")
         for n in ns_dup
     ]
     staged = staged.select("*", *flag_cols)
 
-    # stage 3: the scalar metrics
-    line_occ, line_chars, line_total, n_lines = _adjacent_dup_stats(F.col("__lines"))
-    para_occ, para_chars, para_total, n_paras = _adjacent_dup_stats(F.col("__paras"))
-    tok_chars = F.aggregate(
-        F.col("__toks"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    # stage 3: the scalar metrics (_adjacent_dup_stats in SQL form)
+    def _dup_stats_sql(col: str):
+        idx = (
+            f"IF(size({col}) >= 2, sequence(2, size({col})),"
+            f" cast(array() as array<int>))"
+        )
+        is_dup = f"element_at({col}, i) = element_at({col}, i - 1)"
+        occ = F.expr(f"size(filter({idx}, i -> {is_dup}))")
+        chars = F.expr(
+            f"aggregate({idx}, cast(0 as bigint),"
+            f" (a, i) -> a + IF({is_dup}, length(element_at({col}, i)), 0))"
+        )
+        total = F.expr(
+            f"aggregate({col}, cast(0 as bigint), (a, x) -> a + length(x))"
+        )
+        return occ, chars, total, F.size(col)
+
+    line_occ, line_chars, line_total, n_lines = _dup_stats_sql("__lines")
+    para_occ, para_chars, para_total, n_paras = _dup_stats_sql("__paras")
+    tok_chars = F.expr(
+        "aggregate(__toks, cast(0 as bigint), (a, x) -> a + length(x))"
     )
 
     metric_cols = [
@@ -840,57 +917,32 @@ def gopher_repetition_flags(
         _frac6(para_chars, para_total).alias("dup_para_char_frac"),
     ]
     for n, _thr in top_ngram_max:
-        s = F.col(f"__s{n}")
         # RLE fold over the sorted grams: best = max over values of
         # occurrences x (gram chars minus the n-1 joining spaces);
         # the running product peaks exactly at each run's last element
-        init = F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("best"),
+        run = f"IF(x = acc.prev, acc.run + 1, cast(1 as bigint))"
+        best = F.expr(
+            f"aggregate(__s{n},"
+            f" named_struct('prev', '', 'run', cast(0 as bigint),"
+            f" 'best', cast(0 as bigint)),"
+            f" (acc, x) -> named_struct('prev', x, 'run', {run},"
+            f" 'best', greatest(acc.best,"
+            f" {run} * cast(length(x) - {n - 1} as bigint))),"
+            f" acc -> acc.best)"
         )
-
-        def _merge_of(nn):
-            def _merge(acc, x):
-                run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
-                    F.lit(1).cast("long")
-                )
-                charlen = (F.length(x) - F.lit(nn - 1)).cast("long")
-                return F.struct(
-                    x.alias("prev"),
-                    run.alias("run"),
-                    F.greatest(acc["best"], run * charlen).alias("best"),
-                )
-
-            return _merge
-
-        best = F.aggregate(s, init, _merge_of(n), lambda acc: acc["best"])
         metric_cols.append(_frac6(best, tok_chars).alias(f"top_{n}gram_char_frac"))
     for n, _thr in dup_ngram_max:
-        flags, toks = F.col(f"__f{n}"), F.col("__toks")
-        m_g = F.size(flags)
         # token j (1-based) is covered iff any n-gram window containing
         # it is duplicated: flag positions [max(j-n+1,1), min(j, m_g)]
-        jdx = F.when(m_g >= 1, F.sequence(F.lit(1), F.size(toks))).otherwise(
-            F.array().cast("array<int>")
-        )
-        def _cover_of(nn, flags, toks, m_g):
-            def _step(a, j):
-                start = F.greatest(j - (nn - 1), F.lit(1))
-                return a + F.when(
-                    F.exists(
-                        F.slice(flags, start, F.least(j, m_g) - start + 1),
-                        lambda f: f,
-                    ),
-                    F.length(F.element_at(toks, j)),
-                ).otherwise(F.lit(0))
-
-            return _step
-
-        covered = F.aggregate(
-            jdx,
-            F.lit(0).cast("long"),
-            _cover_of(n, flags, toks, m_g),
+        start = f"greatest(j - {n - 1}, 1)"
+        covered = F.expr(
+            f"aggregate("
+            f"IF(size(__f{n}) >= 1, sequence(1, size(__toks)),"
+            f" cast(array() as array<int>)),"
+            f" cast(0 as bigint),"
+            f" (a, j) -> a + IF(exists(slice(__f{n}, {start},"
+            f" least(j, size(__f{n})) - {start} + 1), f -> f),"
+            f" length(element_at(__toks, j)), 0))"
         )
         metric_cols.append(_frac6(covered, tok_chars).alias(f"dup_{n}gram_char_frac"))
 

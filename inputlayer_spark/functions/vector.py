@@ -26,6 +26,17 @@ def _d(x: Column) -> Column:
     return x.cast("double")
 
 
+def lit_vec(values, element_type: str = "float") -> Column:
+    """Literal vector column via ONE F.expr round-trip (r13): the
+    per-element `F.array(*[F.lit(float(x)) ...])` form costs two py4j
+    round-trips per component (~0.2 s per 64-dim literal at query
+    construction time). repr(float) is the shortest exact round-trip
+    decimal, and Spark SQL parses it back to the identical double, so
+    the literal is bit-equal to the F.lit form. Finite values only."""
+    body = ",".join(repr(float(v)) for v in values)
+    return F.expr(f"cast(array({body}) as array<{element_type}>)")
+
+
 def vec_dim(a: Column) -> Column:
     return F.size(a).cast("long")
 

@@ -34,7 +34,9 @@ def _sq_dist(vec_col, centroid: List[float]):
     """Squared euclidean between an array<float> column and a literal
     centroid, accumulated in double (same promotion the SQL oracle
     applies with ::DOUBLE)."""
-    lit = F.array(*[F.lit(float(x)).cast("double") for x in centroid])
+    from inputlayer_spark.functions.vector import lit_vec
+
+    lit = lit_vec(centroid, "double")
     # (a-b)*(a-b), NOT (a-b)**2: POWER lowers to Math.pow (1-ulp
     # guarantee only) while the SQL oracle multiplies — self-multiply
     # keeps the arithmetic bit-identical across engines.

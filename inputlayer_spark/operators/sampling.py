@@ -26,6 +26,8 @@ across engines — functions.text.md5_long32).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -388,7 +390,7 @@ def source_quality_stats(
     n = F.count(F.lit(1))
     return df.groupBy(source_col).agg(
         n.alias("n_docs"),
-        F.avg(quality_score(F.col(text_col))).alias("avg_quality"),
+        F.avg(quality_score(text_col)).alias("avg_quality"),
         (
             F.lit(1.0)
             - F.count_distinct(F.md5(F.col(text_col))).cast("double") / n
@@ -403,6 +405,7 @@ def filter_by_source_quality(
     min_docs: int = 1,
     min_avg_quality: float = 0.0,
     max_dup_fraction: float = 1.0,
+    stats: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Drop ENTIRE sources that fail the aggregate gates, documents and
     all. The surviving-source table is bounded by the domain count —
@@ -426,7 +429,12 @@ def filter_by_source_quality(
     hint-broadcast."""
     from inputlayer_spark.operators import dedup as _dedup
 
-    stats = source_quality_stats(df, source_col, text_col)
+    # `stats`: pass a precomputed source_quality_stats frame when the
+    # caller also consumes it (r13): the quality_score expression tree
+    # costs ~0.5 s PER CONSTRUCTION in py4j round-trips, so a query
+    # that reports stats AND filters by them paid it twice
+    if stats is None:
+        stats = source_quality_stats(df, source_col, text_col)
     good = stats.filter(
         (F.col("n_docs") >= min_docs)
         & (F.col("avg_quality") >= min_avg_quality)

@@ -54,7 +54,7 @@ def knn_bruteforce(
     per-partition top-k then a driver merge — no full sort at scale).
     Output: id, dist.
     """
-    q = F.array(*[F.lit(float(x)) for x in query]).cast("array<float>")
+    q = V.lit_vec(query, "float")
     return (
         df.select(
             F.col(id_col).alias("id"),
@@ -158,11 +158,18 @@ def knn_lsh(
     if _bucket_col(0) not in df.columns:
         df = lsh_index(df, vec_col, num_tables, num_bits)
     probes = lsh_query_probes(query, num_tables, num_bits, num_probes)
-    cand = None
-    for t in range(num_tables):
-        cond = F.col(_bucket_col(t)).isin(probes[t])
-        cand = cond if cand is None else (cand | cond)
-    q = F.array(*[F.lit(float(x)) for x in query]).cast("array<float>")
+    # ONE F.expr per IN-list / query literal (r13): Column.isin()
+    # converts every probe key through its own py4j round-trip and the
+    # per-element F.lit array the same — measured 1.5 s of knn_lsh's
+    # 2.3 s construction. The SQL forms are the identical predicates
+    # (integer bucket keys, finite float components) in one round-trip.
+    cand = F.expr(
+        " OR ".join(
+            f"{_bucket_col(t)} IN ({','.join(str(int(p)) for p in probes[t])})"
+            for t in range(num_tables)
+        )
+    )
+    q = V.lit_vec(query, "float")
     return (
         df.filter(cand)
         .select(F.col(id_col).alias("id"), _dist(metric, F.col(vec_col), q).alias("dist"))
@@ -252,7 +259,7 @@ def ivf_knn(
     if cents is None:
         _, cents = ivf_index(df, cell_col, vec_col)
     probed_cells = ivf_probe_cells(cents, query, n_probe, metric)
-    q = F.array(*[F.lit(float(x)) for x in query]).cast("array<float>")
+    q = V.lit_vec(query, "float")
     return (
         df.filter(F.col(cell_col).isin(probed_cells))
         .select(F.col(id_col).alias("id"), _dist(metric, F.col(vec_col), q).alias("dist"))
