@@ -27,9 +27,27 @@ TABLES = (
 )
 
 
+_TABLE_CACHE: dict = {}
+
+
 def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Base-table DataFrames, with the READER HANDLE cached per
+    (session, sf_dir, table) — a plan handle, never data: every action
+    on it still scans the parquet input (nothing is persisted or
+    memoized), exactly like a catalog's table registration. Re-creating
+    the reader per query cost ~0.1 s of py4j + footer-schema chatter
+    per table per call (r13 build profiling), which is harness
+    overhead, not query work."""
     tune_session(spark)
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    out = {}
+    for n in names:
+        key = (id(spark), sf_dir, n)
+        df = _TABLE_CACHE.get(key)
+        if df is None:
+            df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+            _TABLE_CACHE[key] = df
+        out[n] = df
+    return out
 
 
 def _events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,7 +58,7 @@ def _events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     tune_session(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _load(spark, sf_dir, "events")["events"]
     if isinstance(ev.schema["ts"].dataType, T.LongType):
         ms = F.expr("ts div 1000000")
     else:
@@ -354,7 +372,7 @@ def q_order_limit_offset(spark, sf_dir):
 
 
 def _edge_df(spark, sf_dir, mod: int):
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _load(spark, sf_dir, "orders")["orders"]
     return (
         orders.select(
             (F.col("o_orderkey") % mod).cast("long").alias("src"),
@@ -533,7 +551,7 @@ def _tree_edge_df(spark, sf_dir):
     ~4× per SF decade while the iteration count grows by ONE level —
     the doubling branch can't touch this shape, so the timing isolates
     the general semi-naive loop."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _load(spark, sf_dir, "orders")["orders"]
     n = orders.count()
     N = 511 if n < 100_000 else (1023 if n < 1_000_000 else 2047)
     ids = (
@@ -626,7 +644,7 @@ def q_incr_agg_delta(spark, sf_dir):
     Int64 sum, so the merged total hashes exactly — no float tolerance
     needed."""
     eng = IQLEngine(spark)
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _load(spark, sf_dir, "orders")["orders"]
     tune_session(spark)
     eng.register(
         "ord", orders.select("o_orderkey", "o_custkey", "o_totalprice")
@@ -791,7 +809,7 @@ def _ivf_cents(spark, sf_dir):
     if cents is None:
         from inputlayer_spark.operators.similarity import ivf_index
 
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _load(spark, sf_dir, "embeddings")["embeddings"]
         _, cents = ivf_index(emb, "label", "embedding")
         _INDEX_CACHE[ck] = cents
     return cents
@@ -832,7 +850,7 @@ def warmup(spark: SparkSession, sf_dir: str) -> None:
 def q_knn_cosine(spark, sf_dir):
     from inputlayer_spark.operators.similarity import knn_bruteforce
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     q = _query_vec(spark, sf_dir)
     out = knn_bruteforce(emb, "vec_id", "embedding", q, k=10, metric="cosine")
     return out.select(F.col("id").alias("vec_id"), F.col("dist").alias("cos_dist"))
@@ -840,7 +858,7 @@ def q_knn_cosine(spark, sf_dir):
 
 def q_within_radius(spark, sf_dir):
     """within_radius ranking aggregate over euclidean distance."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     q = _query_vec(spark, sf_dir)
     qcol = F.array(*[F.lit(x) for x in q]).cast("array<float>")
     return (
@@ -852,7 +870,7 @@ def q_within_radius(spark, sf_dir):
 
 
 def q_pairwise_cosine(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 20)
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"].filter(F.col("vec_id") < 20)
     a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
     b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
     return (
@@ -867,7 +885,7 @@ def q_pairwise_cosine(spark, sf_dir):
 
 
 def q_vector_norms(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     return emb.select(
         "vec_id",
         V.vector_norm(F.col("embedding")).alias("norm"),
@@ -878,7 +896,7 @@ def q_vector_norms(spark, sf_dir):
 def q_quantize_roundtrip(spark, sf_dir):
     """quantize_symmetric → dequantize_scaled round-trip error
     (examples/iql/30_quantization/)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     qv = V.quantize_symmetric(F.col("embedding"))
     max_abs = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
     deq = V.dequantize_scaled(qv, max_abs / F.lit(127.0))
@@ -895,7 +913,7 @@ def q_int8_distances(spark, sf_dir):
     products stay exact in doubles, so dot and manhattan hash exactly;
     cosine follows the clamped-similarity contract the float oracle
     uses."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     qv = V.quantize_symmetric(F.col("embedding"))
     q0 = (
         emb.filter(F.col("vec_id") == 0)
@@ -913,7 +931,7 @@ def q_int8_distances(spark, sf_dir):
 def q_knn_join(spark, sf_dir):
     from inputlayer_spark.operators.similarity import knn_join_bruteforce
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 5)
     out = knn_join_bruteforce(
         queries, emb, "vec_id", "embedding", "vec_id", "embedding", k=3, metric="cosine"
@@ -957,7 +975,7 @@ def _augmented_emb(spark, sf_dir):
     integer arithmetic + one exact-int double division, bit-identical in
     Spark and DuckDB, so the brute-force oracle over the same view is
     exact. Resulting copies sit at cos_dist ≈ 1e-3 (true near-dups)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"].select("vec_id", "embedding")
     copies = (
         emb.filter(F.col("vec_id") == 0)
         .select(F.explode(F.array(*[F.lit(j) for j in range(1, 11)])).alias("j"), "embedding")
@@ -1034,7 +1052,7 @@ def q_ivf_knn(spark, sf_dir):
     filter is an IN-list (partition pruning when written by cell)."""
     from inputlayer_spark.operators.similarity import ivf_knn
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     cents = _ivf_cents(spark, sf_dir)
     q = _query_vec(spark, sf_dir)
     out = ivf_knn(
@@ -1120,7 +1138,7 @@ def q_interval_overlaps(spark, sf_dir):
 
 
 def q_token_stats(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -1131,7 +1149,7 @@ def q_token_stats(spark, sf_dir):
 
 
 def q_quality_lang(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     t = F.col("text")
     return docs.select(
         "doc_id", TX.quality_score(t).alias("quality"), TX.lang_id(t).alias("lang_guess")
@@ -1177,7 +1195,7 @@ def q_normalize_text(spark, sf_dir):
     regexp chain over DuckDB's nfc_normalize."""
     from inputlayer_spark.functions.text import normalize_text
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     messy = docs.select(
         "doc_id",
         F.concat(
@@ -1191,7 +1209,7 @@ def q_normalize_text(spark, sf_dir):
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     return docs.select("doc_id", TX.doc_fingerprint(F.col("text")).alias("fp"))
 
 
@@ -1204,7 +1222,7 @@ def q_compression_signal(spark, sf_dir):
     registered as a DuckDB Python UDF,
     tests/test_oracle_parity.py::test_compression_signal_value_parity).
     Returns the docs a pipeline would KEEP (ratio ≥ 0.25)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     scored = docs.select(
         "doc_id", TX.compression_ratio(F.col("text")).alias("zratio")
     )
@@ -1224,7 +1242,7 @@ def q_image_probe(spark, sf_dir):
         synth_png,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _load(spark, sf_dir, "documents")["documents"].select("doc_id")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -1249,7 +1267,7 @@ def q_topic_clusters(spark, sf_dir):
     cluster sizes."""
     from inputlayer_spark.operators.clustering import kmeans_assign
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     return kmeans_assign(emb, "vec_id", "embedding", k=4, iters=2)
 
 
@@ -1260,7 +1278,7 @@ def q_vocabulary(spark, sf_dir):
     hash aggregate; output is vocabulary-sized, never corpus-sized."""
     from inputlayer_spark.functions import text as TX
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     return TX.vocabulary(docs, "text", top_n=500, min_count=2)
 
 
@@ -1272,7 +1290,7 @@ def q_tfidf(spark, sf_dir):
     don't cross engines."""
     from inputlayer_spark.functions import text as TX
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     return TX.tfidf(docs, "doc_id", "text", min_tf=3)
 
 
@@ -1286,7 +1304,7 @@ def q_curation_pipeline(spark, sf_dir):
     md5-survivor dedup, operators/sampling.assign_splits."""
     from inputlayer_spark.operators.sampling import assign_splits
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     kept = docs.filter(TX.quality_score("text") >= 0.6)
     surv = (
         kept.withColumn("h", F.md5(F.col("text")))
@@ -1326,7 +1344,7 @@ def q_web_pipeline(spark, sf_dir):
         normalize_text,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     messy = docs.select(
         "doc_id",
         "source",
@@ -1415,7 +1433,7 @@ def q_train_val_test_split(spark, sf_dir):
     verification rollup."""
     from inputlayer_spark.operators.sampling import assign_splits
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     out = assign_splits(
         docs, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01}, seed=11
     )
@@ -1435,7 +1453,7 @@ def q_weighted_sample(spark, sf_dir):
     the DuckDB oracle."""
     from inputlayer_spark.operators.sampling import weighted_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     weighted = docs.withColumn(
         "weight", F.least(F.lit(1.0), F.length("text") / F.lit(2000.0))
     )
@@ -1473,7 +1491,7 @@ def q_asof_join(spark, sf_dir):
     with the same tolerance."""
     from inputlayer_spark.operators.events import asof_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _load(spark, sf_dir, "events")["events"]
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -1498,7 +1516,7 @@ def q_sessionize(spark, sf_dir):
     of the native streaming session_window in streaming/stateful.py)."""
     from inputlayer_spark.operators.events import sessionize
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _load(spark, sf_dir, "events")["events"]
     out = sessionize(ev, "user_id", "ts", 3600.0, order_tiebreak="event_id")
     return out.select("event_id", "user_id", "session_seq")
 
@@ -1512,7 +1530,7 @@ def q_quality_percentiles(spark, sf_dir):
         group_percentile_thresholds,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     q = docs.withColumn("quality", TX.quality_score("text"))
     out = group_percentile_thresholds(q, "lang", "quality")
     return out.select("lang", "p25", "p50", "p75")
@@ -1587,7 +1605,7 @@ def q_dedup_lines(spark, sf_dir):
 
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup: min doc_id representative per content hash."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     return (
         docs.withColumn("h", F.md5(F.col("text")))
         .groupBy("h")
@@ -1599,7 +1617,7 @@ def q_exact_dedup(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     from inputlayer_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 100)
+    docs = _load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 100)
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.05)
 
 
@@ -1613,7 +1631,7 @@ def q_dedup_clusters(spark, sf_dir):
         ngram_jaccard_pairs,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    docs = _load(spark, sf_dir, "documents")["documents"].filter(
         F.col("doc_id") < 100
     )
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08)
@@ -1633,7 +1651,7 @@ def q_dedup_survivors(spark, sf_dir):
         ngram_jaccard_pairs,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    docs = _load(spark, sf_dir, "documents")["documents"].filter(
         F.col("doc_id") < 100
     )
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08)
@@ -1662,7 +1680,7 @@ def q_minhash_lsh(spark, sf_dir):
         minhash_lsh_pairs,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     # ONE persisted per-doc shingle-array frame feeds both the signature
     # computation and the exact-Jaccard verification (array_intersect);
     # rebalanced to all cores — the single-row-group test file otherwise
@@ -1687,7 +1705,7 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     # materialize the shingle-hash array so the 32 bit-vote filters share
     # one md5 pass (simhash_from_hashes docstring)
     return (
@@ -1707,7 +1725,7 @@ def q_embedding_dedup(spark, sf_dir):
     the LSH-bucketed path is the bucket_bits>0 mode of the same operator)."""
     from inputlayer_spark.operators.dedup import embedding_cosine_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 200)
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"].filter(F.col("vec_id") < 200)
     return embedding_cosine_pairs(
         emb, "vec_id", "embedding", threshold=0.35, bucket_bits=0
     )
@@ -1725,7 +1743,7 @@ def q_embedding_dedup_bucketed(spark, sf_dir):
     `embedding_cosine_pairs` auto-selects above 20k rows."""
     from inputlayer_spark.operators.dedup import embedding_cosine_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 200)
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"].filter(F.col("vec_id") < 200)
     return embedding_cosine_pairs(
         emb, "vec_id", "embedding", threshold=0.35, bucket_bits=2, num_tables=16
     )
@@ -1742,7 +1760,7 @@ def q_repetition(spark, sf_dir):
         top_bigram_fraction,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     return docs.select(
         "doc_id",
         F.round(dup_line_fraction(F.translate(F.col("text"), " ", "\n")), 6).alias(
@@ -1761,7 +1779,7 @@ def q_contamination(spark, sf_dir):
     check is one narrow pass over the corpus with no corpus shuffle."""
     from inputlayer_spark.operators.dedup import ngram_contamination
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     bench = docs.filter(F.col("doc_id") < 20).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
@@ -1783,7 +1801,7 @@ def q_pii_scrub(spark, sf_dir):
     whole-stage codegen, a narrow map at 100 TB."""
     from inputlayer_spark.functions.text import pii_count, scrub_pii
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     salted = docs.select(
         "doc_id",
         F.concat(
@@ -1811,7 +1829,7 @@ def q_source_filter(spark, sf_dir):
         source_quality_stats,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     stats = source_quality_stats(docs)
     # pass the stats frame in (r13): building quality_score's expression
     # tree costs ~0.5 s of py4j round-trips — this query consumed it
@@ -1840,7 +1858,7 @@ def q_lm_score(spark, sf_dir):
     discipline."""
     from inputlayer_spark.functions.text import lm_score
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     return lm_score(docs, "doc_id", "text")
 
 
@@ -1855,7 +1873,7 @@ def q_lm_score_skewed(spark, sf_dir):
     from inputlayer_spark.functions.text import lm_score
     from inputlayer_spark.functions.text import tokens as _tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     # coalesce BEFORE the skew injection (ADVICE r11): Spark's concat_ws
     # skips NULLs where the oracle's `||` propagates them — on NULL text
     # the two sides would diverge (hot-tokens-only vs empty)
@@ -1873,7 +1891,7 @@ def q_media_features(spark, sf_dir):
     the projected columns are the decode-independent ones."""
     from inputlayer_spark.operators.multimodal import extract_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
@@ -1900,7 +1918,7 @@ def q_substring_dedup(spark, sf_dir):
     dedup_lines discipline)."""
     from inputlayer_spark.operators.dedup import dedup_spans
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     out = dedup_spans(docs, "doc_id", "text", window=8, max_freq=1)
     return out.select("doc_id", F.col("text").alias("clean_text"))
 
@@ -1914,7 +1932,7 @@ def q_dsir_weights(spark, sf_dir):
     token-statistics table (operators/sampling.dsir_weights)."""
     from inputlayer_spark.operators.sampling import dsir_weights
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     return dsir_weights(
         docs, "doc_id", "text", F.col("source") == "src0", buckets=256
     )
@@ -1928,7 +1946,7 @@ def q_bm25_search(spark, sf_dir):
     TakeOrdered so the k-boundary is cross-engine deterministic."""
     from inputlayer_spark.functions.text import bm25_search
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     return bm25_search(docs, "doc_id", "text", "fast table scan merge", k=10)
 
 
@@ -1946,7 +1964,7 @@ def q_semantic_dedup(spark, sf_dir):
     sweep's sf1 (20k vectors) k=80."""
     from inputlayer_spark.operators.dedup import semantic_dedup
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     k = max(4, emb.count() // 250)
     return semantic_dedup(
         emb, "vec_id", "embedding", k=k, iters=2, threshold=0.30
@@ -1963,7 +1981,7 @@ def q_gopher_quality(spark, sf_dir):
     non-trivially)."""
     from inputlayer_spark.functions.text import gopher_quality_flags
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     return gopher_quality_flags(docs, "doc_id", "text", min_words=30)
 
 
@@ -1979,7 +1997,7 @@ def q_c4_clean(spark, sf_dir):
     words. All replicated verbatim in the oracle."""
     from inputlayer_spark.functions.text import c4_clean
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     seg = F.regexp_replace(
         F.regexp_replace("text", " the ", ".\n"), " a ", "\n"
     )
@@ -2010,7 +2028,7 @@ def q_gopher_repetition(spark, sf_dir):
     n-gram coverage path on real data, not just unit fixtures."""
     from inputlayer_spark.functions.text import gopher_repetition_flags
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     seg = F.substring("text", 1, 60)
     par = F.substring("text", 61, 50)
     aug = F.concat(
@@ -2033,7 +2051,7 @@ def q_bpe_merges(spark, sf_dir):
     tie-break; the DuckDB oracle unrolls the identical rounds."""
     from inputlayer_spark.operators.bpe import bpe_merges
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     return bpe_merges(docs, "text", n_merges=6, min_pair_count=2)
 
 
@@ -2047,7 +2065,7 @@ def q_bpe_encode(spark, sf_dir):
     the oracle's final vocabulary state."""
     from inputlayer_spark.operators.bpe import bpe_encode, bpe_merges
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     merges = bpe_merges(docs, "text", n_merges=6, min_pair_count=2)
     enc = bpe_encode(docs, "doc_id", "text", merges)
     return (
@@ -2071,7 +2089,7 @@ def q_incremental_dedup(spark, sf_dir):
     the exact pair graph). Greedy-by-id within the batch."""
     from inputlayer_spark.operators.dedup import incremental_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
     return incremental_dedup(
@@ -2089,7 +2107,7 @@ def _dedup_index_art(spark, sf_dir):
     if art is None:
         from inputlayer_spark.operators.dedup import build_dedup_index
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = _load(spark, sf_dir, "documents")["documents"]
         corpus = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
         h, b, a = build_dedup_index(corpus, "doc_id", "text", 64, 16, 2)
         art = (
@@ -2112,7 +2130,7 @@ def q_incremental_dedup_indexed(spark, sf_dir):
     construction (corpus-corpus pairs can't dominate a batch row)."""
     from inputlayer_spark.operators.dedup import incremental_dedup_indexed
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _load(spark, sf_dir, "documents")["documents"]
     batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
     h, b, a = _dedup_index_art(spark, sf_dir)
     surv, _, _, _ = incremental_dedup_indexed(
