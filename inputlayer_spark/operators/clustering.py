@@ -30,29 +30,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sq_dist(vec_col, centroid: List[float]):
-    """Squared euclidean between an array<float> column and a literal
-    centroid, accumulated in double (same promotion the SQL oracle
-    applies with ::DOUBLE)."""
-    from inputlayer_spark.functions.vector import lit_vec
+def _sq_dists_expr(vec_col: str, centroids: List[List[float]]):
+    """array of squared euclidean distances between an array<float>
+    column and each literal centroid, accumulated in double (same
+    promotion the SQL oracle applies with ::DOUBLE) — built as ONE
+    F.expr (r13): the per-centroid zip_with/aggregate lambda form cost
+    ~3 higher-order py4j constructions × k centroids × assign rounds
+    (~120 for semantic_dedup's k≈20 — seconds of build time per query).
+    repr(float) literals round-trip exactly, so the arithmetic is
+    bit-identical to the F.lit form.
 
-    lit = lit_vec(centroid, "double")
-    # (a-b)*(a-b), NOT (a-b)**2: POWER lowers to Math.pow (1-ulp
-    # guarantee only) while the SQL oracle multiplies — self-multiply
-    # keeps the arithmetic bit-identical across engines.
-    # NOTE: a positionally-unrolled getItem sum was measured here and
-    # REVERTED — 512-term expression trees per centroid push analyzer/
-    # optimizer time far past what the interpreted fold costs
-    # (kmeans k=8 sf0.1: 3.5 s fold vs 12.4 s unrolled).
-    return F.aggregate(
-        F.zip_with(
-            vec_col,
-            lit,
-            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    (a-b)*(a-b), NOT power(a-b, 2): POWER lowers to Math.pow (1-ulp
+    guarantee only) while the SQL oracle multiplies — self-multiply
+    keeps the arithmetic bit-identical across engines.
+    NOTE: a positionally-unrolled getItem sum was measured here and
+    REVERTED — 512-term expression trees per centroid push analyzer/
+    optimizer time far past what the interpreted fold costs
+    (kmeans k=8 sf0.1: 3.5 s fold vs 12.4 s unrolled)."""
+    per_c = []
+    for c in centroids:
+        lit = "cast(array(" + ",".join(repr(float(x)) for x in c) + ") as array<double>)"
+        per_c.append(
+            f"aggregate(zip_with(`{vec_col}`, {lit},"
+            f" (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),"
+            f" 0.0D, (acc, x) -> acc + x)"
+        )
+    return F.expr("array(" + ",".join(per_c) + ")")
 
 
 def kmeans_assign(
@@ -126,7 +129,7 @@ def kmeans_assign(
     centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
 
     def assign(frame: DataFrame) -> DataFrame:
-        dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
+        dists = _sq_dists_expr(vec_col, centroids)
         # array_position returns the FIRST index of the min → ties break
         # to the lowest centroid index (the SQL oracle orders by
         # (dist, cid) for the same contract)
