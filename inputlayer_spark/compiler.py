@@ -191,7 +191,14 @@ def scan_atom(atom: Atom, resolve: Resolver, bool_consts_nop: bool = False) -> D
             )
     if filters:
         df = df.filter(reduce(lambda a, b: a & b, filters))
-    return df.select([F.col(c).alias(v) for v, c in var_to_col.items()])
+    # ONE selectExpr py4j call instead of per-column F.col().alias()
+    # towers (r13): a 16-column scan paid ~50 py4j round-trips here,
+    # and every engine query compiles at least one scan. Identical
+    # projection; names are engine-generated (c0..cn / _w<N>) or
+    # parquet identifiers, backtick-safe.
+    return df.selectExpr(
+        *[f"`{c}` AS `{v}`" for v, c in var_to_col.items()]
+    )
 
 
 # ------------------------------------------------------------ body
