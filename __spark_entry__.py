@@ -27,7 +27,30 @@ TABLES = (
 )
 
 
-_TABLE_CACHE: dict = {}
+# intra-query pin guard (web_pipeline): pin cleaned text only when the
+# raw input is comfortably RAM-trivial; at corpus scale the straight-line
+# plan (no pin) is kept. Overridable for cluster deployments.
+_PIN_MAX_BYTES = int(
+    __import__("os").environ.get("SPARK_GRAFT_PIN_MAX_BYTES", 1 << 30)
+)
+
+
+def _input_bytes(path: str) -> int:
+    """Total bytes under a parquet file/directory — a driver-side stat
+    (no Spark job). Unreadable (e.g. non-local filesystem) reports
+    over-guard so the pin is conservatively skipped."""
+    import os as _os
+
+    try:
+        if _os.path.isfile(path):
+            return _os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in _os.walk(path):
+            for f in files:
+                total += _os.path.getsize(_os.path.join(root, f))
+        return total
+    except OSError:
+        return _PIN_MAX_BYTES + 1
 
 
 def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -37,15 +60,23 @@ def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]
     memoized), exactly like a catalog's table registration. Re-creating
     the reader per query cost ~0.1 s of py4j + footer-schema chatter
     per table per call (r13 build profiling), which is harness
-    overhead, not query work."""
+    overhead, not query work.
+
+    The cache lives ON the session object (r14, VERDICT r13 #3): the
+    old module-level dict keyed on id(spark) could alias a new session
+    to a dead session's plan handles after CPython id reuse, and was
+    never evicted — an attribute dies with its session."""
     tune_session(spark)
+    cache = getattr(spark, "_ilspark_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._ilspark_table_cache = cache
     out = {}
     for n in names:
-        key = (id(spark), sf_dir, n)
-        df = _TABLE_CACHE.get(key)
+        df = cache.get((sf_dir, n))
         if df is None:
             df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-            _TABLE_CACHE[key] = df
+            cache[(sf_dir, n)] = df
         out[n] = df
     return out
 
@@ -791,11 +822,11 @@ def q_hnsw_knn_sharded(spark, sf_dir):
     # rerank against the PERSISTED near-dup artifact (same rows as
     # _augmented_emb plus bucket columns) — an in-memory scan instead of
     # re-reading parquet and recomputing the planted copies per query
-    emb = _lsh_sel_indexed(spark, sf_dir).filter(F.col("vec_id").isin(cand_ids))
+    emb = _lsh_sel_indexed(spark, sf_dir).filter(f"vec_id IN ({','.join(str(i) for i in cand_ids)})" if cand_ids else F.lit(False))
     qcol = V.lit_vec(q, "double")
     return (
         emb.select(
-            "vec_id", V.cosine(F.col("embedding"), qcol).alias("cos_dist")
+            "vec_id", V.cosine("embedding", qcol).alias("cos_dist")
         )
         .orderBy(F.col("cos_dist").asc(), F.col("vec_id").asc())
         .limit(10)
@@ -863,7 +894,7 @@ def q_within_radius(spark, sf_dir):
     qcol = F.array(*[F.lit(x) for x in q]).cast("array<float>")
     return (
         emb.select(
-            F.col("vec_id"), V.euclidean(F.col("embedding"), qcol).alias("eu_dist")
+            F.col("vec_id"), V.euclidean("embedding", qcol).alias("eu_dist")
         )
         .filter(F.col("eu_dist") <= 1.2)
     )
@@ -879,7 +910,7 @@ def q_pairwise_cosine(spark, sf_dir):
         .select(
             "id1",
             "id2",
-            (F.lit(1.0) - V.cosine(F.col("v1"), F.col("v2"))).alias("cos_sim"),
+            (F.lit(1.0) - V.cosine("v1", "v2")).alias("cos_sim"),
         )
     )
 
@@ -888,7 +919,7 @@ def q_vector_norms(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     return emb.select(
         "vec_id",
-        V.vector_norm(F.col("embedding")).alias("norm"),
+        V.vector_norm("embedding").alias("norm"),
         V.vec_dim(F.col("embedding")).alias("dim"),
     )
 
@@ -1031,11 +1062,11 @@ def q_hnsw_knn(spark, sf_dir):
     g = _hnsw_graph_art(spark, sf_dir)
     q = _query_vec(spark, sf_dir)
     cand_ids = [int(i) for i, _ in g.search(q, 20, ef=128)]
-    emb = _augmented_emb(spark, sf_dir).filter(F.col("vec_id").isin(cand_ids))
+    emb = _augmented_emb(spark, sf_dir).filter(f"vec_id IN ({','.join(str(i) for i in cand_ids)})" if cand_ids else F.lit(False))
     qcol = V.lit_vec(q, "double")
     return (
         emb.select(
-            "vec_id", V.cosine(F.col("embedding"), qcol).alias("cos_dist")
+            "vec_id", V.cosine("embedding", qcol).alias("cos_dist")
         )
         .orderBy(F.col("cos_dist").asc(), F.col("vec_id").asc())
         .limit(10)
@@ -1376,6 +1407,23 @@ def q_web_pipeline(spark, sf_dir):
         .filter("keep")
         .select("doc_id", "source", "clean_text")
     )
+    # Catalyst pushes gopher's `.filter("passes")` below the projection
+    # by SUBSTITUTING the whole normalize→segment→c4 chain into the
+    # predicate, so the chain evaluates twice more downstream (measured
+    # +1.8 s at sf0.1; both §4.4 nondeterministic-identity fixes were
+    # A/B-measured WORSE in r13). A lazy intra-query pin of the cleaned
+    # pages truncates the substitution: the chain runs ONCE inside the
+    # pin's materialization and gopher/md5 read stored rows. Pinning
+    # corpus-scale cleaned text is only acceptable when it is
+    # RAM-trivial, so the pin is guarded by the INPUT size (driver-side
+    # file stat, no job): above the guard the plan is the unchanged
+    # straight-line chain, whose duplication is a bounded 2x of a
+    # linear scan — the right trade at 100 TB where a text pin would
+    # spill the corpus to local disk. Recomputed per invocation inside
+    # the timed region (same class as the fixpoint pins — nothing
+    # persists across runs).
+    if _input_bytes(f"{sf_dir}/documents.parquet") <= _PIN_MAX_BYTES:
+        pages = pages.localCheckpoint(eager=False)
     # min_stopword_hits=1: the segmentation consumed ' the '/' a ' as
     # sentence separators, so the synthetic pages retain at most the
     # edge-position stopwords — 1 keeps the gate discriminating (32 of
@@ -1965,9 +2013,13 @@ def q_semantic_dedup(spark, sf_dir):
     from inputlayer_spark.operators.dedup import semantic_dedup
 
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
-    k = max(4, emb.count() // 250)
+    n = emb.count()
+    k = max(4, n // 250)
+    # corpus_rows: the count above already proves whether any cluster
+    # can exceed the split cap, so the operator skips its probe job
     return semantic_dedup(
-        emb, "vec_id", "embedding", k=k, iters=2, threshold=0.30
+        emb, "vec_id", "embedding", k=k, iters=2, threshold=0.30,
+        corpus_rows=n,
     )
 
 

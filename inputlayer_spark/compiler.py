@@ -125,6 +125,93 @@ def term_is_computable(term, bound: Set[str]) -> bool:
     return term_vars(term) <= bound
 
 
+# ------------------------------------------------ SQL fast path (r14)
+#
+# Query CONSTRUCTION cost is driver-side py4j chatter (guide §5 "the
+# driver should do almost no data work", §7.3 planning time): every
+# F.col / F.lit / Column-operator call is one JVM round-trip, and a
+# compiled body used to build hundreds of them (threeway_join_arith:
+# ~1,000 round-trips ≈ 0.3 s before any job ran). Rendering a term to
+# ONE SQL string and parsing it with a single F.expr / selectExpr /
+# filter(str) call yields the identical expression tree in one
+# round-trip. Terms with no exact SQL rendering (builtin Calls,
+# non-finite floats, ints beyond int64) return None and the caller
+# falls back to the Column path — behavior, typing, and error messages
+# are unchanged.
+
+_I32_MIN, _I32_MAX = -(1 << 31), (1 << 31) - 1
+
+
+def _sql_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_float(v: float) -> Optional[str]:
+    if v != v or v == float("inf") or v == float("-inf"):
+        return None  # no plain SQL literal; F.lit handles these
+    # repr() is the shortest exact round-trip decimal; the D suffix
+    # makes the literal DOUBLE (bare decimals parse as DECIMAL),
+    # matching F.lit(float) bit-for-bit
+    return repr(v) + "D"
+
+
+def sql_of_const(v) -> Optional[str]:
+    """SQL literal producing the same Spark type/value as F.lit(v)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "true" if v else "false"
+    if isinstance(v, int):
+        if _I32_MIN <= v <= _I32_MAX:
+            return str(v)  # INT, like py4j's int conversion
+        if _I64_MIN <= v <= _I64_MAX:
+            return f"{v}L"  # BIGINT
+        return None
+    if isinstance(v, float):
+        return _sql_float(v)
+    if isinstance(v, str):
+        # the default parser (escapedStringLiterals=false) processes
+        # backslash escapes inside string literals
+        return (
+            "'"
+            + v.replace("\\", "\\\\")
+            .replace("'", "\\'")
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\x00", "\\0")
+            + "'"
+        )
+    return None
+
+
+def term_to_sql(term, bound: Set[str]) -> Optional[str]:
+    """SQL text for a term, or None when it has no exact rendering.
+    Raises the same CompileErrors as term_to_column for wildcard /
+    unbound variables so callers can try SQL first and fall back."""
+    if isinstance(term, Var):
+        if term.is_wildcard:
+            raise CompileError("wildcard not allowed in expressions")
+        if term.name not in bound:
+            raise CompileError(f"unbound variable {term.name} in expression")
+        return _sql_ident(term.name)
+    if isinstance(term, Const):
+        return sql_of_const(term.value)
+    if isinstance(term, VecLit):
+        parts = [_sql_float(float(x)) for x in term.values]
+        if any(p is None for p in parts):
+            return None
+        return f"CAST(ARRAY({','.join(parts)}) AS ARRAY<FLOAT>)"
+    if isinstance(term, Arith):
+        if term.op not in ("+", "-", "*", "/", "%"):
+            return None
+        left = term_to_sql(term.left, bound)
+        right = term_to_sql(term.right, bound)
+        if left is None or right is None:
+            return None
+        return f"({left} {term.op} {right})"
+    return None  # Call and anything else: Column path
+
+
 # ------------------------------------------------------------ atom scan
 
 _ANON_SEQ = itertools.count()
@@ -158,7 +245,7 @@ def scan_atom(atom: Atom, resolve: Resolver, bool_consts_nop: bool = False) -> D
             f"arity mismatch: {atom.relation} has {len(cols)} columns, "
             f"atom has {len(atom.terms)} terms"
         )
-    filters: List[Column] = []
+    filters: List[Tuple[str, str, object]] = []  # ("col", a, b) | ("lit", a, term)
     var_to_col: Dict[str, str] = {}
     for col_name, term in zip(cols, atom.terms):
         if isinstance(term, Var):
@@ -172,7 +259,7 @@ def scan_atom(atom: Atom, resolve: Resolver, bool_consts_nop: bool = False) -> D
                 var_to_col[f"_w{next(_ANON_SEQ)}"] = col_name
                 continue
             if term.name in var_to_col:
-                filters.append(F.col(col_name) == F.col(var_to_col[term.name]))
+                filters.append(("col", col_name, var_to_col[term.name]))
             else:
                 var_to_col[term.name] = col_name
         elif isinstance(term, Const) and isinstance(term.value, bool) and bool_consts_nop:
@@ -183,14 +270,33 @@ def scan_atom(atom: Atom, resolve: Resolver, bool_consts_nop: bool = False) -> D
             # Replicate the split via this flag.
             continue
         elif isinstance(term, (Const, VecLit)):
-            filters.append(F.col(col_name) == lit_of(term))
+            filters.append(("lit", col_name, term))
         else:
             raise CompileError(
                 f"unsupported term {term!r} in body atom {atom.relation} "
                 "(expressions belong in comparisons)"
             )
     if filters:
-        df = df.filter(reduce(lambda a, b: a & b, filters))
+        # ONE filter(sql) round-trip for the whole conjunction (r14);
+        # Column fallback only for literals with no exact SQL rendering
+        parts: Optional[List[str]] = []
+        for kind, a, b in filters:
+            if kind == "col":
+                parts.append(f"({_sql_ident(a)} = {_sql_ident(b)})")
+            else:
+                s = term_to_sql(b, set())
+                if s is None:
+                    parts = None
+                    break
+                parts.append(f"({_sql_ident(a)} = {s})")
+        if parts is not None:
+            df = df.filter(" AND ".join(parts))
+        else:
+            conds = [
+                F.col(a) == (F.col(b) if kind == "col" else lit_of(b))
+                for kind, a, b in filters
+            ]
+            df = df.filter(reduce(lambda x, y: x & y, conds))
     # ONE selectExpr py4j call instead of per-column F.col().alias()
     # towers (r13): a 16-column scan paid ~50 py4j round-trips here,
     # and every engine query compiles at least one scan. Identical
@@ -354,16 +460,16 @@ def _apply_comparison(comp: Comparison, acc: DataFrame, bound: Set[str]):
     right_ok = term_is_computable(comp.right, bound)
     if comp.op == "=":
         if left_ok and isinstance(comp.right, Var) and comp.right.name not in bound:
-            col = term_to_column(comp.left, bound)
+            s = term_to_sql(comp.left, bound)
+            col = F.expr(s) if s is not None else term_to_column(comp.left, bound)
             acc = acc.withColumn(comp.right.name, col)
             return True, acc, bound | {comp.right.name}
         if right_ok and isinstance(comp.left, Var) and comp.left.name not in bound:
-            col = term_to_column(comp.right, bound)
+            s = term_to_sql(comp.right, bound)
+            col = F.expr(s) if s is not None else term_to_column(comp.right, bound)
             acc = acc.withColumn(comp.left.name, col)
             return True, acc, bound | {comp.left.name}
     if left_ok and right_ok:
-        lc = term_to_column(comp.left, bound)
-        rc = term_to_column(comp.right, bound)
         # Column-vs-COLUMN ordered comparisons are numeric-only in the
         # reference: `A < B` over string vars yields NO rows (golden
         # 11_types/57_string_lexicographic.iql) — the Predicate enum has
@@ -378,8 +484,22 @@ def _apply_comparison(comp: Comparison, acc: DataFrame, bound: Set[str]):
             return True, acc.filter(F.lit(False)), bound
         # IQL equality is over dynamically-typed values, not SQL
         # three-valued logic: null != 0 is TRUE and the row is kept
-        # (golden 11_types/19_null_handling.iql). eqNullSafe mirrors the
-        # reference's Value::eq on non-null operands exactly.
+        # (golden 11_types/19_null_handling.iql). eqNullSafe (SQL <=>)
+        # mirrors the reference's Value::eq on non-null operands exactly.
+        ls = term_to_sql(comp.left, bound)
+        rs = term_to_sql(comp.right, bound)
+        if ls is not None and rs is not None:
+            sql_ops = {
+                "=": f"({ls} <=> {rs})",
+                "!=": f"(NOT ({ls} <=> {rs}))",
+                "<": f"({ls} < {rs})",
+                "<=": f"({ls} <= {rs})",
+                ">": f"({ls} > {rs})",
+                ">=": f"({ls} >= {rs})",
+            }
+            return True, acc.filter(sql_ops[comp.op]), bound
+        lc = term_to_column(comp.left, bound)
+        rc = term_to_column(comp.right, bound)
         ops = {
             "=": lc.eqNullSafe(rc),
             "!=": ~lc.eqNullSafe(rc),
@@ -435,6 +555,34 @@ STANDARD_AGGS = {
     "avg": lambda c: F.avg(c),
 }
 
+# repr(float(2^63)) round-trips to the exact double F.lit(float(1 << 63))
+# produces; the D suffix keeps the SQL literal DOUBLE-typed
+_SAT_HI_SQL = repr(float(1 << 63)) + "D"
+
+
+def _agg_sql(func: str, x: str) -> Optional[str]:
+    """SQL rendering of STANDARD_AGGS[func] over rendered operand x —
+    the identical expression tree in one parse."""
+    if func == "count":
+        return f"count({x})"
+    if func == "count_distinct":
+        return f"count(DISTINCT {x})"
+    if func in ("min", "max", "avg"):
+        return f"{func}({x})"
+    if func == "sum":
+        # _saturating_sum verbatim: double-sum sentinel for overflow
+        # clamps, exact long sum in range. (-2^63 is rendered via a
+        # string cast: the bare literal would overflow the BIGINT
+        # lexer token under unary minus.)
+        return (
+            f"CASE WHEN sum(CAST({x} AS DOUBLE)) >= {_SAT_HI_SQL}"
+            f" THEN {_I64_MAX}L"
+            f" WHEN sum(CAST({x} AS DOUBLE)) <= -{_SAT_HI_SQL}"
+            f" THEN CAST('{_I64_MIN}' AS BIGINT)"
+            f" ELSE sum(CAST({x} AS BIGINT)) END"
+        )
+    return None
+
 
 def compile_head(body_df: DataFrame, head: Atom, distinct: bool = True) -> DataFrame:
     """Project / aggregate the body DataFrame into the head relation.
@@ -445,10 +593,23 @@ def compile_head(body_df: DataFrame, head: Atom, distinct: bool = True) -> DataF
     bound = set(body_df.columns)
     aggs = [(i, t) for i, t in enumerate(head.terms) if isinstance(t, Agg)]
     if not aggs:
-        cols = []
+        # ONE selectExpr round-trip when every term renders to SQL (r14)
+        exprs: Optional[List[str]] = []
         for i, t in enumerate(head.terms):
-            cols.append(term_to_column(t, bound).alias(f"c{i}"))
-        out = body_df.select(*cols)
+            s = term_to_sql(t, bound)
+            if s is None:
+                exprs = None
+                break
+            exprs.append(f"{s} AS `c{i}`")
+        if exprs is not None:
+            out = body_df.selectExpr(*exprs)
+        else:
+            out = body_df.select(
+                *[
+                    term_to_column(t, bound).alias(f"c{i}")
+                    for i, t in enumerate(head.terms)
+                ]
+            )
         return out.distinct() if distinct else out
 
     ranking = [(i, t) for i, t in aggs if t.is_ranking]
@@ -456,7 +617,6 @@ def compile_head(body_df: DataFrame, head: Atom, distinct: bool = True) -> DataF
         raise CompileError("ranking aggregates cannot be combined with other aggregates")
 
     group_idx = [(i, t) for i, t in enumerate(head.terms) if not isinstance(t, Agg)]
-    group_cols = [term_to_column(t, bound).alias(f"c{i}") for i, t in group_idx]
 
     if ranking:
         return _compile_ranking(body_df, head, group_idx, ranking[0], bound)
@@ -468,20 +628,44 @@ def compile_head(body_df: DataFrame, head: Atom, distinct: bool = True) -> DataF
     # 100), while distinct tuples sharing the aggregated value all count
     # (10_edge_cases/141_all_same_value.iql: sum over (_, V) → 300).
     deduped = body_df.distinct()
-    agg_exprs = []
+    # SQL fast path: render every aggregate and grouping term; fall back
+    # to the Column path wholesale if anything has no SQL form
+    agg_sqls: Optional[List[str]] = []
     for i, t in aggs:
-        fn = STANDARD_AGGS.get(t.func)
-        if fn is None:
+        if t.func not in STANDARD_AGGS:
             raise CompileError(f"unknown aggregate {t.func}")
         if len(t.args) != 1:
             raise CompileError(f"{t.func} takes exactly one argument")
-        col = term_to_column(t.args[0], bound)
+        if agg_sqls is None:
+            continue  # validation still runs for every term
         if t.func == "sum" and _is_string_term(t.args[0], deduped):
             # Value::to_i64 maps non-numeric values to 0, so summing a
             # string column yields 0, not null
             # (golden 14_aggregations/94_sum_on_strings.iql)
-            col = F.lit(0)
-        agg_exprs.append(fn(col).alias(f"c{i}"))
+            x = "0"
+        else:
+            x = term_to_sql(t.args[0], bound)
+        s = _agg_sql(t.func, x) if x is not None else None
+        agg_sqls = None if s is None else agg_sqls + [f"{s} AS `c{i}`"]
+    group_sqls: Optional[List[str]] = []
+    for i, t in group_idx:
+        s = term_to_sql(t, bound)
+        group_sqls = None if s is None else group_sqls + [f"{s} AS `c{i}`"]
+        if group_sqls is None:
+            break
+    if agg_sqls is not None and group_sqls is not None:
+        agg_exprs = [F.expr(s) for s in agg_sqls]
+        group_cols = [F.expr(s) for s in group_sqls]
+    else:
+        agg_exprs = []
+        for i, t in aggs:
+            col = term_to_column(t.args[0], bound)
+            if t.func == "sum" and _is_string_term(t.args[0], deduped):
+                col = F.lit(0)
+            agg_exprs.append(STANDARD_AGGS[t.func](col).alias(f"c{i}"))
+        group_cols = [
+            term_to_column(t, bound).alias(f"c{i}") for i, t in group_idx
+        ]
     if group_cols:
         out = deduped.groupBy(*group_cols).agg(*agg_exprs)
     else:
@@ -504,6 +688,7 @@ def _compile_ranking(body_df, head, group_idx, ranking, bound):
     """
     i, agg = ranking
     single_col = False
+    thresh_t = None
     if agg.func == "top_k":
         if len(agg.args) == 2:
             # 2-arg form `top_k<K, Score:dir>`: value IS the score and the
@@ -511,35 +696,90 @@ def _compile_ranking(body_df, head, group_idx, ranking, bound):
             # 14_aggregations/136_multiple_rule_drops_aggs.iql)
             k = _const_int(agg.args[0], "top_k k")
             val_t = score_t = agg.args[1]
-            thresh = None
             single_col = True
         elif len(agg.args) == 3:
             k = _const_int(agg.args[0], "top_k k")
             val_t, score_t = agg.args[1], agg.args[2]
-            thresh = None
         else:
             raise CompileError("top_k<K, [Value,] Score:dir> takes 2 or 3 arguments")
     elif agg.func == "top_k_threshold":
         if len(agg.args) != 4:
             raise CompileError("top_k_threshold<K, T, Value, Score:dir> takes 4 arguments")
         k = _const_int(agg.args[0], "top_k_threshold k")
-        thresh = term_to_column(agg.args[1], bound)
+        thresh_t = agg.args[1]
         val_t, score_t = agg.args[2], agg.args[3]
     elif agg.func == "within_radius":
         if len(agg.args) != 3:
             raise CompileError("within_radius<R, Value, Score:dir> takes 3 arguments")
         k = None
-        thresh = term_to_column(agg.args[0], bound)
+        thresh_t = agg.args[0]
         val_t, score_t = agg.args[1], agg.args[2]
     else:  # pragma: no cover
         raise CompileError(f"unknown ranking aggregate {agg.func}")
 
+    deduped = body_df.distinct()
+
+    # ---- SQL fast path (r14): score/val/window/projection in three
+    # round-trips instead of per-column towers; identical operators
+    # (row_number window, same order + tiebreak, same filters)
+    def _sql_path() -> Optional[DataFrame]:
+        score_s = term_to_sql(score_t, bound)
+        val_s = term_to_sql(val_t, bound)
+        if score_s is None or val_s is None:
+            return None
+        group_ss = []
+        for _, t in group_idx:
+            s = term_to_sql(t, bound)
+            if s is None:
+                return None
+            group_ss.append(s)
+        thresh_s = None
+        if thresh_t is not None:
+            thresh_s = term_to_sql(thresh_t, bound)
+            if thresh_s is None:
+                return None
+        head_ss: List[str] = []
+        pos = 0
+        for j, t in enumerate(head.terms):
+            if j == i:
+                head_ss.append(f"`__val` AS `c{pos}`")
+                pos += 1
+                if not single_col:
+                    head_ss.append(f"`__score` AS `c{pos}`")
+                    pos += 1
+            else:
+                s = term_to_sql(t, bound)
+                if s is None:
+                    return None
+                head_ss.append(f"{s} AS `c{pos}`")
+                pos += 1
+        sel0 = ["*", f"{score_s} AS `__score`", f"{val_s} AS `__val`"]
+        if agg.func == "within_radius":
+            out = deduped.selectExpr(*sel0).filter(f"`__score` <= {thresh_s}")
+        else:
+            part = ", ".join(group_ss) if group_ss else "1"
+            direction = "DESC" if agg.order == "desc" else "ASC"
+            rn = (
+                f"row_number() OVER (PARTITION BY {part}"
+                f" ORDER BY {score_s} {direction}, {val_s} ASC) AS `__rn`"
+            )
+            out = deduped.selectExpr(*sel0, rn).filter(f"`__rn` <= {k}")
+            if agg.func == "top_k_threshold":
+                op = ">=" if agg.order == "desc" else "<="
+                out = out.filter(f"`__score` {op} {thresh_s}")
+        return out.selectExpr(*head_ss).distinct()
+
+    fast = _sql_path()
+    if fast is not None:
+        return fast
+
+    # ---- Column fallback (terms with no SQL rendering) ----
+    thresh = None if thresh_t is None else term_to_column(thresh_t, bound)
     score_col = term_to_column(score_t, bound)
     val_col = term_to_column(val_t, bound)
     order = score_col.desc() if agg.order == "desc" else score_col.asc()
     tiebreak = val_col.asc()
 
-    deduped = body_df.distinct()
     group_cols = [term_to_column(t, bound) for _, t in group_idx]
     deduped = deduped.withColumn("__score", score_col).withColumn("__val", val_col)
 

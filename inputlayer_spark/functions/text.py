@@ -4,9 +4,12 @@ These go beyond the reference surface (BASELINE.json asks for LLM-data-
 pipeline operators): tokenization, shingling, language-ID heuristics,
 quality scoring, and cross-engine-deterministic hashing. Everything is a
 built-in-function expression — no Python in the hot path — so a 100 TB
-documents scan stays in whole-stage codegen. The one exception is
-`compression_ratio` (zlib has no SQL expression), which runs as an
-Arrow-batched pandas_udf, never a row-at-a-time UDF.
+documents scan stays in whole-stage codegen. The deliberate exceptions
+are Arrow-batched pandas kernels, never row-at-a-time UDFs:
+`compression_ratio` (zlib has no SQL expression), `normalize_text`'s NFC
+pass, the MinHash signature kernel (operators/dedup.py), and
+semantic_dedup's per-cluster Gram kernel — the same set
+test_no_python_eval_in_jvm_operator_paths pins.
 
 Cross-engine hashing trick: `md5` produces identical hex in Spark and
 DuckDB, so `md5_long32` (first 8 hex chars as a long) is a deterministic

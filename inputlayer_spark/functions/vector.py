@@ -32,17 +32,72 @@ def lit_vec(values, element_type: str = "float") -> Column:
     round-trips per component (~0.2 s per 64-dim literal at query
     construction time). repr(float) is the shortest exact round-trip
     decimal, and Spark SQL parses it back to the identical double, so
-    the literal is bit-equal to the F.lit form. Finite values only."""
+    the literal is bit-equal to the F.lit form. Finite values only.
+
+    The SQL text rides along on the Column (`__dict__`-stored, so it
+    never collides with Column.__getattr__ field access): the distance
+    builders below embed it into their own single-F.expr form."""
     body = ",".join(repr(float(v)) for v in values)
-    return F.expr(f"cast(array({body}) as array<{element_type}>)")
+    sql = f"cast(array({body}) as array<{element_type}>)"
+    col = F.expr(sql)
+    col.__dict__["_ilspark_sql"] = f"({sql})"
+    return col
 
 
-def vec_dim(a: Column) -> Column:
-    return F.size(a).cast("long")
+# ---- single-round-trip construction (r14, guide §5/§7.3) ----
+#
+# The distance builders are called at query-construction time on the
+# driver; their Column form costs 2-4 higher-order-function lambdas ≈
+# 40-80 py4j round-trips per call (measured 0.13-0.17 s of knn_cosine /
+# pairwise_cosine build time). When an operand is a column NAME (str)
+# or a lit_vec literal (SQL text attached above), the whole expression
+# renders as ONE F.expr — the parser builds the identical tree (same
+# functions, same lambda bodies, same double literals), so results are
+# bit-equal. Column operands keep the original construction.
+
+_SQL_INF = "CAST('Infinity' AS DOUBLE)"
 
 
-def dot(a: Column, b: Column) -> Column:
+def _sqlref(x) -> str | None:
+    if isinstance(x, str):
+        return "`" + x.replace("`", "``") + "`"
+    d = getattr(x, "__dict__", None)
+    return d.get("_ilspark_sql") if isinstance(d, dict) else None
+
+
+def _colref(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        f" CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, x ->"
+        f" CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        f" 0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def vec_dim(a) -> Column:
+    return F.size(_colref(a)).cast("long")
+
+
+def dot(a, b) -> Column:
     """Dot product; infinity on dimension mismatch (vector_ops.rs:175)."""
+    sa, sb = _sqlref(a), _sqlref(b)
+    if sa is not None and sb is not None:
+        return F.expr(
+            f"CASE WHEN size({sa}) != size({sb}) THEN {_SQL_INF}"
+            f" ELSE {_dot_sql(sa, sb)} END"
+        )
+    a, b = _colref(a), _colref(b)
     raw = F.aggregate(
         F.zip_with(a, b, lambda x, y: _d(x) * _d(y)),
         F.lit(0.0),
@@ -51,13 +106,30 @@ def dot(a: Column, b: Column) -> Column:
     return F.when(F.size(a) != F.size(b), F.lit(float("inf"))).otherwise(raw)
 
 
-def vector_norm(a: Column) -> Column:
+def vector_norm(a) -> Column:
+    sa = _sqlref(a)
+    if sa is not None:
+        return F.expr(_norm_sql(sa))
+    a = _colref(a)
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: _d(x) * _d(x)), F.lit(0.0), lambda acc, x: acc + x)
     )
 
 
-def euclidean(a: Column, b: Column) -> Column:
+def euclidean(a, b) -> Column:
+    sa, sb = _sqlref(a), _sqlref(b)
+    if sa is not None and sb is not None:
+        raw = (
+            f"sqrt(aggregate(zip_with({sa}, {sb}, (x, y) ->"
+            f" (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+            f" 0.0D, (acc, x) -> acc + x))"
+        )
+        return F.expr(
+            f"CASE WHEN size({sa}) != size({sb}) THEN {_SQL_INF}"
+            f" ELSE {raw} END"
+        )
+    a, b = _colref(a), _colref(b)
     raw = F.sqrt(
         F.aggregate(
             F.zip_with(a, b, lambda x, y: (_d(x) - _d(y)) * (_d(x) - _d(y))),
@@ -68,7 +140,19 @@ def euclidean(a: Column, b: Column) -> Column:
     return F.when(F.size(a) != F.size(b), F.lit(float("inf"))).otherwise(raw)
 
 
-def manhattan(a: Column, b: Column) -> Column:
+def manhattan(a, b) -> Column:
+    sa, sb = _sqlref(a), _sqlref(b)
+    if sa is not None and sb is not None:
+        raw = (
+            f"aggregate(zip_with({sa}, {sb}, (x, y) ->"
+            f" abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+            f" 0.0D, (acc, x) -> acc + x)"
+        )
+        return F.expr(
+            f"CASE WHEN size({sa}) != size({sb}) THEN {_SQL_INF}"
+            f" ELSE {raw} END"
+        )
+    a, b = _colref(a), _colref(b)
     raw = F.aggregate(
         F.zip_with(a, b, lambda x, y: F.abs(_d(x) - _d(y))),
         F.lit(0.0),
@@ -77,13 +161,27 @@ def manhattan(a: Column, b: Column) -> Column:
     return F.when(F.size(a) != F.size(b), F.lit(float("inf"))).otherwise(raw)
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a, b) -> Column:
     """Cosine *distance* = 1 − cosine similarity (vector_ops.rs:139).
 
     Zero-norm input → distance 0.0 ("treat zero vectors as identical",
     vector_ops.rs:158-160); similarity clamped to [-1, 1] before the
     subtraction, as the reference does.
     """
+    sa, sb = _sqlref(a), _sqlref(b)
+    if sa is not None and sb is not None:
+        num = _dot_sql(sa, sb)
+        na, nb = _norm_sql(sa), _norm_sql(sb)
+        sim = f"least(greatest({num} / ({na} * {nb}), -1.0D), 1.0D)"
+        dist = (
+            f"CASE WHEN ({na} = 0.0D) OR ({nb} = 0.0D) THEN 0.0D"
+            f" ELSE 1.0D - {sim} END"
+        )
+        return F.expr(
+            f"CASE WHEN size({sa}) != size({sb}) THEN {_SQL_INF}"
+            f" ELSE {dist} END"
+        )
+    a, b = _colref(a), _colref(b)
     num = F.aggregate(
         F.zip_with(a, b, lambda x, y: _d(x) * _d(y)), F.lit(0.0), lambda acc, x: acc + x
     )

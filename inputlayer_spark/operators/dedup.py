@@ -496,7 +496,7 @@ def embedding_cosine_pairs(
         joined = base.toDF("id1", "v1").crossJoin(base.toDF("id2", "v2")).filter(
             F.col("id1") < F.col("id2")
         )
-    sim = F.lit(1.0) - V.cosine(F.col("v1"), F.col("v2"))
+    sim = F.lit(1.0) - V.cosine("v1", "v2")
     return (
         joined.withColumn("cos_sim", sim)
         .filter(F.col("cos_sim") >= threshold)
@@ -861,6 +861,8 @@ def semantic_dedup(
     iters: int = 2,
     threshold: float = 0.95,
     target_cluster_size: int = 250,
+    max_cluster_rows: int = 16384,
+    corpus_rows: Optional[int] = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding corpus with deterministic
@@ -891,6 +893,8 @@ def semantic_dedup(
             raise ValueError("target_cluster_size must be >= 1")
         n = df.count()
         k = max(4, -(-n // target_cluster_size))
+        if corpus_rows is None:
+            corpus_rows = n
     # materialize the narrow (id, cluster) assignment ONCE — three
     # branches of the dedup DAG (both pair sides + the final anti-join)
     # would otherwise each re-run the k-fold assignment scan; the
@@ -973,10 +977,126 @@ def semantic_dedup(
             dom[s:e] = ((G >= thr) & mask).any(axis=1)
         return pd.DataFrame({id_col: pdf[id_col].to_numpy()[dom]})
 
-    grouped = labeled.groupBy("cluster").applyInPandas(
+    # ---- bounded per-cluster tasks (r14, guide §2.5 skew; VERDICT r13
+    # #3 / ADVICE r13) ----
+    # applyInPandas materializes each cluster as ONE task. k ∝ n/target
+    # bounds the DESIGN cluster size, but k-means does not bound the
+    # ACTUAL max — a degenerate corpus (near-identical embeddings) can
+    # put nearly everything in one cluster, giving a single straggler
+    # task O(c·dim) memory and O(c²) compute. Probe the pinned
+    # assignment for oversized clusters (one tiny 2-column aggregate;
+    # the probe also materializes `assigned`, work the kernel's first
+    # job paid anyway). In the common case (no oversized clusters) the
+    # plan below is EXACTLY the r13 shape. Otherwise oversized
+    # clusters split into id-ordered blocks of `max_cluster_rows` rows
+    # and every block PAIR (p ≤ q) becomes its own kernel task.
+    # Result-identical: dominated(j) ⟺ ∃ i<j in-cluster with sim ≥ thr
+    # enumerates identically over block pairs — blocks are id-ordered,
+    # so i∈p, j∈q with p<q implies i<j, and the strict i<j triangle is
+    # only needed on the p == q diagonal. Each pair is computed in
+    # exactly one task; per-pair float64 dot products match the
+    # one-task kernel up to BLAS summation order (~1 ulp — far inside
+    # the measured 5.9e-7 decision margin, same argument as r13).
+    # Per-task memory drops to O(max_cluster_rows·dim).
+    # probe elision: when the caller's corpus row count (or the k=None
+    # path's own count) already proves no cluster CAN exceed the cap,
+    # skip the probe job outright — the common-at-bench-scale case pays
+    # zero extra actions (the +0.2 s probe regression measured in the
+    # first r14 A/B).
+    if corpus_rows is not None and corpus_rows <= max_cluster_rows:
+        grouped = labeled.groupBy("cluster").applyInPandas(
+            _dominated_in_cluster, schema=out_schema
+        )
+        dominated = grouped.distinct()
+        return assigned.join(dominated, id_col, "left_anti")
+    oversized = (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("__csz"))
+        .filter(F.col("__csz") > max_cluster_rows)
+        .select("cluster")
+        .localCheckpoint(eager=False)
+    )
+    if oversized.count() == 0:
+        grouped = labeled.groupBy("cluster").applyInPandas(
+            _dominated_in_cluster, schema=out_schema
+        )
+        dominated = grouped.distinct()
+        return assigned.join(dominated, id_col, "left_anti")
+
+    # split path: pin `labeled` so the normalize+join subtree feeding
+    # BOTH branches runs once (its blocks are consumed immediately);
+    # the oversized-cluster key set is |clusters|-bounded — broadcast
+    # under the same 2M-row discipline as the other dedup sites
+    from pyspark.sql import Window
+
+    labeled = labeled.localCheckpoint(eager=False)
+    small_part = labeled.join(F.broadcast(oversized), "cluster", "left_anti")
+    big_part = labeled.join(F.broadcast(oversized), "cluster", "left_semi")
+    wrn = Window.partitionBy("cluster").orderBy(id_col)
+    blk = (
+        big_part.withColumn(
+            "__b",
+            F.floor((F.row_number().over(wrn) - 1) / max_cluster_rows).cast("int"),
+        )
+        .withColumn("__nb", F.max("__b").over(Window.partitionBy("cluster")) + 1)
+    )
+    # a row in block b joins every pair task it participates in: as the
+    # lower-id side of (b, q≥b) and as the candidate side of (p≤b, b);
+    # array_union dedups the shared diagonal (b, b)
+    tasks = F.array_union(
+        F.transform(
+            F.sequence(F.col("__b"), F.col("__nb") - 1),
+            lambda q: F.struct(F.col("__b").alias("p"), q.alias("q")),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.col("__b")),
+            lambda p: F.struct(p.alias("p"), F.col("__b").alias("q")),
+        ),
+    )
+    exploded = blk.withColumn("__t", F.explode(tasks)).select(
+        "cluster",
+        F.col("__t.p").alias("__p"),
+        F.col("__t.q").alias("__q"),
+        "__b",
+        F.col(id_col),
+        "__z",
+        "__nv",
+    )
+
+    def _dominated_block_pair(key, pdf):
+        p, q = key[1], key[2]
+        if p == q:
+            return _dominated_in_cluster(pdf)
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        refs = pdf[pdf["__b"] == p]
+        cand = pdf[pdf["__b"] == q]
+        if not len(refs) or not len(cand):
+            return pd.DataFrame({id_col: pdf[id_col][:0]})
+        Xi = np.vstack(refs["__nv"].to_numpy())
+        Xj = np.vstack(cand["__nv"].to_numpy())
+        zi = refs["__z"].to_numpy(dtype=bool)
+        zj = cand["__z"].to_numpy(dtype=bool)
+        cj = len(cand)
+        dom = np.zeros(cj, dtype=bool)
+        B = 4096
+        for s in range(0, cj, B):
+            e = min(s + B, cj)
+            # every ref id < every cand id (id-ordered blocks, p < q):
+            # no triangle mask needed off the diagonal
+            G = np.clip(Xj[s:e] @ Xi.T, -1.0, 1.0)
+            if zi.any() or zj.any():
+                zb = zj[s:e, None] & zi[None, :]
+                G[zb] = 1.0  # zero vectors are identical (V.cosine rule)
+            dom[s:e] = (G >= thr).any(axis=1)
+        return pd.DataFrame({id_col: cand[id_col].to_numpy()[dom]})
+
+    grouped_small = small_part.groupBy("cluster").applyInPandas(
         _dominated_in_cluster, schema=out_schema
     )
-    dominated = grouped.distinct()
+    grouped_big = exploded.groupBy("cluster", "__p", "__q").applyInPandas(
+        _dominated_block_pair, schema=out_schema
+    )
+    dominated = grouped_small.unionByName(grouped_big).distinct()
     return assigned.join(dominated, id_col, "left_anti")
 
 

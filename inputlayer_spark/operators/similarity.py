@@ -58,7 +58,7 @@ def knn_bruteforce(
     return (
         df.select(
             F.col(id_col).alias("id"),
-            _dist(metric, F.col(vec_col), q).alias("dist"),
+            _dist(metric, vec_col, q).alias("dist"),
         )
         .orderBy(F.col("dist").asc(), F.col("id").asc())
         .limit(k)
@@ -84,7 +84,7 @@ def knn_join_bruteforce(
     q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv"))
     c = corpus.select(F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("cv"))
     joined = c.crossJoin(F.broadcast(q)).withColumn(
-        "dist", _dist(metric, F.col("cv"), F.col("qv"))
+        "dist", _dist(metric, "cv", "qv")
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (
@@ -163,16 +163,19 @@ def knn_lsh(
     # per-element F.lit array the same — measured 1.5 s of knn_lsh's
     # 2.3 s construction. The SQL forms are the identical predicates
     # (integer bucket keys, finite float components) in one round-trip.
-    cand = F.expr(
-        " OR ".join(
-            f"{_bucket_col(t)} IN ({','.join(str(int(p)) for p in probes[t])})"
-            for t in range(num_tables)
-        )
-    )
+    # guard empty probe lists / zero tables (ADVICE r13): an "IN ()" or
+    # an F.expr("") would be a parse error at runtime. No probes means
+    # no candidate buckets — a constant-false predicate.
+    clauses = [
+        f"{_bucket_col(t)} IN ({','.join(str(int(p)) for p in probes[t])})"
+        for t in range(num_tables)
+        if probes.get(t)
+    ]
+    cand = F.expr(" OR ".join(clauses)) if clauses else F.lit(False)
     q = V.lit_vec(query, "float")
     return (
         df.filter(cand)
-        .select(F.col(id_col).alias("id"), _dist(metric, F.col(vec_col), q).alias("dist"))
+        .select(F.col(id_col).alias("id"), _dist(metric, vec_col, q).alias("dist"))
         .orderBy(F.col("dist").asc(), F.col("id").asc())
         .limit(k)
     )
@@ -262,7 +265,7 @@ def ivf_knn(
     q = V.lit_vec(query, "float")
     return (
         df.filter(F.col(cell_col).isin(probed_cells))
-        .select(F.col(id_col).alias("id"), _dist(metric, F.col(vec_col), q).alias("dist"))
+        .select(F.col(id_col).alias("id"), _dist(metric, vec_col, q).alias("dist"))
         .orderBy(F.col("dist").asc(), F.col("id").asc())
         .limit(k)
     )

@@ -3048,6 +3048,57 @@ def test_semantic_dedup_default_k_scales_with_corpus(spark):
     assert pair_work <= 6 * (250 * 249 // 2)
 
 
+def test_semantic_dedup_oversized_cluster_block_split_matches(spark):
+    """r14 (VERDICT r13 #3): clusters above max_cluster_rows split into
+    id-ordered block-PAIR kernel tasks. The block enumeration must be
+    result-identical to the one-task-per-cluster kernel, incl. the
+    zero-vector rule across blocks."""
+    from inputlayer_spark.operators.dedup import semantic_dedup
+
+    # mixed corpus: 3 directions x 20 rows with per-row bumps (some
+    # pairs land under the threshold), plus two zero vectors in the
+    # middle of the id range
+    rows = []
+    for i in range(60):
+        rows.append((i, _unit(i % 3, bump=0.02 * ((i // 3) % 7))))
+    rows.append((60, [0.0] * 8))
+    rows.append((61, [0.0] * 8))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    whole = semantic_dedup(df, "vec_id", "embedding", k=3, iters=2,
+                           threshold=0.95)
+    split = semantic_dedup(df, "vec_id", "embedding", k=3, iters=2,
+                           threshold=0.95, max_cluster_rows=7)
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, split.collect())
+    )
+
+
+def test_semantic_dedup_degenerate_single_cluster_bounded(spark):
+    """A degenerate corpus (identical embeddings -> giant k-means
+    clusters regardless of k) must not hand one Python task the whole
+    corpus: with max_cluster_rows=8 every kernel task sees at most two
+    8-row blocks, and the survivor set is identical to the one-task
+    kernel's (greedy-by-id: one survivor per cluster)."""
+    from inputlayer_spark.operators.dedup import semantic_dedup
+
+    rows = [(i, _unit(0)) for i in range(64)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    whole = sorted(
+        map(tuple, semantic_dedup(df, "vec_id", "embedding", k=4, iters=2,
+                                  threshold=0.95).collect())
+    )
+    split = sorted(
+        map(tuple, semantic_dedup(df, "vec_id", "embedding", k=4, iters=2,
+                                  threshold=0.95,
+                                  max_cluster_rows=8).collect())
+    )
+    assert whole == split
+    # identical vectors: everything above the threshold, so exactly one
+    # survivor per populated cluster
+    assert len(split) < 8
+
+
 # ---------------------------------------------------------------------------
 # dsir_weights — hashed n-gram importance weights
 # ---------------------------------------------------------------------------
