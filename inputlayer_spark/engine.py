@@ -1010,7 +1010,12 @@ class IQLEngine:
             # exact complement of keep (filter(~cond) also drops rows
             # where cond is NULL, so doomed must include them)
             doomed = df.filter(cond.isNull() | cond) if cond is not None else df
-        new_base = keep.localCheckpoint(eager=True)
+        # LAZY pin (r14): the rewritten base folds into the first
+        # consumer's job (the retraction-maintenance pass or the next
+        # query) instead of running as its own materialization job per
+        # delete statement. `keep` reads only the pinned old base, so
+        # what materializes is unaffected by later mutations.
+        new_base = keep.localCheckpoint(eager=False)
         self.current.relations[st.relation] = new_base
         # incremental retraction first (the maintainer's insert-path
         # protocol): qualifying aggregate views are maintained from the

@@ -460,31 +460,37 @@ def _try_path_doubling(
         compose_seq[0] += 1
         la, ra = f"__cr_l{compose_seq[0]}", f"__cr_r{compose_seq[0]}"
         rdf, sdf = rdf.alias(la), sdf.alias(ra)
-        cond = None
-        for i in range(k):
-            c = F.col(f"{la}.{upd_c[i]}") == F.col(f"{ra}.{s_cols[i]}")
-            cond = c if cond is None else (cond & c)
+        # ONE F.expr / selectExpr round-trip per sweep (r14): the
+        # per-column Column towers cost ~40 py4j round-trips per sweep
+        # x ~15-25 sweeps per deep fixpoint — identical join condition
+        # and projection
+        cond = F.expr(
+            " AND ".join(
+                f"{la}.{upd_c[i]} = {ra}.{s_cols[i]}" for i in range(k)
+            )
+        )
         out = rdf.join(sdf, cond, "inner")
         proj = []
         for i in range(arity):
             if i in updated:
                 proj.append(
-                    F.col(f"{ra}.{t_cols[updated.index(i)]}").alias(rcols[i])
+                    f"{ra}.{t_cols[updated.index(i)]} AS {rcols[i]}"
                 )
             else:
-                proj.append(F.col(f"{la}.{rcols[i]}"))
-        return out.select(*proj)
+                proj.append(f"{la}.{rcols[i]}")
+        return out.selectExpr(*proj)
 
     def compose_s(sdf: DataFrame) -> DataFrame:
         # self-join: alias both sides so column refs resolve unambiguously
         a, b = sdf.alias("__pd_l"), sdf.alias("__pd_r")
-        cond = None
-        for i in range(k):
-            c = F.col(f"__pd_l.{t_cols[i]}") == F.col(f"__pd_r.{s_cols[i]}")
-            cond = c if cond is None else (cond & c)
-        return a.join(b, cond, "inner").select(
-            *[F.col(f"__pd_l.{c}") for c in s_cols],
-            *[F.col(f"__pd_r.{c}") for c in t_cols],
+        cond = F.expr(
+            " AND ".join(
+                f"__pd_l.{t_cols[i]} = __pd_r.{s_cols[i]}" for i in range(k)
+            )
+        )
+        return a.join(b, cond, "inner").selectExpr(
+            *[f"__pd_l.{c}" for c in s_cols],
+            *[f"__pd_r.{c}" for c in t_cols],
         )
 
     # ---- distributed blocked doubling + semi-naive delta sweep ----
@@ -554,10 +560,9 @@ def _try_path_doubling(
         (measured ~38M rows vs a ~1M-pair closure), so this cuts the
         per-sweep shuffle volume to the surviving new derivations."""
         left, right = composed.alias("__sw_l"), res.alias("__sw_r")
-        cond = None
-        for c in rcols:
-            e = F.col(f"__sw_l.{c}").eqNullSafe(F.col(f"__sw_r.{c}"))
-            cond = e if cond is None else (cond & e)
+        cond = F.expr(
+            " AND ".join(f"__sw_l.{c} <=> __sw_r.{c}" for c in rcols)
+        )
         return left.join(F.broadcast(right), cond, "left_anti")
 
     for _ in range(1_000_000):  # depth/2^k sweeps; exits on empty delta
@@ -843,8 +848,12 @@ def _seminaive_fixpoint(
     for h in members:
         if acc[h] is not None:
             # compact: acc is a lazy union over iteration checkpoints;
-            # one final checkpoint gives consumers a flat scan
-            out[h] = acc[h].localCheckpoint(eager=True)
+            # one final checkpoint gives consumers a flat scan. LAZY
+            # (r14, the r13 _pin_count discipline): the eager form ran
+            # the full-closure rewrite as its own standalone job; the
+            # lazy pin folds it into the consumer's first action —
+            # same blocks, one fewer job per recursive query.
+            out[h] = acc[h].localCheckpoint(eager=False)
     return out
 
 
@@ -1192,7 +1201,13 @@ def dred_retract(
     out: Dict[str, DataFrame] = {}
     for h in members_set:
         final = remaining[h] if red[h] is None else remaining[h].unionByName(red[h])
-        out[h] = final.localCheckpoint(eager=True)
+        # LAZY pin (r14): the overdelete anti-join + closure rewrite
+        # fold into the consumer's first action (one job) instead of
+        # running as a standalone materialization job per retraction;
+        # all inputs are pinned leaves, so what materializes is
+        # identical (same immutability argument as the r13 engine-view
+        # pins).
+        out[h] = final.localCheckpoint(eager=False)
     if trace:
         mark("final_pin")
         total = _time.perf_counter() - t_start
@@ -1350,5 +1365,14 @@ def seminaive_insert(
 
     out: Dict[str, DataFrame] = {}
     for h in members_set:
+        # KEPT EAGER (r14 honest negative, measured on the bench's own
+        # 1M-pair/10-edge-cycle shape): returning the lazy UNION of the
+        # cached extent + pinned deltas (no rewrite at all) measured
+        # +1.3 s per maintenance cycle — every downstream scan of the
+        # union read ~0.3 s slower than the freshly rewritten compact
+        # leaf — and a LAZY pin only moved the rewrite into the next
+        # query (exec -0.2 s, query +0.2 s, net wash, worse tail
+        # latency for the re-query the bench measures). The eager
+        # rewrite keeps consumers on a flat, just-written leaf.
         out[h] = acc[h].localCheckpoint(eager=True)
     return out
