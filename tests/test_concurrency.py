@@ -18,6 +18,8 @@ Each test loops its workload (green-under-repetition gate).
 """
 
 import json
+
+import pytest
 import threading
 import urllib.request
 
@@ -129,6 +131,7 @@ def test_concurrent_recursive_queries_across_sessions(spark):
 # ------------------------------------------- server-mediated mixed load
 
 
+@pytest.mark.slow  # ~50 s three-client wire-level mixed load
 def test_server_concurrent_sessions_writes_recursion_and_index(spark):
     """The reference's concurrency_tests.rs shape over the wire: ≥3
     concurrent clients on DISTINCT sessions interleave (a) persistent

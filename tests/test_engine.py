@@ -427,6 +427,7 @@ def test_bound_query_no_exit_rule_empty_quirk(engine):
     assert ("s", "s", 0) in got and ("s", "a", 1) in got and ("s", "t", 2) in got
 
 
+@pytest.mark.slow  # ~5 min: artifact build + exhaustive bound-query sweep
 def test_hnsw_index_artifact_and_bound_query(engine):
     """The LSH bucket artifact materializes at first use, serves literal
     and bound-variable queries exactly (generous probe budget → exact

@@ -84,6 +84,7 @@ def _oracle(body_atoms, data):
     return out
 
 
+@pytest.mark.slow  # ~18 min: 6 hypothesis examples x full conjunction oracle
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(body=body, data=rel_data)
 def test_compile_body_equals_nested_loop_conjunction(spark, body, data):

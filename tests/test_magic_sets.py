@@ -176,6 +176,7 @@ def test_nonlinear_same_generation_rewrite_and_demand_pruning(spark):
     assert full == sum(4**k for k in range(1, 6))  # 1364 pairs
 
 
+@pytest.mark.slow  # ~80 s randomized differential over random graphs
 def test_nonlinear_magic_randomized_differential(spark):
     """Random graphs × random bound goals for the two canonical
     non-linear shapes (same-generation, symmetric closure): the engine's

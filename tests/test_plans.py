@@ -383,7 +383,7 @@ def test_c4_clean_is_one_narrow_codegen_scan(spark):
     assert "EvalPython" not in plan
 
 
-def test_web_pipeline_is_straight_line(spark):
+def test_web_pipeline_is_straight_line(spark, monkeypatch):
     """The trilogy composition must stay a LINEAR chain: metadata rides
     the operators' `carry` passthrough, never a join-back to the input.
     A join-back re-evaluates the upstream subtree once per branch — the
@@ -391,7 +391,15 @@ def test_web_pipeline_is_straight_line(spark):
     chain above it) multiple times and measured 8.0x growth at 100x
     where every individual stage is <=0.9x. Pin: exactly ONE
     ArrowEvalPython in the physical plan (the NFC kernel), and no Join
-    anywhere before the survivor aggregation."""
+    anywhere before the survivor aggregation.
+
+    r14: below the input-size guard the cleaned pages are lazily
+    PINNED (the chain evaluates once inside the pin; downstream reads
+    the pinned leaf), so the corpus-scale straight-line shape is
+    asserted with the guard forced off, and the pinned bench-scale
+    shape separately."""
+    # corpus-scale shape (guard disabled => no pin): the LINEAR chain
+    monkeypatch.setattr(entry, "_PIN_MAX_BYTES", -1)
     plan = _plan(spark, "web_pipeline")
     # formatted explain lists every node twice (tree + detail): one
     # physical ArrowEvalPython node == exactly one tree-form occurrence
@@ -399,6 +407,16 @@ def test_web_pipeline_is_straight_line(spark):
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+    # bench-scale shape (guard active): downstream of the pin the plan
+    # reads a checkpointed leaf — the cleaning chain appears ONCE, in
+    # the pin's own materialization, not 2-3x via filter pushdown
+    # substitution (r13's measured +1.8 s)
+    monkeypatch.setattr(entry, "_PIN_MAX_BYTES", 1 << 30)
+    plan2 = _plan(spark, "web_pipeline")
+    assert "ExistingRDD" in plan2
+    assert "Join" not in plan2
+    assert "CartesianProduct" not in plan2
+    assert "BatchEvalPython" not in plan2
 
 
 def test_normalize_text_is_arrow_batched_map_only(spark):

@@ -1234,6 +1234,7 @@ def test_incremental_dedup_three_formulations_differential(spark, tmp_path):
     )
 
 
+@pytest.mark.slow  # ~50 s multi-batch compaction cycle
 def test_streaming_corpus_dedup_auto_compaction(spark, tmp_path):
     """auto_compact_every=N folds the index inside _on_batch's critical
     section every N accepted batches; the CURRENT batch is not yet in
